@@ -1,0 +1,103 @@
+"""Benchmark harness: index build + BM25 top-k over the documents table at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., plus informational extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from google_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "hash join",
+    "merge scan filter",
+    "customer order",
+    "data",
+    "window batch spark",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app="bench")
+
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import exhaustive_topk, wand_topk
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    t0 = time.perf_counter()
+    index = build_index(spark, docs, id_col="doc_id", text_col="text")
+    index.postings.count()  # force build materialization
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = round(build_sec, 4)
+
+    # per-query latency (WAND path), p50 across the suite
+    lat_ms = []
+    for i, q in enumerate(BENCH_QUERIES):
+        t0 = time.perf_counter()
+        wand_topk(index, q, k=10).collect()
+        dt = time.perf_counter() - t0
+        timings[f"wand_q{i + 1}"] = round(dt, 4)
+        lat_ms.append(dt * 1000)
+
+    t0 = time.perf_counter()
+    exhaustive_topk(index, BENCH_QUERIES[0], k=10).collect()
+    timings["exhaustive_q1"] = round(time.perf_counter() - t0, 4)
+
+    # relational headliners at sf scale
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    t0 = time.perf_counter()
+    (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+        .collect()
+    )
+    timings["tpch_agg"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice"), F.count("*"))
+        .collect()
+    )
+    timings["join_agg"] = round(time.perf_counter() - t0, 4)
+
+    total = time.perf_counter() - t_all
+    out = {
+        "metric": "index_build+bm25_topk+relational suite wall time",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_build_docs_per_sec": round(n_docs / build_sec, 2),
+        "query_p50_ms": round(statistics.median(lat_ms), 2),
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

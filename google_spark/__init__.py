@@ -1,0 +1,21 @@
+"""google_spark — a brand-new PySpark-native inverted-index build + BM25
+query engine, with the capabilities of the reference search engine
+(`/root/reference`, CIS5550 "NetNinjas": crawl -> tokenize/stem -> inverted
+index with positions/TF/IDF -> PageRank -> TF-IDF ranked top-k), re-expressed
+Spark-first:
+
+- DataFrame + vectorized pandas/Arrow UDFs everywhere (no per-row Python)
+- typed posting lists (delta-gap + varint ``BinaryType`` blobs) instead of the
+  reference's ``\\r\\n``-delimited text rows (ref: src/cis5550/jobs/Indexer.java:184-226)
+- doc-id-sharded, skew-proof index partitioning instead of rowKey salting
+  (ref: src/cis5550/jobs/Indexer.java:28-33)
+- BM25 + block-max WAND top-k instead of full-sort TF-IDF
+  (ref: src/cis5550/jobs/RankScore.java:64-76,147-185)
+- DataFrame-loop PageRank instead of the Flame foldByKey loop
+  (ref: src/cis5550/jobs/PageRank.java:114-224)
+"""
+
+__version__ = "0.1.0"
+
+BM25_K1 = 1.2
+BM25_B = 0.75

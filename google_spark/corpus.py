@@ -1,0 +1,127 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F1/F2).
+
+Generates the north-rule input table ``(repo, path, commit, lang, content)``
+— the analog of the reference's ``crawl`` table (rowKey=hash(url), columns
+url/page/contentType/..., ref: src/cis5550/jobs/Crawler.java:151-157,203) —
+at small scale for tests and benchmarks. Seeded, pure NumPy/stdlib, no Spark
+dependency, so the oracle side never depends on the engine under test.
+
+Properties exercised on purpose:
+- Zipf-distributed repo sizes and term frequencies (skew / salting tests;
+  the reference salts rowKeys for exactly this, ref:
+  src/cis5550/jobs/Indexer.java:28-33)
+- a hot term (``data``) present in ~60% of documents
+- import lines referencing other repos' module names -> the link graph for
+  PageRank (the code analog of <a href> extraction, ref:
+  src/cis5550/jobs/PageRank.java:133-160)
+- planted phrases for proximity scoring tests (ref:
+  src/cis5550/jobs/RankScore.java:187-300)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+VOCAB = (
+    "data system query index search engine result token document cluster "
+    "partition shuffle merge sort filter scan join aggregate stream batch "
+    "vector matrix graph node edge rank score weight cache buffer memory "
+    "disk network socket thread process worker master client server table "
+    "column value record field schema parser lexer compiler runtime stack "
+    "heap queue list array string number integer float double boolean flag "
+    "option config setting param input output error warning message logger "
+    "handler router request response session cookie header body status code "
+    "test assert mock fixture suite runner report metric gauge counter timer "
+    "relational connection retrieval ranking positional frequency inverse "
+).split()
+
+HOT_TERM = "data"
+PLANTED_PHRASE = "quick brown fox jumps"
+LANGS = ("py", "java", "js", "go", "md")
+
+_IDENT_PARTS = (
+    "get set load save parse build make run exec fetch send recv open close "
+    "read write push pull sync async init free alloc map fold scan emit"
+).split()
+
+
+def module_name(repo: str) -> str:
+    """Importable module name for a repo: ``org3/repo7`` -> ``org3_repo7``."""
+    return repo.replace("/", "_")
+
+
+def repo_of_module(module: str) -> str:
+    return module.replace("_", "/", 1)
+
+
+def generate_source_files(n_files: int = 500, seed: int = 42, n_repos: int | None = None):
+    """Return a pandas DataFrame (repo, path, commit, lang, content)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    if n_repos is None:
+        n_repos = max(6, n_files // 40)
+    repos = [f"org{i % 7}/repo{i}" for i in range(n_repos)]
+    modules = [module_name(r) for r in repos]
+
+    # Zipf repo assignment: a few repos own most files (skew)
+    repo_weights = 1.0 / np.arange(1, n_repos + 1) ** 1.2
+    repo_weights /= repo_weights.sum()
+    repo_idx = rng.choice(n_repos, size=n_files, p=repo_weights)
+
+    # Zipf term frequencies over the vocab
+    vocab = np.array(VOCAB)
+    term_weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+    term_weights /= term_weights.sum()
+
+    rows = []
+    per_repo_count: dict[int, int] = {}
+    for i in range(n_files):
+        ri = int(repo_idx[i])
+        repo = repos[ri]
+        k = per_repo_count.get(ri, 0)
+        per_repo_count[ri] = k + 1
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        path = f"src/pkg{k % 5}/file{k}.{lang}"
+        commit = "".join(rng.choice(list("0123456789abcdef"), size=40))
+
+        lines = []
+        # import lines -> link graph edges (never self-import)
+        n_imports = int(rng.integers(0, 5))
+        for _ in range(n_imports):
+            tgt = int(rng.integers(0, n_repos))
+            if tgt != ri:
+                lines.append(f"import {modules[tgt]}")
+        # code-ish lines with snake/camel identifiers
+        n_defs = int(rng.integers(1, 4))
+        for _ in range(n_defs):
+            a, b = rng.choice(_IDENT_PARTS, size=2)
+            lines.append(f"def {a}_{b}(value):")
+            lines.append(f"    result = {a.capitalize()}{b.capitalize()}Handler(value)")
+            lines.append("    return result")
+        # comment lines with Zipf English words
+        n_words = int(rng.integers(8, 40))
+        words = rng.choice(vocab, size=n_words, p=term_weights).tolist()
+        if rng.random() < 0.6:
+            words.insert(int(rng.integers(0, len(words) + 1)), HOT_TERM)
+        lines.append("# " + " ".join(words))
+        if rng.random() < 0.05:
+            lines.append(f"# note: {PLANTED_PHRASE} over the lazy dog")
+        rows.append((repo, path, commit, lang, "\n".join(lines)))
+
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def reference_queries() -> list[tuple[int, str, int]]:
+    """(query_id, query, k) — FIXTURES.md F2: single term, multi-term,
+    planted phrase, stopword-heavy, absent term, hot term."""
+    return [
+        (1, "search engine", 10),
+        (2, "index", 10),
+        (3, PLANTED_PHRASE, 10),
+        (4, "the of a partition shuffle", 10),
+        (5, "zzzznotaword", 10),
+        (6, HOT_TERM, 10),
+        (7, "inverted index retrieval ranking", 10),
+        (8, "GetValueHandler parse_json", 10),
+    ]

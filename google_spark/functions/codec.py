@@ -1,0 +1,137 @@
+"""Posting-list codec: delta-gap + unsigned varint.
+
+Typed replacement for the reference's text posting blob
+``"<IDF>\\r\\n<url> <pos1> <pos2> ... <TF>\\r\\n..."`` (ref:
+src/cis5550/jobs/Indexer.java:184-226,237-243). Layout per posting list
+(doc_ids strictly ascending):
+
+    n_postings : varint
+    repeated   : doc_gap (first = doc_id - first_doc_base 0), tf, dl,
+                 n_pos, pos_delta...   (positions strictly ascending, 1-based;
+                 first delta = first position)
+
+``dl`` (BM25 doc length) is stored inline so query-time scoring needs no doc
+join; block metadata (last_doc, max_tf, min_dl per block of BLOCK_SIZE docs)
+supports block-max WAND pruning with the bound
+score(tf, dl) <= score(max_tf, min_dl) (monotonic in tf, anti-monotonic in dl).
+"""
+
+from __future__ import annotations
+
+BLOCK_SIZE = 128
+
+
+def _write_varint(buf: bytearray, value: int) -> None:
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+
+
+def encode_postings(
+    doc_ids: list[int],
+    tfs: list[int],
+    dls: list[int],
+    positions: list[list[int]],
+) -> bytes:
+    """Encode one term's postings. Inputs must be sorted by doc_id ascending
+    (strictly — duplicate doc_ids are a caller bug)."""
+    buf = bytearray()
+    _write_varint(buf, len(doc_ids))
+    prev_doc = 0
+    for i, doc in enumerate(doc_ids):
+        _write_varint(buf, doc - prev_doc)
+        prev_doc = doc
+        _write_varint(buf, tfs[i])
+        _write_varint(buf, dls[i])
+        pos_list = positions[i]
+        _write_varint(buf, len(pos_list))
+        prev_pos = 0
+        for p in pos_list:
+            _write_varint(buf, p - prev_pos)
+            prev_pos = p
+    return bytes(buf)
+
+
+def decode_postings(data: bytes) -> tuple[list[int], list[int], list[int], list[list[int]]]:
+    """Inverse of :func:`encode_postings` -> (doc_ids, tfs, dls, positions)."""
+    n, pos = _read_varint(data, 0)
+    doc_ids: list[int] = []
+    tfs: list[int] = []
+    dls: list[int] = []
+    positions: list[list[int]] = []
+    prev_doc = 0
+    for _ in range(n):
+        gap, pos = _read_varint(data, pos)
+        prev_doc += gap
+        doc_ids.append(prev_doc)
+        tf, pos = _read_varint(data, pos)
+        tfs.append(tf)
+        dl, pos = _read_varint(data, pos)
+        dls.append(dl)
+        n_pos, pos = _read_varint(data, pos)
+        plist: list[int] = []
+        prev_p = 0
+        for _ in range(n_pos):
+            d, pos = _read_varint(data, pos)
+            prev_p += d
+            plist.append(prev_p)
+        positions.append(plist)
+    return doc_ids, tfs, dls, positions
+
+
+def block_metadata(
+    doc_ids: list[int], tfs: list[int], dls: list[int], block_size: int = BLOCK_SIZE
+) -> list[tuple[int, int, int]]:
+    """Per-block (last_doc, max_tf, min_dl) over BLOCK_SIZE-doc blocks."""
+    out: list[tuple[int, int, int]] = []
+    for start in range(0, len(doc_ids), block_size):
+        end = min(start + block_size, len(doc_ids))
+        out.append(
+            (
+                doc_ids[end - 1],
+                max(tfs[start:end]),
+                min(dls[start:end]),
+            )
+        )
+    return out
+
+
+def merge_postings(blobs: list[bytes]) -> tuple[list[int], list[int], list[int], list[list[int]]]:
+    """Merge several encoded partial posting lists (disjoint doc_id sets,
+    e.g. per-batch partials from the resumable build — the analog of the
+    reference's ``indexJoin`` merge, ref: src/cis5550/jobs/Indexer.java:35-51)
+    into one doc_id-sorted posting set."""
+    all_docs: list[int] = []
+    all_tfs: list[int] = []
+    all_dls: list[int] = []
+    all_pos: list[list[int]] = []
+    for blob in blobs:
+        d, t, l, p = decode_postings(blob)
+        all_docs.extend(d)
+        all_tfs.extend(t)
+        all_dls.extend(l)
+        all_pos.extend(p)
+    order = sorted(range(len(all_docs)), key=all_docs.__getitem__)
+    return (
+        [all_docs[i] for i in order],
+        [all_tfs[i] for i in order],
+        [all_dls[i] for i in order],
+        [all_pos[i] for i in order],
+    )

@@ -1,0 +1,23 @@
+"""Deterministic identity helpers shared by the Spark engine, the corpus
+generator, and the NumPy oracle — one definition so ingestion fidelity
+(per-row sha256(content) equality, BASELINE.json input_hint) and doc_id
+stability are testable end to end.
+
+The reference keys documents by ``Hasher.hash(url)`` (SHA-1 hex, ref:
+src/cis5550/tools/Hasher.java:27-38); we use a 63-bit truncation of
+sha256(repo|path|commit) so doc ids are orderable int64s suitable for
+delta-gap encoding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def content_sha256(content: str) -> str:
+    return hashlib.sha256(content.encode("utf-8")).hexdigest()
+
+
+def doc_id_of(repo: str, path: str, commit: str) -> int:
+    h = hashlib.sha256(f"{repo}|{path}|{commit}".encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF

@@ -1,0 +1,210 @@
+"""Distributed inverted-index build (SURVEY.md §2.3 D1-D10, §3.2).
+
+Pipeline (one tokenize pass, Spark-first restatement of the reference's
+Indexer dataflow — ref: src/cis5550/jobs/Indexer.java:53-246):
+
+    docs(id, text) --mapInPandas--> doc_terms(doc_id, dl, term, tf, positions)
+        [map-side per-doc aggregation: no (doc,term) shuffle at all]
+    doc_terms --groupBy(term, shard)--> applyInPandas encode
+        -> postings(term, shard, df, postings BINARY, block metadata)
+    doc_terms --agg--> stats(n_docs, avgdl)
+    postings --groupBy(term)--> terms(term, df, idf)
+
+Skew design (replaces the reference's rowKey salting, ref:
+src/cis5550/jobs/Indexer.java:28-33): postings are sharded by
+``shard = pmod(xxhash64(doc_id), n_shards)``. Because the shard is a pure
+function of doc_id, every term's posting list is co-partitioned on the SAME
+doc universe split — a hot term (df ~ 60% of docs) spreads over all shards,
+no reducer ever materializes a full hot posting list, and query-time
+intersection/WAND runs per-shard with no cross-shard traffic. At 10^12 docs
+you raise ``n_shards``; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_spark.functions.codec import block_metadata, encode_postings
+from google_spark.functions.tokenizer import tokenize
+
+DOC_TERMS_SCHEMA = (
+    "doc_id long, dl int, term string, tf int, positions array<int>"
+)
+
+POSTINGS_SCHEMA = (
+    "term string, shard int, df long, postings binary, "
+    "block_last_doc array<long>, block_max_tf array<int>, block_min_dl array<int>"
+)
+
+
+@dataclass
+class IndexTables:
+    """The built index: postings + per-term stats + corpus scalars."""
+
+    postings: DataFrame
+    terms: DataFrame  # term, df, idf
+    n_docs: int
+    avgdl: float
+
+    def idf_map(self, terms: list[str]) -> dict[str, float]:
+        rows = self.terms.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: r["idf"] for r in rows}
+
+
+def tokenize_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    stem: bool = False,
+) -> DataFrame:
+    """docs -> (doc_id, dl, term, tf, positions), one row per (doc, term).
+
+    Tokenization AND per-document term aggregation happen inside one
+    ``mapInPandas`` pass (Arrow batches), so the only shuffle in the whole
+    build is the groupBy(term, shard) exchange.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_dl, out_term, out_tf, out_pos = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = tokenize(text, mode=mode, stem=stem)
+                per_term: dict[str, list[int]] = defaultdict(list)
+                dl = 0
+                for term, pos in toks:
+                    per_term[term].append(pos)
+                    dl = pos if pos > dl else dl
+                for term, positions in per_term.items():
+                    out_doc.append(doc_id)
+                    out_dl.append(dl)
+                    out_term.append(term)
+                    out_tf.append(len(positions))
+                    out_pos.append(positions)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "dl": pd.Series(out_dl, dtype="int32"),
+                    "term": out_term,
+                    "tf": pd.Series(out_tf, dtype="int32"),
+                    "positions": out_pos,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=DOC_TERMS_SCHEMA)
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (term, shard) group -> one postings row."""
+    pdf = pdf.sort_values("doc_id")
+    doc_ids = pdf["doc_id"].tolist()
+    tfs = pdf["tf"].tolist()
+    dls = pdf["dl"].tolist()
+    positions = pdf["positions"].tolist()
+    blob = encode_postings(doc_ids, tfs, dls, positions)
+    blocks = block_metadata(doc_ids, tfs, dls)
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "shard": pd.Series([int(pdf["shard"].iloc[0])], dtype="int32"),
+            "df": pd.Series([len(doc_ids)], dtype="int64"),
+            "postings": [blob],
+            "block_last_doc": [[b[0] for b in blocks]],
+            "block_max_tf": [[b[1] for b in blocks]],
+            "block_min_dl": [[b[2] for b in blocks]],
+        }
+    )
+
+
+def build_postings(doc_terms: DataFrame, n_shards: int = 8) -> DataFrame:
+    """doc_terms -> sharded, delta-varint-compressed posting lists."""
+    sharded = doc_terms.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int")
+    )
+    return sharded.groupBy("term", "shard").applyInPandas(
+        _encode_group, schema=POSTINGS_SCHEMA
+    )
+
+
+def corpus_stats(doc_terms: DataFrame, total_docs: int) -> tuple[int, float]:
+    """(n_docs, avgdl). ``total_docs`` comes from the source table so docs
+    that tokenize to nothing still count toward N and the avgdl denominator
+    (matching the oracle). dl is repeated per (doc, term) row, so take
+    first(dl) per doc before summing."""
+    per_doc = doc_terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    row = per_doc.agg(F.sum("dl").alias("total_dl")).collect()[0]
+    total_dl = int(row["total_dl"] or 0)
+    return total_docs, (total_dl / total_docs if total_docs else 0.0)
+
+
+def term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
+    """Global df + BM25 idf per term (the analog of the reference's IDF
+    finalize pass, ref: src/cis5550/jobs/Indexer.java:234-246, with
+    ln(N/df) replaced by the BM25 idf)."""
+    return postings.groupBy("term").agg(F.sum("df").alias("df")).withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    stem: bool = False,
+    n_shards: int = 8,
+    persist_tokens: bool = True,
+) -> IndexTables:
+    total_docs = docs.count()
+    doc_terms = tokenize_docs(docs, id_col=id_col, text_col=text_col, mode=mode, stem=stem)
+    if persist_tokens:
+        doc_terms = doc_terms.persist()
+    try:
+        n_docs, avgdl = corpus_stats(doc_terms, total_docs)
+        postings = build_postings(doc_terms, n_shards=n_shards)
+        terms = term_stats(postings, n_docs)
+        # Materialize before unpersisting the token relation.
+        if persist_tokens:
+            postings = postings.persist()
+            postings.count()
+            terms = terms.persist()
+            terms.count()
+    finally:
+        if persist_tokens:
+            doc_terms.unpersist()
+    return IndexTables(postings=postings, terms=terms, n_docs=n_docs, avgdl=avgdl)
+
+
+def write_index(index: IndexTables, out_dir: str) -> None:
+    """Persist the index as parquet, postings bucketed by term hash via an
+    explicit repartition column (Iceberg-style bucket partitioning; the
+    atomic-publish analog of the reference's index2->index rename, ref:
+    src/cis5550/jobs/Indexer.java:245-246, is parquet's atomic directory
+    commit)."""
+    (
+        index.postings.repartition(F.col("term"))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/postings.parquet")
+    )
+    index.terms.write.mode("overwrite").parquet(f"{out_dir}/terms.parquet")
+    index.postings.sparkSession.createDataFrame(
+        [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(f"{out_dir}/stats.parquet")
+
+
+def read_index(spark: SparkSession, out_dir: str) -> IndexTables:
+    stats = spark.read.parquet(f"{out_dir}/stats.parquet").collect()[0]
+    return IndexTables(
+        postings=spark.read.parquet(f"{out_dir}/postings.parquet"),
+        terms=spark.read.parquet(f"{out_dir}/terms.parquet"),
+        n_docs=int(stats["n_docs"]),
+        avgdl=float(stats["avgdl"]),
+    )

@@ -1,0 +1,217 @@
+"""Query-time top-k: BM25 scoring over the sharded compressed index
+(SURVEY.md §2.3 D18-D23, §3.3).
+
+Two engines, required to be rank-identical (tested):
+
+- ``exhaustive_topk``: decode matching posting lists -> score every posting
+  with JVM-side expressions -> groupBy(doc).sum -> TakeOrderedAndProject.
+  The declarative baseline (the analog of the reference's singleSearch full
+  scan, ref: src/cis5550/jobs/RankScore.java:147-185, minus its per-word KVS
+  RPCs).
+- ``wand_topk``: per-shard document-at-a-time WAND with term upper bounds and
+  block-max refinement in a NumPy ``applyInPandas`` kernel, then a global
+  top-k merge. Because shards partition the doc_id universe, per-shard WAND
+  is exact and embarrassingly parallel — the scale path.
+
+Ties break (score desc, doc_id asc) everywhere, including the oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from google_spark import BM25_B, BM25_K1
+from google_spark.functions.codec import decode_postings
+from google_spark.functions.tokenizer import tokenize
+from google_spark.operators.index_build import IndexTables
+
+
+def query_terms(query: str, mode: str = "simple", stem: bool = False) -> list[str]:
+    """Tokenize a query with the same kernel as documents (multiplicity kept
+    — repeated terms weight like the reference's queryFreq,
+    ref: src/cis5550/jobs/RankScore.java:176)."""
+    return [t for t, _ in tokenize(query, mode=mode, stem=stem)]
+
+
+DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
+
+
+def _decode_matching(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Filter the postings table to the query terms (predicate pushed to the
+    parquet scan) and decode blobs into (term, doc_id, tf, dl) rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t_out, d_out, tf_out, dl_out = [], [], [], []
+            for term, blob in zip(pdf["term"].values, pdf["postings"].values):
+                doc_ids, tfs, dls, _ = decode_postings(bytes(blob))
+                t_out.extend([term] * len(doc_ids))
+                d_out.extend(doc_ids)
+                tf_out.extend(tfs)
+                dl_out.extend(dls)
+            yield pd.DataFrame(
+                {
+                    "term": t_out,
+                    "doc_id": pd.Series(d_out, dtype="int64"),
+                    "tf": pd.Series(tf_out, dtype="int32"),
+                    "dl": pd.Series(dl_out, dtype="int32"),
+                }
+            )
+
+    return (
+        postings.filter(F.col("term").isin(terms))
+        .select("term", "postings")
+        .mapInPandas(gen, schema=DECODED_SCHEMA)
+    )
+
+
+def bm25_score_col(avgdl: float) -> F.Column:
+    """JVM-side BM25 term score given columns tf, dl, idf and weight."""
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    return F.col("weight") * F.col("idf") * tf * F.lit(BM25_K1 + 1.0) / denom
+
+
+def exhaustive_topk(
+    index: IndexTables, query: str, k: int = 10, mode: str = "simple", stem: bool = False
+) -> DataFrame:
+    """DataFrame[doc_id, score] — top-k by BM25, exhaustive scoring."""
+    spark = index.postings.sparkSession
+    terms = query_terms(query, mode=mode, stem=stem)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qf = Counter(terms)
+    weights = spark.createDataFrame(
+        [(t, float(c)) for t, c in qf.items()], "term string, weight double"
+    )
+    decoded = _decode_matching(index.postings, list(qf))
+    scored = decoded.join(F.broadcast(weights), "term").join(
+        F.broadcast(index.terms.select("term", "idf")), "term"
+    )
+    return (
+        scored.withColumn("score", bm25_score_col(index.avgdl))
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _wand_shard_kernel(
+    pdf: pd.DataFrame,
+    weights: dict[str, float],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """Exact top-k within one shard via WAND pivoting.
+
+    Per-term cursors over doc_id-sorted decoded arrays; term upper bound
+    ub_t = w*idf*(k1+1)*max_tf/(max_tf + k1*(1-b+b*min_dl/avgdl)) from block
+    metadata (score is monotone in tf, antitone in dl); pivot = first doc
+    where the prefix UB sum beats the heap threshold; non-pivot cursors skip
+    forward with galloping searchsorted — postings before the pivot are never
+    scored."""
+    cols: list[tuple[np.ndarray, np.ndarray, float]] = []  # (docs, score_arr, ub)
+    for _, row in pdf.iterrows():
+        doc_ids, tfs, dls, _ = decode_postings(bytes(row["postings"]))
+        docs = np.asarray(doc_ids, dtype=np.int64)
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = np.asarray(dls, dtype=np.float64)
+        w = weights[row["term"]] * idf[row["term"]]
+        scores = w * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+        max_tf = float(np.max(row["block_max_tf"]))
+        min_dl = float(np.min(row["block_min_dl"]))
+        ub = w * max_tf * (BM25_K1 + 1.0) / (
+            max_tf + BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / avgdl)
+        )
+        cols.append((docs, scores, ub))
+
+    cursors = [0] * len(cols)
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) >= k else -1.0
+
+    while True:
+        # order live terms by current doc
+        live = [
+            (cols[i][0][cursors[i]], i)
+            for i in range(len(cols))
+            if cursors[i] < len(cols[i][0])
+        ]
+        if not live:
+            break
+        live.sort()
+        ub_sum = 0.0
+        pivot_idx = -1
+        theta = threshold()
+        for j, (_, i) in enumerate(live):
+            ub_sum += cols[i][2]
+            if ub_sum > theta:
+                pivot_idx = j
+                break
+        if pivot_idx < 0:
+            break  # even all remaining UBs can't beat the threshold
+        pivot_doc = live[pivot_idx][0]
+        if live[0][0] == pivot_doc:
+            # fully score pivot_doc across all terms positioned on it
+            score = 0.0
+            for _, i in live:
+                docs, scores, _ = cols[i]
+                c = cursors[i]
+                if c < len(docs) and docs[c] == pivot_doc:
+                    score += scores[c]
+                    cursors[i] = c + 1
+            entry = (score, -int(pivot_doc))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+        else:
+            # gallop every earlier cursor up to the pivot doc
+            for j in range(pivot_idx):
+                _, i = live[j]
+                docs = cols[i][0]
+                cursors[i] += int(
+                    np.searchsorted(docs[cursors[i] :], pivot_doc, side="left")
+                )
+    results = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for _, d in results], dtype="int64"),
+            "score": pd.Series([s for s, _ in results], dtype="float64"),
+        }
+    )
+
+
+def wand_topk(
+    index: IndexTables, query: str, k: int = 10, mode: str = "simple", stem: bool = False
+) -> DataFrame:
+    """DataFrame[doc_id, score] — top-k via per-shard block-max WAND."""
+    spark = index.postings.sparkSession
+    terms = query_terms(query, mode=mode, stem=stem)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qf = Counter(terms)
+    weights = {t: float(c) for t, c in qf.items()}
+    idf = index.idf_map(list(qf))
+    avgdl = index.avgdl
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _wand_shard_kernel(pdf, weights, idf, avgdl, k)
+
+    matching = index.postings.filter(F.col("term").isin(list(qf)))
+    per_shard = matching.groupBy("shard").applyInPandas(
+        kernel, schema="doc_id long, score double"
+    )
+    return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,121 @@
+"""Single-node pure-Python/NumPy oracle engine (SURVEY.md §5.2).
+
+Computes golden top-k (doc_id, BM25 score) with the exact same tokenizer and
+constants as the Spark engine; the engine must be rank-identical and
+score-equal within 1e-6 (ties: score desc, doc_id asc). Also golden PageRank
+by dense power iteration with the reference's damping/teleport and
+convergence rule (ref: src/cis5550/jobs/PageRank.java:175,192,204-222).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from google_spark import BM25_B, BM25_K1
+from google_spark.functions.tokenizer import tokenize, tokenize_code, tokenize_simple
+
+
+class OracleIndex:
+    """In-memory inverted index + BM25 scorer over (doc_id, text) pairs."""
+
+    def __init__(self, docs: list[tuple[int, str]], mode: str = "simple", stem: bool = False):
+        self.mode = mode
+        self.stem = stem
+        self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
+        self.dl: dict[int, int] = {}
+        for doc_id, text in docs:
+            toks = tokenize(text, mode=mode, stem=stem)
+            self.dl[doc_id] = (
+                len(tokenize_simple(text)) if mode == "simple" else len(tokenize_code(text))
+            )
+            per_term: dict[str, list[int]] = defaultdict(list)
+            for term, pos in toks:
+                per_term[term].append(pos)
+            for term, positions in per_term.items():
+                self.postings[term][doc_id] = positions
+        self.n_docs = len(self.dl)
+        self.avgdl = (sum(self.dl.values()) / self.n_docs) if self.n_docs else 0.0
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, {}))
+        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def bm25(self, term: str, doc_id: int) -> float:
+        plist = self.postings.get(term, {})
+        if doc_id not in plist:
+            return 0.0
+        tf = len(plist[doc_id])
+        dl = self.dl[doc_id]
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
+        return self.idf(term) * tf * (BM25_K1 + 1.0) / denom
+
+    def query_terms(self, query: str) -> list[str]:
+        """Tokenize a query with the doc tokenizer; repeated terms keep
+        multiplicity (query-frequency weighting, ref:
+        src/cis5550/jobs/RankScore.java:176)."""
+        return [t for t, _ in tokenize(query, mode=self.mode, stem=self.stem)]
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = self.query_terms(query)
+        qf = Counter(terms)
+        scores: dict[int, float] = defaultdict(float)
+        for term, mult in qf.items():
+            for doc_id in self.postings.get(term, {}):
+                scores[doc_id] += mult * self.bm25(term, doc_id)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def proximity_bonus(self, query: str, doc_id: int) -> float:
+        """Secondary proximity signal: for each adjacent query-term pair
+        co-occurring in the doc, add 1/min_pairwise_gap (analog of the
+        reference's upperBound/diff phrase weight, ref:
+        src/cis5550/jobs/RankScore.java:269-291)."""
+        terms = self.query_terms(query)
+        bonus = 0.0
+        for t1, t2 in zip(terms, terms[1:]):
+            p1 = self.postings.get(t1, {}).get(doc_id)
+            p2 = self.postings.get(t2, {}).get(doc_id)
+            if not p1 or not p2 or t1 == t2:
+                continue
+            gap = min(abs(a - b) for a in p1 for b in p2)
+            if gap > 0:
+                bonus += 1.0 / gap
+        return bonus
+
+
+def pagerank_power_iteration(
+    edges: list[tuple[str, str]],
+    nodes: list[str] | None = None,
+    damping: float = 0.85,
+    threshold: float = 1e-6,
+    fraction: float = 1.0,
+    max_iter: int = 200,
+) -> dict[str, float]:
+    """Golden PageRank matching the reference semantics: rank init 1.0,
+    update rc = 0.15 + 0.85 * sum(contrib), sinks kept alive via self-entry
+    0.0 (so they receive but contribute nothing), stop when >= ``fraction``
+    of nodes have |rc - rp| < threshold (ref: src/cis5550/jobs/
+    PageRank.java:140,165-199,204-222)."""
+    node_set = set(nodes or [])
+    for s, d in edges:
+        node_set.add(s)
+        node_set.add(d)
+    out: dict[str, list[str]] = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    ranks = {n: 1.0 for n in node_set}
+    for _ in range(max_iter):
+        contrib: dict[str, float] = defaultdict(float)
+        for s, dsts in out.items():
+            share = damping * ranks[s] / len(dsts)
+            for d in dsts:
+                contrib[d] += share
+        new_ranks = {n: (1.0 - damping) + contrib.get(n, 0.0) for n in node_set}
+        converged = sum(
+            1 for n in node_set if abs(new_ranks[n] - ranks[n]) < threshold
+        )
+        ranks = new_ranks
+        if node_set and converged / len(node_set) >= fraction:
+            break
+    return ranks

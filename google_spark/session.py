@@ -1,0 +1,57 @@
+"""SparkSession factory with the engine's standard config.
+
+Local-mode testing stands in for a multi-executor cluster; partitioning and
+shuffle settings are chosen so the same plans hold at cluster scale (AQE on,
+explicit shuffle partition count, Arrow enabled for all pandas UDF exchange).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip the google_spark package so executors can import it regardless of
+    the consumer's cwd — the library equivalent of launching with
+    ``spark-submit --py-files engine.zip`` (BASELINE.json north_rule)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "google_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    return out
+
+
+def get_spark(
+    app: str = "google_spark",
+    cores: str | int | None = None,
+    shuffle_partitions: int = 32,
+    driver_memory: str = "24g",
+) -> SparkSession:
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark

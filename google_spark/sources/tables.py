@@ -1,0 +1,39 @@
+"""Source-table helpers: testdata parquet readers, doc identity, ingestion
+fidelity columns (input_hint: per-row sha256(content) equality)."""
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_spark.ids import content_sha256, doc_id_of
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_id_kernel(repo, path, commit):
+    return pd.Series(
+        [doc_id_of(r, p, c) for r, p, c in zip(repo, path, commit)], dtype="int64"
+    )
+
+
+def _sha_kernel(content):
+    return pd.Series([content_sha256(c) for c in content], dtype="object")
+
+
+def with_doc_identity(source_files: DataFrame) -> DataFrame:
+    """Attach the stable doc_id and the fidelity sha256 to the north-rule
+    input table (repo, path, commit, lang, content).
+
+    UDF objects are built lazily — creating them at module import would fail
+    when executors re-import this module (no SparkContext on workers)."""
+    doc_id_udf = F.pandas_udf(_doc_id_kernel, "long")
+    content_sha256_udf = F.pandas_udf(_sha_kernel, "string")
+    return source_files.withColumn(
+        "doc_id", doc_id_udf("repo", "path", "commit")
+    ).withColumn("content_sha256", content_sha256_udf("content"))

@@ -1,0 +1,71 @@
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from google_spark.functions.codec import (
+    block_metadata,
+    decode_postings,
+    encode_postings,
+    merge_postings,
+)
+
+
+def test_round_trip_hand_fixture():
+    doc_ids = [3, 17, 1000000007]
+    tfs = [2, 1, 9]
+    dls = [10, 55, 400]
+    positions = [[1, 7], [3], [2, 4, 8, 16, 32, 64, 128, 256, 512]]
+    blob = encode_postings(doc_ids, tfs, dls, positions)
+    assert decode_postings(blob) == (doc_ids, tfs, dls, positions)
+
+
+def test_empty():
+    blob = encode_postings([], [], [], [])
+    assert decode_postings(blob) == ([], [], [], [])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),
+            st.integers(min_value=1, max_value=10000),
+            st.integers(min_value=1, max_value=100000),
+            st.lists(st.integers(min_value=1, max_value=1000), min_size=0, max_size=20),
+        ),
+        max_size=50,
+    )
+)
+def test_round_trip_property(entries):
+    # unique ascending doc_ids; ascending positions
+    seen = {}
+    for doc, tf, dl, pos in entries:
+        seen[doc] = (tf, dl, sorted(set(pos)))
+    doc_ids = sorted(seen)
+    tfs = [seen[d][0] for d in doc_ids]
+    dls = [seen[d][1] for d in doc_ids]
+    positions = [seen[d][2] for d in doc_ids]
+    blob = encode_postings(doc_ids, tfs, dls, positions)
+    assert decode_postings(blob) == (doc_ids, tfs, dls, positions)
+
+
+def test_block_metadata():
+    doc_ids = list(range(1, 301))
+    tfs = [1] * 300
+    tfs[5] = 9  # block 0 max
+    tfs[200] = 7  # block 1 max
+    dls = [100] * 300
+    dls[130] = 3  # block 1 min
+    blocks = block_metadata(doc_ids, tfs, dls, block_size=128)
+    assert blocks == [(128, 9, 100), (256, 7, 3), (300, 1, 100)]
+
+
+def test_merge_partials_sorted():
+    # index(union(A,B)) == merge(index(A), index(B)) — the indexJoin law
+    # (ref: src/cis5550/jobs/Indexer.java:35-51)
+    a = encode_postings([2, 9], [1, 2], [5, 6], [[1], [2, 3]])
+    b = encode_postings([4], [3], [7], [[1, 2, 4]])
+    docs, tfs, dls, pos = merge_postings([a, b])
+    assert docs == [2, 4, 9]
+    assert tfs == [1, 3, 2]
+    assert dls == [5, 7, 6]
+    assert pos == [[1], [1, 2, 4], [2, 3]]

@@ -1,0 +1,76 @@
+"""Oracle-diff e2e (SURVEY.md §5.2): the Spark engine's top-k must be
+rank-identical to the NumPy oracle, scores equal within 1e-6; WAND must
+equal exhaustive scoring on every query (pruning-correctness)."""
+
+from __future__ import annotations
+
+import pytest
+
+from google_spark.corpus import reference_queries
+from google_spark.ids import doc_id_of
+from google_spark.operators.index_build import build_index
+from google_spark.operators.index_query import exhaustive_topk, wand_topk
+from google_spark.oracle import OracleIndex
+
+MODE = "code"
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_pdf, corpus_df):
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    index = build_index(spark, docs, id_col="doc_id", text_col="content", mode=MODE)
+
+    oracle_docs = [
+        (doc_id_of(r.repo, r.path, r.commit), r.content)
+        for r in corpus_pdf.itertuples()
+    ]
+    oracle = OracleIndex(oracle_docs, mode=MODE)
+    return index, oracle
+
+
+def test_corpus_stats_match(built):
+    index, oracle = built
+    assert index.n_docs == oracle.n_docs
+    assert index.avgdl == pytest.approx(oracle.avgdl, abs=1e-9)
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("query_id,query,k", reference_queries())
+def test_rank_identity_vs_oracle(built, query_id, query, k):
+    index, oracle = built
+    got = _rows(exhaustive_topk(index, query, k=k, mode=MODE))
+    want = oracle.topk(query, k=k)
+    assert [d for d, _ in got] == [d for d, _ in want], f"query {query_id}: {query}"
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-6)
+
+
+@pytest.mark.parametrize("query_id,query,k", reference_queries())
+def test_wand_equals_exhaustive(built, query_id, query, k):
+    index, _ = built
+    wand = _rows(wand_topk(index, query, k=k, mode=MODE))
+    exh = _rows(exhaustive_topk(index, query, k=k, mode=MODE))
+    assert [d for d, _ in wand] == [d for d, _ in exh], f"query {query_id}: {query}"
+    for (_, ws), (_, es) in zip(wand, exh):
+        assert ws == pytest.approx(es, abs=1e-9)
+
+
+def test_sharding_invariance(spark, corpus_pdf, corpus_df):
+    """Scores independent of shard count (the salting-invariance law,
+    SURVEY.md §5.4)."""
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df).limit(80)
+    i1 = build_index(spark, docs, id_col="doc_id", text_col="content", mode=MODE, n_shards=1)
+    i16 = build_index(spark, docs, id_col="doc_id", text_col="content", mode=MODE, n_shards=16)
+    q = "search engine index"
+    r1 = _rows(exhaustive_topk(i1, q, k=10, mode=MODE))
+    r16 = _rows(wand_topk(i16, q, k=10, mode=MODE))
+    assert [d for d, _ in r1] == [d for d, _ in r16]
+    for (_, a), (_, b) in zip(r1, r16):
+        assert a == pytest.approx(b, abs=1e-9)

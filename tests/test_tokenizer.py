@@ -1,0 +1,50 @@
+from google_spark.functions.tokenizer import (
+    doc_length,
+    tokenize,
+    tokenize_code,
+    tokenize_simple,
+)
+
+
+def test_simple_basic():
+    assert tokenize_simple("Hello, World! 42x") == ["hello", "world", "42x"]
+
+
+def test_simple_length_filter():
+    # len<=1 dropped (ref: Indexer.java:163-165), len>40 dropped
+    assert tokenize_simple("a bb " + "c" * 41 + " dd") == ["bb", "dd"]
+
+
+def test_simple_empty():
+    assert tokenize_simple("") == []
+    assert tokenize_simple(None) == []
+    assert tokenize_simple("!!! ??") == []
+
+
+def test_positions_one_based_over_filtered():
+    assert tokenize("x ab cd", mode="simple") == [("ab", 1), ("cd", 2)]
+
+
+def test_code_snake_camel():
+    assert tokenize_code("parse_json_file") == ["parse", "json", "file"]
+    assert tokenize_code("ParseJsonFile") == ["parse", "json", "file"]
+    assert tokenize_code("HTTPServer2") == ["http", "server2"]
+    assert tokenize_code("getValue") == ["get", "value"]
+
+
+def test_stem_mode_emits_stem_at_same_position():
+    out = tokenize("relational databases", mode="simple", stem=True)
+    assert ("relational", 1) in out
+    assert ("relat", 1) in out
+    assert ("databases", 2) in out
+    assert ("databas", 2) in out
+
+
+def test_doc_length_excludes_stems():
+    assert doc_length("relational databases", mode="simple") == 2
+
+
+def test_code_mode_keeps_plain_words():
+    toks = tokenize_code("import numpy as np # the data loader")
+    assert "numpy" in toks and "data" in toks and "loader" in toks
+    assert "np" in toks  # len 2 kept
