@@ -122,6 +122,27 @@ def q_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("doc_id", gap.alias("min_gap"))
 
 
+def q_prox_bonus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19: proximity bonus 1/min_gap for docs containing both 'hash' and
+    'join' (the phrase-weight analog, ref: src/cis5550/jobs/
+    RankScore.java:269-291)."""
+    from google_spark.operators.index_build import tokenize_docs
+    from google_spark.operators.ranking import proximity_bonus
+
+    dt = tokenize_docs(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    return _round4(proximity_bonus(dt, ["hash", "join"]), "prox_bonus")
+
+
+def q_pagerank_fixed3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: PageRank (3 exact iterations, reference update rule rc = 0.15 +
+    0.85·Σ contrib, ref: src/cis5550/jobs/PageRank.java:165-199) over the
+    deterministic synthetic doc graph."""
+    from google_spark.operators.pagerank import pagerank, synthetic_doc_graph
+
+    edges = synthetic_doc_graph(_docs(spark, sf_dir))
+    return _round4(pagerank(edges, exact_iters=3), "rank")
+
+
 # ---------------------------------------------------------------------------
 # Flame dataflow operator analogs (SURVEY.md §2.1) over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -305,6 +326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_idf": q_term_df_idf,
         "corpus_stats": q_corpus_stats,
         "phrase_positions": q_phrase_positions,
+        "prox_bonus": q_prox_bonus,
+        "pagerank_fixed3": q_pagerank_fixed3,
         "op_filter_project": q_op_filter_project,
         "op_foldbykey": q_op_foldbykey,
         "op_fold_global": q_op_fold_global,
@@ -386,6 +409,54 @@ def oracle_sql() -> dict[str, str]:
             FROM pos a JOIN pos b ON a.doc_id = b.doc_id
             WHERE a.term = 'hash' AND b.term = 'join'
             GROUP BY a.doc_id
+        """,
+        "prox_bonus": f"""
+            WITH pos AS (
+              SELECT doc_id, t.term, CAST(t.pos AS INT) AS pos FROM (
+                SELECT doc_id,
+                       unnest(list_zip({_TOK_SQL},
+                              range(1, len({_TOK_SQL}) + 1))) AS u
+                FROM documents
+              ), LATERAL (SELECT u[1] AS term, u[2] AS pos) t
+            ),
+            gaps AS (
+              SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_gap
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+              WHERE a.term = 'hash' AND b.term = 'join'
+              GROUP BY a.doc_id
+            )
+            SELECT doc_id,
+                   round(CASE WHEN min_gap > 0 THEN 1.0 / min_gap ELSE 0.0 END, 4)
+                     AS prox_bonus
+            FROM gaps
+        """,
+        "pagerank_fixed3": """
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            edges AS (
+              SELECT d.doc_id AS src, (d.doc_id * 17 + k.k) % nn.c AS dst
+              FROM documents d CROSS JOIN nn
+              CROSS JOIN (VALUES (1), (5), (11)) k(k)
+              WHERE (d.doc_id * 17 + k.k) % nn.c <> d.doc_id
+            ),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+            c1 AS (SELECT e.dst, sum(r.rank / dg.deg) AS s
+                   FROM edges e JOIN r0 r ON e.src = r.node
+                   JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+            r1 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(c1.s, 0) AS rank
+                   FROM nodes n LEFT JOIN c1 ON n.node = c1.dst),
+            c2 AS (SELECT e.dst, sum(r.rank / dg.deg) AS s
+                   FROM edges e JOIN r1 r ON e.src = r.node
+                   JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+            r2 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(c2.s, 0) AS rank
+                   FROM nodes n LEFT JOIN c2 ON n.node = c2.dst),
+            c3 AS (SELECT e.dst, sum(r.rank / dg.deg) AS s
+                   FROM edges e JOIN r2 r ON e.src = r.node
+                   JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+            r3 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(c3.s, 0) AS rank
+                   FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
+            SELECT node, round(rank, 4) AS rank FROM r3
         """,
         "op_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity

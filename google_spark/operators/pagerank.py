@@ -1,0 +1,154 @@
+"""PageRank link signal over repo-import graphs (SURVEY.md §2.3 D11-D14).
+
+The reference extracts ``<a href>`` links from crawled HTML and iterates a
+Flame foldByKey loop over CSV-encoded rank state (ref:
+src/cis5550/jobs/PageRank.java:114-224). For the source-code corpus the link
+graph is the repo *import* graph: ``import org3_repo7`` in a file of
+``org1/repo2`` is an edge ``org1/repo2 -> org3/repo7``.
+
+Spark-first restatement:
+- edge extraction is a single JVM-side ``regexp_extract_all`` + ``explode``
+  (no Python in the hot path), followed by a left-semi join against known
+  repos — the DataFrame analog of the reference's ``getRow != null`` check
+  (ref: src/cis5550/jobs/PageRank.java:153);
+- the iteration is a driver-controlled loop of
+  ``edges ⋈ ranks → groupBy(dst).sum → 0.15 + 0.85·Σ`` with the reference's
+  exact semantics: init 1.0 (PageRank.java:140), damping 0.85 / teleport
+  0.15 (PageRank.java:175,192), sinks receive-but-don't-contribute (the
+  self-entry-0.0 trick at PageRank.java:165-178 becomes a left join that
+  keeps every node alive), convergence = fraction of nodes with
+  |rc − rp| < threshold (PageRank.java:204-222);
+- each iteration ``localCheckpoint``s the rank table so lineage stays O(1)
+  and the shuffle plan is identical every round — at 10^12 edges the loop
+  is bounded by one shuffle per iteration on (src) plus one on (dst), with
+  AQE handling skewed hub nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+TELEPORT = 0.15
+
+# ``(?m)`` multi-line: one import statement per line, python/go/java-ish.
+IMPORT_RE = r"(?m)^\s*import\s+([A-Za-z_][A-Za-z0-9_]*)\s*$"
+
+
+def extract_import_edges(
+    source_files: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, content) -> distinct edges (src, dst), self-loops removed,
+    targets restricted to repos present in the corpus.
+
+    Module names are ``org_repo`` (first ``_`` separates org from repo); the
+    inverse mapping is a one-shot JVM regexp. Everything is JVM-side: scan ->
+    regexp_extract_all -> explode -> semi join; Catalyst prunes ``content``
+    out of every post-extract exchange.
+    """
+    modules = F.regexp_extract_all(F.col(content_col), F.lit(IMPORT_RE), 1)
+    edges = (
+        source_files.select(
+            F.col(repo_col).alias("src"), F.explode(modules).alias("dst_module")
+        )
+        .withColumn(
+            "dst", F.regexp_replace(F.col("dst_module"), r"^([^_]*)_", r"$1/")
+        )
+        .drop("dst_module")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    repos = source_files.select(F.col(repo_col).alias("dst")).distinct()
+    # getRow != null analog: only keep edges into crawled/known repos.
+    return edges.join(repos, "dst", "left_semi").select("src", "dst")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DAMPING,
+    threshold: float = 1e-4,
+    fraction: float = 1.0,
+    max_iter: int = 50,
+    exact_iters: int | None = None,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """DataFrame[node, rank] with the reference's update rule.
+
+    ``exact_iters`` forces a fixed number of iterations (no convergence
+    checks) — used by the SQL-oracle contract queries where the oracle
+    unrolls the same number of rounds.
+    """
+    spark = edges.sparkSession
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Pre-join degree once; the per-iteration join is then rank-only.
+    edges_deg = edges.join(deg, "src").persist()
+    edges_deg.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    n_nodes = nodes.count()
+    n_rounds = exact_iters if exact_iters is not None else max_iter
+    for _ in range(n_rounds):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        if exact_iters is None:
+            converged = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), F.col("n.node") == F.col("o.node"))
+                .agg(
+                    F.sum(
+                        (
+                            F.abs(F.col("n.rank") - F.col("o.rank"))
+                            < F.lit(threshold)
+                        ).cast("long")
+                    ).alias("c")
+                )
+                .collect()[0]["c"]
+            )
+            ranks = new_ranks
+            if n_nodes and (converged or 0) / n_nodes >= fraction:
+                break
+        else:
+            ranks = new_ranks
+    edges_deg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def synthetic_doc_graph(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic test graph over an arbitrary doc table: each doc links
+    to ``(doc_id*17 + k) mod N`` for k in (1, 5, 11), self-loops dropped.
+    Exists so the driver's DuckDB oracle can reproduce the exact same edges
+    over ``documents`` (no import statements there)."""
+    n = docs.count()
+    ks = docs.sparkSession.createDataFrame([(1,), (5,), (11,)], "k int")
+    return (
+        docs.select(F.col(id_col).alias("src"))
+        .crossJoin(F.broadcast(ks))
+        .select("src", ((F.col("src") * 17 + F.col("k")) % n).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )

@@ -1,0 +1,172 @@
+"""Query-side ranking beyond raw BM25 (SURVEY.md §2.3 D15-D25).
+
+- query normalize + stopword removal (ref: src/cis5550/jobs/
+  ProcessInput.java:29-53 — stopwords dropped only when the query has >2
+  words and ≥2 words survive);
+- phrase/proximity scoring from the positional index (ref:
+  src/cis5550/jobs/RankScore.java:187-300): for each adjacent query-term
+  pair co-occurring in a doc, bonus += 1/min_pairwise_gap;
+- priority blend (ref: src/cis5550/jobs/RankScore.java:24-31,43-62):
+  ``W_RANK·pagerank + W_TEXT·bm25`` plus a boost when a query term appears
+  in the doc's path/title — weights are module constants so rank-parity
+  tests can reference them;
+- snippet generation for the final page of k docs only (ref:
+  src/cis5550/jobs/SearchApi.java:335-377).
+
+All per-posting work stays JVM-side (higher-order array functions for the
+min-gap) or in Arrow-batched pandas UDFs over just the k result rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from google_spark.functions.tokenizer import tokenize
+
+# Reference weights: pagerank 0.1, tfidf 10, title/url boost 100000
+# (src/cis5550/jobs/RankScore.java:24-31). We keep the same *structure* with
+# BM25-scaled constants; the boost stays rank-dominating like the original.
+W_RANK = 0.1
+W_TEXT = 10.0
+W_PATH_BOOST = 100000.0
+DEFAULT_RANK = 0.15  # reference default for unranked docs (RankScore.java:49)
+
+STOPWORDS = frozenset(
+    "a an and are as at be by for from has he in is it its of on that the to "
+    "was were will with this these those i you we they our your".split()
+)
+
+
+def normalize_query(query: str, mode: str = "simple", stem: bool = False) -> list[str]:
+    """D15+D16: tokenize with the doc kernel, then drop stopwords — but only
+    if the query has more than 2 words AND at least 2 words survive (the
+    reference's guard, ref: src/cis5550/jobs/ProcessInput.java:38-53)."""
+    terms = [t for t, _ in tokenize(query, mode=mode, stem=stem)]
+    if len(terms) > 2:
+        kept = [t for t in terms if t not in STOPWORDS]
+        if len(kept) >= 2:
+            return kept
+    return terms
+
+
+def min_gap_col(pa: str, pb: str) -> F.Column:
+    """min over |pa_i - pb_j| with nested JVM higher-order functions — the
+    vectorized analog of the reference's pairwise loop (ref:
+    src/cis5550/jobs/RankScore.java:269-277)."""
+    return F.array_min(
+        F.flatten(
+            F.transform(pa, lambda x: F.transform(pb, lambda y: F.abs(x - y)))
+        )
+    )
+
+
+def proximity_bonus(doc_terms: DataFrame, terms: list[str]) -> DataFrame:
+    """DataFrame[doc_id, prox_bonus]: Σ over adjacent query-term pairs of
+    1/min_gap for docs containing both. ``doc_terms`` is the tokenize_docs
+    relation (doc_id, term, positions)."""
+    spark = doc_terms.sparkSession
+    pairs = [(a, b) for a, b in zip(terms, terms[1:]) if a != b]
+    if not pairs:
+        return spark.createDataFrame([], "doc_id long, prox_bonus double")
+    out = None
+    needed = doc_terms.filter(
+        F.col("term").isin(sorted({t for p in pairs for t in p}))
+    ).select("doc_id", "term", "positions")
+    for a, b in pairs:
+        pa = needed.filter(F.col("term") == a).select(
+            "doc_id", F.col("positions").alias("pa")
+        )
+        pb = needed.filter(F.col("term") == b).select(
+            "doc_id", F.col("positions").alias("pb")
+        )
+        gap = min_gap_col("pa", "pb")
+        pair_bonus = (
+            pa.join(pb, "doc_id")
+            .select(
+                "doc_id",
+                F.when(gap > 0, F.lit(1.0) / gap).otherwise(F.lit(0.0)).alias("b"),
+            )
+        )
+        out = pair_bonus if out is None else out.unionByName(pair_bonus)
+    return out.groupBy("doc_id").agg(F.sum("b").alias("prox_bonus"))
+
+
+def priority_score(
+    bm25_scores: DataFrame,
+    ranks: DataFrame,
+    doc_meta: DataFrame | None = None,
+    terms: list[str] | None = None,
+    path_col: str = "path",
+) -> DataFrame:
+    """Blend text score with the link signal and path boost.
+
+    ``bm25_scores``: DataFrame[doc_id, score]; ``ranks``: DataFrame[node,
+    rank] keyed by repo (or doc) — joined through ``doc_meta`` when the rank
+    is per-repo. ``doc_meta``: DataFrame[doc_id, repo, path] (optional).
+    """
+    scored = bm25_scores
+    if doc_meta is not None:
+        scored = scored.join(doc_meta, "doc_id", "left")
+        scored = scored.join(
+            ranks.withColumnRenamed("node", "repo"), "repo", "left"
+        )
+    else:
+        scored = scored.join(
+            ranks.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        )
+    scored = scored.withColumn(
+        "rank", F.coalesce(F.col("rank"), F.lit(DEFAULT_RANK))
+    )
+    priority = F.lit(W_RANK) * F.col("rank") + F.lit(W_TEXT) * F.col("score")
+    if doc_meta is not None and terms:
+        # word-boundary match of any query term in the path (the url-boost
+        # analog, ref: src/cis5550/jobs/RankScore.java:51-60)
+        pattern = "(?i)\\b(" + "|".join(terms) + ")\\b"
+        priority = priority + F.when(
+            F.col(path_col).rlike(pattern), F.lit(W_PATH_BOOST)
+        ).otherwise(F.lit(0.0))
+    return scored.withColumn("priority", priority).select(
+        *(
+            ["doc_id", "score", "rank", "priority"]
+            + ([path_col] if doc_meta is not None else [])
+        )
+    )
+
+
+def snippets(
+    results: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    width: int = 120,
+) -> DataFrame:
+    """Attach a snippet around the first query-term occurrence; fallback to
+    the doc head (ref: src/cis5550/jobs/SearchApi.java:335-377 — first
+    occurrence cut at punctuation; here a fixed character window). Joins
+    only the k result rows against the doc store (broadcast of the tiny
+    side), then one pandas UDF over k rows."""
+    import pandas as pd
+
+    lowered = [t.lower() for t in terms]
+
+    def kernel(texts):
+        out = []
+        for text in texts:
+            t = text or ""
+            low = t.lower()
+            pos = -1
+            for term in lowered:
+                p = low.find(term)
+                if p >= 0 and (pos < 0 or p < pos):
+                    pos = p
+            start = max(0, pos - width // 3) if pos >= 0 else 0
+            out.append(t[start : start + width].replace("\n", " "))
+        return pd.Series(out, dtype="object")
+
+    snip = F.pandas_udf(kernel, "string")
+    joined = docs.join(
+        F.broadcast(results.select(id_col)), id_col, "left_semi"
+    ).select(id_col, snip(F.col(text_col)).alias("snippet"))
+    return results.join(joined, id_col, "left")

@@ -1,0 +1,91 @@
+"""PageRank vs the dense NumPy power-iteration oracle (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from google_spark.corpus import repo_of_module
+from google_spark.oracle import pagerank_power_iteration
+
+IMPORT_RE = re.compile(r"^\s*import\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", re.M)
+
+
+def oracle_edges(corpus_pdf):
+    repos = set(corpus_pdf["repo"])
+    edges = set()
+    for repo, content in zip(corpus_pdf["repo"], corpus_pdf["content"]):
+        for m in IMPORT_RE.findall(content):
+            dst = repo_of_module(m)
+            if dst != repo and dst in repos:
+                edges.add((repo, dst))
+    return sorted(edges)
+
+
+def test_extract_import_edges_matches_oracle(spark, corpus_df, corpus_pdf):
+    from google_spark.operators.pagerank import extract_import_edges
+
+    got = sorted(
+        (r["src"], r["dst"]) for r in extract_import_edges(corpus_df).collect()
+    )
+    assert got == oracle_edges(corpus_pdf)
+    assert len(got) > 20  # the corpus must actually exercise the graph
+
+
+def test_pagerank_matches_power_iteration(spark, corpus_df, corpus_pdf):
+    from google_spark.operators.pagerank import extract_import_edges, pagerank
+
+    edges = extract_import_edges(corpus_df)
+    got = {r["node"]: r["rank"] for r in pagerank(edges, threshold=1e-7).collect()}
+    want = pagerank_power_iteration(oracle_edges(corpus_pdf), threshold=1e-7)
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-4), node
+
+
+def test_pagerank_exact_iters_matches_oracle_rounds(spark, corpus_df, corpus_pdf):
+    """Fixed-iteration mode (the SQL-oracle contract path) must equal the
+    oracle run for the same number of rounds with no early exit."""
+    from google_spark.operators.pagerank import extract_import_edges, pagerank
+
+    edges = extract_import_edges(corpus_df)
+    got = {
+        r["node"]: r["rank"] for r in pagerank(edges, exact_iters=3).collect()
+    }
+    want = pagerank_power_iteration(
+        oracle_edges(corpus_pdf), threshold=0.0, max_iter=3
+    )
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-9), node
+
+
+def test_pagerank_sink_nodes_receive_teleport(spark):
+    """A sink (no outlinks) keeps receiving rank: the reference's
+    self-entry-0.0 trick (PageRank.java:165-178) as a left join."""
+    from google_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, exact_iters=5).collect()}
+    want = pagerank_power_iteration(
+        [("a", "b"), ("b", "c"), ("a", "c")], threshold=0.0, max_iter=5
+    )
+    assert set(got) == {"a", "b", "c"}
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+    # 'c' is a sink: rank > teleport-only because it receives contributions
+    assert got["c"] > 0.15
+
+
+def test_synthetic_doc_graph_deterministic(spark):
+    from google_spark.operators.pagerank import synthetic_doc_graph
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    edges = sorted((r["src"], r["dst"]) for r in synthetic_doc_graph(docs).collect())
+    want = sorted(
+        (d, (d * 17 + k) % 10) for d in range(10) for k in (1, 5, 11)
+        if (d * 17 + k) % 10 != d
+    )
+    assert edges == want

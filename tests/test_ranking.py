@@ -1,0 +1,96 @@
+"""Query-side ranking: normalize/stopwords, proximity, priority, snippets."""
+
+from __future__ import annotations
+
+import pytest
+
+from google_spark.oracle import OracleIndex
+
+
+def test_normalize_query_stopword_guard():
+    from google_spark.operators.ranking import normalize_query
+
+    # >2 words and >=2 survive -> stopwords dropped
+    assert normalize_query("the hash join") == ["hash", "join"]
+    # <=2 words -> untouched (reference guard, ProcessInput.java:38-53)
+    assert normalize_query("the hash") == ["the", "hash"]
+    # >2 words but <2 survivors -> untouched
+    assert normalize_query("the of hash") == ["the", "of", "hash"]
+
+
+def test_proximity_bonus_matches_oracle(spark, corpus_df, corpus_pdf):
+    from google_spark.operators.index_build import tokenize_docs
+    from google_spark.operators.ranking import proximity_bonus
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    dt = tokenize_docs(docs, id_col="doc_id", text_col="content")
+    query = "quick brown fox jumps"
+    terms = query.split()
+    got = {
+        r["doc_id"]: r["prox_bonus"]
+        for r in proximity_bonus(dt, terms).collect()
+    }
+
+    from google_spark.ids import doc_id_of
+
+    oracle = OracleIndex(
+        [
+            (doc_id_of(r.repo, r.path, r.commit), r.content)
+            for r in corpus_pdf.itertuples()
+        ]
+    )
+    want = {}
+    for doc_id in oracle.dl:
+        b = oracle.proximity_bonus(query, doc_id)
+        if b > 0:
+            want[doc_id] = b
+    assert got.keys() == want.keys()
+    assert len(want) > 0  # planted phrase must appear
+    for d, b in want.items():
+        assert got[d] == pytest.approx(b, abs=1e-9)
+
+
+def test_priority_score_blend_and_boost(spark):
+    from google_spark.operators.ranking import (
+        DEFAULT_RANK,
+        W_PATH_BOOST,
+        W_RANK,
+        W_TEXT,
+        priority_score,
+    )
+
+    bm25 = spark.createDataFrame(
+        [(1, 2.0), (2, 1.0), (3, 5.0)], "doc_id long, score double"
+    )
+    ranks = spark.createDataFrame(
+        [("r1", 0.5), ("r2", 2.0)], "node string, rank double"
+    )
+    meta = spark.createDataFrame(
+        [(1, "r1", "src/hash-map.py"), (2, "r2", "src/other.py"), (3, "r3", "x.py")],
+        "doc_id long, repo string, path string",
+    )
+    got = {
+        r["doc_id"]: r["priority"]
+        for r in priority_score(bm25, ranks, meta, terms=["hash"]).collect()
+    }
+    assert got[1] == pytest.approx(W_RANK * 0.5 + W_TEXT * 2.0 + W_PATH_BOOST)
+    assert got[2] == pytest.approx(W_RANK * 2.0 + W_TEXT * 1.0)
+    # unknown repo -> reference default rank 0.15 (RankScore.java:49)
+    assert got[3] == pytest.approx(W_RANK * DEFAULT_RANK + W_TEXT * 5.0)
+
+
+def test_snippets_first_occurrence(spark):
+    from google_spark.operators.ranking import snippets
+
+    results = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 300 + " the hash join lives here " + "y" * 100),
+            (2, "no match at all"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {r["doc_id"]: r["snippet"] for r in snippets(results, docs, ["hash"]).collect()}
+    assert "hash" in got[1]
+    assert got[2].startswith("no match")
