@@ -1,0 +1,280 @@
+"""Resumable, incremental index build with per-batch checkpoints, lineage
+and metrics tables (SURVEY.md §2.3 D7/D10, north-rule resumability).
+
+The reference processes the corpus in 7 key-range rounds and folds each
+round into the persistent ``index`` table with ``indexJoin`` (ref:
+src/cis5550/jobs/Indexer.java:53-78 round loop, 35-51 merge); restart safety
+comes from the rounds being separate jobs. Spark restatement:
+
+- docs are split into ``n_batches`` deterministic batches by
+  ``pmod(xxhash64(doc_id), n_batches)`` — a pure function of the data, so a
+  re-run assigns identical batches regardless of cluster size or input
+  partitioning;
+- each batch writes its partial sharded postings + per-doc stats as parquet
+  under ``{out}/batches/batch=<b>/`` and then an atomic ``_COMMITTED``
+  marker (parquet's own ``_SUCCESS`` guards partial writes; the marker
+  carries batch-level checksums). A killed build resumes by skipping
+  committed batches — the high-water-mark that makes replay idempotent
+  (no double-counted df);
+- the final merge reads ONLY committed batches, merges partial posting
+  blobs per (term, shard) with ``merge_postings`` (batches partition the
+  doc universe, so merge is a disjoint doc_id merge-sort), recomputes block
+  metadata, and publishes the final index atomically (write to
+  ``{out}/index.tmp`` then rename — the ``index2``->``index`` analog, ref:
+  src/cis5550/jobs/Indexer.java:245-246);
+- ``{out}/lineage.parquet`` gets one row per batch (docs, terms, postings,
+  bytes, wall seconds, sha256 over the batch's sorted content hashes) — the
+  lineage + metrics table the north rule requires.
+
+At 10^12 files you raise ``n_batches`` so a batch is a few hours of work;
+everything else is scale-free (each batch is one bounded Spark job; the
+merge shuffles only compressed blobs, never raw tokens).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_spark.functions.codec import block_metadata, encode_postings, merge_postings
+from google_spark.operators.index_build import (
+    POSTINGS_SCHEMA,
+    IndexTables,
+    build_postings,
+    term_stats,
+    tokenize_docs,
+)
+
+LINEAGE_SCHEMA = (
+    "batch int, n_docs long, n_terms long, n_postings long, bytes long, "
+    "wall_s double, content_checksum string, committed_at double"
+)
+
+
+def _batch_dir(out_dir: str, batch: int) -> str:
+    return os.path.join(out_dir, "batches", f"batch={batch}")
+
+
+def _marker_path(out_dir: str, batch: int) -> str:
+    return os.path.join(_batch_dir(out_dir, batch), "_COMMITTED")
+
+
+def committed_batches(out_dir: str, n_batches: int) -> list[int]:
+    return [b for b in range(n_batches) if os.path.exists(_marker_path(out_dir, b))]
+
+
+def _write_marker(out_dir: str, batch: int, payload: dict) -> None:
+    """Atomic commit: write tmp then rename (POSIX rename atomicity; on an
+    object store this becomes the catalog's atomic snapshot commit)."""
+    path = _marker_path(out_dir, batch)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+@dataclass
+class BatchResult:
+    batch: int
+    n_docs: int
+    n_terms: int
+    n_postings: int
+    bytes: int
+    wall_s: float
+    content_checksum: str
+
+
+def build_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    batch: int,
+    n_batches: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    stem: bool = False,
+    n_shards: int = 8,
+) -> BatchResult:
+    """Build + commit one batch's partial postings. Skips nothing — callers
+    check ``committed_batches`` first."""
+    t0 = time.perf_counter()
+    batch_docs = docs.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches)) == batch
+    )
+    # Batch-level content checksum: sha256 over the sorted per-doc
+    # sha256(text) values — the ingestion-fidelity invariant, aggregated so
+    # the lineage row certifies exactly which content the batch indexed.
+    sha_rows = batch_docs.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("sha")
+    ).collect()
+    checksum = hashlib.sha256(
+        "".join(s["sha"] for s in sorted(sha_rows, key=lambda r: r["doc_id"])).encode()
+    ).hexdigest()
+
+    doc_terms = tokenize_docs(
+        batch_docs, id_col=id_col, text_col=text_col, mode=mode, stem=stem
+    ).persist()
+    postings = build_postings(doc_terms, n_shards=n_shards)
+    bdir = _batch_dir(out_dir, batch)
+    postings.write.mode("overwrite").parquet(os.path.join(bdir, "postings.parquet"))
+    per_doc = doc_terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    per_doc.write.mode("overwrite").parquet(os.path.join(bdir, "doclen.parquet"))
+
+    written = spark.read.parquet(os.path.join(bdir, "postings.parquet"))
+    agg = written.agg(
+        F.count("*").alias("rows"),
+        F.sum("df").alias("n_postings"),
+        F.sum(F.octet_length("postings")).alias("bytes"),
+    ).collect()[0]
+    n_docs = per_doc.count()
+    doc_terms.unpersist()
+    res = BatchResult(
+        batch=batch,
+        n_docs=n_docs,
+        n_terms=int(agg["rows"] or 0),
+        n_postings=int(agg["n_postings"] or 0),
+        bytes=int(agg["bytes"] or 0),
+        wall_s=time.perf_counter() - t0,
+        content_checksum=checksum,
+    )
+    _write_marker(out_dir, batch, res.__dict__)
+    return res
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: partial blobs of one (term, shard) across
+    batches -> one merged, re-blocked posting row (indexJoin analog)."""
+    docs, tfs, dls, positions = merge_postings(
+        [bytes(b) for b in pdf["postings"]]
+    )
+    blocks = block_metadata(docs, tfs, dls)
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "shard": pd.Series([int(pdf["shard"].iloc[0])], dtype="int32"),
+            "df": pd.Series([len(docs)], dtype="int64"),
+            "postings": [encode_postings(docs, tfs, dls, positions)],
+            "block_last_doc": [[b[0] for b in blocks]],
+            "block_max_tf": [[b[1] for b in blocks]],
+            "block_min_dl": [[b[2] for b in blocks]],
+        }
+    )
+
+
+def merge_batches(
+    spark: SparkSession, out_dir: str, n_batches: int, total_docs: int
+) -> IndexTables:
+    """Merge all committed batches into the final index and publish it
+    atomically under ``{out_dir}/index``. Requires every batch committed."""
+    done = committed_batches(out_dir, n_batches)
+    missing = sorted(set(range(n_batches)) - set(done))
+    if missing:
+        raise RuntimeError(f"cannot merge: uncommitted batches {missing}")
+
+    parts = spark.read.parquet(
+        *[os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in done]
+    )
+    merged = parts.groupBy("term", "shard").applyInPandas(
+        _merge_group, schema=POSTINGS_SCHEMA
+    )
+    doclens = spark.read.parquet(
+        *[os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in done]
+    )
+    total_dl = doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+    avgdl = total_dl / total_docs if total_docs else 0.0
+
+    tmp = os.path.join(out_dir, "index.tmp")
+    final = os.path.join(out_dir, "index")
+    merged.repartition(F.col("term")).write.mode("overwrite").parquet(
+        os.path.join(tmp, "postings.parquet")
+    )
+    postings = spark.read.parquet(os.path.join(tmp, "postings.parquet"))
+    terms = term_stats(postings, total_docs)
+    terms.write.mode("overwrite").parquet(os.path.join(tmp, "terms.parquet"))
+    spark.createDataFrame(
+        [(total_docs, avgdl)], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "stats.parquet"))
+    if os.path.exists(final):
+        import shutil
+
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return IndexTables(
+        postings=spark.read.parquet(os.path.join(final, "postings.parquet")),
+        terms=spark.read.parquet(os.path.join(final, "terms.parquet")),
+        n_docs=total_docs,
+        avgdl=avgdl,
+    )
+
+
+def write_lineage(spark: SparkSession, out_dir: str, n_batches: int) -> DataFrame:
+    """Materialize the lineage/metrics table from the commit markers."""
+    rows = []
+    for b in committed_batches(out_dir, n_batches):
+        with open(_marker_path(out_dir, b)) as f:
+            d = json.load(f)
+        rows.append(
+            (
+                d["batch"],
+                d["n_docs"],
+                d["n_terms"],
+                d["n_postings"],
+                d["bytes"],
+                float(d["wall_s"]),
+                d["content_checksum"],
+                float(d.get("committed_at", 0.0)) or time.time(),
+            )
+        )
+    df = spark.createDataFrame(rows, LINEAGE_SCHEMA)
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, "lineage.parquet"))
+    return spark.read.parquet(os.path.join(out_dir, "lineage.parquet"))
+
+
+def incremental_build(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_batches: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    stem: bool = False,
+    n_shards: int = 8,
+    stop_after: int | None = None,
+) -> IndexTables | None:
+    """Full resumable build: skip committed batches, build the rest, merge,
+    write lineage. ``stop_after`` aborts after N newly-built batches (test
+    hook simulating a mid-build kill); returns None when stopped early."""
+    os.makedirs(out_dir, exist_ok=True)
+    total_docs = docs.count()
+    done = set(committed_batches(out_dir, n_batches))
+    built = 0
+    for b in range(n_batches):
+        if b in done:
+            continue
+        build_batch(
+            spark,
+            docs,
+            out_dir,
+            b,
+            n_batches,
+            id_col=id_col,
+            text_col=text_col,
+            mode=mode,
+            stem=stem,
+            n_shards=n_shards,
+        )
+        built += 1
+        if stop_after is not None and built >= stop_after:
+            return None
+    index = merge_batches(spark, out_dir, n_batches, total_docs)
+    write_lineage(spark, out_dir, n_batches)
+    return index

@@ -1,0 +1,156 @@
+"""Resumable incremental build: batch checkpoints, kill/resume equivalence,
+merge ≡ single-shot build, lineage/metrics (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def identified(spark, corpus_df):
+    from google_spark.sources.tables import with_doc_identity
+
+    return with_doc_identity(corpus_df).persist()
+
+
+def _postings_map(index):
+    rows = index.postings.select(
+        "term", "shard", "df", "postings", "block_last_doc", "block_max_tf", "block_min_dl"
+    ).collect()
+    return {
+        (r["term"], r["shard"]): (
+            r["df"],
+            bytes(r["postings"]),
+            list(r["block_last_doc"]),
+            list(r["block_max_tf"]),
+            list(r["block_min_dl"]),
+        )
+        for r in rows
+    }
+
+
+def test_incremental_equals_single_shot(spark, identified, tmp_path):
+    from google_spark.operators.incremental import incremental_build
+    from google_spark.operators.index_build import build_index
+
+    out = str(tmp_path / "idx_inc")
+    inc = incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    single = build_index(spark, identified, id_col="doc_id", text_col="content")
+    assert inc.n_docs == single.n_docs
+    assert inc.avgdl == pytest.approx(single.avgdl, abs=1e-12)
+    # byte-identical postings per (term, shard): merge-sort of disjoint
+    # batches must reproduce the single-pass encoding exactly
+    assert _postings_map(inc) == _postings_map(single)
+
+
+def test_kill_resume_byte_identical(spark, identified, tmp_path):
+    from google_spark.operators.incremental import (
+        committed_batches,
+        incremental_build,
+    )
+
+    out_a = str(tmp_path / "killed")
+    # simulate a crash after 2 of 4 batches
+    got = incremental_build(
+        spark, identified, out_a, n_batches=4,
+        id_col="doc_id", text_col="content", stop_after=2,
+    )
+    assert got is None
+    assert len(committed_batches(out_a, 4)) == 2
+    # resume: finishes remaining batches only, then merges
+    resumed = incremental_build(
+        spark, identified, out_a, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    out_b = str(tmp_path / "clean")
+    clean = incremental_build(
+        spark, identified, out_b, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    assert _postings_map(resumed) == _postings_map(clean)
+
+
+def test_resume_skips_committed_batches(spark, identified, tmp_path, monkeypatch):
+    """Replay idempotence: a resumed build must not rebuild committed
+    batches (the no-double-counted-df high-water mark)."""
+    from google_spark.operators import incremental
+
+    out = str(tmp_path / "skip")
+    incremental.incremental_build(
+        spark, identified, out, n_batches=3,
+        id_col="doc_id", text_col="content", stop_after=2,
+    )
+    calls = []
+    real = incremental.build_batch
+
+    def spy(spark_, docs_, out_, batch, *a, **kw):
+        calls.append(batch)
+        return real(spark_, docs_, out_, batch, *a, **kw)
+
+    monkeypatch.setattr(incremental, "build_batch", spy)
+    incremental.incremental_build(
+        spark, identified, out, n_batches=3, id_col="doc_id", text_col="content"
+    )
+    assert calls == [2]  # only the uncommitted batch re-ran
+
+
+def test_merge_refuses_partial(spark, identified, tmp_path):
+    from google_spark.operators.incremental import incremental_build, merge_batches
+
+    out = str(tmp_path / "partial")
+    incremental_build(
+        spark, identified, out, n_batches=4,
+        id_col="doc_id", text_col="content", stop_after=1,
+    )
+    with pytest.raises(RuntimeError, match="uncommitted"):
+        merge_batches(spark, out, 4, total_docs=1)
+
+
+def test_lineage_metrics(spark, identified, tmp_path):
+    from google_spark.operators.incremental import incremental_build
+
+    out = str(tmp_path / "lin")
+    incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    lineage = spark.read.parquet(os.path.join(out, "lineage.parquet"))
+    rows = {r["batch"]: r for r in lineage.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r["n_docs"] for r in rows.values()) == identified.count()
+    for r in rows.values():
+        assert r["bytes"] > 0 and r["wall_s"] > 0
+        assert len(r["content_checksum"]) == 64
+
+
+def test_batch_checksum_matches_content_sha(spark, identified):
+    """Ingestion fidelity (input_hint): the engine-side sha256 (JVM F.sha2)
+    equals hashlib sha256 per row."""
+    import hashlib
+
+    rows = identified.select(
+        "doc_id", "content", F.sha2("content", 256).alias("spark_sha"), "content_sha256"
+    ).collect()
+    for r in rows:
+        want = hashlib.sha256(r["content"].encode()).hexdigest()
+        assert r["spark_sha"] == want
+        assert r["content_sha256"] == want
+
+
+def test_queryable_after_merge(spark, identified, tmp_path):
+    """The merged index answers queries rank-identically to a fresh build."""
+    from google_spark.operators.incremental import incremental_build
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk
+
+    out = str(tmp_path / "q")
+    inc = incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    single = build_index(spark, identified, id_col="doc_id", text_col="content")
+    q = "data partition merge"
+    a = [(r["doc_id"], round(r["score"], 9)) for r in wand_topk(inc, q, k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in wand_topk(single, q, k=10).collect()]
+    assert a == b and len(a) == 10
