@@ -273,6 +273,86 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-family, lexicographic min — engine-portable)."""
+    from google_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select("doc_id", F.concat_ws(",", "sig").alias("sig"))
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (4 bands x 4 rows over the 16-hash signature)."""
+    from google_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    return lsh_candidate_pairs(minhash_signatures(_docs(spark, sf_dir)))
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pipeline: LSH candidates verified by exact shingle Jaccard."""
+    from google_spark.operators.dedup import minhash_near_dups
+
+    out = minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
+    return _round4(out, "jaccard")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups via block-permutation candidate join (no SQL
+    oracle: md5-bit voting isn't expressible in DuckDB; completeness is
+    pytest-verified against brute force)."""
+    from google_spark.operators.dedup import simhash_fingerprints, simhash_near_dups
+
+    fps = simhash_fingerprints(_docs(spark, sf_dir), text_col="text")
+    return simhash_near_dups(fps, max_hamming=12)
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-profile overlap (argmax, deterministic ties)."""
+    from google_spark.operators.text_analysis import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style doc fingerprint: 4 smallest md5(5-shingle) values."""
+    from google_spark.operators.text_analysis import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (no SQL oracle: NumPy hyperplanes;
+    recall vs brute force is pytest-verified)."""
+    from google_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = ann_lsh_topk(emb, probe_vec_id=0, k=10)
+    return _round4(df, "cos_sim")
+
+
+def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (brute-force oracle path on a subset;
+    threshold 0.4 because the synthetic embeddings have no >0.46 pairs)."""
+    from google_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    out = embedding_near_dups(emb, threshold=0.4, brute_force=True)
+    return _round4(out, "cos_sim")
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary payloads from documents,
+    decode them back, emit typed metadata (byte_mean is pytest-only)."""
+    from google_spark.operators.multimodal import extract_features, synth_media_table
+
+    media = synth_media_table(spark, _docs(spark, sf_dir), text_col="text")
+    return extract_features(media).select(
+        "media_id", "width", "height", "n_frames", "body_bytes"
+    )
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 embedding, all
     JVM-side (zip_with dot product + aggregate norms)."""
@@ -337,6 +417,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_take_ordered": q_op_take_ordered,
         "op_cogroup": q_op_cogroup,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_ann_topk": q_sim_ann_topk,
+        "sim_near_dup_pairs": q_sim_near_dup_pairs,
+        "media_meta": q_media_meta,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -368,6 +457,58 @@ scored AS (
 SELECT doc_id, round(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+
+# Shared DuckDB fragments for the dedup/text oracles. Shingle + MinHash
+# definitions mirror google_spark/operators/dedup.py exactly (md5-string
+# family, lexicographic min) so any engine divergence is a real bug.
+_SH3_CTE = f"""
+toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END AS s
+  FROM toks
+)
+"""
+
+_MINHASH16 = (
+    "["
+    + ", ".join(
+        f"list_min(list_transform(s, x -> md5('{j}:' || x)))" for j in range(16)
+    )
+    + "]"
+)
+
+_LSH_CTES = f"""
+{_SH3_CTE},
+sigl AS (SELECT doc_id, {_MINHASH16} AS g FROM sh WHERE len(s) > 0),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(g[b.band*4+1 : b.band*4+4], '|')) AS key
+  FROM sigl, (VALUES (0), (1), (2), (3)) b(band)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+)
+"""
+
+_LANG_WORDS = {
+    "en": "'the','of','and','to','in','is','that','it','for','with'",
+    "de": "'der','die','das','und','ist','von','mit','den','nicht','ein'",
+    "es": "'el','la','de','que','los','las','una','por','con','para'",
+    "fr": "'le','la','et','les','des','une','est','dans','pour','que'",
+}
+_LANG_RATIOS = ", ".join(
+    f"CASE WHEN len(list_distinct(t)) > 0 THEN "
+    f"len(list_intersect(list_distinct(t), [{w}])) * 1.0 / len(list_distinct(t)) "
+    f"ELSE 0.0 END AS r_{lang}"
+    for lang, w in _LANG_WORDS.items()
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -495,6 +636,86 @@ def oracle_sql() -> dict[str, str]:
             ON o.custkey = c.custkey
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_minhash_sig": f"""
+            WITH {_SH3_CTE}
+            SELECT doc_id, array_to_string({_MINHASH16}, ',') AS sig
+            FROM sh WHERE len(s) > 0
+        """,
+        "dedup_lsh_pairs": f"""
+            WITH {_LSH_CTES}
+            SELECT a, b FROM pairs
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH {_LSH_CTES},
+            sets AS (SELECT doc_id, list_distinct(s) AS ds FROM sh)
+            SELECT a, b, jaccard FROM (
+              SELECT p.a, p.b,
+                     round(len(list_intersect(x.ds, y.ds)) * 1.0
+                           / len(list_distinct(list_concat(x.ds, y.ds))), 4) AS jaccard,
+                     len(list_intersect(x.ds, y.ds)) * 1.0
+                           / len(list_distinct(list_concat(x.ds, y.ds))) AS raw
+              FROM pairs p
+              JOIN sets x ON p.a = x.doc_id
+              JOIN sets y ON p.b = y.doc_id
+            ) WHERE raw >= 0.5
+        """,
+        "text_lang_id": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+            r AS (SELECT doc_id, {_LANG_RATIOS} FROM toks),
+            g AS (SELECT doc_id, r_en, r_de, r_es, r_fr,
+                         greatest(r_en, r_de, r_es, r_fr) AS best FROM r)
+            SELECT doc_id,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN r_en = best THEN 'en'
+                        WHEN r_de = best THEN 'de'
+                        WHEN r_es = best THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   round(best, 4) AS lang_score
+            FROM g
+        """,
+        "text_fingerprint": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 5 THEN
+                       list_transform(range(1, len(t) - 3),
+                         i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+                     ELSE [] END AS s
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN len(s) > 0 THEN
+                     array_to_string(
+                       list_sort(list_transform(list_distinct(s), x -> md5(x)))[1:4],
+                       ',')
+                   ELSE '' END AS fingerprint
+            FROM sh
+        """,
+        "sim_near_dup_pairs": """
+            WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+            pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_aggregate(list_transform(
+                       list_zip(x.embedding, y.embedding),
+                       z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+                     / (sqrt(list_aggregate(list_transform(x.embedding,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(y.embedding,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))
+                     AS cos_sim
+              FROM sub x JOIN sub y ON x.vec_id < y.vec_id
+            )
+            SELECT a, b, round(cos_sim, 4) AS cos_sim
+            FROM pairs WHERE cos_sim >= 0.4
+        """,
+        "media_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(16 + (doc_id % 16) * 8 AS INT) AS width,
+                   CAST(16 + (doc_id % 9) * 8 AS INT) AS height,
+                   CAST(1 + doc_id % 4 AS INT) AS n_frames,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
+            FROM documents
+        """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOK_SQL}) AS INT) AS n_tokens FROM documents
         """,

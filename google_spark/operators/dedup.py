@@ -1,0 +1,280 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(training-data pipeline ops; SURVEY.md §2 coverage extension).
+
+Design for 100 TB:
+- exact dedup is one hash aggregate on sha256(text) — never on the raw text
+  (group keys stay 32 bytes, the shuffle carries no documents);
+- MinHash signatures are computed scan-side with JVM higher-order functions
+  (split -> shingle -> md5 -> array_min), so the only shuffle is the LSH
+  band exchange of (band_key, doc_id) pairs — a few dozen bytes per doc;
+- LSH buckets self-join per (band, key); a bucket-size cap drops degenerate
+  buckets (boilerplate shingles) the way the reference drops hot rowKeys by
+  salting (ref: src/cis5550/jobs/Indexer.java:28-33) — skew control is a
+  visible knob, not an accident;
+- candidate pairs are verified with exact token-set Jaccard before any doc
+  is dropped (LSH is a filter, not a verdict).
+
+The MinHash family is ``min over shingles of md5("<j>:" + shingle)`` with
+the *lexicographic* min over hex strings — deterministic and reproducible in
+any engine with md5 (the DuckDB oracle replicates it verbatim), no
+engine-specific hash required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_HASHES = 16
+DEFAULT_N_BANDS = 4
+DEFAULT_SHINGLE_K = 3
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """The engine-wide token list: lower -> [a-z0-9]+ runs -> len 2..40
+    (same contract as the tokenizer kernel / _TOK_SQL)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: (F.length(t) >= 2) & (F.length(t) <= 40),
+    )
+
+
+def shingles_col(toks: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """k-token shingles joined by a single space; empty when len(toks) < k."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature_cols(shingles: Column, n_hashes: int = DEFAULT_N_HASHES) -> Column:
+    """array<string> of n_hashes lexicographic-min md5 values."""
+    def _one(j: int) -> Column:
+        prefix = f"{j}:"
+        # NOTE: the lambda must take exactly one arg — F.transform treats a
+        # second parameter as the element index.
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[_one(j) for j in range(n_hashes)])
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per identical content; group on sha256, not the
+    raw text, so the exchange carries fixed-width keys at any scale."""
+    return (
+        docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """DataFrame[doc_id, sig: array<string>]; docs with no shingles get no
+    row (they can't near-duplicate anything at this shingle size)."""
+    sh = shingles_col(tokens_col(text_col), k=shingle_k)
+    return (
+        docs.select(F.col(id_col), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(id_col, minhash_signature_cols(F.col("sh"), n_hashes).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = DEFAULT_N_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signatures and emit distinct candidate pairs (a < b).
+
+    ``max_bucket`` drops pathological buckets (a bucket of size m emits
+    m(m-1)/2 pairs; at web scale one boilerplate bucket would dominate the
+    job) — the documented skew guard.
+    """
+    n_hashes = None  # derived from the array at runtime; bands slice evenly
+    sig = signatures.select(F.col(id_col).alias("id"), "sig")
+    rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    counts = bands.groupBy("band", "key").agg(F.count("*").alias("n"))
+    bands = bands.join(
+        counts.filter(F.col("n") <= max_bucket).select("band", "key"),
+        ["band", "key"],
+        "left_semi",
+    )
+    a = bands.select("band", "key", F.col("id").alias("a"))
+    b = bands.select("band", "key", F.col("id").alias("b"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs -> (a, b, jaccard)."""
+    sets_df = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(tokens_col(text_col), k=shingle_k)).alias("s"),
+    )
+    j = pairs.join(
+        sets_df.select(F.col("id").alias("a"), F.col("s").alias("sa")), "a"
+    ).join(sets_df.select(F.col("id").alias("b"), F.col("s").alias("sb")), "b")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return j.select(
+        "a",
+        "b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias(
+            "jaccard"
+        ),
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = DEFAULT_N_HASHES,
+    n_bands: int = DEFAULT_N_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact-Jaccard
+    verification at ``threshold`` -> (a, b, jaccard)."""
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes, shingle_k=shingle_k
+    )
+    cands = lsh_candidate_pairs(sigs, n_bands=n_bands)
+    return jaccard_pairs(
+        docs, cands, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over token frequencies in a vectorized pandas kernel
+    (bit b of md5(term) votes +tf/-tf; fingerprint = sign vector). Arrow
+    batches, NumPy bit math — no per-row Python beyond the tokenizer loop."""
+    import hashlib
+    from collections import Counter
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = [
+                    t
+                    for t in __import__("re").split(r"[^a-z0-9]+", (text or "").lower())
+                    if 2 <= len(t) <= 40
+                ]
+                if not toks:
+                    continue
+                votes = np.zeros(bits, dtype=np.int64)
+                for term, tf in Counter(toks).items():
+                    h = int.from_bytes(
+                        hashlib.md5(term.encode()).digest()[:8], "big"
+                    )
+                    bit_arr = np.fromiter(
+                        (((h >> b) & 1) for b in range(bits)),
+                        dtype=np.int64,
+                        count=bits,
+                    )
+                    votes += np.where(bit_arr == 1, tf, -tf)
+                fp = 0
+                for b in range(bits):
+                    if votes[b] > 0:
+                        fp |= 1 << b
+                ids.append(doc_id)
+                # store as signed int64 (two's complement) for parquet
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_near_dups(
+    fingerprints: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming using the standard
+    block-permutation trick: split 64 bits into (max_hamming+1) chunks — any
+    pair within distance k must agree exactly on >=1 chunk, so candidate
+    generation is an equi-join per chunk (shuffle on 16-bit keys), never a
+    cross join."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    fp = fingerprints.select(F.col(id_col).alias("id"), "simhash")
+    mask = (1 << width) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for c in range(n_chunks)
+    ]
+    chunks = fp.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select("id", "simhash", "ck.chunk", "ck.key")
+    a = chunks.select("chunk", "key", F.col("id").alias("a"), F.col("simhash").alias("fa"))
+    b = chunks.select("chunk", "key", F.col("id").alias("b"), F.col("simhash").alias("fb"))
+    cands = (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cands.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extract / resize / frame-sample as Arrow-batched kernels.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``FakeCodec`` is a deterministic synthetic format so the Spark-side
+plumbing — schema, partitioning, UDF signatures, Arrow batch shapes — is
+real and tested, while the one line that would call PIL/ffmpeg is isolated
+behind ``decode_payload``. Swapping in a real codec changes no plan.
+
+Payload format (FakeCodec): b"FAKE" + width:u32 + height:u32 + n_frames:u32
++ raw bytes. A real pipeline would carry JPEG/PNG/WAV bytes in the same
+binary column with the same metadata struct.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, n_frames int"
+)
+
+_MAGIC = b"FAKE"
+_HEADER = struct.Struct(">4sIII")
+
+
+def encode_fake_payload(width: int, height: int, n_frames: int, body: bytes) -> bytes:
+    return _HEADER.pack(_MAGIC, width, height, n_frames) + body
+
+
+def decode_payload(payload: bytes) -> tuple[int, int, int, bytes]:
+    """THE stub boundary: replace this with PIL/ffmpeg decode in a real
+    deployment. Raises on foreign formats, like a real decoder would."""
+    magic, w, h, n = _HEADER.unpack_from(payload, 0)
+    if magic != _MAGIC:
+        raise NotImplementedError(
+            "real media decoding is stubbed in this environment; only the "
+            "FakeCodec synthetic format is decodable"
+        )
+    return w, h, n, payload[_HEADER.size :]
+
+
+def synth_media_table(spark, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic media table from any doc table: the payload
+    body is the utf-8 text, dimensions derive from doc stats. Exercises the
+    binary column path end to end with zero external data."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "payload", "width", "height", "n_frames")}
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                body = (text or "").encode("utf-8")
+                w = 16 + (doc_id % 16) * 8
+                h = 16 + (doc_id % 9) * 8
+                n = 1 + doc_id % 4
+                out["media_id"].append(doc_id)
+                out["kind"].append("image" if doc_id % 2 == 0 else "video")
+                out["payload"].append(encode_fake_payload(int(w), int(h), int(n), body))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["n_frames"].append(int(n))
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode each payload and emit typed features (byte stats standing in
+    for pixel stats). One mapInPandas pass; the batch never round-trips
+    through Python row objects."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ns, means, sizes = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                w, h, n, body = decode_payload(bytes(payload))
+                arr = np.frombuffer(body, dtype=np.uint8)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                ns.append(n)
+                means.append(float(arr.mean()) if arr.size else 0.0)
+                sizes.append(int(arr.size))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(ns, dtype="int32"),
+                    "byte_mean": pd.Series(means, dtype="float64"),
+                    "body_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen,
+        schema="media_id long, width int, height int, n_frames int, "
+        "byte_mean double, body_bytes long",
+    )
+
+
+def resize_stub(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """'Resize': recompute header dims clamped to max_side, body truncated
+    proportionally — the plumbing of a resize (new payload, new metadata)
+    without a pixel library."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "payload", "width", "height", "n_frames")}
+            for mid, kind, payload in zip(
+                pdf["media_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                w, h, n, body = decode_payload(bytes(payload))
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                nbody = body[: max(1, int(len(body) * scale * scale))]
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["payload"].append(encode_fake_payload(nw, nh, n, nbody))
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["n_frames"].append(n)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: one output row per kept frame index (explode is
+    JVM-side; only the per-frame slice touches Python)."""
+    frames = media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame"),
+    ).filter(F.col("frame") % every == 0)
+    return frames

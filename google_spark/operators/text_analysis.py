@@ -1,0 +1,100 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All JVM-side (split / filter / transform / aggregate higher-order
+functions) — no Python in any hot path, so every operator whole-stage
+codegens and scales linearly with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from google_spark.operators.dedup import shingles_col, tokens_col
+
+# Tiny per-language stopword profiles for the n-gram/stopword-ratio
+# heuristic. Deterministic and oracle-replicable; precision is bounded by
+# design (a real pipeline swaps in fastText — out of scope offline).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est", "dans", "pour", "que"),
+}
+
+
+def _ratio(toks: Column, words: tuple[str, ...]) -> Column:
+    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+    n = F.size(F.array_distinct(toks))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, lang_pred, lang_score): argmax stopword-profile overlap
+    ratio; 'und' (undetermined) when no profile matches at all. Ties break
+    by profile order en > de > es > fr (deterministic)."""
+    toks = tokens_col(text_col)
+    out = docs.select(F.col(id_col), toks.alias("toks"))
+    for lang, words in LANG_PROFILES.items():
+        out = out.withColumn(f"r_{lang}", _ratio(F.col("toks"), words))
+    best = F.greatest(*[F.col(f"r_{lang}") for lang in LANG_PROFILES])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):
+        pred = F.when(
+            (best > 0) & (F.col(f"r_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return out.select(
+        id_col, pred.alias("lang_pred"), F.round(best, 4).alias("lang_score")
+    )
+
+
+def token_count(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.size(tokens_col(text_col)).alias("n_tokens")
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, alpha_ratio, mean_token_len) — the length/charset
+    heuristics a pretraining filter runs before anything expensive."""
+    toks = tokens_col(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    n_chars = F.length(text_col)
+    mean_tok = F.when(
+        F.size(toks) > 0,
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        F.round(n_alpha.cast("double") / n_chars, 4).alias("alpha_ratio"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    n_keep: int = 4,
+) -> DataFrame:
+    """Winnowing-style fingerprint: the ``n_keep`` lexicographically smallest
+    md5(shingle) values, joined — a compact, order-insensitive content
+    signature (the rolling-hash fingerprint analog, computed with the same
+    shingle machinery as MinHash so one scan can produce both)."""
+    sh = shingles_col(tokens_col(text_col), k=shingle_k)
+    hashes = F.array_sort(F.transform(F.array_distinct(sh), F.md5))
+    fp = F.concat_ws(",", F.slice(hashes, 1, n_keep))
+    return docs.select(
+        F.col(id_col),
+        F.when(F.size(sh) > 0, fp).otherwise(F.lit("")).alias("fingerprint"),
+    )

@@ -1,0 +1,135 @@
+"""Dedup operators: exact, MinHash+LSH+Jaccard, SimHash."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if 2 <= len(t) <= 40]
+
+
+def _shingles(text, k=3):
+    t = _toks(text)
+    return [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+
+
+def _minhash(text, n_hashes=16, k=3):
+    sh = _shingles(text, k)
+    if not sh:
+        return None
+    return [
+        min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in sh)
+        for j in range(n_hashes)
+    ]
+
+
+NEAR_DUP_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3, "completely different content about spark shuffle partitions and joins"),
+    (4, "completely different content about spark shuffle partitions and joins"),
+    (5, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def dup_df(spark):
+    return spark.createDataFrame(NEAR_DUP_DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_df):
+    from google_spark.operators.dedup import exact_dedup
+
+    kept = sorted(r["doc_id"] for r in exact_dedup(dup_df).collect())
+    assert kept == [1, 2, 3, 5]  # 4 is an exact dup of 3
+
+
+def test_minhash_signature_matches_reference(spark, dup_df):
+    from google_spark.operators.dedup import minhash_signatures
+
+    got = {
+        r["doc_id"]: list(r["sig"]) for r in minhash_signatures(dup_df).collect()
+    }
+    for doc_id, text in NEAR_DUP_DOCS:
+        want = _minhash(text)
+        if want is None:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == want, doc_id
+
+
+def test_lsh_finds_near_dups_and_jaccard_verifies(spark, dup_df):
+    from google_spark.operators.dedup import minhash_near_dups
+
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_near_dups(dup_df, threshold=0.5).collect()
+    }
+    assert (3, 4) in pairs and pairs[(3, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # near dup: one shingle-tail differs
+    sa, sb = set(_shingles(NEAR_DUP_DOCS[0][1])), set(_shingles(NEAR_DUP_DOCS[1][1]))
+    assert pairs[(1, 2)] == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
+def test_lsh_bucket_cap_drops_giant_buckets(spark):
+    from google_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated everywhere again") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    assert lsh_candidate_pairs(sigs, max_bucket=5).count() == 0
+    assert lsh_candidate_pairs(sigs, max_bucket=100).count() == 20 * 19 // 2
+
+
+def test_simhash_exact_dups_identical_fingerprints(spark, dup_df):
+    from google_spark.operators.dedup import simhash_fingerprints
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(dup_df).collect()}
+    assert fp[3] == fp[4]
+    # near-dups land within a few bits; unrelated docs far apart
+    ham_12 = bin((fp[1] ^ fp[2]) & ((1 << 64) - 1)).count("1")
+    ham_13 = bin((fp[1] ^ fp[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_12 < ham_13
+
+
+def test_simhash_matches_pure_python(spark, dup_df):
+    from google_spark.operators.dedup import simhash_fingerprints
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(dup_df).collect()}
+    for doc_id, text in NEAR_DUP_DOCS:
+        toks = _toks(text)
+        votes = [0] * 64
+        for term, tf in Counter(toks).items():
+            h = int.from_bytes(hashlib.md5(term.encode()).digest()[:8], "big")
+            for b in range(64):
+                votes[b] += tf if (h >> b) & 1 else -tf
+        fp = sum(1 << b for b in range(64) if votes[b] > 0)
+        fp = fp - (1 << 64) if fp >= (1 << 63) else fp
+        assert got[doc_id] == fp, doc_id
+
+
+def test_simhash_near_dups_block_permutation(spark, dup_df):
+    from google_spark.operators.dedup import simhash_fingerprints, simhash_near_dups
+
+    fps = simhash_fingerprints(dup_df)
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_dups(fps, max_hamming=10).collect()
+    }
+    assert pairs.get((3, 4)) == 0
+    # completeness: every pair within the radius is found (brute-force check)
+    fp = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    ids = sorted(fp)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 10:
+                assert (a, b) in pairs and pairs[(a, b)] == ham

@@ -1,0 +1,126 @@
+"""Text analysis, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_language_id(spark):
+    from google_spark.operators.text_analysis import language_id
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy with all of that"),
+            (2, "der hund und die katze das ist nicht ein problem mit den"),
+            (3, "el perro y la casa de que los ninos una por con para"),
+            (4, "le chat et la maison les arbres dans une est pour que"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_doc_fingerprint_stable_and_order_insensitive(spark):
+    from google_spark.operators.text_analysis import doc_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert got[2] == ""  # too short to shingle
+    assert len(got[1].split(",")) == 4
+    # same content -> same fingerprint across runs
+    again = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert got == again
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 16))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(12):
+            v = base[c] + 0.05 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_recall_vs_brute_force(spark, emb_df):
+    from google_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    exact = [r["vec_id"] for r in cosine_topk(emb_df, 0, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ann_lsh_topk(emb_df, 0, k=10, n_tables=6, n_planes=6).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.8, (recall, exact, approx)
+
+
+def test_embedding_near_dups_lsh_vs_brute(spark, emb_df):
+    from google_spark.operators.similarity import embedding_near_dups
+
+    brute = {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(emb_df, threshold=0.98, brute_force=True).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(
+            emb_df, threshold=0.98, n_tables=8, n_planes=4
+        ).collect()
+    }
+    assert brute  # clusters guarantee high-sim pairs exist
+    assert lsh <= brute  # LSH never invents pairs (same exact verify)
+    assert len(lsh) / len(brute) >= 0.8  # and finds most of them
+
+
+def test_multimodal_roundtrip_and_features(spark):
+    from google_spark.operators.multimodal import (
+        decode_payload,
+        extract_features,
+        resize_stub,
+        sample_frames,
+        synth_media_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " * (i + 1)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    media = synth_media_table(spark, docs).persist()
+    assert media.count() == 10
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    for i in range(10):
+        body = (f"document body {i} " * (i + 1)).encode()
+        assert feats[i]["body_bytes"] == len(body)
+        assert feats[i]["byte_mean"] == pytest.approx(
+            sum(body) / len(body), abs=1e-9
+        )
+        assert feats[i]["width"] == 16 + (i % 16) * 8
+
+    resized = {r["media_id"]: r for r in resize_stub(media, max_side=32).collect()}
+    for i in range(10):
+        assert max(resized[i]["width"], resized[i]["height"]) <= 32
+        w, h, n, _ = decode_payload(bytes(resized[i]["payload"]))
+        assert (w, h, n) == (resized[i]["width"], resized[i]["height"], resized[i]["n_frames"])
+
+    frames = sample_frames(media, every=2).collect()
+    want = sum(len(range(0, 1 + i % 4, 2)) for i in range(10))
+    assert len(frames) == want
+    media.unpersist()
+
+
+def test_decode_rejects_foreign_format():
+    from google_spark.operators.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"JPEG" + b"\x00" * 16)
