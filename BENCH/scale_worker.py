@@ -1,0 +1,92 @@
+"""One scaling-bench run at a fixed core count. Prints ONE JSON line.
+
+Invoked by BENCH/scaling.py in a fresh process (its own JVM) per
+parallelism level. The workload is identical at every level: same input
+rows, same partition counts (64), same plans — only ``local[N]`` changes,
+standing in for the N-vs-4N-executor cluster comparison the north rule
+asks for (no real cluster in this sandbox).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+QUERIES = ["hash join", "merge scan filter", "data", "window batch spark", "index"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicate", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from google_spark.session import get_spark
+
+    spark = get_spark(app=f"scale_{args.cores}", cores=args.cores, shuffle_partitions=64)
+    # Identical physical plans at both levels: no runtime partition
+    # coalescing (it would merge the Zipf-hot term groups into straggler
+    # tasks and make the comparison measure AQE, not scaling).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    reps = spark.range(args.replicate).withColumnRenamed("id", "rep")
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") * args.replicate + F.col("rep")).alias("doc_id"),
+            "text",
+        )
+        .repartition(64)
+        .persist()
+    )
+    n_docs = big.count()  # materialize outside the timed window
+
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk
+
+    # Warm the JVM (codegen, shuffle machinery, Python worker pool) with a
+    # small untimed build so the measured window is steady-state compute —
+    # the cluster analog is a long-running job, not a cold driver.
+    warm = build_index(
+        spark, big.limit(2000), id_col="doc_id", text_col="text", n_shards=8
+    )
+    wand_topk(warm, "data", k=10).collect()
+
+    t0 = time.perf_counter()
+    index = build_index(
+        spark, big, id_col="doc_id", text_col="text", n_shards=64, total_docs=n_docs
+    )
+    build_s = time.perf_counter() - t0
+
+    lat = []
+    for q in QUERIES:
+        t0 = time.perf_counter()
+        wand_topk(index, q, k=10).collect()
+        lat.append((time.perf_counter() - t0) * 1000)
+
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "n_docs": n_docs,
+                "build_s": round(build_s, 3),
+                "docs_per_sec": round(n_docs / build_s, 2),
+                "query_p50_ms": round(statistics.median(lat), 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

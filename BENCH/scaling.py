@@ -1,0 +1,104 @@
+"""Two-parallelism scaling benchmark (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors, evidenced here as local[8] vs
+local[32] on identical input — this sandbox has no real cluster).
+
+    python BENCH/scaling.py [--sf-dir /root/testdata/sf0.1] [--lo 8 --hi 32]
+
+Writes BENCH/scaling.json and rewrites the measured section of
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+
+
+def run_level(cores: int, sf_dir: str, replicate: int) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(HERE / "scale_worker.py"),
+            "--cores",
+            str(cores),
+            "--sf-dir",
+            sf_dir,
+            "--replicate",
+            str(replicate),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from cores={cores}:\n{out.stdout}\n{out.stderr}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    # N vs 4N defaults are local[2] vs local[8]: this 32-core box runs one
+    # JVM task thread + one Python (Arrow) worker per slot, so local[32]
+    # would put 64 runnable threads on 32 cores — measuring oversubscription,
+    # not scaling. At 2 and 8 slots both levels are fully core-backed, which
+    # is what distinct executors on a real cluster would be.
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
+    ap.add_argument("--replicate", type=int, default=32)
+    args = ap.parse_args()
+
+    lo = run_level(args.lo, args.sf_dir, args.replicate)
+    hi = run_level(args.hi, args.sf_dir, args.replicate)
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    ideal = args.hi / args.lo
+    eff = speedup / ideal
+    result = {
+        "sf_dir": args.sf_dir,
+        "n_docs": hi["n_docs"],
+        "levels": [lo, hi],
+        "speedup": round(speedup, 3),
+        "ideal": ideal,
+        "scaling_efficiency": round(eff, 3),
+        "measured_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+    }
+    (HERE / "scaling.json").write_text(json.dumps(result, indent=2) + "\n")
+    md = f"""# BENCH baseline — measured numbers
+
+North-rule metric: index-build throughput + BM25 top-k latency, with
+throughput scaling efficiency >= 0.8 between two cluster sizes. No real
+cluster exists in this sandbox, so the two sizes are two parallelism
+levels of the identical job on identical input (local[{args.lo}] vs
+local[{args.hi}], {ideal:.0f}x cores), shuffle partitions pinned to 64 at
+both levels. The levels sit well below the 32 physical cores because each
+task slot runs a JVM thread plus an Arrow Python worker — at local[32] the
+box would be 2x oversubscribed and the measurement would reflect thread
+contention, not the engine's scaling (a real 4N-executor cluster adds
+cores, it doesn't oversubscribe them).
+
+Measured {result["measured_at"]} on {args.sf_dir}
+(documents replicated x{args.replicate} -> {hi["n_docs"]} docs):
+
+| level | cores | build s | docs/sec | query p50 ms |
+|---|---|---|---|---|
+| N | {args.lo} | {lo["build_s"]} | {lo["docs_per_sec"]} | {lo["query_p50_ms"]} |
+| 4N | {args.hi} | {hi["build_s"]} | {hi["docs_per_sec"]} | {hi["query_p50_ms"]} |
+
+- speedup: **{result["speedup"]}x** (ideal {ideal:.0f}x)
+- scaling efficiency: **{result["scaling_efficiency"]}** (target >= 0.8)
+
+Reproduce: `python BENCH/scaling.py`. Raw numbers: `BENCH/scaling.json`.
+"""
+    (HERE / "BASELINE.md").write_text(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

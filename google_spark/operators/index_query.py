@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from google_spark import BM25_B, BM25_K1
-from google_spark.functions.codec import decode_postings
+from google_spark.functions.codec import decode_postings_arrays
 from google_spark.functions.tokenizer import tokenize
 from google_spark.operators.index_build import IndexTables
 
@@ -51,7 +51,7 @@ def _decode_matching(postings: DataFrame, terms: list[str]) -> DataFrame:
         for pdf in batches:
             t_out, d_out, tf_out, dl_out = [], [], [], []
             for term, blob in zip(pdf["term"].values, pdf["postings"].values):
-                doc_ids, tfs, dls, _ = decode_postings(bytes(blob))
+                doc_ids, tfs, dls = decode_postings_arrays(bytes(blob))
                 t_out.extend([term] * len(doc_ids))
                 d_out.extend(doc_ids)
                 tf_out.extend(tfs)
@@ -123,10 +123,9 @@ def _wand_shard_kernel(
     scored."""
     cols: list[tuple[np.ndarray, np.ndarray, float]] = []  # (docs, score_arr, ub)
     for _, row in pdf.iterrows():
-        doc_ids, tfs, dls, _ = decode_postings(bytes(row["postings"]))
-        docs = np.asarray(doc_ids, dtype=np.int64)
-        tf = np.asarray(tfs, dtype=np.float64)
-        dl = np.asarray(dls, dtype=np.float64)
+        docs, tfs, dls = decode_postings_arrays(bytes(row["postings"]))
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
         w = weights[row["term"]] * idf[row["term"]]
         scores = w * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
         max_tf = float(np.max(row["block_max_tf"]))

@@ -1,0 +1,24 @@
+"""Produce google_spark.zip for ``spark-submit --py-files``.
+
+    python jobs/make_pyfiles.py [out.zip]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from google_spark.session import _package_zip  # noqa: E402
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "google_spark.zip"
+    shutil.copyfile(_package_zip(), out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

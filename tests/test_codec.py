@@ -69,3 +69,66 @@ def test_merge_partials_sorted():
     assert tfs == [1, 3, 2]
     assert dls == [5, 7, 6]
     assert pos == [[1], [1, 2, 4], [2, 3]]
+
+
+# ---------------------------------------------------------------------------
+# NumPy-vectorized codec parity (bit-identical to the scalar reference)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from google_spark.functions.codec import (
+    block_metadata,
+    block_metadata_np,
+    decode_postings_arrays,
+    encode_postings_np,
+)
+
+
+@st.composite
+def _posting_lists(draw):
+    n = draw(st.integers(0, 60))
+    doc_ids = sorted(
+        draw(
+            st.sets(st.integers(0, 2**62), min_size=n, max_size=n)
+        )
+    )
+    tfs, dls, positions = [], [], []
+    for _ in range(n):
+        pos = sorted(draw(st.sets(st.integers(1, 10_000), min_size=1, max_size=8)))
+        positions.append(pos)
+        tfs.append(len(pos))
+        dls.append(draw(st.integers(1, 100_000)))
+    return doc_ids, tfs, dls, positions
+
+
+@given(_posting_lists())
+@settings(max_examples=60, deadline=None)
+def test_numpy_encode_bit_identical(case):
+    doc_ids, tfs, dls, positions = case
+    assert encode_postings_np(doc_ids, tfs, dls, positions) == encode_postings(
+        doc_ids, tfs, dls, positions
+    )
+
+
+@given(_posting_lists())
+@settings(max_examples=60, deadline=None)
+def test_numpy_decode_arrays(case):
+    doc_ids, tfs, dls, positions = case
+    blob = encode_postings(doc_ids, tfs, dls, positions)
+    d, t, l = decode_postings_arrays(blob)
+    assert d.tolist() == doc_ids
+    assert t.tolist() == tfs
+    assert l.tolist() == dls
+
+
+@given(_posting_lists())
+@settings(max_examples=30, deadline=None)
+def test_numpy_block_metadata_parity(case):
+    doc_ids, tfs, dls, _ = case
+    if not doc_ids:
+        return
+    want = block_metadata(doc_ids, tfs, dls)
+    last, mx, mn = block_metadata_np(doc_ids, tfs, dls)
+    assert [(a, b, c) for a, b, c in zip(last.tolist(), mx.tolist(), mn.tolist())] == want
