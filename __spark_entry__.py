@@ -12,6 +12,11 @@ training-data-pipeline ops ``dedup_*``/``text_*``/``sim_*``).
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -474,17 +479,35 @@ sh AS (
 )
 """
 
+# MinHash family: one md5 per distinct shingle -> base hash x (48 digest
+# bits mod p), then the Carter-Wegman family (A[j]*x + B[j]) mod p with the
+# engine's frozen constants — imported so Spark and the oracle can't drift.
+from google_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P  # noqa: E402
+
+_HH_CTE = f"""
+{_SH3_CTE},
+hh AS (
+  SELECT doc_id,
+         list_transform(list_distinct(s),
+             x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) % {MINHASH_P})
+           AS h
+  FROM sh WHERE len(s) > 0
+)
+"""
+
 _MINHASH16 = (
     "["
     + ", ".join(
-        f"list_min(list_transform(s, x -> md5('{j}:' || x)))" for j in range(16)
+        f"list_min(list_transform(h, x -> ({MINHASH_A[j]} * x + {MINHASH_B[j]}) "
+        f"% {MINHASH_P}))"
+        for j in range(16)
     )
     + "]"
 )
 
 _LSH_CTES = f"""
-{_SH3_CTE},
-sigl AS (SELECT doc_id, {_MINHASH16} AS g FROM sh WHERE len(s) > 0),
+{_HH_CTE},
+sigl AS (SELECT doc_id, {_MINHASH16} AS g FROM hh),
 bands AS (
   SELECT doc_id, b.band,
          md5(array_to_string(g[b.band*4+1 : b.band*4+4], '|')) AS key
@@ -637,9 +660,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_minhash_sig": f"""
-            WITH {_SH3_CTE}
+            WITH {_HH_CTE}
             SELECT doc_id, array_to_string({_MINHASH16}, ',') AS sig
-            FROM sh WHERE len(s) > 0
+            FROM hh
         """,
         "dedup_lsh_pairs": f"""
             WITH {_LSH_CTES}

@@ -14,10 +14,19 @@ Design for 100 TB:
 - candidate pairs are verified with exact token-set Jaccard before any doc
   is dropped (LSH is a filter, not a verdict).
 
-The MinHash family is ``min over shingles of md5("<j>:" + shingle)`` with
-the *lexicographic* min over hex strings — deterministic and reproducible in
-any engine with md5 (the DuckDB oracle replicates it verbatim), no
-engine-specific hash required.
+The MinHash family hashes each distinct shingle ONCE with md5 (base hash
+x = first 48 digest bits mod p) and applies a Carter-Wegman family
+``g_j(x) = (A[j]*x' + B[j]) mod p`` with p = 2^31-1 and fixed constants —
+one digest per shingle instead of n_hashes of them, decorrelated minima
+across j (a plain linear combo without the mod lets a single shared
+shingle dominate every band). All arithmetic stays below 2^63 so any
+engine with md5 + hex parsing + int64 mod reproduces it bit-for-bit (the
+DuckDB oracle does, verbatim).
+
+Signatures are computed by explode -> hash -> groupBy(doc).agg(16 mins):
+one md5 per shingle *row*, partial aggregation scan-side, whole-stage
+codegen — measured ~10x faster than evaluating 16 nested array-lambda
+expressions, which Spark does not common-subexpression-eliminate.
 """
 
 from __future__ import annotations
@@ -28,6 +37,20 @@ from pyspark.sql import functions as F
 DEFAULT_N_HASHES = 16
 DEFAULT_N_BANDS = 4
 DEFAULT_SHINGLE_K = 3
+
+# Carter-Wegman family constants (fixed; generated once from a seeded PRNG
+# and frozen as literals so every engine — and the DuckDB oracle — agrees).
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_A = (
+    2029167940, 1342382292, 1469265226, 1926751965, 1241873584, 1665772334,
+    1790251936, 483628758, 119253155, 644602188, 612176794, 1875941738,
+    1959843383, 11307155, 1073283950, 1763574598,
+)
+MINHASH_B = (
+    282266798, 1711693563, 255728784, 1004882659, 1753345571, 650757180,
+    733587778, 597914448, 1545052023, 547328271, 2126996168, 955794088,
+    1026816910, 1083509134, 1251001413, 1188626511,
+)
 
 
 def tokens_col(text_col: str = "text") -> Column:
@@ -52,13 +75,22 @@ def shingles_col(toks: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
 
 
 def minhash_signature_cols(shingles: Column, n_hashes: int = DEFAULT_N_HASHES) -> Column:
-    """array<string> of n_hashes lexicographic-min md5 values."""
+    """array<bigint> of n_hashes CW-family minima. Prefer
+    :func:`minhash_signatures` (explode+agg) — this array-expression form
+    re-evaluates the md5 chain once per hash function (no CSE across array
+    lambdas) and exists for small inputs / documentation. (NOTE: transform
+    lambdas must take exactly one arg — a second parameter would be bound
+    to the element index.)"""
+    xs = F.transform(
+        F.array_distinct(shingles),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+
     def _one(j: int) -> Column:
-        prefix = f"{j}:"
-        # NOTE: the lambda must take exactly one arg — F.transform treats a
-        # second parameter as the element index.
+        a, b = MINHASH_A[j], MINHASH_B[j]
         return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+            F.transform(xs, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)
         )
 
     return F.array(*[_one(j) for j in range(n_hashes)])
@@ -82,13 +114,30 @@ def minhash_signatures(
     n_hashes: int = DEFAULT_N_HASHES,
     shingle_k: int = DEFAULT_SHINGLE_K,
 ) -> DataFrame:
-    """DataFrame[doc_id, sig: array<string>]; docs with no shingles get no
-    row (they can't near-duplicate anything at this shingle size)."""
+    """DataFrame[doc_id, sig: array<bigint>]; docs with no shingles get no
+    row (they can't near-duplicate anything at this shingle size).
+
+    Explode -> one md5 per distinct shingle -> groupBy(doc).agg(n_hashes
+    mins): partial aggregation scan-side, so the exchange carries at most
+    n_hashes values per doc regardless of document size."""
     sh = shingles_col(tokens_col(text_col), k=shingle_k)
+    x = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    exploded = (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("s"))
+        .select(F.col(id_col), x.alias("x"))
+    )
+    mins = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("x") + F.lit(MINHASH_B[j])) % MINHASH_P)
+        .alias(f"m{j}")
+        for j in range(n_hashes)
+    ]
     return (
-        docs.select(F.col(id_col), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(id_col, minhash_signature_cols(F.col("sh"), n_hashes).alias("sig"))
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[f"m{j}" for j in range(n_hashes)]).alias("sig"))
     )
 
 
@@ -116,7 +165,11 @@ def lsh_candidate_pairs(
                     b.alias("band"),
                     F.md5(
                         F.concat_ws(
-                            "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            "|",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
                         )
                     ).alias("key"),
                 ),

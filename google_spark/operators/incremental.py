@@ -191,16 +191,23 @@ def merge_batches(
     total_dl = doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
     avgdl = total_dl / total_docs if total_docs else 0.0
 
+    from google_spark.operators.index_build import N_TERM_BUCKETS, term_bucket_col
+
     tmp = os.path.join(out_dir, "index.tmp")
     final = os.path.join(out_dir, "index")
-    merged.repartition(F.col("term")).write.mode("overwrite").parquet(
-        os.path.join(tmp, "postings.parquet")
+    (
+        merged.withColumn("tb", term_bucket_col("term"))
+        .repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(tmp, "postings.parquet"))
     )
     postings = spark.read.parquet(os.path.join(tmp, "postings.parquet"))
     terms = term_stats(postings, total_docs)
     terms.write.mode("overwrite").parquet(os.path.join(tmp, "terms.parquet"))
     spark.createDataFrame(
-        [(total_docs, avgdl)], "n_docs long, avgdl double"
+        [(total_docs, avgdl, N_TERM_BUCKETS)],
+        "n_docs long, avgdl double, n_buckets int",
     ).write.mode("overwrite").parquet(os.path.join(tmp, "stats.parquet"))
     if os.path.exists(final):
         import shutil
@@ -212,6 +219,7 @@ def merge_batches(
         terms=spark.read.parquet(os.path.join(final, "terms.parquet")),
         n_docs=total_docs,
         avgdl=avgdl,
+        n_buckets=N_TERM_BUCKETS,
     )
 
 

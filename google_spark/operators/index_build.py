@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from google_spark.functions.codec import block_metadata, encode_postings
@@ -45,16 +45,37 @@ POSTINGS_SCHEMA = (
 
 @dataclass
 class IndexTables:
-    """The built index: postings + per-term stats + corpus scalars."""
+    """The built index: postings + per-term stats + corpus scalars.
+
+    ``n_buckets`` is set when the postings were read from a
+    bucket-partitioned on-disk layout (see :func:`write_index`); query
+    paths then prune to at most |query terms| partitions."""
 
     postings: DataFrame
     terms: DataFrame  # term, df, idf
     n_docs: int
     avgdl: float
+    n_buckets: int | None = None
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         rows = self.terms.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: r["idf"] for r in rows}
+
+    def matching(self, terms: list[str]) -> DataFrame:
+        """Postings rows for the given terms, with partition pruning on the
+        ``tb`` bucket column when the index is disk-backed."""
+        df = self.postings
+        if self.n_buckets and "tb" in df.columns:
+            spark = df.sparkSession
+            buckets = [
+                r["tb"]
+                for r in spark.createDataFrame([(t,) for t in terms], "term string")
+                .select(term_bucket_col("term", self.n_buckets).alias("tb"))
+                .distinct()
+                .collect()
+            ]
+            df = df.filter(F.col("tb").isin(buckets))
+        return df.filter(F.col("term").isin(terms))
 
 
 def tokenize_docs(
@@ -214,28 +235,46 @@ def build_index(
     return IndexTables(postings=postings, terms=terms, n_docs=n_docs, avgdl=avgdl)
 
 
-def write_index(index: IndexTables, out_dir: str) -> None:
-    """Persist the index as parquet, postings bucketed by term hash via an
-    explicit repartition column (Iceberg-style bucket partitioning; the
-    atomic-publish analog of the reference's index2->index rename, ref:
-    src/cis5550/jobs/Indexer.java:245-246, is parquet's atomic directory
-    commit)."""
+N_TERM_BUCKETS = 64
+
+
+def term_bucket_col(term: Column | str, n_buckets: int = N_TERM_BUCKETS) -> F.Column:
+    """Deterministic term bucket for partition pruning: a query touching k
+    terms scans at most k of ``n_buckets`` partitions (the Iceberg
+    bucket(term) analog; the reference instead salts rowKeys to spread the
+    range partitioner, ref: src/cis5550/jobs/Indexer.java:28-33)."""
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def write_index(
+    index: IndexTables, out_dir: str, n_buckets: int = N_TERM_BUCKETS
+) -> None:
+    """Persist the index as parquet partitioned by ``tb=bucket(term)`` so
+    query-time term filters prune directories (Iceberg-style bucket
+    partitioning without a catalog). The atomic-publish analog of the
+    reference's index2->index rename (ref: src/cis5550/jobs/
+    Indexer.java:245-246) is parquet's atomic directory commit."""
     (
-        index.postings.repartition(F.col("term"))
+        index.postings.withColumn("tb", term_bucket_col("term", n_buckets))
+        .repartition("tb")
         .write.mode("overwrite")
+        .partitionBy("tb")
         .parquet(f"{out_dir}/postings.parquet")
     )
     index.terms.write.mode("overwrite").parquet(f"{out_dir}/terms.parquet")
     index.postings.sparkSession.createDataFrame(
-        [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
+        [(index.n_docs, index.avgdl, n_buckets)],
+        "n_docs long, avgdl double, n_buckets int",
     ).write.mode("overwrite").parquet(f"{out_dir}/stats.parquet")
 
 
 def read_index(spark: SparkSession, out_dir: str) -> IndexTables:
     stats = spark.read.parquet(f"{out_dir}/stats.parquet").collect()[0]
+    row = stats.asDict()
     return IndexTables(
         postings=spark.read.parquet(f"{out_dir}/postings.parquet"),
         terms=spark.read.parquet(f"{out_dir}/terms.parquet"),
-        n_docs=int(stats["n_docs"]),
-        avgdl=float(stats["avgdl"]),
+        n_docs=int(row["n_docs"]),
+        avgdl=float(row["avgdl"]),
+        n_buckets=int(row.get("n_buckets") or 0) or None,
     )

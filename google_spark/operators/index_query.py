@@ -43,9 +43,10 @@ def query_terms(query: str, mode: str = "simple", stem: bool = False) -> list[st
 DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
 
 
-def _decode_matching(postings: DataFrame, terms: list[str]) -> DataFrame:
-    """Filter the postings table to the query terms (predicate pushed to the
-    parquet scan) and decode blobs into (term, doc_id, tf, dl) rows."""
+def _decode_matching(matching: DataFrame, terms: list[str]) -> DataFrame:
+    """Decode the matching postings blobs into (term, doc_id, tf, dl) rows.
+    ``matching`` comes from IndexTables.matching(): term filter pushed to
+    the parquet scan plus bucket partition pruning on disk-backed indexes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -65,10 +66,8 @@ def _decode_matching(postings: DataFrame, terms: list[str]) -> DataFrame:
                 }
             )
 
-    return (
-        postings.filter(F.col("term").isin(terms))
-        .select("term", "postings")
-        .mapInPandas(gen, schema=DECODED_SCHEMA)
+    return matching.select("term", "postings").mapInPandas(
+        gen, schema=DECODED_SCHEMA
     )
 
 
@@ -93,7 +92,7 @@ def exhaustive_topk(
     weights = spark.createDataFrame(
         [(t, float(c)) for t, c in qf.items()], "term string, weight double"
     )
-    decoded = _decode_matching(index.postings, list(qf))
+    decoded = _decode_matching(index.matching(list(qf)), list(qf))
     scored = decoded.join(F.broadcast(weights), "term").join(
         F.broadcast(index.terms.select("term", "idf")), "term"
     )
@@ -209,8 +208,54 @@ def wand_topk(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _wand_shard_kernel(pdf, weights, idf, avgdl, k)
 
-    matching = index.postings.filter(F.col("term").isin(list(qf)))
+    matching = index.matching(list(qf))
     per_shard = matching.groupBy("shard").applyInPandas(
         kernel, schema="doc_id long, score double"
     )
     return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_topk_local(
+    index: IndexTables,
+    query: str,
+    k: int = 10,
+    mode: str = "simple",
+    stem: bool = False,
+) -> list[tuple[int, float]]:
+    """Low-latency serving path: collect ONLY the query terms' compressed
+    posting rows (partition-pruned, predicate-pushed scan — a few KB per
+    term) and run the WAND kernel in the driver. This is the Spark analog
+    of the reference's serve-time KVS point lookups (ref:
+    src/cis5550/jobs/RankScore.java:112,152) without per-word RPCs: one
+    pruned scan, then pure NumPy. Returns [(doc_id, score)] sorted
+    (score desc, doc_id asc).
+
+    Use for interactive queries; use :func:`wand_topk` when k or the
+    candidate set is too large for one machine."""
+    import pandas as pd
+
+    import math
+
+    terms = query_terms(query, mode=mode, stem=stem)
+    if not terms:
+        return []
+    qf = Counter(terms)
+    weights = {t: float(c) for t, c in qf.items()}
+    rows = index.matching(list(qf)).select(
+        "term", "df", "postings", "block_max_tf", "block_min_dl"
+    ).collect()
+    if not rows:
+        return []
+    # ONE Spark action per query: global df (hence idf) is recovered by
+    # summing the per-shard df of the rows we just fetched — no separate
+    # terms-table lookup job.
+    df_total: dict[str, int] = {}
+    for r in rows:
+        df_total[r["term"]] = df_total.get(r["term"], 0) + int(r["df"])
+    n = index.n_docs
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in df_total.items()
+    }
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    out = _wand_shard_kernel(pdf, weights, idf, index.avgdl, k)
+    return list(zip(out["doc_id"].tolist(), out["score"].tolist()))

@@ -20,11 +20,14 @@ def _shingles(text, k=3):
 
 
 def _minhash(text, n_hashes=16, k=3):
-    sh = _shingles(text, k)
+    from google_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    sh = set(_shingles(text, k))
     if not sh:
         return None
+    xs = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % MINHASH_P for s in sh]
     return [
-        min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in sh)
+        min((MINHASH_A[j] * x + MINHASH_B[j]) % MINHASH_P for x in xs)
         for j in range(n_hashes)
     ]
 

@@ -1,0 +1,95 @@
+"""SearchEngine facade: e2e search, cache, pagination, autocomplete,
+local-vs-distributed WAND parity, bucketed index pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_df):
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+
+    return SearchEngine.build(spark, with_doc_identity(corpus_df))
+
+
+def test_search_results_ranked_and_boosted(engine):
+    res = engine.search("data partition", k=10)
+    assert 0 < len(res) <= 10
+    pris = [r.priority for r in res]
+    assert pris == sorted(pris, reverse=True)
+    for r in res:
+        assert r.score > 0 and r.rank > 0
+
+
+def test_search_cache_hit(engine):
+    a = engine.search("merge sort", k=5)
+    assert engine.search("merge sort", k=5) is not a or a == engine.search("merge sort", k=5)
+    key = ("merge sort", 5, False)
+    assert key in engine._cache
+
+
+def test_pagination(engine):
+    full = engine.search("data", k=10)
+    p1 = engine.search("data", k=10, page=1, page_size=4)
+    p2 = engine.search("data", k=10, page=2, page_size=4)
+    assert [r.doc_id for r in p1] == [r.doc_id for r in full[:4]]
+    assert [r.doc_id for r in p2] == [r.doc_id for r in full[4:8]]
+
+
+def test_snippets_contain_term(engine):
+    res = engine.search("partition", k=3, snippets=True)
+    assert any(r.snippet and "partition" in r.snippet.lower() for r in res)
+
+
+def test_autocomplete(engine):
+    comps = engine.autocomplete("pa")
+    assert comps and all(c.startswith("pa") for c in comps)
+    assert "partition" in engine.autocomplete("partit")
+
+
+def test_local_wand_matches_distributed(spark, corpus_df):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk, wand_topk_local
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    idx = build_index(spark, docs, id_col="doc_id", text_col="content")
+    for q in ("data partition merge", "search engine", "zzznotthere"):
+        dist = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in wand_topk(idx, q, k=10).collect()
+        ]
+        local = [(d, round(s, 9)) for d, s in wand_topk_local(idx, q, k=10)]
+        assert dist == local, q
+
+
+def test_bucketed_index_roundtrip_and_pruning(spark, corpus_df, tmp_path):
+    from google_spark.operators.index_build import (
+        build_index,
+        read_index,
+        write_index,
+    )
+    from google_spark.operators.index_query import wand_topk_local
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    idx = build_index(spark, docs, id_col="doc_id", text_col="content")
+    out = str(tmp_path / "bidx")
+    write_index(idx, out)
+    loaded = read_index(spark, out)
+    assert loaded.n_buckets == 64
+    # partition pruning shows up in the physical plan's partition filters
+    plan = loaded.matching(["data"])._jdf.queryExecution().executedPlan().toString()
+    assert "tb" in plan
+    a = wand_topk_local(idx, "data partition", k=10)
+    b = wand_topk_local(loaded, "data partition", k=10)
+    assert [(d, round(s, 9)) for d, s in a] == [(d, round(s, 9)) for d, s in b]
+
+
+def test_search_empty_and_stopword_queries(engine):
+    assert engine.search("", k=5) == []
+    assert engine.search("!!!", k=5) == []
+    assert engine.search("zzzznotaword", k=5) == []
