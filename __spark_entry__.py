@@ -236,6 +236,42 @@ def q_op_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_op_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup (the batch twin of the watermarked
+    streaming aggregation in google_spark/streaming/ingest.py)."""
+    from google_spark.streaming.ingest import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag window function: a >30-minute gap starts a
+    new session; output (user_id, session_id, n_events)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(w)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (task brief) over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -421,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_count": q_op_count,
         "op_take_ordered": q_op_take_ordered,
         "op_cogroup": q_op_cogroup,
+        "op_window_agg": q_op_window_agg,
+        "op_sessionize": q_op_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -657,6 +695,32 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN
                  (SELECT c_custkey AS custkey, count(*) AS n_cust FROM customer GROUP BY 1) c
             ON o.custkey = c.custkey
+        """,
+        "op_window_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "op_sessionize": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS session_id
+              FROM marked
+            )
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_minhash_sig": f"""

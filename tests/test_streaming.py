@@ -1,0 +1,93 @@
+"""Structured Streaming: micro-batch index ingestion equals batch build;
+watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stream_ingest_equals_batch_build(spark, tmp_path):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk_local
+    from google_spark.streaming.ingest import (
+        finalize_stream_index,
+        stream_index_builder,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # drip the corpus into the watched dir as 5 separate files
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    for i in range(5):
+        docs.filter(F.col("doc_id") % 5 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{i}.parquet")
+
+    out = str(tmp_path / "sidx")
+    q = stream_index_builder(spark, f"{in_dir}/*", out)
+    q.awaitTermination(240)
+    assert not q.isActive  # availableNow drains and stops
+
+    idx = finalize_stream_index(spark, out, total_docs=docs.count())
+    batch_idx = build_index(spark, docs, id_col="doc_id", text_col="text")
+    for query in ("hash join", "data"):
+        a = [(d, round(s, 9)) for d, s in wand_topk_local(idx, query, k=10)]
+        b = [(d, round(s, 9)) for d, s in wand_topk_local(batch_idx, query, k=10)]
+        assert a == b, query
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    """The same plan runs in batch mode; compare against a plain groupBy on
+    truncated timestamps."""
+    from google_spark.streaming.ingest import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in windowed_event_counts(events).collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], round(r["s"], 6))
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_windowed_event_counts_streaming_with_watermark(spark, tmp_path):
+    """Drive the SAME aggregation as a real stream with a watermark and
+    check the complete results against batch mode."""
+    from google_spark.streaming.ingest import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    events.coalesce(2).write.parquet(in_dir)
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    out = windowed_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got == want
