@@ -1,0 +1,139 @@
+"""Synonym expansion + decayed synonym scoring (SURVEY.md §2.3 D17/D20).
+
+The reference loads GloVe vectors and expands each query word with its
+top-5 cosine neighbours (ref: src/cis5550/jobs/ProcessInput.java:63-121,
+loaded at src/cis5550/jobs/SearchApi.java:147-160), then scores synonym
+matches with a decaying weight 0.5, 0.25, ... per neighbour rank (ref:
+src/cis5550/jobs/RankScore.java:107-145, decay at 110,137).
+
+Spark-first: the word-vector table is any DataFrame (word, vector). Query
+expansion is driver-side NumPy over the (small) vocabulary slice — queries
+are tiny; shipping them to a cluster would be the reference's
+one-RPC-per-word mistake in reverse. Scoring reuses the BM25 kernel with a
+weight column, so synonym hits flow through the same top-k machinery.
+
+No pretrained embeddings exist offline; ``synthetic_word_vectors`` builds a
+deterministic co-occurrence-flavoured embedding for tests (words sharing
+corpus context land near each other).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+SYNONYM_BASE_WEIGHT = 0.5  # reference: first synonym weight (RankScore.java:110)
+
+
+def synonym_weights(n: int) -> list[float]:
+    """0.5, 0.25, 0.125, ... — the reference's per-rank halving."""
+    return [SYNONYM_BASE_WEIGHT / (2**i) for i in range(n)]
+
+
+def load_word_vectors(word_vectors: DataFrame) -> tuple[dict[str, int], np.ndarray]:
+    """Collect a (word, vector) DataFrame into an index + matrix. Intended
+    for vocabulary-sized tables (the GloVe analog); at larger scale slice
+    with a semi-join against the corpus vocabulary first."""
+    rows = word_vectors.collect()
+    words = {r[0]: i for i, r in enumerate(rows)}
+    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return words, mat / norms
+
+
+def expand_query(
+    terms: list[str],
+    words: dict[str, int],
+    mat: np.ndarray,
+    topn: int = 5,
+) -> dict[str, list[tuple[str, float]]]:
+    """term -> [(synonym, weight)] with the reference's decay; the term
+    itself is excluded; unknown terms expand to nothing."""
+    inv = {i: w for w, i in words.items()}
+    out: dict[str, list[tuple[str, float]]] = {}
+    for t in terms:
+        i = words.get(t)
+        if i is None:
+            out[t] = []
+            continue
+        sims = mat @ mat[i]
+        order = np.argsort(-sims)
+        picked: list[tuple[str, float]] = []
+        weights = synonym_weights(topn)
+        for j in order:
+            if int(j) == i:
+                continue
+            picked.append((inv[int(j)], weights[len(picked)]))
+            if len(picked) == topn:
+                break
+        out[t] = picked
+    return out
+
+
+def synonym_topk(
+    index,
+    query: str,
+    words: dict[str, int],
+    mat: np.ndarray,
+    k: int = 10,
+    topn: int = 5,
+    mode: str = "simple",
+):
+    """Top-k over the ORIGINAL terms (weight 1.0 each) plus their synonyms
+    at decayed weights — D18 + D20 combined, local serving path. Returns
+    [(doc_id, score)] sorted (score desc, doc_id asc)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from google_spark.operators.index_query import (
+        _wand_shard_kernel,
+        query_terms,
+    )
+
+    base = query_terms(query, mode=mode)
+    if not base:
+        return []
+    weights: dict[str, float] = dict(Counter({t: 0.0 for t in base}))
+    for t, c in Counter(base).items():
+        weights[t] = weights.get(t, 0.0) + float(c)
+    for t, syns in expand_query(list(dict.fromkeys(base)), words, mat, topn).items():
+        for s, w in syns:
+            weights[s] = max(weights.get(s, 0.0), w)
+    all_terms = [t for t, w in weights.items() if w > 0]
+    rows = index.matching(all_terms).select(
+        "term", "df", "postings", "block_max_tf", "block_min_dl"
+    ).collect()
+    if not rows:
+        return []
+    df_total: dict[str, int] = {}
+    for r in rows:
+        df_total[r["term"]] = df_total.get(r["term"], 0) + int(r["df"])
+    n = index.n_docs
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in df_total.items()
+    }
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    out = _wand_shard_kernel(pdf, weights, idf, index.avgdl, k)
+    return list(zip(out["doc_id"].tolist(), out["score"].tolist()))
+
+
+def synthetic_word_vectors(
+    spark: SparkSession, vocab: list[str], dim: int = 32, seed: int = 5,
+    clusters: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Deterministic word vectors for tests: random unit-ish vectors, with
+    optional clusters whose members share a base vector (making them
+    mutual nearest neighbours)."""
+    rng = np.random.default_rng(seed)
+    vecs: dict[str, np.ndarray] = {
+        w: rng.standard_normal(dim) for w in vocab
+    }
+    for base_word, members in (clusters or {}).items():
+        base = vecs.setdefault(base_word, rng.standard_normal(dim))
+        for m in members:
+            vecs[m] = base + 0.05 * rng.standard_normal(dim)
+    rows = [(w, [float(x) for x in v]) for w, v in vecs.items()]
+    return spark.createDataFrame(rows, "word string, vector array<double>")

@@ -101,6 +101,7 @@ class SearchEngine:
         self._meta_map: dict[int, tuple[str, str]] | None = None
         self._cache: dict[tuple, tuple[float, list[SearchResult]]] = {}
         self._trie: _Trie | None = None
+        self._history: dict[str, float] = {}  # query -> last access time
 
     # -- construction -----------------------------------------------------
 
@@ -171,6 +172,7 @@ class SearchEngine:
         page_size = page_size or k
         key = (query, k, snippets)
         now = time.time()
+        self._history[query] = now
         hit = self._cache.get(key)
         if hit and now - hit[0] < CACHE_TTL_S:
             results = hit[1]
@@ -219,6 +221,16 @@ class SearchEngine:
                 start = max(0, pos - 40) if pos >= 0 else 0
                 r.snippet = text[start : start + 120].replace("\n", " ")
         return out
+
+    def history(self, limit: int = 5) -> list[str]:
+        """The ``limit`` most recent queries by access time (ref:
+        src/cis5550/jobs/SearchApi.java:190-217)."""
+        return [
+            q
+            for q, _ in sorted(
+                self._history.items(), key=lambda kv: -kv[1]
+            )[:limit]
+        ]
 
     # -- autocomplete -----------------------------------------------------
 

@@ -1,0 +1,77 @@
+"""Synonym expansion (D17) + decayed synonym scoring (D20) + history (D28)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_synonym_weights_halve():
+    from google_spark.operators.synonyms import synonym_weights
+
+    assert synonym_weights(4) == [0.5, 0.25, 0.125, 0.0625]
+
+
+@pytest.fixture(scope="module")
+def wordvecs(spark):
+    from google_spark.operators.synonyms import load_word_vectors, synthetic_word_vectors
+
+    vocab = ["query", "search", "lookup", "retrieval", "banana", "disk", "memory"]
+    df = synthetic_word_vectors(
+        spark,
+        vocab,
+        clusters={"query": ["search", "lookup", "retrieval"]},
+    )
+    return load_word_vectors(df)
+
+
+def test_expand_query_finds_cluster(wordvecs):
+    from google_spark.operators.synonyms import expand_query
+
+    words, mat = wordvecs
+    exp = expand_query(["query"], words, mat, topn=3)
+    syns = [s for s, _ in exp["query"]]
+    assert set(syns) == {"search", "lookup", "retrieval"}
+    weights = [w for _, w in exp["query"]]
+    assert weights == [0.5, 0.25, 0.125]
+    assert expand_query(["notinvocab"], words, mat)["notinvocab"] == []
+
+
+def test_synonym_topk_boosts_synonym_docs(spark, wordvecs):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk_local
+    from google_spark.operators.synonyms import synonym_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "query planning and execution in the engine"),
+            (2, "search ranking pipeline with filters and search terms"),
+            (3, "banana bread recipe with flour"),
+            (4, "disk and memory management"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs)
+    words, mat = wordvecs
+    plain = dict(wand_topk_local(idx, "query", k=10))
+    syn = dict(synonym_topk(idx, "query", words, mat, k=10, topn=2))
+    # doc 1 matches the literal term in both engines with the same score
+    assert plain[1] == pytest.approx(syn[1])
+    # doc 2 only matches via the synonym 'search' -> present only with
+    # expansion, at a decayed (0.5x) weight
+    assert 2 not in plain and 2 in syn
+    assert 0 < syn[2] < syn[1]
+    assert 3 not in syn  # banana is not a neighbour of query
+
+
+def test_search_history(spark, corpus_df):
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+
+    eng = SearchEngine.build(
+        spark, with_doc_identity(corpus_df), with_pagerank=False
+    )
+    for q in ["data", "merge sort", "index", "data", "scan", "filter", "join"]:
+        eng.search(q, k=3)
+    h = eng.history(limit=5)
+    assert h[0] == "join" and len(h) == 5
+    assert "data" in h  # re-accessed later than its first use
