@@ -110,6 +110,104 @@ def finalize_stream_index(spark: SparkSession, out_dir: str, total_docs: int):
     return merge_batches(spark, out_dir, max(batches) + 1, total_docs)
 
 
+def streaming_session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: per-user session aggregation with
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    lag-window sessionization. State per user = (session start, last event
+    ts, count, value sum); a gap > ``gap`` closes the session and emits it;
+    state times out on the watermark.
+
+    Output: (user_id, session_start, session_end, n_events, sum_value) —
+    one row per CLOSED session (open sessions stay in state).
+    """
+    import datetime as _dt
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = {"30 minutes": 1800}.get(gap)
+    if gap_s is None:
+        parts = gap.split()
+        mult = {"seconds": 1, "minutes": 60, "hours": 3600}[parts[1]]
+        gap_s = int(parts[0]) * mult
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, s double"  # start/last in ns
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start)],
+                    "session_end": [pd.Timestamp(last)],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts = rows["ts"].astype("int64")  # ns since epoch
+        vals = rows["value"].astype("float64")
+        closed = []
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = last = int(ts.iloc[0])
+            n, s = 0, 0.0
+        for t, v in zip(ts, vals):
+            t = int(t)
+            if n > 0 and t - last > gap_s * 1_000_000_000:
+                closed.append((start, last, n, s))
+                start, n, s = t, 0, 0.0
+            n += 1
+            s += float(v)
+            last = t
+        state.update((start, last, n, s))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0]) for c in closed],
+                    "session_end": [pd.Timestamp(c[1]) for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -91,3 +91,62 @@ def test_windowed_event_counts_streaming_with_watermark(spark, tmp_path):
         for r in windowed_event_counts(events).collect()
     }
     assert got == want
+
+
+def test_streaming_session_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions emitted by the
+    stream (in-batch closes + the final watermark timeout pass, which
+    drains every remaining state here) must match a batch lag-window
+    sessionization of the same data."""
+    from pyspark.sql import Window
+
+    from google_spark.streaming.ingest import streaming_session_stats
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "sess_ev")
+    events.orderBy("ts").coalesce(1).write.parquet(in_dir)
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    out = streaming_session_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessout")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in spark.sql("SELECT * FROM sessout").collect()
+    }
+
+    # batch reference: lag-window sessionization, drop each user's last session
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_sess").over(w))
+    agg = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in agg.collect()
+    }
+    assert len(want) > 0
+    assert got == want
