@@ -86,6 +86,17 @@ def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenize_code_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2 code mode: identifier-aware tokenizer (snake_case + camelCase
+    split) — (doc_id, term, tf) for a doc subset."""
+    from google_spark.operators.index_build import tokenize_docs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 25 == 0)
+    return tokenize_docs(docs, id_col="doc_id", text_col="text", mode="code").select(
+        "doc_id", "term", "tf"
+    )
+
+
 def q_term_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5+D8: global document frequency + BM25 idf per term."""
     idx = _index(spark, sf_dir)
@@ -444,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_wand": q_bm25_topk_wand,
         "tokenize_tf": q_tokenize_tf,
+        "tokenize_code_tf": q_tokenize_code_tf,
         "term_df_idf": q_term_df_idf,
         "corpus_stats": q_corpus_stats,
         "phrase_positions": q_phrase_positions,
@@ -579,6 +591,17 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_tf": f"""
             SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
               SELECT doc_id, unnest({_TOK_SQL}) AS term
+              FROM documents WHERE doc_id % 25 = 0
+            ) GROUP BY doc_id, term
+        """,
+        "tokenize_code_tf": """
+            SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
+              SELECT doc_id, unnest(
+                list_filter(regexp_extract_all(lower(
+                  regexp_replace(regexp_replace(text,
+                    '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+                    '([a-z0-9])([A-Z])', '\\1 \\2', 'g')),
+                  '[a-z0-9]+'), t -> len(t) BETWEEN 2 AND 40)) AS term
               FROM documents WHERE doc_id % 25 = 0
             ) GROUP BY doc_id, term
         """,

@@ -100,6 +100,18 @@ def main() -> None:
     timings["join_agg"] = round(time.perf_counter() - t0, 4)
 
     total = time.perf_counter() - t_all
+    scaling = None
+    scaling_path = Path(__file__).resolve().parent / "BENCH" / "scaling.json"
+    if scaling_path.exists():
+        data = json.loads(scaling_path.read_text())
+        scaling = {
+            "efficiency": data.get("scaling_efficiency"),
+            "speedup": data.get("speedup"),
+            "levels": [
+                {"cores": lv["cores"], "docs_per_sec": lv["docs_per_sec"]}
+                for lv in data.get("levels", [])
+            ],
+        }
     out = {
         "metric": "index_build+bm25_topk+relational suite wall time",
         "value": round(total, 4),
@@ -110,6 +122,7 @@ def main() -> None:
         "index_build_docs_per_sec": round(n_docs / build_sec, 2),
         "query_p50_ms": round(statistics.median(lat_ms), 2),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "scaling": scaling,  # measured local[2]-vs-local[8]; see BENCH/BASELINE.md
     }
     spark.stop()
     print(json.dumps(out))

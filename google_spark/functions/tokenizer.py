@@ -32,8 +32,12 @@ MAX_TOKEN_LEN = 40
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 _RAW_RE = re.compile(r"[A-Za-z0-9_]+")
+# Alternation order matters: try Uppercase-then-lower/digit first so "X86"
+# stays one token (x86), then acronym runs ("HTTP" of "HTTPServer"), then
+# plain lower/digit runs. This order is exactly reproducible with two
+# regexp_replace passes in SQL (see the tokenize_code_tf oracle).
 _CAMEL_RE = re.compile(
-    r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+"
+    r"[A-Z][a-z0-9]+|[A-Z]+(?![a-z])|[a-z0-9]+"
 )
 
 

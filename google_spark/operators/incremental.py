@@ -124,6 +124,11 @@ def build_batch(
     ).persist()
     postings = build_postings(doc_terms, n_shards=n_shards)
     bdir = _batch_dir(out_dir, batch)
+    # Lineage artifact: the batch's full query plan (parsed -> analyzed ->
+    # optimized -> physical), so a build is auditable after the fact.
+    os.makedirs(bdir, exist_ok=True)
+    with open(os.path.join(bdir, "plan.txt"), "w") as f:
+        f.write(postings._jdf.queryExecution().toString())
     postings.write.mode("overwrite").parquet(os.path.join(bdir, "postings.parquet"))
     per_doc = doc_terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     per_doc.write.mode("overwrite").parquet(os.path.join(bdir, "doclen.parquet"))

@@ -215,6 +215,26 @@ def wand_topk(
     return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def positions_for(
+    index: IndexTables, terms: list[str], doc_ids: set[int]
+) -> dict[str, dict[int, list[int]]]:
+    """term -> {doc_id -> positions} for a small candidate set (the
+    proximity re-rank path: decode full postings of the query terms, keep
+    only the k candidate docs). One pruned scan; positions never leave the
+    driver for more docs than the result page."""
+    from google_spark.functions.codec import decode_postings
+
+    out: dict[str, dict[int, list[int]]] = {t: {} for t in terms}
+    rows = index.matching(terms).select("term", "postings").collect()
+    for r in rows:
+        docs, _tfs, _dls, pos = decode_postings(bytes(r["postings"]))
+        tmap = out[r["term"]]
+        for d, p in zip(docs, pos):
+            if d in doc_ids:
+                tmap[d] = p
+    return out
+
+
 def wand_topk_local(
     index: IndexTables,
     query: str,

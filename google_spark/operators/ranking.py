@@ -29,6 +29,7 @@ from google_spark.functions.tokenizer import tokenize
 # BM25-scaled constants; the boost stays rank-dominating like the original.
 W_RANK = 0.1
 W_TEXT = 10.0
+W_PROX = 1.0  # weight of the proximity bonus in the priority blend
 W_PATH_BOOST = 100000.0
 DEFAULT_RANK = 0.15  # reference default for unranked docs (RankScore.java:49)
 
@@ -59,6 +60,27 @@ def min_gap_col(pa: str, pb: str) -> F.Column:
             F.transform(pa, lambda x: F.transform(pb, lambda y: F.abs(x - y)))
         )
     )
+
+
+def proximity_bonus_py(
+    pos_by_term: dict[str, dict[int, list[int]]],
+    terms: list[str],
+    doc_id: int,
+) -> float:
+    """Driver-side twin of :func:`proximity_bonus` for the serving path:
+    Σ over adjacent distinct query-term pairs of 1/min_pairwise_gap."""
+    bonus = 0.0
+    for a, b in zip(terms, terms[1:]):
+        if a == b:
+            continue
+        pa = pos_by_term.get(a, {}).get(doc_id)
+        pb = pos_by_term.get(b, {}).get(doc_id)
+        if not pa or not pb:
+            continue
+        gap = min(abs(x - y) for x in pa for y in pb)
+        if gap > 0:
+            bonus += 1.0 / gap
+    return bonus
 
 
 def proximity_bonus(doc_terms: DataFrame, terms: list[str]) -> DataFrame:

@@ -23,9 +23,11 @@ from google_spark.operators.pagerank import extract_import_edges, pagerank
 from google_spark.operators.ranking import (
     DEFAULT_RANK,
     W_PATH_BOOST,
+    W_PROX,
     W_RANK,
     W_TEXT,
     normalize_query,
+    proximity_bonus_py,
 )
 
 CACHE_TTL_S = 30 * 60  # reference: 30-minute cache GC (SearchApi.java:58)
@@ -166,25 +168,29 @@ class SearchEngine:
         page: int = 1,
         page_size: int | None = None,
         snippets: bool = False,
+        proximity: bool = False,
     ) -> list[SearchResult]:
-        """Top-k by priority = W_RANK*pagerank + W_TEXT*bm25 (+ path
-        boost), paginated; ties (priority desc, doc_id asc)."""
+        """Top-k by priority = W_RANK*pagerank + W_TEXT*bm25
+        (+ W_PROX*proximity when ``proximity``) (+ path boost), paginated;
+        ties (priority desc, doc_id asc)."""
         page_size = page_size or k
-        key = (query, k, snippets)
+        key = (query, k, snippets, proximity)
         now = time.time()
         self._history[query] = now
         hit = self._cache.get(key)
         if hit and now - hit[0] < CACHE_TTL_S:
             results = hit[1]
         else:
-            results = self._search_uncached(query, k, snippets)
+            results = self._search_uncached(query, k, snippets, proximity)
             if len(self._cache) >= CACHE_MAX:
                 self._cache.clear()  # reference GC: drop-all past the cap
             self._cache[key] = (now, results)
         lo = page_size * (page - 1)
         return results[lo : lo + page_size]
 
-    def _search_uncached(self, query: str, k: int, want_snippets: bool) -> list[SearchResult]:
+    def _search_uncached(
+        self, query: str, k: int, want_snippets: bool, proximity: bool = False
+    ) -> list[SearchResult]:
         terms = normalize_query(query, mode=self.mode)
         if not terms:
             return []
@@ -197,11 +203,20 @@ class SearchEngine:
         boost_re = re.compile(
             r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b", re.I
         )
+        prox_pos = None
+        if proximity and len(set(terms)) > 1 and scored:
+            from google_spark.operators.index_query import positions_for
+
+            prox_pos = positions_for(
+                self.index, list(dict.fromkeys(terms)), {d for d, _ in scored}
+            )
         out = []
         for doc_id, score in scored:
             repo, path = meta.get(doc_id, (None, None))
             rank = self.ranks.get(repo, DEFAULT_RANK)
             priority = W_RANK * rank + W_TEXT * score
+            if prox_pos is not None:
+                priority += W_PROX * proximity_bonus_py(prox_pos, terms, doc_id)
             if path and boost_re.search(path):
                 priority += W_PATH_BOOST
             out.append(SearchResult(doc_id, score, priority, rank, path))

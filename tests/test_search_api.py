@@ -27,7 +27,7 @@ def test_search_results_ranked_and_boosted(engine):
 def test_search_cache_hit(engine):
     a = engine.search("merge sort", k=5)
     assert engine.search("merge sort", k=5) is not a or a == engine.search("merge sort", k=5)
-    key = ("merge sort", 5, False)
+    key = ("merge sort", 5, False, False)
     assert key in engine._cache
 
 
@@ -93,3 +93,28 @@ def test_search_empty_and_stopword_queries(engine):
     assert engine.search("", k=5) == []
     assert engine.search("!!!", k=5) == []
     assert engine.search("zzzznotaword", k=5) == []
+
+
+def test_proximity_rerank_promotes_phrase_doc(spark):
+    from google_spark.search import SearchEngine
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta together here and more words follow after that now"),
+            (2, "alpha words words words words words words words words beta"),
+            (3, "alpha only document without the other term at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    eng = SearchEngine(
+        index=__import__("google_spark.operators.index_build", fromlist=["build_index"]).build_index(spark, docs),
+        docs=docs.selectExpr("doc_id", "text as content"),
+    )
+    plain = eng.search("alpha beta", k=3)
+    prox = eng.search("alpha beta", k=3, proximity=True)
+    # doc 1 has adjacent terms (gap 1), doc 2 has gap 9; proximity must
+    # widen the priority margin of doc 1 over doc 2
+    p_plain = {r.doc_id: r.priority for r in plain}
+    p_prox = {r.doc_id: r.priority for r in prox}
+    assert (p_prox[1] - p_prox[2]) > (p_plain[1] - p_plain[2])
+    assert p_prox[1] - p_plain[1] == pytest.approx(1.0)  # W_PROX * 1/1
