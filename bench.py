@@ -52,12 +52,19 @@ def main() -> None:
     from google_spark.operators.index_query import wand_topk_local
 
     lat_ms = []
+    row_cache: dict = {}
     for i, q in enumerate(BENCH_QUERIES):
         t0 = time.perf_counter()
-        wand_topk_local(index, q, k=10)
+        wand_topk_local(index, q, k=10, row_cache=row_cache)
         dt = time.perf_counter() - t0
         timings[f"local_q{i + 1}"] = round(dt, 4)
         lat_ms.append(dt * 1000)
+    # warm pass: posting rows cached driver-side (the serve-time steady state)
+    warm_ms = []
+    for q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        wand_topk_local(index, q, k=10, row_cache=row_cache)
+        warm_ms.append((time.perf_counter() - t0) * 1000)
 
     t0 = time.perf_counter()
     wand_topk(index, BENCH_QUERIES[0], k=10).collect()
@@ -121,6 +128,7 @@ def main() -> None:
         "n_docs": n_docs,
         "index_build_docs_per_sec": round(n_docs / build_sec, 2),
         "query_p50_ms": round(statistics.median(lat_ms), 2),
+        "query_p50_warm_ms": round(statistics.median(warm_ms), 2),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "scaling": scaling,  # measured local[2]-vs-local[8]; see BENCH/BASELINE.md
     }

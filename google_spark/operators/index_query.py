@@ -42,6 +42,10 @@ def query_terms(query: str, mode: str = "simple", stem: bool = False) -> list[st
 
 DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
 
+# Candidate-set size below which the shard kernel scores vectorized instead
+# of running the WAND pivot loop (module-level so tests can force either).
+WAND_FASTPATH_MAX = 100_000
+
 
 def _decode_matching(matching: DataFrame, terms: list[str]) -> DataFrame:
     """Decode the matching postings blobs into (term, doc_id, tf, dl) rows.
@@ -133,6 +137,28 @@ def _wand_shard_kernel(
             max_tf + BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / avgdl)
         )
         cols.append((docs, scores, ub))
+
+    # Fast path: below this many postings, vectorized full accumulation
+    # beats document-at-a-time pruning (the python pivot loop costs more
+    # than it saves). WAND's asymptotic win is preserved for long lists.
+    total = sum(len(c[0]) for c in cols)
+    if total <= WAND_FASTPATH_MAX:
+        all_docs = np.concatenate([c[0] for c in cols])
+        all_scores = np.concatenate([c[1] for c in cols])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        sums = np.bincount(inv, weights=all_scores)
+        if k < len(uniq):
+            kth = np.partition(sums, len(sums) - k)[len(sums) - k]
+            cand = np.flatnonzero(sums >= kth)  # keep ALL boundary ties
+        else:
+            cand = np.arange(len(uniq))
+        order = cand[np.lexsort((uniq[cand], -sums[cand]))][:k]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(uniq[order], dtype="int64"),
+                "score": pd.Series(sums[order], dtype="float64"),
+            }
+        )
 
     cursors = [0] * len(cols)
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
@@ -241,6 +267,7 @@ def wand_topk_local(
     k: int = 10,
     mode: str = "simple",
     stem: bool = False,
+    row_cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Low-latency serving path: collect ONLY the query terms' compressed
     posting rows (partition-pruned, predicate-pushed scan — a few KB per
@@ -261,9 +288,25 @@ def wand_topk_local(
         return []
     qf = Counter(terms)
     weights = {t: float(c) for t, c in qf.items()}
-    rows = index.matching(list(qf)).select(
-        "term", "df", "postings", "block_max_tf", "block_min_dl"
-    ).collect()
+    if row_cache is None:
+        rows = index.matching(list(qf)).select(
+            "term", "df", "postings", "block_max_tf", "block_min_dl"
+        ).collect()
+    else:
+        # Hot-term RAM cache (the analog of the reference's serve-time
+        # preloads, ref: src/cis5550/jobs/SearchApi.java:135-145): fetch
+        # only terms not yet cached, in one pruned scan. Absent terms cache
+        # an empty list so they never re-scan.
+        missing = [t for t in qf if t not in row_cache]
+        if missing:
+            fetched = index.matching(missing).select(
+                "term", "df", "postings", "block_max_tf", "block_min_dl"
+            ).collect()
+            for t in missing:
+                row_cache[t] = []
+            for r in fetched:
+                row_cache[r["term"]].append(r)
+        rows = [r for t in qf for r in row_cache.get(t, [])]
     if not rows:
         return []
     # ONE Spark action per query: global df (hence idf) is recovered by

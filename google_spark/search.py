@@ -104,6 +104,7 @@ class SearchEngine:
         self._cache: dict[tuple, tuple[float, list[SearchResult]]] = {}
         self._trie: _Trie | None = None
         self._history: dict[str, float] = {}  # query -> last access time
+        self._postings_cache: dict = {}  # term -> posting rows (RAM cache)
 
     # -- construction -----------------------------------------------------
 
@@ -196,7 +197,13 @@ class SearchEngine:
             return []
         # over-fetch: the boost can promote docs from beyond text-score top-k
         fetch = max(k * 10, 100)
-        scored = wand_topk_local(self.index, " ".join(terms), k=fetch, mode=self.mode)
+        scored = wand_topk_local(
+            self.index,
+            " ".join(terms),
+            k=fetch,
+            mode=self.mode,
+            row_cache=self._postings_cache,
+        )
         meta = self._meta()
         import re
 

@@ -74,3 +74,22 @@ def test_sharding_invariance(spark, corpus_pdf, corpus_df):
     assert [d for d, _ in r1] == [d for d, _ in r16]
     for (_, a), (_, b) in zip(r1, r16):
         assert a == pytest.approx(b, abs=1e-9)
+
+
+@pytest.mark.parametrize("query_id,query,k", reference_queries())
+def test_wand_pivot_loop_equals_fast_path(built, query_id, query, k, monkeypatch):
+    """Force the document-at-a-time WAND pivot loop (normally reserved for
+    candidate sets > WAND_FASTPATH_MAX) and require it to match the
+    vectorized accumulation on every reference query."""
+    from google_spark.operators import index_query
+    from google_spark.operators.index_query import wand_topk_local
+
+    index, oracle = built
+    fast = wand_topk_local(index, query, k=k, mode=MODE)
+    monkeypatch.setattr(index_query, "WAND_FASTPATH_MAX", 0)
+    loop = wand_topk_local(index, query, k=k, mode=MODE)
+    assert [d for d, _ in loop] == [d for d, _ in fast], f"query {query_id}"
+    for (_, a), (_, b) in zip(loop, fast):
+        assert a == pytest.approx(b, abs=1e-9)
+    want = oracle.topk(query, k=k)
+    assert [d for d, _ in loop] == [d for d, _ in want]

@@ -118,3 +118,28 @@ def test_proximity_rerank_promotes_phrase_doc(spark):
     p_prox = {r.doc_id: r.priority for r in prox}
     assert (p_prox[1] - p_prox[2]) > (p_plain[1] - p_plain[2])
     assert p_prox[1] - p_plain[1] == pytest.approx(1.0)  # W_PROX * 1/1
+
+
+def test_row_cache_consistent_and_hit(spark, corpus_df):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk_local
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    idx = build_index(spark, docs, id_col="doc_id", text_col="content")
+    cache: dict = {}
+    q = "data partition merge"
+    cold = wand_topk_local(idx, q, k=10, row_cache=cache)
+    assert set(cache) == {"data", "partition", "merge"}
+    warm = wand_topk_local(idx, q, k=10, row_cache=cache)
+    plain = wand_topk_local(idx, q, k=10)
+    assert cold == warm
+    # vs the uncached path, summation order may differ by row order ->
+    # identical ranks, scores equal to 1e-9
+    assert [d for d, _ in cold] == [d for d, _ in plain]
+    for (_, a), (_, b) in zip(cold, plain):
+        assert a == pytest.approx(b, abs=1e-9)
+    # absent terms negative-cache and don't error
+    miss = wand_topk_local(idx, "zzznotaterm data", k=10, row_cache=cache)
+    assert cache["zzznotaterm"] == []
+    assert [d for d, _ in miss] == [d for d, _ in wand_topk_local(idx, "data", k=10)]
