@@ -125,7 +125,10 @@ def tokenize_docs(
                     "dl": pd.Series(out_dl, dtype="int32"),
                     "term": out_term,
                     "tf": pd.Series(out_tf, dtype="int32"),
-                    "positions": out_pos,
+                    # object dtype even when empty: a zero-row batch would
+                    # otherwise default to float64, which Arrow cannot cast
+                    # to list<int>
+                    "positions": pd.Series(out_pos, dtype="object"),
                 }
             )
 

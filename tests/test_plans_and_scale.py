@@ -107,3 +107,28 @@ def test_stemmed_index_matches_oracle(spark, corpus_df, corpus_pdf):
         got = [(d, round(s, 6)) for d, s in wand_topk_local(idx, q, k=10, stem=True)]
         want = [(d, round(s, 6)) for d, s in oracle.topk(q, k=10)]
         assert got == want, q
+
+
+def test_build_index_degenerate_inputs(spark):
+    """Empty corpus, tokenless docs, single doc — no crashes, sane stats."""
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk_local
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = build_index(spark, empty)
+    assert idx.n_docs == 0 and idx.avgdl == 0.0
+    assert wand_topk_local(idx, "anything", k=5) == []
+
+    weird = spark.createDataFrame(
+        [(1, ""), (2, "!!! ??? ..."), (3, None), (4, "a b c")],  # all sub-min tokens
+        "doc_id long, text string",
+    )
+    idx2 = build_index(spark, weird)
+    assert idx2.n_docs == 4
+    assert idx2.avgdl == 0.0  # nothing tokenizes
+    assert wand_topk_local(idx2, "data", k=5) == []
+
+    one = spark.createDataFrame([(7, "hello world hello")], "doc_id long, text string")
+    idx3 = build_index(spark, one)
+    got = wand_topk_local(idx3, "hello", k=5)
+    assert [d for d, _ in got] == [7]
