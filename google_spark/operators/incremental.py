@@ -33,7 +33,6 @@ merge shuffles only compressed blobs, never raw tokens).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import time
@@ -109,15 +108,16 @@ def build_batch(
     batch_docs = docs.filter(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches)) == batch
     )
-    # Batch-level content checksum: sha256 over the sorted per-doc
-    # sha256(text) values — the ingestion-fidelity invariant, aggregated so
-    # the lineage row certifies exactly which content the batch indexed.
-    sha_rows = batch_docs.select(
-        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("sha")
-    ).collect()
-    checksum = hashlib.sha256(
-        "".join(s["sha"] for s in sorted(sha_rows, key=lambda r: r["doc_id"])).encode()
-    ).hexdigest()
+    # Batch-level content checksum: order-independent XOR of 60-bit
+    # prefixes of per-row sha256(text), fully distributed (a driver-side
+    # collect of every row's digest would not survive 10^12-file batches).
+    # Format "<n>:<xor hex>"; certified per batch in the lineage row.
+    agg = batch_docs.select(
+        F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("p")
+    ).agg(F.expr("bit_xor(p)").alias("x"), F.count("*").alias("n")).collect()[0]
+    checksum = f"{int(agg['n'] or 0)}:{int(agg['x'] or 0):015x}"
 
     doc_terms = tokenize_docs(
         batch_docs, id_col=id_col, text_col=text_col, mode=mode, stem=stem

@@ -44,7 +44,11 @@ DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
 
 # Candidate-set size below which the shard kernel scores vectorized instead
 # of running the WAND pivot loop (module-level so tests can force either).
-WAND_FASTPATH_MAX = 100_000
+# The vectorized accumulation is O(total postings) with NumPy constants
+# (~30M postings/sec) and ~16 bytes/posting transient memory; the pivot
+# loop's python-level per-document cost only amortizes once a kernel's
+# candidate set is in the many-millions. 5M postings ≈ 80 MB transient.
+WAND_FASTPATH_MAX = 5_000_000
 
 
 def _decode_matching(matching: DataFrame, terms: list[str]) -> DataFrame:

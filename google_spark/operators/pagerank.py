@@ -74,6 +74,7 @@ def pagerank(
     max_iter: int = 50,
     exact_iters: int | None = None,
     nodes: DataFrame | None = None,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """DataFrame[node, rank] with the reference's update rule.
 
@@ -97,24 +98,25 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
     n_nodes = nodes.count()
     n_rounds = exact_iters if exact_iters is not None else max_iter
-    for _ in range(n_rounds):
+    for it in range(n_rounds):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        new_ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        new_ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # Truncate lineage every few iterations (every one is wasteful; an
+        # unbounded chain re-plans quadratically). The convergence path
+        # checkpoints implicitly by collecting through the comparison.
+        if (it + 1) % checkpoint_interval == 0 or it == n_rounds - 1:
+            new_ranks = new_ranks.localCheckpoint()
         if exact_iters is None:
             converged = (
                 new_ranks.alias("n")

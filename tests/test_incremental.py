@@ -120,9 +120,13 @@ def test_lineage_metrics(spark, identified, tmp_path):
     rows = {r["batch"]: r for r in lineage.collect()}
     assert set(rows) == {0, 1, 2, 3}
     assert sum(r["n_docs"] for r in rows.values()) == identified.count()
+    import re
+
     for r in rows.values():
         assert r["bytes"] > 0 and r["wall_s"] > 0
-        assert len(r["content_checksum"]) == 64
+        # "<n_docs>:<15-hex xor of sha256 prefixes>"
+        assert re.fullmatch(r"\d+:[0-9a-f]{15}", r["content_checksum"])
+        assert int(r["content_checksum"].split(":")[0]) == r["n_docs"]
 
 
 def test_batch_checksum_matches_content_sha(spark, identified):
