@@ -2,18 +2,22 @@
 
 Typed replacement for the reference's text posting blob
 ``"<IDF>\\r\\n<url> <pos1> <pos2> ... <TF>\\r\\n..."`` (ref:
-src/cis5550/jobs/Indexer.java:184-226,237-243). Layout per posting list
-(doc_ids strictly ascending):
-
-    n_postings : varint
-    repeated   : doc_gap (first = doc_id - first_doc_base 0), tf, dl,
-                 n_pos, pos_delta...   (positions strictly ascending, 1-based;
-                 first delta = first position)
+src/cis5550/jobs/Indexer.java:184-226,237-243).
 
 ``dl`` (BM25 doc length) is stored inline so query-time scoring needs no doc
 join; block metadata (last_doc, max_tf, min_dl per block of BLOCK_SIZE docs)
 supports block-max WAND pruning with the bound
 score(tf, dl) <= score(max_tf, min_dl) (monotonic in tf, anti-monotonic in dl).
+
+Layout is struct-of-arrays (v2):
+
+    n : varint
+    doc gaps[n], tfs[n], dls[n], n_pos[n] : varints
+    position deltas (concatenated per doc, first delta = first position)
+
+SoA rather than per-doc interleaving so that decoding the scoring arrays
+(doc_ids, tfs, dls) is pure vectorized slicing — no per-document structure
+walk — and positions decode only when actually requested.
 """
 
 from __future__ import annotations
@@ -50,20 +54,25 @@ def encode_postings(
     dls: list[int],
     positions: list[list[int]],
 ) -> bytes:
-    """Encode one term's postings. Inputs must be sorted by doc_id ascending
-    (strictly — duplicate doc_ids are a caller bug)."""
+    """Encode one term's postings (scalar reference implementation). Inputs
+    must be sorted by doc_id ascending (strictly — duplicate doc_ids are a
+    caller bug)."""
     buf = bytearray()
-    _write_varint(buf, len(doc_ids))
+    n = len(doc_ids)
+    _write_varint(buf, n)
     prev_doc = 0
-    for i, doc in enumerate(doc_ids):
+    for doc in doc_ids:
         _write_varint(buf, doc - prev_doc)
         prev_doc = doc
-        _write_varint(buf, tfs[i])
-        _write_varint(buf, dls[i])
-        pos_list = positions[i]
-        _write_varint(buf, len(pos_list))
+    for tf in tfs:
+        _write_varint(buf, tf)
+    for dl in dls:
+        _write_varint(buf, dl)
+    for plist in positions:
+        _write_varint(buf, len(plist))
+    for plist in positions:
         prev_pos = 0
-        for p in pos_list:
+        for p in plist:
             _write_varint(buf, p - prev_pos)
             prev_pos = p
     return bytes(buf)
@@ -73,19 +82,25 @@ def decode_postings(data: bytes) -> tuple[list[int], list[int], list[int], list[
     """Inverse of :func:`encode_postings` -> (doc_ids, tfs, dls, positions)."""
     n, pos = _read_varint(data, 0)
     doc_ids: list[int] = []
-    tfs: list[int] = []
-    dls: list[int] = []
-    positions: list[list[int]] = []
     prev_doc = 0
     for _ in range(n):
         gap, pos = _read_varint(data, pos)
         prev_doc += gap
         doc_ids.append(prev_doc)
-        tf, pos = _read_varint(data, pos)
-        tfs.append(tf)
-        dl, pos = _read_varint(data, pos)
-        dls.append(dl)
-        n_pos, pos = _read_varint(data, pos)
+    tfs: list[int] = []
+    for _ in range(n):
+        v, pos = _read_varint(data, pos)
+        tfs.append(v)
+    dls: list[int] = []
+    for _ in range(n):
+        v, pos = _read_varint(data, pos)
+        dls.append(v)
+    nposs: list[int] = []
+    for _ in range(n):
+        v, pos = _read_varint(data, pos)
+        nposs.append(v)
+    positions: list[list[int]] = []
+    for n_pos in nposs:
         plist: list[int] = []
         prev_p = 0
         for _ in range(n_pos):
@@ -186,39 +201,31 @@ def encode_postings_np(
     gaps = doc_ids.copy()
     gaps[1:] -= doc_ids[:-1]
 
-    per_doc = 4 + pos_counts
-    doc_off = 1 + np.concatenate(([0], np.cumsum(per_doc)[:-1]))
-    values = np.empty(1 + int(per_doc.sum()), dtype=np.uint64)
-    values[0] = n
-    values[doc_off] = gaps.astype(np.uint64)
-    values[doc_off + 1] = tfs.astype(np.uint64)
-    values[doc_off + 2] = dls.astype(np.uint64)
-    values[doc_off + 3] = pos_counts.astype(np.uint64)
-    if total_pos:
-        intra = np.arange(total_pos, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(pos_counts)[:-1])), pos_counts
+    values = np.concatenate(
+        (
+            np.array([n], dtype=np.uint64),
+            gaps.astype(np.uint64),
+            tfs.astype(np.uint64),
+            dls.astype(np.uint64),
+            pos_counts.astype(np.uint64),
+            deltas.astype(np.uint64),
         )
-        values[np.repeat(doc_off + 4, pos_counts) + intra] = deltas.astype(np.uint64)
+    )
     return _varint_encode_array(values).tobytes()
 
 
 def decode_postings_arrays(data: bytes):
-    """Vectorized decode -> (doc_ids, tfs, dls) as int64 NumPy arrays,
-    positions skipped (the WAND/scoring hot path never touches them)."""
+    """Vectorized decode -> (doc_ids, tfs, dls) as int64 NumPy arrays.
+    Pure slicing thanks to the SoA layout — positions (the tail of the
+    blob) are never even varint-materialized as lists."""
     values = _varint_decode_array(np.frombuffer(data, dtype=np.uint8))
     n = int(values[0])
     if n == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    gaps = np.empty(n, dtype=np.int64)
-    tfs = np.empty(n, dtype=np.int64)
-    dls = np.empty(n, dtype=np.int64)
-    idx = 1
-    for i in range(n):
-        gaps[i] = values[idx]
-        tfs[i] = values[idx + 1]
-        dls[i] = values[idx + 2]
-        idx += 4 + int(values[idx + 3])
+    gaps = values[1 : 1 + n].astype(np.int64)
+    tfs = values[1 + n : 1 + 2 * n].astype(np.int64)
+    dls = values[1 + 2 * n : 1 + 3 * n].astype(np.int64)
     return np.cumsum(gaps), tfs, dls
 
 
