@@ -382,6 +382,16 @@ def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(df, "cos_sim")
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (coarse k-means quantizer + nprobe inverted
+    lists; no SQL oracle — NumPy centroids; recall pytest-verified)."""
+    from google_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = ann_ivf_topk(emb, probe_vec_id=0, k=10, n_centroids=8, nprobe=4)
+    return _round4(df, "cos_sim")
+
+
 def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (brute-force oracle path on a subset;
     threshold 0.4 because the synthetic embeddings have no >0.46 pairs)."""
@@ -479,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "sim_ann_topk": q_sim_ann_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
         "media_meta": q_media_meta,
         "text_token_count": q_text_token_count,

@@ -144,6 +144,108 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, DataFrame]:
+    """Coarse quantizer for IVF: k-means with deterministic init (the
+    n_centroids lowest ids' vectors) and ``n_iters`` Lloyd rounds. Returns
+    (centroid matrix, DataFrame[vec_id, cluster]).
+
+    Assignment is one Arrow kernel (NumPy matmul against the broadcast
+    centroid matrix); the update step is a groupBy mean over exploded
+    components — both scale-out friendly. At 10^12 vectors you train on a
+    sample and only the assignment pass sees every row."""
+    import pandas as pd
+    from typing import Iterator
+
+    seed_rows = emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    centroids = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+
+    def assign_gen(cents: np.ndarray):
+        c_norm = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.stack(pdf[vec_col].values).astype(np.float64)
+                v_norm = vecs / np.maximum(
+                    np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+                )
+                cl = (v_norm @ c_norm.T).argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        "cluster": pd.Series(cl, dtype="int32"),
+                    }
+                )
+
+        return gen
+
+    assigned = None
+    for _ in range(n_iters):
+        assigned = emb.select(id_col, vec_col).mapInPandas(
+            assign_gen(centroids), schema=f"{id_col} long, cluster int"
+        )
+        means = (
+            emb.join(assigned, id_col)
+            .select("cluster", F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        for r in means:
+            centroids[r["cluster"], r["dim"]] = r["m"]
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign_gen(centroids), schema=f"{id_col} long, cluster int"
+    )
+    return centroids, assigned
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    probe_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroids, score
+    exact cosine only within those inverted lists. The scale path
+    partitions the embedding table by cluster so a query reads nprobe
+    partitions (same pruning story as the term-bucketed text index)."""
+    centroids, assigned = ivf_assignments(
+        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    probe_vec = np.array(
+        emb.filter(F.col(id_col) == probe_vec_id).select(vec_col).first()[0],
+        dtype=np.float64,
+    )
+    c_norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    p_norm = probe_vec / max(np.linalg.norm(probe_vec), 1e-12)
+    probe_clusters = np.argsort(-(c_norm @ p_norm))[:nprobe].tolist()
+    cand_ids = assigned.filter(
+        F.col("cluster").isin(probe_clusters) & (F.col(id_col) != probe_vec_id)
+    ).select(id_col)
+    cands = emb.join(cand_ids, id_col, "left_semi")
+    probe = emb.filter(F.col(id_col) == probe_vec_id).select(
+        F.col(vec_col).alias("probe")
+    )
+    return (
+        cands.crossJoin(F.broadcast(probe))
+        .select(id_col, cosine_sim_col(vec_col, "probe").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -124,3 +124,25 @@ def test_decode_rejects_foreign_format():
 
     with pytest.raises(NotImplementedError):
         decode_payload(b"JPEG" + b"\x00" * 16)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb_df):
+    from google_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    exact = [r["vec_id"] for r in cosine_topk(emb_df, 0, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ann_ivf_topk(emb_df, 0, k=10, n_centroids=8, nprobe=3).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.8, (recall, exact, approx)
+
+
+def test_ivf_assignments_cover_all_vectors(spark, emb_df):
+    from google_spark.operators.similarity import ivf_assignments
+
+    cents, assigned = ivf_assignments(emb_df, n_centroids=8)
+    rows = assigned.collect()
+    assert len(rows) == emb_df.count()
+    assert cents.shape == (8, 16)
+    assert {r["cluster"] for r in rows} <= set(range(8))
