@@ -281,15 +281,13 @@ def simhash_fingerprints(
     import numpy as np
     import pandas as pd
 
+    from google_spark.functions.tokenizer import tokenize_simple
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = [
-                    t
-                    for t in __import__("re").split(r"[^a-z0-9]+", (text or "").lower())
-                    if 2 <= len(t) <= 40
-                ]
+                toks = tokenize_simple(text)
                 if not toks:
                     continue
                 votes = np.zeros(bits, dtype=np.int64)

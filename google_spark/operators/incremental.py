@@ -150,7 +150,7 @@ def build_batch(
         wall_s=time.perf_counter() - t0,
         content_checksum=checksum,
     )
-    _write_marker(out_dir, batch, res.__dict__)
+    _write_marker(out_dir, batch, {**res.__dict__, "committed_at": time.time()})
     return res
 
 
@@ -202,7 +202,7 @@ def merge_batches(
     final = os.path.join(out_dir, "index")
     (
         merged.withColumn("tb", term_bucket_col("term"))
-        .repartition("tb")
+        .repartition("tb", "term")
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(os.path.join(tmp, "postings.parquet"))
@@ -243,7 +243,7 @@ def write_lineage(spark: SparkSession, out_dir: str, n_batches: int) -> DataFram
                 d["bytes"],
                 float(d["wall_s"]),
                 d["content_checksum"],
-                float(d.get("committed_at", 0.0)) or time.time(),
+                float(d.get("committed_at", 0.0)),
             )
         )
     df = spark.createDataFrame(rows, LINEAGE_SCHEMA)

@@ -63,18 +63,22 @@ class IndexTables:
 
     def matching(self, terms: list[str]) -> DataFrame:
         """Postings rows for the given terms, with partition pruning on the
-        ``tb`` bucket column when the index is disk-backed."""
+        ``tb`` bucket column when the index is disk-backed. The bucket
+        predicate is built from literal expressions Catalyst constant-folds,
+        so pruning costs zero extra Spark jobs."""
+        from functools import reduce
+        from operator import or_
+
         df = self.postings
-        if self.n_buckets and "tb" in df.columns:
-            spark = df.sparkSession
-            buckets = [
-                r["tb"]
-                for r in spark.createDataFrame([(t,) for t in terms], "term string")
-                .select(term_bucket_col("term", self.n_buckets).alias("tb"))
-                .distinct()
-                .collect()
-            ]
-            df = df.filter(F.col("tb").isin(buckets))
+        if self.n_buckets and terms and "tb" in df.columns:
+            pred = reduce(
+                or_,
+                [
+                    F.col("tb") == term_bucket_col(F.lit(t), self.n_buckets)
+                    for t in terms
+                ],
+            )
+            df = df.filter(pred)
         return df.filter(F.col("term").isin(terms))
 
 
@@ -227,7 +231,10 @@ def build_index(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
             lambda t: (F.length(t) >= 2) & (F.length(t) <= 40),
         )
-        row = docs.agg(F.sum(F.size(toks)).alias("total_dl")).collect()[0]
+        # null text must count as 0 tokens (matching the Python tokenizer),
+        # not size(null) which is NULL or -1 depending on legacy config
+        dl_col = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(toks))
+        row = docs.agg(F.sum(dl_col).alias("total_dl")).collect()[0]
         total_dl = int(row["total_dl"] or 0)
         n_docs, avgdl = total_docs, (total_dl / total_docs if total_docs else 0.0)
     else:
@@ -258,8 +265,11 @@ def write_index(
     reference's index2->index rename (ref: src/cis5550/jobs/
     Indexer.java:245-246) is parquet's atomic directory commit."""
     (
+        # repartition on (tb, term), not tb alone: directories still split
+        # by bucket, but write parallelism is the shuffle-partition count
+        # rather than being capped at n_buckets tasks
         index.postings.withColumn("tb", term_bucket_col("term", n_buckets))
-        .repartition("tb")
+        .repartition("tb", "term")
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(f"{out_dir}/postings.parquet")

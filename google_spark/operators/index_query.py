@@ -285,15 +285,30 @@ def wand_topk_local(
     candidate set is too large for one machine."""
     import pandas as pd
 
-    import math
-
     terms = query_terms(query, mode=mode, stem=stem)
     if not terms:
         return []
-    qf = Counter(terms)
-    weights = {t: float(c) for t, c in qf.items()}
+    weights = {t: float(c) for t, c in Counter(terms).items()}
+    return local_topk_core(index, weights, k, row_cache=row_cache)
+
+
+def local_topk_core(
+    index: IndexTables,
+    weights: dict[str, float],
+    k: int,
+    row_cache: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Shared serving core for any per-term weight map (plain queries use
+    query multiplicity; synonym expansion uses decayed weights): fetch the
+    pruned posting rows, reconstruct idf from their per-shard df, run the
+    shard kernel. ONE Spark action per call (zero when fully cached)."""
+    import math
+
+    terms = [t for t, w in weights.items() if w > 0]
+    if not terms:
+        return []
     if row_cache is None:
-        rows = index.matching(list(qf)).select(
+        rows = index.matching(terms).select(
             "term", "df", "postings", "block_max_tf", "block_min_dl"
         ).collect()
     else:
@@ -301,7 +316,7 @@ def wand_topk_local(
         # preloads, ref: src/cis5550/jobs/SearchApi.java:135-145): fetch
         # only terms not yet cached, in one pruned scan. Absent terms cache
         # an empty list so they never re-scan.
-        missing = [t for t in qf if t not in row_cache]
+        missing = [t for t in terms if t not in row_cache]
         if missing:
             fetched = index.matching(missing).select(
                 "term", "df", "postings", "block_max_tf", "block_min_dl"
@@ -310,12 +325,11 @@ def wand_topk_local(
                 row_cache[t] = []
             for r in fetched:
                 row_cache[r["term"]].append(r)
-        rows = [r for t in qf for r in row_cache.get(t, [])]
+        rows = [r for t in terms for r in row_cache.get(t, [])]
     if not rows:
         return []
-    # ONE Spark action per query: global df (hence idf) is recovered by
-    # summing the per-shard df of the rows we just fetched — no separate
-    # terms-table lookup job.
+    # Global df (hence idf) is recovered by summing the per-shard df of the
+    # rows just fetched — no separate terms-table lookup job.
     df_total: dict[str, int] = {}
     for r in rows:
         df_total[r["term"]] = df_total.get(r["term"], 0) + int(r["df"])

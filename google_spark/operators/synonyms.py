@@ -80,44 +80,24 @@ def synonym_topk(
     topn: int = 5,
     mode: str = "simple",
 ):
-    """Top-k over the ORIGINAL terms (weight 1.0 each) plus their synonyms
-    at decayed weights — D18 + D20 combined, local serving path. Returns
+    """Top-k over the ORIGINAL terms (weight = query multiplicity) plus
+    their synonyms at decayed weights — D18 + D20 combined, reusing the
+    shared serving core so the two top-k paths cannot drift. Returns
     [(doc_id, score)] sorted (score desc, doc_id asc)."""
-    import math
     from collections import Counter
 
-    import pandas as pd
-
-    from google_spark.operators.index_query import (
-        _wand_shard_kernel,
-        query_terms,
-    )
+    from google_spark.operators.index_query import local_topk_core, query_terms
 
     base = query_terms(query, mode=mode)
     if not base:
         return []
-    weights: dict[str, float] = dict(Counter({t: 0.0 for t in base}))
-    for t, c in Counter(base).items():
-        weights[t] = weights.get(t, 0.0) + float(c)
+    weights: dict[str, float] = {
+        t: float(c) for t, c in Counter(base).items()
+    }
     for t, syns in expand_query(list(dict.fromkeys(base)), words, mat, topn).items():
         for s, w in syns:
             weights[s] = max(weights.get(s, 0.0), w)
-    all_terms = [t for t, w in weights.items() if w > 0]
-    rows = index.matching(all_terms).select(
-        "term", "df", "postings", "block_max_tf", "block_min_dl"
-    ).collect()
-    if not rows:
-        return []
-    df_total: dict[str, int] = {}
-    for r in rows:
-        df_total[r["term"]] = df_total.get(r["term"], 0) + int(r["df"])
-    n = index.n_docs
-    idf = {
-        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in df_total.items()
-    }
-    pdf = pd.DataFrame([r.asDict() for r in rows])
-    out = _wand_shard_kernel(pdf, weights, idf, index.avgdl, k)
-    return list(zip(out["doc_id"].tolist(), out["score"].tolist()))
+    return local_topk_core(index, weights, k)
 
 
 def synthetic_word_vectors(

@@ -32,6 +32,8 @@ from google_spark.operators.ranking import (
 
 CACHE_TTL_S = 30 * 60  # reference: 30-minute cache GC (SearchApi.java:58)
 CACHE_MAX = 1000  # reference: 1000-entry cap (SearchApi.java:171-188)
+POSTINGS_CACHE_MAX_TERMS = 10_000  # posting-row RAM cache cap (drop-all GC)
+HISTORY_MAX = 1000
 
 
 @dataclass
@@ -178,6 +180,13 @@ class SearchEngine:
         key = (query, k, snippets, proximity)
         now = time.time()
         self._history[query] = now
+        if len(self._history) > HISTORY_MAX:
+            keep = sorted(self._history.items(), key=lambda kv: -kv[1])[
+                : HISTORY_MAX // 2
+            ]
+            self._history = dict(keep)
+        if len(self._postings_cache) > POSTINGS_CACHE_MAX_TERMS:
+            self._postings_cache.clear()
         hit = self._cache.get(key)
         if hit and now - hit[0] < CACHE_TTL_S:
             results = hit[1]

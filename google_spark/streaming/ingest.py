@@ -43,14 +43,32 @@ def stream_index_builder(
     defines idempotent commit semantics — if an epoch retries, its marker
     is simply overwritten with identical content (same input files, same
     deterministic encode)."""
-    from google_spark.operators.incremental import _batch_dir  # noqa: F401
+    import json
+
+    from google_spark.operators.incremental import committed_batches
     from google_spark.operators.index_build import build_postings, tokenize_docs
 
     os.makedirs(out_dir, exist_ok=True)
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
 
+    # Batch id = base + epoch. The base is fixed the first time a stream
+    # targets this out_dir and persisted, so (a) streaming batches never
+    # overwrite batches an earlier batch build committed, and (b) a stream
+    # RESTART (same checkpoint, epochs continue) keeps the same mapping
+    # while a NEW stream (fresh checkpoint, epochs restart at 0) gets a
+    # fresh base above everything already committed.
+    base_path = os.path.join(checkpoint_dir, "_batch_base.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)["base"]
+    else:
+        done = committed_batches(out_dir, 1_000_000)
+        base = (max(done) + 1) if done else 0
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(base_path, "w") as f:
+            json.dump({"base": base}, f)
+
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        import json
         import time as _time
 
         from google_spark.operators.incremental import (
@@ -58,14 +76,15 @@ def stream_index_builder(
             _write_marker,
         )
 
+        # Empty epochs still commit (an empty-but-valid batch): skipping
+        # would leave a permanent gap the merge refuses to cross, while the
+        # stream checkpoint has already consumed the epoch.
         n_docs = batch_df.count()
-        if n_docs == 0:
-            return
         doc_terms = tokenize_docs(
             batch_df, id_col=id_col, text_col=text_col
         )
         postings = build_postings(doc_terms, n_shards=n_shards)
-        b = int(epoch_id)
+        b = base + int(epoch_id)
         d = bdir(out_dir, b)
         postings.write.mode("overwrite").parquet(os.path.join(d, "postings.parquet"))
         per_doc = doc_terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
@@ -115,6 +134,7 @@ def streaming_session_stats(
     gap: str = "30 minutes",
     ts_col: str = "ts",
     key_col: str = "user_id",
+    value_col: str = "value",
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Custom stateful operator: per-user session aggregation with
@@ -139,7 +159,7 @@ def streaming_session_stats(
         gap_s = int(parts[0]) * mult
 
     out_schema = (
-        "user_id long, session_start timestamp, session_end timestamp, "
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
         "n_events long, sum_value double"
     )
     state_schema = "start long, last long, n long, s double"  # start/last in ns
@@ -149,13 +169,13 @@ def streaming_session_stats(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
+        (key_val,) = key
         if state.hasTimedOut:
             start, last, n, s = state.get
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id],
+                    key_col: [key_val],
                     "session_start": [pd.Timestamp(start)],
                     "session_end": [pd.Timestamp(last)],
                     "n_events": [n],
@@ -163,9 +183,9 @@ def streaming_session_stats(
                 }
             )
             return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
-        ts = rows["ts"].astype("int64")  # ns since epoch
-        vals = rows["value"].astype("float64")
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        ts = rows[ts_col].astype("int64")  # ns since epoch
+        vals = rows[value_col].astype("float64")
         closed = []
         if state.exists:
             start, last, n, s = state.get
@@ -185,7 +205,7 @@ def streaming_session_stats(
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(closed),
+                    key_col: [key_val] * len(closed),
                     "session_start": [pd.Timestamp(c[0]) for c in closed],
                     "session_end": [pd.Timestamp(c[1]) for c in closed],
                     "n_events": [c[2] for c in closed],

@@ -132,3 +132,17 @@ def test_build_index_degenerate_inputs(spark):
     idx3 = build_index(spark, one)
     got = wand_topk_local(idx3, "hello", k=5)
     assert [d for d, _ in got] == [7]
+
+
+def test_null_text_avgdl_matches_tokenizer_semantics(spark):
+    """Null text counts as 0 tokens in the JVM stats fast path (size(null)
+    would otherwise poison avgdl)."""
+    from google_spark.operators.index_build import build_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs)
+    assert idx.n_docs == 3
+    assert idx.avgdl == pytest.approx((3 + 0 + 2) / 3)

@@ -150,3 +150,45 @@ def test_streaming_session_stats_stateful(spark, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_appends_to_existing_batches_without_overwrite(spark, tmp_path):
+    """A stream targeting an out_dir with committed batch-build batches
+    must allocate NEW batch ids (base offset) — not overwrite them — and
+    empty epochs must still commit so the final merge has no gaps."""
+    from google_spark.operators.incremental import committed_batches, incremental_build
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk_local
+    from google_spark.streaming.ingest import (
+        finalize_stream_index,
+        stream_index_builder,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    part_a = docs.filter(F.col("doc_id") < 250)
+    part_b = docs.filter(F.col("doc_id") >= 250)
+
+    out = str(tmp_path / "mixed")
+    # batch-build part A fully (commits batches 0..1 and merges)
+    incremental_build(spark, part_a, out, n_batches=2)
+    n_before = set(committed_batches(out, 1_000_000))
+    assert n_before == {0, 1}
+
+    # stream part B into the same out_dir, including an EMPTY file
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    part_b.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{in_dir}/f0.parquet")
+    part_b.filter(F.col("doc_id") < 0).coalesce(1).write.parquet(f"{in_dir}/f1.parquet")  # empty
+    part_b.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{in_dir}/f2.parquet")
+    q = stream_index_builder(spark, f"{in_dir}/*", out)
+    q.awaitTermination(240)
+
+    after = set(committed_batches(out, 1_000_000))
+    assert n_before < after and min(after - n_before) >= 2  # no overwrite
+
+    idx = finalize_stream_index(spark, out, total_docs=docs.count())
+    single = build_index(spark, docs, id_col="doc_id", text_col="text")
+    for query in ("hash join", "data"):
+        a = [(d, round(s, 9)) for d, s in wand_topk_local(idx, query, k=10)]
+        b = [(d, round(s, 9)) for d, s in wand_topk_local(single, query, k=10)]
+        assert a == b, query
