@@ -247,6 +247,90 @@ def q_op_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (grouped aggregates with derived measures)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(disc)).cast("double").alias("sum_disc_price"),
+            # 3-factor product: per-row decimal casts hit engine-dependent
+            # half-way rounding; sum doubles and round the total instead
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog (3-way join + grouped top-10; the synthetic orders
+    table carries o_orderpriority rather than o_shippriority)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                "o_orderpriority", F.round("revenue", 4).alias("revenue"))
+    )
+
+
+def q_op_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect (declared-unimplemented in the reference,
+    FlameRDD.java:99-103): custkeys appearing in both orders and customer."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return orders.select(F.col("o_custkey").alias("k")).intersect(
+        cust.select(F.col("c_custkey").alias("k"))
+    )
+
+
+def q_op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """except/anti set op: customers with no orders."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(F.col("c_custkey").alias("k")).exceptAll(
+        cust.select("c_custkey").join(
+            orders, cust.c_custkey == orders.o_custkey, "left_semi"
+        ).select(F.col("c_custkey").alias("k"))
+    )
+
+
+def q_op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup (beyond the reference's foldByKey-only aggregation surface):
+    subtotals + grand total over (returnflag, linestatus)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def q_op_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup (the batch twin of the watermarked
     streaming aggregation in google_spark/streaming/ingest.py)."""
@@ -479,6 +563,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_count": q_op_count,
         "op_take_ordered": q_op_take_ordered,
         "op_cogroup": q_op_cogroup,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "op_intersect": q_op_intersect,
+        "op_except": q_op_except,
+        "op_rollup": q_op_rollup,
         "op_window_agg": q_op_window_agg,
         "op_sessionize": q_op_sessionize,
         "dedup_exact": q_dedup_exact,
@@ -729,6 +818,55 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN
                  (SELECT c_custkey AS custkey, count(*) AS n_cust FROM customer GROUP BY 1) c
             ON o.custkey = c.custkey
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   o_orderpriority,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) DESC,
+                     o_orderkey ASC
+            LIMIT 10
+        """,
+        "op_intersect": """
+            SELECT o_custkey AS k FROM orders
+            INTERSECT
+            SELECT c_custkey AS k FROM customer
+        """,
+        "op_except": """
+            SELECT c_custkey AS k FROM customer
+            EXCEPT ALL
+            SELECT c_custkey AS k FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "op_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "op_window_agg": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
