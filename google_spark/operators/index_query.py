@@ -91,22 +91,61 @@ def bm25_score_col(avgdl: float) -> F.Column:
 def exhaustive_topk(
     index: IndexTables, query: str, k: int = 10, mode: str = "simple", stem: bool = False
 ) -> DataFrame:
-    """DataFrame[doc_id, score] — top-k by BM25, exhaustive scoring."""
+    """DataFrame[doc_id, score] — top-k by BM25, exhaustive scoring.
+
+    The per-term weight and idf are tiny query-side constants, so they ride
+    into the decode kernel as closures (idf needs global df, fetched with
+    one scan of the pruned per-shard df column) — the decode emits scored
+    rows directly and the plan is scan -> kernel -> partial/final sum ->
+    TakeOrderedAndProject, with no joins."""
+    import numpy as np
+
     spark = index.postings.sparkSession
     terms = query_terms(query, mode=mode, stem=stem)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     qf = Counter(terms)
-    weights = spark.createDataFrame(
-        [(t, float(c)) for t, c in qf.items()], "term string, weight double"
-    )
-    decoded = _decode_matching(index.matching(list(qf)), list(qf))
-    scored = decoded.join(F.broadcast(weights), "term").join(
-        F.broadcast(index.terms.select("term", "idf")), "term"
+    matching = index.matching(list(qf))
+    df_rows = matching.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    import math
+
+    n = index.n_docs
+    widf = {
+        r["term"]: float(qf[r["term"]])
+        * math.log((n - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5) + 1.0)
+        for r in df_rows
+    }
+    avgdl = index.avgdl
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d_out, s_out = [], []
+            for term, blob in zip(pdf["term"].values, pdf["postings"].values):
+                doc_ids, tfs, dls = decode_postings_arrays(bytes(blob))
+                w = widf[term]
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                scores = (
+                    w
+                    * tf
+                    * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+                )
+                d_out.append(doc_ids)
+                s_out.append(scores)
+            if d_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(np.concatenate(d_out), dtype="int64"),
+                        "score": pd.Series(np.concatenate(s_out), dtype="float64"),
+                    }
+                )
+
+    scored = matching.select("term", "postings").mapInPandas(
+        gen, schema="doc_id long, score double"
     )
     return (
-        scored.withColumn("score", bm25_score_col(index.avgdl))
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(F.sum("score").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
