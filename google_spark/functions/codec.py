@@ -240,6 +240,32 @@ def block_metadata_np(doc_ids, tfs, dls, block_size: int = BLOCK_SIZE):
     return doc_ids[last], np.maximum.reduceat(tfs, starts), np.minimum.reduceat(dls, starts)
 
 
+def decode_postings_full_np(data: bytes):
+    """Vectorized full decode -> (doc_ids, tfs, dls, positions) where
+    positions is a list of int64 arrays (per doc, absolute). The SoA layout
+    lets the position deltas decode as one varint pass + a grouped cumsum:
+    cumsum over the flat deltas, then subtract each group's preceding
+    prefix — no per-position python."""
+    values = _varint_decode_array(np.frombuffer(data, dtype=np.uint8))
+    n = int(values[0])
+    empty = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return empty, empty.copy(), empty.copy(), []
+    gaps = values[1 : 1 + n].astype(np.int64)
+    tfs = values[1 + n : 1 + 2 * n].astype(np.int64)
+    dls = values[1 + 2 * n : 1 + 3 * n].astype(np.int64)
+    nposs = values[1 + 3 * n : 1 + 4 * n].astype(np.int64)
+    deltas = values[1 + 4 * n :].astype(np.int64)
+    flat = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(nposs)[:-1]))
+    # undo the cross-group carry: subtract, from every element, the running
+    # cumsum value just before its group's start
+    prefix = np.where(starts > 0, flat[np.maximum(starts - 1, 0)], 0)
+    corrected = flat - np.repeat(prefix, nposs)
+    positions = np.split(corrected, np.cumsum(nposs)[:-1])
+    return np.cumsum(gaps), tfs, dls, positions
+
+
 def merge_postings(blobs: list[bytes]) -> tuple[list[int], list[int], list[int], list[list[int]]]:
     """Merge several encoded partial posting lists (disjoint doc_id sets,
     e.g. per-batch partials from the resumable build — the analog of the

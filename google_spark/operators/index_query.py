@@ -291,16 +291,16 @@ def positions_for(
     proximity re-rank path: decode full postings of the query terms, keep
     only the k candidate docs). One pruned scan; positions never leave the
     driver for more docs than the result page."""
-    from google_spark.functions.codec import decode_postings
+    from google_spark.functions.codec import decode_postings_full_np
 
     out: dict[str, dict[int, list[int]]] = {t: {} for t in terms}
     rows = index.matching(terms).select("term", "postings").collect()
     for r in rows:
-        docs, _tfs, _dls, pos = decode_postings(bytes(r["postings"]))
+        docs, _tfs, _dls, pos = decode_postings_full_np(bytes(r["postings"]))
         tmap = out[r["term"]]
-        for d, p in zip(docs, pos):
+        for d, p in zip(docs.tolist(), pos):
             if d in doc_ids:
-                tmap[d] = p
+                tmap[d] = p.tolist()
     return out
 
 

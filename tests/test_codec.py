@@ -132,3 +132,17 @@ def test_numpy_block_metadata_parity(case):
     want = block_metadata(doc_ids, tfs, dls)
     last, mx, mn = block_metadata_np(doc_ids, tfs, dls)
     assert [(a, b, c) for a, b, c in zip(last.tolist(), mx.tolist(), mn.tolist())] == want
+
+
+@given(_posting_lists())
+@settings(max_examples=60, deadline=None)
+def test_numpy_full_decode_with_positions(case):
+    from google_spark.functions.codec import decode_postings_full_np
+
+    doc_ids, tfs, dls, positions = case
+    blob = encode_postings(doc_ids, tfs, dls, positions)
+    d, t, l, p = decode_postings_full_np(blob)
+    assert d.tolist() == doc_ids
+    assert t.tolist() == tfs
+    assert l.tolist() == dls
+    assert [x.tolist() for x in p] == positions
