@@ -42,7 +42,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from google_spark.functions.codec import block_metadata, encode_postings, merge_postings
 from google_spark.operators.index_build import (
     POSTINGS_SCHEMA,
     IndexTables,
@@ -156,20 +155,40 @@ def build_batch(
 
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: partial blobs of one (term, shard) across
-    batches -> one merged, re-blocked posting row (indexJoin analog)."""
-    docs, tfs, dls, positions = merge_postings(
-        [bytes(b) for b in pdf["postings"]]
+    batches -> one merged, re-blocked posting row (indexJoin analog).
+    Vectorized end to end: NumPy decode of every partial, argsort over the
+    concatenated (disjoint) doc universe, NumPy re-encode."""
+    import numpy as np
+
+    from google_spark.functions.codec import (
+        block_metadata_np,
+        decode_postings_full_np,
+        encode_postings_np,
     )
-    blocks = block_metadata(docs, tfs, dls)
+
+    d_parts, t_parts, l_parts, p_parts = [], [], [], []
+    for b in pdf["postings"]:
+        d, t, l, p = decode_postings_full_np(bytes(b))
+        d_parts.append(d)
+        t_parts.append(t)
+        l_parts.append(l)
+        p_parts.extend(p)
+    docs = np.concatenate(d_parts)
+    tfs = np.concatenate(t_parts)
+    dls = np.concatenate(l_parts)
+    order = np.argsort(docs, kind="stable")
+    docs, tfs, dls = docs[order], tfs[order], dls[order]
+    positions = [p_parts[i] for i in order]
+    last_doc, max_tf, min_dl = block_metadata_np(docs, tfs, dls)
     return pd.DataFrame(
         {
             "term": [pdf["term"].iloc[0]],
             "shard": pd.Series([int(pdf["shard"].iloc[0])], dtype="int32"),
             "df": pd.Series([len(docs)], dtype="int64"),
-            "postings": [encode_postings(docs, tfs, dls, positions)],
-            "block_last_doc": [[b[0] for b in blocks]],
-            "block_max_tf": [[b[1] for b in blocks]],
-            "block_min_dl": [[b[2] for b in blocks]],
+            "postings": [encode_postings_np(docs, tfs, dls, positions)],
+            "block_last_doc": [last_doc.tolist()],
+            "block_max_tf": [max_tf.tolist()],
+            "block_min_dl": [min_dl.tolist()],
         }
     )
 
