@@ -19,3 +19,27 @@ __version__ = "0.1.0"
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+def __getattr__(name):
+    """Lazy top-level surface: ``from google_spark import SearchEngine`` etc.
+    without importing pyspark at package-import time (keeps the oracle /
+    corpus side importable in Spark-free contexts)."""
+    lazy = {
+        "SearchEngine": ("google_spark.search", "SearchEngine"),
+        "build_index": ("google_spark.operators.index_build", "build_index"),
+        "read_index": ("google_spark.operators.index_build", "read_index"),
+        "write_index": ("google_spark.operators.index_build", "write_index"),
+        "incremental_build": ("google_spark.operators.incremental", "incremental_build"),
+        "wand_topk": ("google_spark.operators.index_query", "wand_topk"),
+        "wand_topk_local": ("google_spark.operators.index_query", "wand_topk_local"),
+        "exhaustive_topk": ("google_spark.operators.index_query", "exhaustive_topk"),
+        "pagerank": ("google_spark.operators.pagerank", "pagerank"),
+        "get_spark": ("google_spark.session", "get_spark"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'google_spark' has no attribute {name!r}")
