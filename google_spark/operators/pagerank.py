@@ -91,12 +91,13 @@ def pagerank(
         )
     nodes = nodes.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # Pre-join degree once; the per-iteration join is then rank-only.
+    # Pre-join degree once; the per-iteration join is then rank-only. Lazy
+    # persist — the first iteration materializes it, no extra warm-up job.
     edges_deg = edges.join(deg, "src").persist()
-    edges_deg.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
-    n_nodes = nodes.count()
+    # n_nodes only gates convergence; fixed-iteration mode skips the job
+    n_nodes = nodes.count() if exact_iters is None else 0
     n_rounds = exact_iters if exact_iters is not None else max_iter
     for it in range(n_rounds):
         contrib = (
