@@ -886,9 +886,12 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             sess AS (
+              -- CAST: DuckDB's windowed sum yields HUGEINT; Spark emits
+              -- BIGINT — same values, different hashed type without it
               SELECT user_id,
-                     sum(new_sess) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS session_id
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS BIGINT)
+                       AS session_id
               FROM marked
             )
             SELECT user_id, session_id, count(*) AS n_events

@@ -64,8 +64,26 @@ def _marker_path(out_dir: str, batch: int) -> str:
     return os.path.join(_batch_dir(out_dir, batch), "_COMMITTED")
 
 
-def committed_batches(out_dir: str, n_batches: int) -> list[int]:
-    return [b for b in range(n_batches) if os.path.exists(_marker_path(out_dir, b))]
+def committed_batches(out_dir: str, n_batches: int | None = None) -> list[int]:
+    """Committed batch ids, discovered by listing ``{out}/batches`` (one
+    readdir, not one stat per possible id). ``n_batches`` bounds the result
+    when given; pass None for "all committed"."""
+    bdir = os.path.join(out_dir, "batches")
+    if not os.path.isdir(bdir):
+        return []
+    out = []
+    for entry in os.scandir(bdir):
+        if not (entry.is_dir() and entry.name.startswith("batch=")):
+            continue
+        try:
+            b = int(entry.name[len("batch="):])
+        except ValueError:
+            continue
+        if n_batches is not None and b >= n_batches:
+            continue
+        if os.path.exists(os.path.join(entry.path, "_COMMITTED")):
+            out.append(b)
+    return sorted(out)
 
 
 def _write_marker(out_dir: str, batch: int, payload: dict) -> None:

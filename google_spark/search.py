@@ -34,6 +34,7 @@ CACHE_TTL_S = 30 * 60  # reference: 30-minute cache GC (SearchApi.java:58)
 CACHE_MAX = 1000  # reference: 1000-entry cap (SearchApi.java:171-188)
 POSTINGS_CACHE_MAX_TERMS = 10_000  # posting-row RAM cache cap (drop-all GC)
 HISTORY_MAX = 1000
+TRIE_MAX_TERMS = 100_000  # autocomplete vocabulary cap (top-df terms)
 
 
 @dataclass
@@ -92,17 +93,28 @@ class SearchEngine:
     def __init__(
         self,
         index: IndexTables,
-        ranks: dict[str, float] | None = None,
+        ranks: DataFrame | dict[str, float] | None = None,
         doc_meta: DataFrame | None = None,
         docs: DataFrame | None = None,
         mode: str = "simple",
     ):
         self.index = index
-        self.ranks = ranks or {}
-        self.doc_meta = doc_meta  # doc_id, repo, path (collected lazily)
+        # ranks stay a DataFrame (node, rank): at 10^9 docs the rank table
+        # does not fit the driver. Per-repo values are fetched lazily for
+        # the repos that actually appear in results (the cache is bounded
+        # by #distinct repos served, never #docs). A plain dict is still
+        # accepted for small/offline use.
+        if isinstance(ranks, dict):
+            self.ranks_df = None
+            self._rank_cache: dict[str, float] = dict(ranks)
+            self._ranks_complete = True
+        else:
+            self.ranks_df = ranks
+            self._rank_cache = {}
+            self._ranks_complete = ranks is None
+        self.doc_meta = doc_meta  # doc_id, repo, path (queried per result set)
         self.docs = docs  # doc_id + content for snippets
         self.mode = mode
-        self._meta_map: dict[int, tuple[str, str]] | None = None
         self._cache: dict[tuple, tuple[float, list[SearchResult]]] = {}
         self._trie: _Trie | None = None
         self._history: dict[str, float] = {}  # query -> last access time
@@ -127,16 +139,17 @@ class SearchEngine:
             spark, source_files, id_col=id_col, text_col=text_col,
             mode=mode, n_shards=n_shards,
         )
-        ranks: dict[str, float] = {}
+        ranks: DataFrame | None = None
         cols = source_files.columns
         doc_meta = None
         if with_pagerank and repo_col in cols and text_col in cols:
             edges = extract_import_edges(
                 source_files, repo_col=repo_col, content_col=text_col
             )
-            ranks = {
-                r["node"]: r["rank"] for r in pagerank(edges).collect()
-            }
+            # materialize once (the iteration chain must not replay per
+            # query); stays distributed — never collected wholesale
+            ranks = pagerank(edges).persist()
+            ranks.count()
         if repo_col in cols and path_col in cols:
             doc_meta = source_files.select(
                 F.col(id_col).alias("doc_id"), repo_col, path_col
@@ -152,17 +165,30 @@ class SearchEngine:
 
     # -- serving ----------------------------------------------------------
 
-    def _meta(self) -> dict[int, tuple[str, str]]:
-        if self._meta_map is None:
-            self._meta_map = (
-                {
-                    r["doc_id"]: (r["repo"], r["path"])
-                    for r in self.doc_meta.collect()
-                }
-                if self.doc_meta is not None
-                else {}
-            )
-        return self._meta_map
+    def _meta_for(self, ids: list[int]) -> dict[int, tuple[str, str]]:
+        """(repo, path) for the candidate ids of ONE query — a pruned
+        filtered collect of <= fetch rows, never the whole meta table (the
+        whole-table dict was the one O(corpus) driver state in the serving
+        path; at 10^9 docs it would be multi-GB)."""
+        if self.doc_meta is None or not ids:
+            return {}
+        rows = self.doc_meta.filter(F.col("doc_id").isin(ids)).collect()
+        return {r["doc_id"]: (r["repo"], r["path"]) for r in rows}
+
+    def _ranks_for(self, repos: set[str]) -> dict[str, float]:
+        """PageRank values for the given repos, via the lazily-filled
+        per-repo cache (bounded by #distinct repos ever served)."""
+        if not self._ranks_complete:
+            missing = sorted(r for r in repos if r and r not in self._rank_cache)
+            if missing:
+                rows = self.ranks_df.filter(
+                    F.col("node").isin(missing)
+                ).collect()
+                for r in missing:
+                    self._rank_cache[r] = DEFAULT_RANK
+                for row in rows:
+                    self._rank_cache[row["node"]] = row["rank"]
+        return self._rank_cache
 
     def search(
         self,
@@ -174,8 +200,10 @@ class SearchEngine:
         proximity: bool = False,
     ) -> list[SearchResult]:
         """Top-k by priority = W_RANK*pagerank + W_TEXT*bm25
-        (+ W_PROX*proximity when ``proximity``) (+ path boost), paginated;
-        ties (priority desc, doc_id asc)."""
+        (+ W_PROX*proximity when ``proximity``) (+ path/title boost),
+        paginated; ties (priority desc, doc_id asc). The cached value is the
+        full over-fetched candidate list, so any page within the over-fetch
+        window (>= 10*k results) is servable — not just page 1."""
         page_size = page_size or k
         key = (query, k, snippets, proximity)
         now = time.time()
@@ -191,15 +219,18 @@ class SearchEngine:
         if hit and now - hit[0] < CACHE_TTL_S:
             results = hit[1]
         else:
-            results = self._search_uncached(query, k, snippets, proximity)
+            results = self._search_uncached(query, k, proximity)
             if len(self._cache) >= CACHE_MAX:
                 self._cache.clear()  # reference GC: drop-all past the cap
             self._cache[key] = (now, results)
         lo = page_size * (page - 1)
-        return results[lo : lo + page_size]
+        page_rows = results[lo : lo + page_size]
+        if snippets and page_rows:
+            self._attach_snippets(page_rows, normalize_query(query, mode=self.mode))
+        return page_rows
 
     def _search_uncached(
-        self, query: str, k: int, want_snippets: bool, proximity: bool = False
+        self, query: str, k: int, proximity: bool = False
     ) -> list[SearchResult]:
         terms = normalize_query(query, mode=self.mode)
         if not terms:
@@ -213,7 +244,8 @@ class SearchEngine:
             mode=self.mode,
             row_cache=self._postings_cache,
         )
-        meta = self._meta()
+        meta = self._meta_for([d for d, _ in scored])
+        ranks = self._ranks_for({repo for repo, _ in meta.values()})
         import re
 
         boost_re = re.compile(
@@ -229,7 +261,7 @@ class SearchEngine:
         out = []
         for doc_id, score in scored:
             repo, path = meta.get(doc_id, (None, None))
-            rank = self.ranks.get(repo, DEFAULT_RANK)
+            rank = ranks.get(repo, DEFAULT_RANK)
             priority = W_RANK * rank + W_TEXT * score
             if prox_pos is not None:
                 priority += W_PROX * proximity_bonus_py(prox_pos, terms, doc_id)
@@ -237,21 +269,24 @@ class SearchEngine:
                 priority += W_PATH_BOOST
             out.append(SearchResult(doc_id, score, priority, rank, path))
         out.sort(key=lambda r: (-r.priority, r.doc_id))
-        out = out[:k]
-        if want_snippets and self.docs is not None and out:
-            ids = [r.doc_id for r in out]
-            rows = self.docs.filter(F.col("doc_id").isin(ids)).collect()
-            texts = {r["doc_id"]: r["content"] for r in rows}
-            for r in out:
-                text = texts.get(r.doc_id) or ""
-                low = text.lower()
-                pos = min(
-                    (p for p in (low.find(t) for t in terms) if p >= 0),
-                    default=-1,
-                )
-                start = max(0, pos - 40) if pos >= 0 else 0
-                r.snippet = text[start : start + 120].replace("\n", " ")
         return out
+
+    def _attach_snippets(self, rows: list[SearchResult], terms: list[str]) -> None:
+        """Snippets for ONE page of results (<= page_size filtered rows)."""
+        if self.docs is None:
+            return
+        ids = [r.doc_id for r in rows]
+        fetched = self.docs.filter(F.col("doc_id").isin(ids)).collect()
+        texts = {r["doc_id"]: r["content"] for r in fetched}
+        for r in rows:
+            text = texts.get(r.doc_id) or ""
+            low = text.lower()
+            pos = min(
+                (p for p in (low.find(t) for t in terms) if p >= 0),
+                default=-1,
+            )
+            start = max(0, pos - 40) if pos >= 0 else 0
+            r.snippet = text[start : start + 120].replace("\n", " ")
 
     def history(self, limit: int = 5) -> list[str]:
         """The ``limit`` most recent queries by access time (ref:
@@ -266,8 +301,18 @@ class SearchEngine:
     # -- autocomplete -----------------------------------------------------
 
     def autocomplete(self, prefix: str, limit: int = 10) -> list[str]:
+        """Completions from the top-``TRIE_MAX_TERMS`` terms by df. The cap
+        bounds driver memory at web scale (an uncapped vocabulary trie over
+        10^9 docs would not fit); high-df terms are also the completions a
+        user actually wants."""
         if self._trie is None:
             self._trie = _Trie()
-            for r in self.index.terms.select("term").collect():
+            top = (
+                self.index.terms.orderBy(F.desc("df"), F.asc("term"))
+                .limit(TRIE_MAX_TERMS)
+                .select("term")
+                .collect()
+            )
+            for r in top:
                 self._trie.insert(r["term"])
         return self._trie.complete(prefix.lower(), limit)

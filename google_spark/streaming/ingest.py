@@ -62,7 +62,7 @@ def stream_index_builder(
         with open(base_path) as f:
             base = json.load(f)["base"]
     else:
-        done = committed_batches(out_dir, 1_000_000)
+        done = committed_batches(out_dir)
         base = (max(done) + 1) if done else 0
         os.makedirs(checkpoint_dir, exist_ok=True)
         with open(base_path, "w") as f:
@@ -79,7 +79,16 @@ def stream_index_builder(
         # Empty epochs still commit (an empty-but-valid batch): skipping
         # would leave a permanent gap the merge refuses to cross, while the
         # stream checkpoint has already consumed the epoch.
+        t0 = _time.perf_counter()
         n_docs = batch_df.count()
+        # Same order-independent content checksum as build_batch: lineage
+        # rows carry identical integrity metadata whichever path wrote them.
+        agg = batch_df.select(
+            F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 15), 16, 10)
+            .cast("long")
+            .alias("p")
+        ).agg(F.expr("bit_xor(p)").alias("x"), F.count("*").alias("n")).collect()[0]
+        checksum = f"{int(agg['n'] or 0)}:{int(agg['x'] or 0):015x}"
         doc_terms = tokenize_docs(
             batch_df, id_col=id_col, text_col=text_col
         )
@@ -89,17 +98,24 @@ def stream_index_builder(
         postings.write.mode("overwrite").parquet(os.path.join(d, "postings.parquet"))
         per_doc = doc_terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
         per_doc.write.mode("overwrite").parquet(os.path.join(d, "doclen.parquet"))
+        spark = batch_df.sparkSession
+        written = spark.read.parquet(os.path.join(d, "postings.parquet"))
+        pagg = written.agg(
+            F.count("*").alias("rows"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.octet_length("postings")).alias("bytes"),
+        ).collect()[0]
         _write_marker(
             out_dir,
             b,
             {
                 "batch": b,
                 "n_docs": n_docs,
-                "n_terms": 0,
-                "n_postings": 0,
-                "bytes": 0,
-                "wall_s": 0.0,
-                "content_checksum": "",
+                "n_terms": int(pagg["rows"] or 0),
+                "n_postings": int(pagg["n_postings"] or 0),
+                "bytes": int(pagg["bytes"] or 0),
+                "wall_s": _time.perf_counter() - t0,
+                "content_checksum": checksum,
                 "committed_at": _time.time(),
                 "source": "stream",
             },
@@ -122,7 +138,7 @@ def finalize_stream_index(spark: SparkSession, out_dir: str, total_docs: int):
     """Merge every committed streaming batch into the published index."""
     from google_spark.operators.incremental import committed_batches, merge_batches
 
-    batches = committed_batches(out_dir, 1_000_000)
+    batches = committed_batches(out_dir)
     if not batches:
         raise RuntimeError("no committed streaming batches to merge")
     # merge_batches expects a dense range; streaming epochs are dense from 0
