@@ -433,9 +433,11 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups via block-permutation candidate join (no SQL
-    oracle: md5-bit voting isn't expressible in DuckDB; completeness is
-    pytest-verified against brute force)."""
+    """SimHash near-dups via block-permutation candidate join, oracle-checked
+    against a brute-force SQL recomputation of the md5 bit votes (the oracle
+    reproduces the fingerprints from md5 hex halves and Hamming-checks all
+    pairs; matching proves both the fingerprint kernel and candidate-join
+    completeness)."""
     from google_spark.operators.dedup import simhash_fingerprints, simhash_near_dups
 
     fps = simhash_fingerprints(_docs(spark, sf_dir), text_col="text")
@@ -457,8 +459,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (no SQL oracle: NumPy hyperplanes;
-    recall vs brute force is pytest-verified)."""
+    """LSH-bucketed approximate top-10, oracle-checked end to end: the
+    fixed-seed hyperplanes are inlined into the SQL oracle as literals, so
+    DuckDB reproduces the exact bucketing, candidate set, and top-k (recall
+    vs brute force is additionally pytest-verified)."""
     from google_spark.operators.similarity import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -467,12 +471,14 @@ def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (coarse k-means quantizer + nprobe inverted
-    lists; no SQL oracle — NumPy centroids; recall pytest-verified)."""
+    """IVF approximate top-10 with the deterministic seed quantizer
+    (n_iters=0: centroids are the 8 lowest-id vectors, so the SQL oracle
+    reproduces assignment, nprobe selection, and the top-k exactly; Lloyd
+    refinement + recall are pytest-verified separately)."""
     from google_spark.operators.similarity import ann_ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    df = ann_ivf_topk(emb, probe_vec_id=0, k=10, n_centroids=8, nprobe=4)
+    df = ann_ivf_topk(emb, probe_vec_id=0, k=10, n_centroids=8, nprobe=4, n_iters=0)
     return _round4(df, "cos_sim")
 
 
@@ -682,6 +688,155 @@ _LANG_RATIOS = ", ".join(
     f"ELSE 0.0 END AS r_{lang}"
     for lang, w in _LANG_WORDS.items()
 )
+
+
+# SimHash oracle parity: the engine's bit b of md5(term) is bit b of the
+# first 8 digest bytes read big-endian = bit b of (hi32*2^32 + lo32) with
+# hi32/lo32 parsed from the two hex-digest halves. Each bit votes +tf/-tf;
+# fingerprint bit = (vote > 0); Hamming sums over the two 32-bit halves.
+# The ORACLE brute-forces all pairs (fine at sf0.01); the ENGINE uses the
+# block-permutation equi-join — completeness for hamming <= k is exactly
+# what this contract row checks.
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN ((lo >> {b}) & 1) = 1 THEN tf ELSE -tf END) AS v{b}"
+    for b in range(32)
+) + ", " + ", ".join(
+    f"sum(CASE WHEN ((hi >> {b - 32}) & 1) = 1 THEN tf ELSE -tf END) AS v{b}"
+    for b in range(32, 64)
+)
+_SIMHASH_FLO = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+_SIMHASH_FHI = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {1 << (b - 32)} ELSE 0 END" for b in range(32, 64)
+)
+
+# --- ANN oracles ------------------------------------------------------------
+# Shared DuckDB fragments: embeddings cast FLOAT->DOUBLE (same promotion the
+# Arrow kernels apply), dot products via list_zip/list_aggregate.
+_E_CTE = (
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+    "AS v FROM embeddings)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        "z -> z[1] * z[2]), 'sum')"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+
+
+_COS_TOPK_TAIL = f"""
+probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+sims AS (
+  SELECT c.vec_id,
+         {_dot_sql('e.v', 'probe.pv')}
+           / ({_norm_sql('e.v')} * {_norm_sql('probe.pv')}) AS cos
+  FROM cands c JOIN e ON c.vec_id = e.vec_id CROSS JOIN probe
+)
+SELECT vec_id, round(cos, 4) AS cos_sim FROM sims
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    """The ann_lsh_topk contract at (dim=64, n_tables=4, n_planes=8,
+    seed=13): hyperplanes come from the ENGINE's _planes() and are inlined
+    as double literals (repr round-trips exactly), so the oracle runs the
+    identical bucketing -> candidate join -> exact-cosine top-k."""
+    from google_spark.operators.similarity import _planes
+
+    planes = _planes(64, 4, 8, 13)
+    rows = []
+    for t in range(4):
+        for p in range(8):
+            w = ", ".join(repr(x) for x in planes[t, p].tolist())
+            rows.append(f"({t}, {p}, {1 << p}, [{w}]::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH {_E_CTE},
+planes(tbl, p, pot, w) AS (VALUES
+    {values}),
+proj AS (
+  SELECT e.vec_id, pl.tbl, pl.pot, {_dot_sql('e.v', 'pl.w')} AS d
+  FROM e CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN d > 0 THEN pot ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, tbl
+),
+pb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
+cands AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN pb ON b.tbl = pb.tbl AND b.bucket = pb.bucket
+  WHERE b.vec_id <> 0
+),
+{_COS_TOPK_TAIL}"""
+
+
+def _ann_ivf_oracle() -> str:
+    """The ann_ivf_topk contract at (n_centroids=8, nprobe=4, n_iters=0):
+    centroids are the 8 lowest-vec_id vectors (deterministic seed init), so
+    assignment (cosine argmax, ties to the lowest cluster id), probe-cluster
+    choice (sim desc, cid asc), and the candidate top-k are all exactly
+    reproducible in SQL."""
+    dot_vc = _dot_sql("e.v", "cents.c")
+    return f"""
+WITH {_E_CTE},
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+sim_vc AS (
+  SELECT e.vec_id, cents.cid,
+         {dot_vc} / ({_norm_sql('e.v')} * {_norm_sql('cents.c')}) AS sim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM sim_vc
+  ) WHERE rn = 1
+),
+pc AS (
+  SELECT cid FROM sim_vc WHERE vec_id = 0 ORDER BY sim DESC, cid ASC LIMIT 4
+),
+cands AS (
+  SELECT a.vec_id FROM assigned a JOIN pc ON a.cid = pc.cid
+  WHERE a.vec_id <> 0
+),
+{_COS_TOPK_TAIL}"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(t) AS term FROM toks
+  ) GROUP BY doc_id, term
+),
+th AS (
+  SELECT doc_id, tf,
+         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(term), 9, 8) AS BIGINT) AS lo
+  FROM tf
+),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, {_SIMHASH_FLO} AS flo, {_SIMHASH_FHI} AS fhi FROM votes)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.flo, y.flo))
+            + bit_count(xor(x.fhi, y.fhi)) AS INT) AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.flo, y.flo)) + bit_count(xor(x.fhi, y.fhi)) <= 12
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -907,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_LSH_CTES}
             SELECT a, b FROM pairs
         """,
+        "dedup_simhash_pairs": _SIMHASH_ORACLE,
         "dedup_jaccard_pairs": f"""
             WITH {_LSH_CTES},
             sets AS (SELECT doc_id, list_distinct(s) AS ds FROM sh)
@@ -953,6 +1109,8 @@ def oracle_sql() -> dict[str, str]:
                    ELSE '' END AS fingerprint
             FROM sh
         """,
+        "sim_ann_topk": _ann_lsh_oracle(),
+        "sim_ivf_topk": _ann_ivf_oracle(),
         "sim_near_dup_pairs": """
             WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
             pairs AS (

@@ -166,7 +166,6 @@ def lsh_candidate_pairs(
     m(m-1)/2 pairs; at web scale one boilerplate bucket would dominate the
     job) — the documented skew guard.
     """
-    n_hashes = None  # derived from the array at runtime; bands slice evenly
     sig = signatures.select(F.col(id_col).alias("id"), "sig")
     rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
     bands = sig.select(
@@ -271,9 +270,16 @@ def simhash_fingerprints(
     text_col: str = "text",
     bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash over token frequencies in a vectorized pandas kernel
-    (bit b of md5(term) votes +tf/-tf; fingerprint = sign vector). Arrow
-    batches, NumPy bit math — no per-row Python beyond the tokenizer loop."""
+    """64-bit SimHash over token frequencies (bit b of md5(term)'s first 8
+    big-endian bytes votes +tf/-tf; fingerprint = sign vector, stored as
+    signed int64 two's complement).
+
+    Vectorized per Arrow batch: each DISTINCT term is md5-hashed once, the
+    digests unpack into a (vocab x 64) ±1 sign matrix with one shift-and
+    broadcast, and all documents' votes accumulate via a single NumPy
+    scatter-add over the (doc, term, tf) triples — no per-term Python inner
+    loop. Oracle-checked: the same bit votes are reproducible in ANSI SQL
+    from md5 hex halves (see the dedup_simhash_pairs oracle)."""
     import hashlib
     from collections import Counter
     from typing import Iterator
@@ -283,35 +289,58 @@ def simhash_fingerprints(
 
     from google_spark.functions.tokenizer import tokenize_simple
 
+    if bits != 64:
+        raise ValueError("simhash_fingerprints supports bits=64 only")
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            ids, fps = [], []
+            ids: list[int] = []
+            doc_idx: list[int] = []
+            term_idx: list[int] = []
+            tfs: list[int] = []
+            vocab: dict[str, int] = {}
             for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
                 toks = tokenize_simple(text)
                 if not toks:
                     continue
-                votes = np.zeros(bits, dtype=np.int64)
-                for term, tf in Counter(toks).items():
-                    h = int.from_bytes(
-                        hashlib.md5(term.encode()).digest()[:8], "big"
-                    )
-                    bit_arr = np.fromiter(
-                        (((h >> b) & 1) for b in range(bits)),
-                        dtype=np.int64,
-                        count=bits,
-                    )
-                    votes += np.where(bit_arr == 1, tf, -tf)
-                fp = 0
-                for b in range(bits):
-                    if votes[b] > 0:
-                        fp |= 1 << b
+                di = len(ids)
                 ids.append(doc_id)
-                # store as signed int64 (two's complement) for parquet
-                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+                for term, tf in Counter(toks).items():
+                    term_idx.append(vocab.setdefault(term, len(vocab)))
+                    doc_idx.append(di)
+                    tfs.append(tf)
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "simhash": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            digests = b"".join(
+                hashlib.md5(t.encode()).digest()[:8] for t in vocab
+            )
+            h = np.frombuffer(digests, dtype=">u8").astype(np.uint64)  # (V,)
+            signs = (
+                ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                * 2
+                - 1
+            )  # (V, 64) in {-1, +1}
+            contrib = (
+                signs[np.asarray(term_idx)]
+                * np.asarray(tfs, dtype=np.int64)[:, None]
+            )  # (M, 64)
+            votes = np.zeros((len(ids), 64), dtype=np.int64)
+            np.add.at(votes, np.asarray(doc_idx), contrib)
+            fp = (
+                ((votes > 0).astype(np.uint64) << bit_idx[None, :])
+                .sum(axis=1, dtype=np.uint64)
+            )
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),
-                    "simhash": pd.Series(fps, dtype="int64"),
+                    "simhash": pd.Series(fp.view(np.int64), dtype="int64"),
                 }
             )
 

@@ -152,6 +152,36 @@ def exhaustive_topk(
     )
 
 
+def _topk_from_arrays(
+    d_parts: list[np.ndarray], s_parts: list[np.ndarray], k: int
+) -> pd.DataFrame:
+    """Exact top-k (score desc, doc_id asc) from per-term (docs, scores)
+    arrays: one unique + bincount accumulation, boundary ties kept."""
+    if not d_parts:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    all_docs = np.concatenate(d_parts)
+    all_scores = np.concatenate(s_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.bincount(inv, weights=all_scores)
+    if k < len(uniq):
+        kth = np.partition(sums, len(sums) - k)[len(sums) - k]
+        cand = np.flatnonzero(sums >= kth)  # keep ALL boundary ties
+    else:
+        cand = np.arange(len(uniq))
+    order = cand[np.lexsort((uniq[cand], -sums[cand]))][:k]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(uniq[order], dtype="int64"),
+            "score": pd.Series(sums[order], dtype="float64"),
+        }
+    )
+
+
 def _wand_shard_kernel(
     pdf: pd.DataFrame,
     weights: dict[str, float],
@@ -159,106 +189,89 @@ def _wand_shard_kernel(
     avgdl: float,
     k: int,
 ) -> pd.DataFrame:
-    """Exact top-k within one shard via WAND pivoting.
+    """Exact top-k within one shard.
 
-    Per-term cursors over doc_id-sorted decoded arrays; term upper bound
-    ub_t = w*idf*(k1+1)*max_tf/(max_tf + k1*(1-b+b*min_dl/avgdl)) from block
-    metadata (score is monotone in tf, antitone in dl); pivot = first doc
-    where the prefix UB sum beats the heap threshold; non-pivot cursors skip
-    forward with galloping searchsorted — postings before the pivot are never
-    scored."""
-    cols: list[tuple[np.ndarray, np.ndarray, float]] = []  # (docs, score_arr, ub)
+    Small candidate sets (<= WAND_FASTPATH_MAX postings) score everything
+    with one vectorized accumulation. Above that, block-max segment pruning
+    (the WAND bound at block granularity, fully NumPy — no per-document
+    Python loop):
+
+    1. seed a threshold θ: the k-th best EXACT total score over the union
+       of each term's top-k postings (θ is a lower bound on the true k-th
+       score, so pruning against it is safe);
+    2. sweep the union of the per-term block boundaries: within one segment
+       every term stays inside one block, so the segment's upper bound is
+       the sum of per-term block UBs ub_{t,j} = w·idf·(k1+1)·max_tf_j /
+       (max_tf_j + k1·(1-b+b·min_dl_j/avgdl)) (score is monotone in tf,
+       antitone in dl). Segments with UB < θ cannot contain a top-k doc;
+    3. fully score only postings in surviving segments.
+
+    Exactness: any true top-k doc d has UB(d) >= score(d) >= kth >= θ, so
+    its segment survives (>= comparison keeps boundary ties); summation
+    order per doc matches the fast path, so scores are bit-identical."""
+    # (docs, score_arr, per-block UBs, block last_doc boundaries)
+    cols: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
     for _, row in pdf.iterrows():
         docs, tfs, dls = decode_postings_arrays(bytes(row["postings"]))
         tf = tfs.astype(np.float64)
         dl = dls.astype(np.float64)
         w = weights[row["term"]] * idf[row["term"]]
         scores = w * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-        max_tf = float(np.max(row["block_max_tf"]))
-        min_dl = float(np.min(row["block_min_dl"]))
-        ub = w * max_tf * (BM25_K1 + 1.0) / (
-            max_tf + BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / avgdl)
+        bmax = np.asarray(row["block_max_tf"], dtype=np.float64)
+        bmin = np.asarray(row["block_min_dl"], dtype=np.float64)
+        ub_blocks = w * bmax * (BM25_K1 + 1.0) / (
+            bmax + BM25_K1 * (1.0 - BM25_B + BM25_B * bmin / avgdl)
         )
-        cols.append((docs, scores, ub))
+        bl = np.asarray(row["block_last_doc"], dtype=np.int64)
+        cols.append((docs, scores, ub_blocks, bl))
+    cols = [c for c in cols if len(c[0])]
+    if not cols:
+        return _topk_from_arrays([], [], k)
 
-    # Fast path: below this many postings, vectorized full accumulation
-    # beats document-at-a-time pruning (the python pivot loop costs more
-    # than it saves). WAND's asymptotic win is preserved for long lists.
+    # Fast path: below this many postings, scoring everything beats any
+    # pruning bookkeeping. The block-max path takes over for long lists.
     total = sum(len(c[0]) for c in cols)
     if total <= WAND_FASTPATH_MAX:
-        all_docs = np.concatenate([c[0] for c in cols])
-        all_scores = np.concatenate([c[1] for c in cols])
-        uniq, inv = np.unique(all_docs, return_inverse=True)
-        sums = np.bincount(inv, weights=all_scores)
-        if k < len(uniq):
-            kth = np.partition(sums, len(sums) - k)[len(sums) - k]
-            cand = np.flatnonzero(sums >= kth)  # keep ALL boundary ties
-        else:
-            cand = np.arange(len(uniq))
-        order = cand[np.lexsort((uniq[cand], -sums[cand]))][:k]
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series(uniq[order], dtype="int64"),
-                "score": pd.Series(sums[order], dtype="float64"),
-            }
+        return _topk_from_arrays([c[0] for c in cols], [c[1] for c in cols], k)
+
+    # 1) seed threshold from each term's top-k postings, exact-scored
+    seed = np.unique(
+        np.concatenate(
+            [
+                c[0][np.argpartition(c[1], len(c[1]) - min(k, len(c[1])))[
+                    len(c[1]) - min(k, len(c[1])):
+                ]]
+                for c in cols
+            ]
         )
-
-    cursors = [0] * len(cols)
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-
-    def threshold() -> float:
-        return heap[0][0] if len(heap) >= k else -1.0
-
-    while True:
-        # order live terms by current doc
-        live = [
-            (cols[i][0][cursors[i]], i)
-            for i in range(len(cols))
-            if cursors[i] < len(cols[i][0])
-        ]
-        if not live:
-            break
-        live.sort()
-        ub_sum = 0.0
-        pivot_idx = -1
-        theta = threshold()
-        for j, (_, i) in enumerate(live):
-            ub_sum += cols[i][2]
-            if ub_sum > theta:
-                pivot_idx = j
-                break
-        if pivot_idx < 0:
-            break  # even all remaining UBs can't beat the threshold
-        pivot_doc = live[pivot_idx][0]
-        if live[0][0] == pivot_doc:
-            # fully score pivot_doc across all terms positioned on it
-            score = 0.0
-            for _, i in live:
-                docs, scores, _ = cols[i]
-                c = cursors[i]
-                if c < len(docs) and docs[c] == pivot_doc:
-                    score += scores[c]
-                    cursors[i] = c + 1
-            entry = (score, -int(pivot_doc))
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
-        else:
-            # gallop every earlier cursor up to the pivot doc
-            for j in range(pivot_idx):
-                _, i = live[j]
-                docs = cols[i][0]
-                cursors[i] += int(
-                    np.searchsorted(docs[cursors[i] :], pivot_doc, side="left")
-                )
-    results = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
-    return pd.DataFrame(
-        {
-            "doc_id": pd.Series([d for _, d in results], dtype="int64"),
-            "score": pd.Series([s for s, _ in results], dtype="float64"),
-        }
     )
+    seed_tot = np.zeros(len(seed))
+    for docs, scores, _ub, _bl in cols:
+        idx = np.minimum(np.searchsorted(docs, seed), len(docs) - 1)
+        seed_tot += np.where(docs[idx] == seed, scores[idx], 0.0)
+    theta = (
+        np.partition(seed_tot, len(seed_tot) - k)[len(seed_tot) - k]
+        if len(seed_tot) >= k
+        else -np.inf
+    )
+
+    # 2) segment sweep: union of block boundaries; per-segment UB sum
+    bounds = np.unique(np.concatenate([bl for *_, bl in cols]))
+    ub_tot = np.zeros(len(bounds))
+    for _docs, _scores, ub_blocks, bl in cols:
+        j = np.searchsorted(bl, bounds, side="left")
+        ub_tot += np.where(
+            j < len(bl), ub_blocks[np.minimum(j, len(bl) - 1)], 0.0
+        )
+    alive = ub_tot >= theta
+
+    # 3) score only surviving segments
+    d_parts, s_parts = [], []
+    for docs, scores, _ub, _bl in cols:
+        m = alive[np.searchsorted(bounds, docs, side="left")]
+        d_parts.append(docs[m])
+        s_parts.append(scores[m])
+    return _topk_from_arrays(d_parts, s_parts, k)
 
 
 def wand_topk(
@@ -346,10 +359,12 @@ def local_topk_core(
     terms = [t for t, w in weights.items() if w > 0]
     if not terms:
         return []
+    cols = (
+        "term", "df", "postings",
+        "block_last_doc", "block_max_tf", "block_min_dl",
+    )
     if row_cache is None:
-        rows = index.matching(terms).select(
-            "term", "df", "postings", "block_max_tf", "block_min_dl"
-        ).collect()
+        rows = index.matching(terms).select(*cols).collect()
     else:
         # Hot-term RAM cache (the analog of the reference's serve-time
         # preloads, ref: src/cis5550/jobs/SearchApi.java:135-145): fetch
@@ -357,9 +372,7 @@ def local_topk_core(
         # an empty list so they never re-scan.
         missing = [t for t in terms if t not in row_cache]
         if missing:
-            fetched = index.matching(missing).select(
-                "term", "df", "postings", "block_max_tf", "block_min_dl"
-            ).collect()
+            fetched = index.matching(missing).select(*cols).collect()
             for t in missing:
                 row_cache[t] = []
             for r in fetched:

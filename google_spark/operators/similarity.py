@@ -212,15 +212,21 @@ def ann_ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest centroids, score
     exact cosine only within those inverted lists. The scale path
     partitions the embedding table by cluster so a query reads nprobe
-    partitions (same pruning story as the term-bucketed text index)."""
+    partitions (same pruning story as the term-bucketed text index).
+
+    ``n_iters=0`` keeps the deterministic seed centroids (the n_centroids
+    lowest-id vectors) with no Lloyd refinement — the engine-portable
+    configuration the SQL oracle reproduces bit-for-bit; recall with
+    refined centroids is pytest-verified separately."""
     centroids, assigned = ivf_assignments(
-        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        emb, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
     probe_vec = np.array(
         emb.filter(F.col(id_col) == probe_vec_id).select(vec_col).first()[0],
@@ -230,7 +236,10 @@ def ann_ivf_topk(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
     p_norm = probe_vec / max(np.linalg.norm(probe_vec), 1e-12)
-    probe_clusters = np.argsort(-(c_norm @ p_norm))[:nprobe].tolist()
+    sims = c_norm @ p_norm
+    # stable tie-break (sim desc, cluster id asc) so probe-cluster choice is
+    # reproducible across engines
+    probe_clusters = np.lexsort((np.arange(len(sims)), -sims))[:nprobe].tolist()
     cand_ids = assigned.filter(
         F.col("cluster").isin(probe_clusters) & (F.col(id_col) != probe_vec_id)
     ).select(id_col)
