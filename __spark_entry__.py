@@ -367,6 +367,34 @@ def q_op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 title half (urlpages analog, ref: src/cis5550/jobs/
+    Indexer.java:135-138): first non-empty line, comment markers stripped,
+    truncated to 80 chars — all JVM-side expressions."""
+    from google_spark.operators.docstore import build_docstore
+
+    return build_docstore(_docs(spark, sf_dir), id_col="doc_id", text_col="text").select(
+        "doc_id", "title"
+    )
+
+
+def q_op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample (declared-unimplemented in the reference, FlameRDD.java:104-108):
+    the contract uses a deterministic hash-Bernoulli sampler (md5(key) % 20
+    == 0, ~5%) — at 100 TB a re-run must select identical rows, so the
+    reproducible sampler IS the production one; ``df.sample(seed)`` is
+    exercised in pytest (rate bounds + subset property)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 20
+    )
+    return orders.filter(bucket == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (task brief) over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -576,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_rollup": q_op_rollup,
         "op_window_agg": q_op_window_agg,
         "op_sessionize": q_op_sessionize,
+        "op_sample": q_op_sample,
+        "doc_titles": q_doc_titles,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -1051,6 +1081,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id, count(*) AS n_events
             FROM sess GROUP BY user_id, session_id
+        """,
+        "op_sample": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+                       AS BIGINT) % 20 = 0
+        """,
+        "doc_titles": """
+            SELECT doc_id,
+                   substr(trim(regexp_replace(
+                     COALESCE(list_filter(str_split(text, chr(10)),
+                                          x -> trim(x) <> '')[1], ''),
+                     '^[\\s#/*"''=-]+', '')), 1, 80) AS title
+            FROM documents
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_minhash_sig": f"""

@@ -1,0 +1,63 @@
+"""Document store: the ``urlpages`` analog (SURVEY.md §1.1 derived doc
+store; ref: src/cis5550/jobs/Indexer.java:135-138 builds a rowKey->(title,
+tag-stripped content) table used by title boosts, ref:
+src/cis5550/jobs/RankScore.java:51-60, and snippets, ref:
+src/cis5550/jobs/SearchApi.java:330-377).
+
+Source-code restatement: the "title" of a code file is its first non-empty
+line with leading comment markers stripped (a file docstring / license
+header / top-level declaration), truncated to 80 chars; the "cleaned
+content" is the text with carriage returns normalized away (the HTML-strip
+half of D1 is the code-aware tokenizer — there are no tags to strip in
+source files).
+
+Everything is JVM-side expressions (split / filter / regexp_replace inside
+whole-stage codegen — no Python in the path) and exactly reproducible in
+ANSI SQL, which is how the ``doc_titles`` contract entry is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TITLE_MAX_LEN = 80
+# leading whitespace + common comment-marker characters to strip from the
+# first non-empty line (#, //, /*, *, ", ', =, -)
+_TITLE_STRIP_RE = "^[\\s#/*\"'=-]+"
+
+
+def title_col(text_col: Column | str = "text") -> Column:
+    """First non-empty line, comment markers stripped, trimmed, truncated
+    to TITLE_MAX_LEN; '' when the document has no non-empty line."""
+    # F.get is null-safe on empty arrays (element_at raises in Spark 4)
+    first = F.get(
+        F.filter(
+            F.split(F.col(text_col) if isinstance(text_col, str) else text_col, "\n"),
+            lambda x: F.trim(x) != "",
+        ),
+        0,
+    )
+    stripped = F.trim(F.regexp_replace(F.coalesce(first, F.lit("")), _TITLE_STRIP_RE, ""))
+    return F.substring(stripped, 1, TITLE_MAX_LEN)
+
+
+def content_clean_col(text_col: Column | str = "text") -> Column:
+    """CRLF-normalized content for snippets (the tag-stripped-page analog)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(c, "\r", "")
+
+
+def build_docstore(
+    source_files: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """DataFrame[doc_id, title, content_clean] — the ``urlpages`` analog.
+    A pure projection (no shuffle); persist it partitioned by doc_id range
+    alongside the index for serve-time point lookups."""
+    return source_files.select(
+        F.col(id_col).alias("doc_id"),
+        title_col(text_col).alias("title"),
+        content_clean_col(text_col).alias("content_clean"),
+    )

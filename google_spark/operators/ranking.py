@@ -31,6 +31,8 @@ W_RANK = 0.1
 W_TEXT = 10.0
 W_PROX = 1.0  # weight of the proximity bonus in the priority blend
 W_PATH_BOOST = 100000.0
+W_TITLE_BOOST = 100000.0  # title match boosts like the url match (ref:
+# src/cis5550/jobs/RankScore.java:51-60 treats both as rank-dominating)
 DEFAULT_RANK = 0.15  # reference default for unranked docs (RankScore.java:49)
 
 STOPWORDS = frozenset(
@@ -120,12 +122,15 @@ def priority_score(
     doc_meta: DataFrame | None = None,
     terms: list[str] | None = None,
     path_col: str = "path",
+    title_col: str | None = None,
 ) -> DataFrame:
-    """Blend text score with the link signal and path boost.
+    """Blend text score with the link signal plus path/title boosts.
 
     ``bm25_scores``: DataFrame[doc_id, score]; ``ranks``: DataFrame[node,
     rank] keyed by repo (or doc) — joined through ``doc_meta`` when the rank
-    is per-repo. ``doc_meta``: DataFrame[doc_id, repo, path] (optional).
+    is per-repo. ``doc_meta``: DataFrame[doc_id, repo, path[, title]]
+    (optional); pass ``title_col`` to boost on docstore titles too (ref:
+    src/cis5550/jobs/RankScore.java:51-60 boosts title and url alike).
     """
     scored = bm25_scores
     if doc_meta is not None:
@@ -148,10 +153,15 @@ def priority_score(
         priority = priority + F.when(
             F.col(path_col).rlike(pattern), F.lit(W_PATH_BOOST)
         ).otherwise(F.lit(0.0))
+        if title_col is not None:
+            priority = priority + F.when(
+                F.col(title_col).rlike(pattern), F.lit(W_TITLE_BOOST)
+            ).otherwise(F.lit(0.0))
     return scored.withColumn("priority", priority).select(
         *(
             ["doc_id", "score", "rank", "priority"]
             + ([path_col] if doc_meta is not None else [])
+            + ([title_col] if doc_meta is not None and title_col else [])
         )
     )
 

@@ -20,12 +20,14 @@ from pyspark.sql import functions as F
 from google_spark.operators.index_build import IndexTables, build_index, read_index
 from google_spark.operators.index_query import wand_topk_local
 from google_spark.operators.pagerank import extract_import_edges, pagerank
+from google_spark.operators.docstore import title_col
 from google_spark.operators.ranking import (
     DEFAULT_RANK,
     W_PATH_BOOST,
     W_PROX,
     W_RANK,
     W_TEXT,
+    W_TITLE_BOOST,
     normalize_query,
     proximity_bonus_py,
 )
@@ -45,6 +47,7 @@ class SearchResult:
     rank: float
     path: str | None = None
     snippet: str | None = None
+    title: str | None = None
 
 
 class _Trie:
@@ -151,8 +154,13 @@ class SearchEngine:
             ranks = pagerank(edges).persist()
             ranks.count()
         if repo_col in cols and path_col in cols:
+            # title from the docstore heuristic (the urlpages analog): a
+            # projection-only derivation, carried with the meta columns
             doc_meta = source_files.select(
-                F.col(id_col).alias("doc_id"), repo_col, path_col
+                F.col(id_col).alias("doc_id"),
+                repo_col,
+                path_col,
+                title_col(text_col).alias("title"),
             )
         docs = source_files.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")
@@ -165,15 +173,19 @@ class SearchEngine:
 
     # -- serving ----------------------------------------------------------
 
-    def _meta_for(self, ids: list[int]) -> dict[int, tuple[str, str]]:
-        """(repo, path) for the candidate ids of ONE query — a pruned
+    def _meta_for(self, ids: list[int]) -> dict[int, tuple[str, str, str | None]]:
+        """(repo, path, title) for the candidate ids of ONE query — a pruned
         filtered collect of <= fetch rows, never the whole meta table (the
         whole-table dict was the one O(corpus) driver state in the serving
         path; at 10^9 docs it would be multi-GB)."""
         if self.doc_meta is None or not ids:
             return {}
+        has_title = "title" in self.doc_meta.columns
         rows = self.doc_meta.filter(F.col("doc_id").isin(ids)).collect()
-        return {r["doc_id"]: (r["repo"], r["path"]) for r in rows}
+        return {
+            r["doc_id"]: (r["repo"], r["path"], r["title"] if has_title else None)
+            for r in rows
+        }
 
     def _ranks_for(self, repos: set[str]) -> dict[str, float]:
         """PageRank values for the given repos, via the lazily-filled
@@ -245,7 +257,7 @@ class SearchEngine:
             row_cache=self._postings_cache,
         )
         meta = self._meta_for([d for d, _ in scored])
-        ranks = self._ranks_for({repo for repo, _ in meta.values()})
+        ranks = self._ranks_for({m[0] for m in meta.values()})
         import re
 
         boost_re = re.compile(
@@ -260,14 +272,16 @@ class SearchEngine:
             )
         out = []
         for doc_id, score in scored:
-            repo, path = meta.get(doc_id, (None, None))
+            repo, path, title = meta.get(doc_id, (None, None, None))
             rank = ranks.get(repo, DEFAULT_RANK)
             priority = W_RANK * rank + W_TEXT * score
             if prox_pos is not None:
                 priority += W_PROX * proximity_bonus_py(prox_pos, terms, doc_id)
             if path and boost_re.search(path):
                 priority += W_PATH_BOOST
-            out.append(SearchResult(doc_id, score, priority, rank, path))
+            if title and boost_re.search(title):
+                priority += W_TITLE_BOOST
+            out.append(SearchResult(doc_id, score, priority, rank, path, title=title))
         out.sort(key=lambda r: (-r.priority, r.doc_id))
         return out
 

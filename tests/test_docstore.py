@@ -1,0 +1,118 @@
+"""Docstore (urlpages analog): title extraction, title boost in the
+serving facade, and the deterministic/sampled operators around it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_title_extraction_cases(spark):
+    from google_spark.operators.docstore import build_docstore
+
+    docs = spark.createDataFrame(
+        [
+            (1, '"""Fast hash join kernel."""\nimport os\n'),
+            (2, "# licensed under apache\ndef f():\n    pass\n"),
+            (3, "// JS module header\nexport const x = 1;\n"),
+            (4, "\n\n   \nplain first line here\nrest\n"),
+            (5, ""),
+            (6, None),
+            (7, "x" * 200 + "\nsecond"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["title"]
+        for r in build_docstore(docs, text_col="text").collect()
+    }
+    assert out[1] == 'Fast hash join kernel."""'
+    assert out[2] == "licensed under apache"
+    assert out[3] == "JS module header"
+    assert out[4] == "plain first line here"
+    assert out[5] == ""
+    assert out[6] == ""
+    assert len(out[7]) == 80
+
+
+def test_content_clean_strips_cr(spark):
+    from google_spark.operators.docstore import build_docstore
+
+    docs = spark.createDataFrame(
+        [(1, "line one\r\nline two\r\n")], "doc_id long, text string"
+    )
+    row = build_docstore(docs, text_col="text").collect()[0]
+    assert "\r" not in row["content_clean"]
+    assert "line one\nline two" in row["content_clean"]
+
+
+def test_title_boost_promotes_title_match(spark):
+    """Two docs with near-identical text scores; the one whose TITLE carries
+    the query term must win by W_TITLE_BOOST (ref: RankScore.java:51-60)."""
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.ranking import W_TITLE_BOOST
+    from google_spark.search import SearchEngine
+
+    docs = spark.createDataFrame(
+        [
+            (1, "# alpha kernel\nbeta gamma delta words here now\n"),
+            (2, "# unrelated header\nalpha beta gamma delta words here\n"),
+        ],
+        "doc_id long, content string",
+    )
+    src = docs.select(
+        "doc_id", "content",
+        F.lit("repo0").alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    eng = SearchEngine.build(spark, src, with_pagerank=False)
+    res = eng.search("alpha", k=2)
+    by_id = {r.doc_id: r for r in res}
+    assert by_id[1].title == "alpha kernel"
+    assert by_id[1].priority - by_id[2].priority == pytest.approx(
+        W_TITLE_BOOST + (by_id[1].score - by_id[2].score) * 10.0, rel=1e-6
+    )
+    assert res[0].doc_id == 1
+
+
+def test_priority_score_title_boost_distributed(spark):
+    from google_spark.operators.ranking import (
+        W_PATH_BOOST,
+        W_TITLE_BOOST,
+        priority_score,
+    )
+
+    scores = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0)], "doc_id long, score double"
+    )
+    meta = spark.createDataFrame(
+        [
+            (1, "r1", "src/alpha.py", "no match"),
+            (2, "r1", "src/other.py", "alpha header"),
+            (3, "r1", "src/other2.py", "nothing"),
+        ],
+        "doc_id long, repo string, path string, title string",
+    )
+    ranks = spark.createDataFrame([("r1", 0.5)], "node string, rank double")
+    out = {
+        r["doc_id"]: r["priority"]
+        for r in priority_score(
+            scores, ranks, meta, terms=["alpha"], title_col="title"
+        ).collect()
+    }
+    assert out[1] - out[3] == pytest.approx(W_PATH_BOOST)
+    assert out[2] - out[3] == pytest.approx(W_TITLE_BOOST)
+
+
+def test_builtin_sample_bounds_and_subset(spark):
+    """df.sample(seed): deterministic for a fixed seed, a subset of the
+    source, and within loose rate bounds (the contract's reproducible
+    hash-sampler is oracle-checked separately as op_sample)."""
+    df = spark.range(10_000)
+    s1 = df.sample(fraction=0.1, seed=7)
+    s2 = df.sample(fraction=0.1, seed=7)
+    a = sorted(r["id"] for r in s1.collect())
+    b = sorted(r["id"] for r in s2.collect())
+    assert a == b
+    assert 700 <= len(a) <= 1300
+    assert set(a) <= set(range(10_000))

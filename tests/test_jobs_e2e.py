@@ -1,0 +1,96 @@
+"""spark-submit job-script e2e: the north-rule launch path (--py-files)
+driven for real — build, query, and PageRank jobs run as subprocesses on a
+parquet corpus, their JSON metrics lines parsed and checked (closes D14:
+the rank-table materialize path)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run(cmd: list[str], timeout: int = 300) -> dict:
+    """Run a job script; return the parsed last JSON line of stdout."""
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, cwd=str(ROOT)
+    )
+    assert proc.returncode == 0, f"{cmd}\nstdout:{proc.stdout}\nstderr:{proc.stderr[-2000:]}"
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON line in stdout: {proc.stdout[-2000:]}"
+    return json.loads(lines[-1])
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, corpus_df, tmp_path_factory):
+    from google_spark.sources.tables import with_doc_identity
+
+    p = tmp_path_factory.mktemp("jobs") / "src.parquet"
+    with_doc_identity(corpus_df).write.mode("overwrite").parquet(str(p))
+    return str(p)
+
+
+def test_jobs_end_to_end(corpus_parquet, tmp_path):
+    out = tmp_path / "idx_build"
+    zip_path = tmp_path / "google_spark.zip"
+    subprocess.run(
+        [sys.executable, "jobs/make_pyfiles.py", str(zip_path)],
+        check=True, cwd=str(ROOT), capture_output=True,
+    )
+    assert zip_path.exists() and zip_path.stat().st_size > 10_000
+
+    # 1) resumable build, launched via spark-submit --py-files when
+    # available (the north-rule launch path), plain python otherwise
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit:
+        build_cmd = [
+            spark_submit, "--master", "local[8]",
+            "--py-files", str(zip_path),
+            "jobs/build_index.py",
+        ]
+    else:
+        build_cmd = [sys.executable, "jobs/build_index.py"]
+    build = _run(
+        build_cmd
+        + [
+            "--input", corpus_parquet, "--out", str(out),
+            "--text-col", "content", "--n-batches", "2",
+            "--n-shards", "4", "--cores", "8",
+        ],
+        timeout=420,
+    )
+    assert build["n_docs"] == 300
+    assert build["batches"] == 2
+    assert build["index_bytes"] > 0
+    assert (out / "index" / "stats.parquet").exists()
+    assert (out / "lineage.parquet").exists()
+
+    # 2) top-k query job against the published index
+    q = _run(
+        [
+            sys.executable, "jobs/query_topk.py",
+            "--index", str(out / "index"),
+            "--query", "data partition", "-k", "5", "--cores", "8",
+        ]
+    )
+    assert q["engine"] == "wand" and len(q["results"]) == 5
+    assert q["results"][0]["score"] >= q["results"][-1]["score"]
+
+    # 3) PageRank job materializes the rank table (D14)
+    pr_out = tmp_path / "ranks.parquet"
+    pr = _run(
+        [
+            sys.executable, "jobs/pagerank_job.py",
+            "--input", corpus_parquet, "--out", str(pr_out),
+            "--content-col", "content", "--cores", "8",
+        ]
+    )
+    assert pr["n_edges"] > 0 and pr["n_nodes"] > 0
+    assert pr_out.exists()
