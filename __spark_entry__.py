@@ -367,6 +367,41 @@ def q_op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17+D20: synonym-expanded BM25 top-10 (expansion = cosine top-n over
+    the deterministic word-vector table, weights decayed 0.5/2^rank, merged
+    by max with the base query weights) — the oracle inlines the vectors as
+    literals and re-runs expansion + weighted scoring in SQL."""
+    from google_spark.operators.synonyms import (
+        load_word_vectors,
+        synonym_topk,
+        synthetic_word_vectors,
+    )
+
+    wv = synthetic_word_vectors(spark, _SYN_VOCAB, dim=_SYN_DIM, seed=_SYN_SEED)
+    words, mat = load_word_vectors(wv)
+    res = synonym_topk(
+        _index(spark, sf_dir), FLAGSHIP_QUERY, words, mat, k=10, topn=_SYN_TOPN
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 4)) for d, s in res], "doc_id long, score double"
+    )
+
+
+def q_doc_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25: snippet extraction — 120-char window around the first query-term
+    occurrence (fallback: document head), newlines flattened; the pandas
+    kernel runs only over the result rows and is character-for-character
+    reproducible in SQL (strpos/substr/replace)."""
+    from google_spark.operators.ranking import snippets
+
+    docs = _docs(spark, sf_dir)
+    results = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    return snippets(results, docs, ["hash", "join"], text_col="text").select(
+        "doc_id", "snippet"
+    )
+
+
 def q_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 title half (urlpages analog, ref: src/cis5550/jobs/
     Indexer.java:135-138): first non-empty line, comment markers stripped,
@@ -484,6 +519,14 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from google_spark.operators.text_analysis import doc_fingerprint
 
     return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace token count + BPE-ish subword estimate
+    (ceil(len/4) per word) — JVM higher-order functions only."""
+    from google_spark.operators.text_analysis import token_estimate
+
+    return token_estimate(_docs(spark, sf_dir))
 
 
 def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_sessionize": q_op_sessionize,
         "op_sample": q_op_sample,
         "doc_titles": q_doc_titles,
+        "doc_snippets": q_doc_snippets,
+        "synonym_topk": q_synonym_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -618,12 +663,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
         "media_meta": q_media_meta,
         "text_token_count": q_text_token_count,
+        "text_token_estimate": q_text_token_estimate,
         "text_quality": q_text_quality,
         "sim_cosine_topk": q_sim_cosine_topk,
     }
 
 
-_BM25_ORACLE = f"""
+def _bm25_sql(q_cte: str) -> str:
+    """Weighted-BM25 top-10 oracle, parameterized by the per-term weight
+    CTE (plain queries use multiplicity weights; synonym expansion computes
+    decayed weights in SQL)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, {_TOK_SQL} AS ts FROM documents
 ),
@@ -634,7 +684,7 @@ tf AS (
   ) GROUP BY doc_id, term
 ),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0)),
+{q_cte},
 scored AS (
   SELECT tf.doc_id,
          sum(q.w * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
@@ -648,6 +698,60 @@ scored AS (
 SELECT doc_id, round(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+
+_BM25_ORACLE = _bm25_sql("q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))")
+
+# Synonym expansion (D17/D20): deterministic word vectors inlined as
+# literals; the oracle re-runs cosine expansion (top-n, ties word-asc,
+# decay 0.5/2^rank) and the weighted BM25 scoring entirely in SQL.
+_SYN_VOCAB = (
+    "hash join merge sort scan filter data index query search partition shuffle"
+).split()
+_SYN_DIM, _SYN_SEED, _SYN_TOPN = 16, 5, 3
+
+
+def _synonym_oracle() -> str:
+    from google_spark.operators.synonyms import synthetic_vectors
+
+    vecs = synthetic_vectors(_SYN_VOCAB, dim=_SYN_DIM, seed=_SYN_SEED)
+    values = ",\n    ".join(
+        f"('{w}', [{', '.join(repr(x) for x in v.tolist())}]::DOUBLE[])"
+        for w, v in vecs.items()
+    )
+    q_cte = f"""
+vecs(word, v) AS (VALUES
+    {values}),
+vn AS (
+  SELECT word,
+         list_transform(v, x -> x / sqrt(list_aggregate(
+           list_transform(v, y -> y * y), 'sum'))) AS nv
+  FROM vecs
+),
+qterms(qw, qweight) AS (VALUES ('hash', 1.0), ('join', 1.0)),
+sims AS (
+  SELECT q.qw, b.word AS sw,
+         list_aggregate(list_transform(list_zip(a.nv, b.nv),
+                                       z -> z[1] * z[2]), 'sum') AS sim
+  FROM qterms q
+  JOIN vn a ON a.word = q.qw
+  JOIN vn b ON b.word <> q.qw
+),
+ranked AS (
+  SELECT qw, sw,
+         row_number() OVER (PARTITION BY qw ORDER BY sim DESC, sw ASC) AS rn
+  FROM sims
+),
+syn(term, w) AS (
+  SELECT sw, 0.5 / power(2, rn - 1) FROM ranked WHERE rn <= {_SYN_TOPN}
+),
+q AS (
+  SELECT term, max(w) AS w FROM (
+    SELECT qw AS term, qweight AS w FROM qterms
+    UNION ALL SELECT term, w FROM syn
+  ) GROUP BY term
+)"""
+    return _bm25_sql(q_cte)
 
 
 # Shared DuckDB fragments for the dedup/text oracles. Shingle + MinHash
@@ -1105,6 +1209,25 @@ def oracle_sql() -> dict[str, str]:
             WITH {_LSH_CTES}
             SELECT a, b FROM pairs
         """,
+        "synonym_topk": _synonym_oracle(),
+        "doc_snippets": """
+            WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+            p AS (
+              SELECT doc_id, text,
+                     NULLIF(LEAST(
+                       CASE WHEN strpos(lower(text), 'hash') > 0
+                            THEN strpos(lower(text), 'hash') ELSE 2147483647 END,
+                       CASE WHEN strpos(lower(text), 'join') > 0
+                            THEN strpos(lower(text), 'join') ELSE 2147483647 END
+                     ), 2147483647) AS pos1
+              FROM sub
+            )
+            SELECT doc_id,
+                   replace(substr(text,
+                     CASE WHEN pos1 IS NULL THEN 1 ELSE greatest(1, pos1 - 40) END,
+                     120), chr(10), ' ') AS snippet
+            FROM p
+        """,
         "dedup_simhash_pairs": _SIMHASH_ORACLE,
         "dedup_jaccard_pairs": f"""
             WITH {_LSH_CTES},
@@ -1181,6 +1304,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOK_SQL}) AS INT) AS n_tokens FROM documents
+        """,
+        "text_token_estimate": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(COALESCE(text, ''), '\\s+'),
+                                 x -> len(x) > 0) AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS INT) AS n_tokens_ws,
+                   CAST(COALESCE(list_aggregate(
+                          list_transform(ws, x -> (len(x) + 3) // 4), 'sum'),
+                        0) AS INT) AS n_tokens_bpe
+            FROM w
         """,
         "text_quality": f"""
             SELECT doc_id,

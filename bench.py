@@ -74,12 +74,19 @@ def main() -> None:
     timings["exhaustive_q1"] = round(time.perf_counter() - t0, 4)
 
     # training-data ops at sf scale
-    from google_spark.operators.dedup import minhash_near_dups
+    from google_spark.operators.dedup import (
+        minhash_near_dups,
+        simhash_fingerprints,
+        simhash_near_dups,
+    )
     from google_spark.operators.pagerank import pagerank, synthetic_doc_graph
 
     t0 = time.perf_counter()
     minhash_near_dups(docs, threshold=0.5).count()
     timings["minhash_neardup"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    simhash_near_dups(simhash_fingerprints(docs), max_hamming=8).count()
+    timings["simhash_neardup"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
     pagerank(synthetic_doc_graph(docs), exact_iters=3).count()
     timings["pagerank_3it"] = round(time.perf_counter() - t0, 4)
@@ -106,6 +113,20 @@ def main() -> None:
     )
     timings["join_agg"] = round(time.perf_counter() - t0, 4)
 
+    # second scale point: replicated corpus, so round-over-round deltas in
+    # build throughput aren't masked by fixed job overhead (~2-3s) that
+    # dominates the raw 5k-doc sf0.1 figure
+    repl = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "16"))
+    reps = spark.range(repl).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * repl + F.col("rep")).alias("doc_id"), "text"
+    )
+    n_big = n_docs * repl
+    t0 = time.perf_counter()
+    build_index(spark, big, id_col="doc_id", text_col="text", total_docs=n_big)
+    big_sec = time.perf_counter() - t0
+    timings[f"index_build_x{repl}"] = round(big_sec, 4)
+
     total = time.perf_counter() - t_all
     scaling = None
     scaling_path = Path(__file__).resolve().parent / "BENCH" / "scaling.json"
@@ -127,6 +148,8 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "index_build_docs_per_sec": round(n_docs / build_sec, 2),
+        "index_build_docs_per_sec_replicated": round(n_big / big_sec, 2),
+        "n_docs_replicated": n_big,
         "query_p50_ms": round(statistics.median(lat_ms), 2),
         "query_p50_warm_ms": round(statistics.median(warm_ms), 2),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),

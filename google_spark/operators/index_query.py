@@ -301,19 +301,45 @@ def positions_for(
     index: IndexTables, terms: list[str], doc_ids: set[int]
 ) -> dict[str, dict[int, list[int]]]:
     """term -> {doc_id -> positions} for a small candidate set (the
-    proximity re-rank path: decode full postings of the query terms, keep
-    only the k candidate docs). One pruned scan; positions never leave the
-    driver for more docs than the result page."""
+    proximity re-rank path). The candidate filter runs EXECUTOR-side inside
+    the decode kernel (the candidate set rides in as a closure — it is <=
+    one result page), so the driver receives only |candidates| x |terms|
+    position lists — never a hot term's full posting row, which at web
+    scale is the difference between KBs and GBs per query."""
     from google_spark.functions.codec import decode_postings_full_np
 
     out: dict[str, dict[int, list[int]]] = {t: {} for t in terms}
-    rows = index.matching(terms).select("term", "postings").collect()
+    if not terms or not doc_ids:
+        return out
+    cand = np.array(sorted(doc_ids), dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t_out, d_out, p_out = [], [], []
+            for term, blob in zip(pdf["term"].values, pdf["postings"].values):
+                docs, _tfs, _dls, pos = decode_postings_full_np(bytes(blob))
+                idx = np.minimum(np.searchsorted(cand, docs), len(cand) - 1)
+                hit = np.flatnonzero(cand[idx] == docs)
+                for i in hit:
+                    t_out.append(term)
+                    d_out.append(int(docs[i]))
+                    p_out.append(pos[i].tolist())
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(t_out, dtype="object"),
+                    "doc_id": pd.Series(d_out, dtype="int64"),
+                    "positions": pd.Series(p_out, dtype="object"),
+                }
+            )
+
+    rows = (
+        index.matching(terms)
+        .select("term", "postings")
+        .mapInPandas(gen, schema="term string, doc_id long, positions array<int>")
+        .collect()
+    )
     for r in rows:
-        docs, _tfs, _dls, pos = decode_postings_full_np(bytes(r["postings"]))
-        tmap = out[r["term"]]
-        for d, p in zip(docs.tolist(), pos):
-            if d in doc_ids:
-                tmap[d] = p.tolist()
+        out[r["term"]][r["doc_id"]] = list(r["positions"])
     return out
 
 

@@ -100,13 +100,15 @@ def synonym_topk(
     return local_topk_core(index, weights, k)
 
 
-def synthetic_word_vectors(
-    spark: SparkSession, vocab: list[str], dim: int = 32, seed: int = 5,
+def synthetic_vectors(
+    vocab: list[str], dim: int = 32, seed: int = 5,
     clusters: dict[str, list[str]] | None = None,
-) -> DataFrame:
-    """Deterministic word vectors for tests: random unit-ish vectors, with
-    optional clusters whose members share a base vector (making them
-    mutual nearest neighbours)."""
+) -> dict[str, np.ndarray]:
+    """Deterministic word vectors (pure NumPy, no Spark): random unit-ish
+    vectors, with optional clusters whose members share a base vector
+    (making them mutual nearest neighbours). Shared by the Spark table
+    builder AND the DuckDB oracle (which inlines these as literals), so the
+    two sides cannot drift."""
     rng = np.random.default_rng(seed)
     vecs: dict[str, np.ndarray] = {
         w: rng.standard_normal(dim) for w in vocab
@@ -115,5 +117,14 @@ def synthetic_word_vectors(
         base = vecs.setdefault(base_word, rng.standard_normal(dim))
         for m in members:
             vecs[m] = base + 0.05 * rng.standard_normal(dim)
+    return vecs
+
+
+def synthetic_word_vectors(
+    spark: SparkSession, vocab: list[str], dim: int = 32, seed: int = 5,
+    clusters: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Deterministic word-vector DataFrame for tests and contracts."""
+    vecs = synthetic_vectors(vocab, dim=dim, seed=seed, clusters=clusters)
     rows = [(w, [float(x) for x in v]) for w, v in vecs.items()]
     return spark.createDataFrame(rows, "word string, vector array<double>")

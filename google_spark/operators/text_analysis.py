@@ -59,6 +59,41 @@ def token_count(
     )
 
 
+def token_estimate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chars_per_subword: int = 4,
+) -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_bpe): whitespace token count plus a
+    BPE-ish subword estimate — each whitespace word contributes
+    ceil(len(word)/chars_per_subword) subwords (the ~4-chars-per-token
+    heuristic LLM data pipelines budget with). Pure JVM expressions; no
+    tokenizer model is shipped offline, and the estimate is the quantity a
+    100 TB pre-filter actually needs (token budgets, not exact BPE ids)."""
+    words = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda w: F.length(w) > 0
+    )
+    # ceil(len/c) via integer arithmetic: (len + c - 1) div c
+    c = chars_per_subword
+    bpe = F.aggregate(
+        F.transform(words, lambda w: (F.length(w) + F.lit(c - 1)).cast("int")),
+        F.lit(0),
+        lambda a, x: a + F.floor(x / c).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(words))
+        .cast("int")
+        .alias("n_tokens_ws"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(bpe)
+        .cast("int")
+        .alias("n_tokens_bpe"),
+    )
+
+
 def quality_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
