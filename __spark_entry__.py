@@ -39,14 +39,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _index(spark: SparkSession, sf_dir: str):
+def _index(spark: SparkSession, sf_dir: str, mode: str = "simple"):
     from google_spark.operators.index_build import build_index
 
-    if sf_dir not in _INDEX_CACHE:
-        _INDEX_CACHE[sf_dir] = build_index(
-            spark, _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    key = (sf_dir, mode)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            spark, _docs(spark, sf_dir), id_col="doc_id", text_col="text", mode=mode
         )
-    return _INDEX_CACHE[sf_dir]
+    return _INDEX_CACHE[key]
 
 
 def _round4(df: DataFrame, *cols: str) -> DataFrame:
@@ -73,6 +74,18 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from google_spark.operators.index_query import wand_topk
 
     df = wand_topk(_index(spark, sf_dir), FLAGSHIP_QUERY, k=10)
+    return _round4(df, "score")
+
+
+def q_bm25_topk_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule headline over CODE tokens: BM25 top-10 with the
+    identifier-aware tokenizer (snake_case/camelCase split), per-shard
+    block-max WAND, against a full SQL recomputation."""
+    from google_spark.operators.index_query import wand_topk
+
+    df = wand_topk(
+        _index(spark, sf_dir, mode="code"), FLAGSHIP_QUERY, k=10, mode="code"
+    )
     return _round4(df, "score")
 
 
@@ -625,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_code": q_bm25_topk_code,
         "tokenize_tf": q_tokenize_tf,
         "tokenize_code_tf": q_tokenize_code_tf,
         "term_df_idf": q_term_df_idf,
@@ -669,13 +683,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _bm25_sql(q_cte: str) -> str:
+# Code-mode tokenizer parity (identifier-aware: acronym-run then camelCase
+# boundaries inserted by two regexp_replace passes, then the simple kernel).
+_TOK_CODE_SQL = (
+    "list_filter(regexp_extract_all(lower("
+    "regexp_replace(regexp_replace(text, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'), "
+    "'([a-z0-9])([A-Z])', '\\1 \\2', 'g')), "
+    "'[a-z0-9]+'), t -> len(t) BETWEEN 2 AND 40)"
+)
+
+
+def _bm25_sql(q_cte: str, tok_sql: str = _TOK_SQL) -> str:
     """Weighted-BM25 top-10 oracle, parameterized by the per-term weight
     CTE (plain queries use multiplicity weights; synonym expansion computes
-    decayed weights in SQL)."""
+    decayed weights in SQL) and the tokenizer (simple or code mode)."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+  SELECT doc_id, {tok_sql} AS ts FROM documents
 ),
 stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
 tf AS (
@@ -977,20 +1001,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_exhaustive": _BM25_ORACLE,
         "bm25_topk_wand": _BM25_ORACLE,
+        "bm25_topk_code": _bm25_sql(
+            "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
+            tok_sql=_TOK_CODE_SQL,
+        ),
         "tokenize_tf": f"""
             SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
               SELECT doc_id, unnest({_TOK_SQL}) AS term
               FROM documents WHERE doc_id % 25 = 0
             ) GROUP BY doc_id, term
         """,
-        "tokenize_code_tf": """
+        "tokenize_code_tf": f"""
             SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
-              SELECT doc_id, unnest(
-                list_filter(regexp_extract_all(lower(
-                  regexp_replace(regexp_replace(text,
-                    '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
-                    '([a-z0-9])([A-Z])', '\\1 \\2', 'g')),
-                  '[a-z0-9]+'), t -> len(t) BETWEEN 2 AND 40)) AS term
+              SELECT doc_id, unnest({_TOK_CODE_SQL}) AS term
               FROM documents WHERE doc_id % 25 = 0
             ) GROUP BY doc_id, term
         """,

@@ -18,7 +18,6 @@ Ties break (score desc, doc_id asc) everywhere, including the oracle.
 
 from __future__ import annotations
 
-import heapq
 from collections import Counter
 from typing import Iterator
 

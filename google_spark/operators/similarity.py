@@ -255,6 +255,74 @@ def ann_ivf_topk(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: vectors parquet-partitioned by cluster (the
+    embedding analog of the term-bucketed text index — an nprobe query
+    reads nprobe partition directories, everything else is pruned) plus a
+    tiny centroid table."""
+    import os
+
+    centroids, assigned = ivf_assignments(
+        emb, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    spark = emb.sparkSession
+    (
+        emb.join(assigned, id_col)
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(out_dir, "vectors.parquet"))
+    )
+    cent_rows = [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))]
+    spark.createDataFrame(cent_rows, "cluster int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "centroids.parquet"))
+
+
+def ivf_index_topk(
+    spark,
+    out_dir: str,
+    probe_vec: "np.ndarray | list[float]",
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: pick the nprobe nearest centroids from
+    the (tiny) centroid table, then scan ONLY those cluster partitions —
+    the filter is a literal IN over the partition column, so Catalyst
+    prunes directories before any vector is read."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(out_dir, "centroids.parquet")).collect()
+    mat = np.array([list(r["centroid"]) for r in cents], dtype=np.float64)
+    cids = np.array([int(r["cluster"]) for r in cents])
+    p = np.asarray(probe_vec, dtype=np.float64)
+    c_norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = c_norm @ (p / max(np.linalg.norm(p), 1e-12))
+    probe_clusters = cids[np.lexsort((cids, -sims))[:nprobe]].tolist()
+    vecs = spark.read.parquet(os.path.join(out_dir, "vectors.parquet")).filter(
+        F.col("cluster").isin(probe_clusters)
+    )
+    probe_df = spark.createDataFrame(
+        [([float(x) for x in p],)], f"probe array<double>"
+    )
+    sim = cosine_sim_col(vec_col, "probe")
+    return (
+        vecs.crossJoin(F.broadcast(probe_df))
+        .select(id_col, sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

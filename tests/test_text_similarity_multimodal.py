@@ -146,3 +146,37 @@ def test_ivf_assignments_cover_all_vectors(spark, emb_df):
     assert len(rows) == emb_df.count()
     assert cents.shape == (8, 16)
     assert {r["cluster"] for r in rows} <= set(range(8))
+
+
+def test_ivf_disk_index_roundtrip_and_pruning(spark, emb_df, tmp_path):
+    """Persisted IVF index: cluster-partitioned parquet, query scans only
+    nprobe partitions (pruning visible in the plan), results match the
+    in-memory IVF path for the same quantizer."""
+    import numpy as np
+
+    from google_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    out = str(tmp_path / "ivf")
+    write_ivf_index(emb_df, out, n_centroids=8, n_iters=2)
+    probe = np.array(
+        emb_df.filter("vec_id = 0").select("embedding").first()[0], dtype=np.float64
+    )
+    got = ivf_index_topk(spark, out, probe, k=11, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "cluster" in plan  # partition filter reached the scan
+    mem = [
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in ann_ivf_topk(emb_df, 0, k=10, n_centroids=8, nprobe=3).collect()
+    ]
+    disk = [
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in got.collect()
+        if r["vec_id"] != 0  # external-probe path has no self-exclusion
+    ]
+    assert [d for d, _ in disk] == [d for d, _ in mem]
+    for (_, a), (_, b) in zip(disk, mem):
+        assert abs(a - b) < 1e-5
