@@ -36,6 +36,15 @@ def __getattr__(name):
         "exhaustive_topk": ("google_spark.operators.index_query", "exhaustive_topk"),
         "pagerank": ("google_spark.operators.pagerank", "pagerank"),
         "get_spark": ("google_spark.session", "get_spark"),
+        "build_docstore": ("google_spark.operators.docstore", "build_docstore"),
+        "exact_dedup": ("google_spark.operators.dedup", "exact_dedup"),
+        "minhash_near_dups": ("google_spark.operators.dedup", "minhash_near_dups"),
+        "simhash_fingerprints": ("google_spark.operators.dedup", "simhash_fingerprints"),
+        "cosine_topk": ("google_spark.operators.similarity", "cosine_topk"),
+        "ann_lsh_topk": ("google_spark.operators.similarity", "ann_lsh_topk"),
+        "ann_ivf_topk": ("google_spark.operators.similarity", "ann_ivf_topk"),
+        "write_ivf_index": ("google_spark.operators.similarity", "write_ivf_index"),
+        "ivf_index_topk": ("google_spark.operators.similarity", "ivf_index_topk"),
     }
     if name in lazy:
         import importlib

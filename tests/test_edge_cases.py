@@ -1,0 +1,95 @@
+"""Boundary behavior a 100 TB pipeline will definitely hit: empty inputs,
+null/unicode text, degenerate queries, one huge document."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_empty_corpus_build_and_query(spark):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import (
+        exhaustive_topk,
+        wand_topk,
+        wand_topk_local,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    idx = build_index(spark, docs)
+    assert idx.n_docs == 0 and idx.avgdl == 0.0
+    assert wand_topk(idx, "anything", k=5).collect() == []
+    assert exhaustive_topk(idx, "anything", k=5).collect() == []
+    assert wand_topk_local(idx, "anything", k=5) == []
+
+
+def test_null_and_unicode_text(spark):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk_local
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, "café naïve résumé data"),  # accents drop to runs
+            (3, "日本語 text data here"),  # CJK is not [a-z0-9]
+            (4, "plain data row"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs)
+    assert idx.n_docs == 4  # null/untokenizable docs still count toward N
+    hits = [d for d, _ in wand_topk_local(idx, "data", k=10)]
+    assert set(hits) == {2, 3, 4}
+    # accented words contribute their ascii runs ("caf", "na", "ve", ...)
+    assert [d for d, _ in wand_topk_local(idx, "text", k=10)] == [3]
+
+
+def test_query_k_exceeds_matches_and_dup_terms(spark, corpus_df):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk_local
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    idx = build_index(spark, docs, text_col="content")
+    few = wand_topk_local(idx, "relational", k=10_000)
+    assert 0 < len(few) < 10_000  # all matches, no padding
+    # repeated query terms double the weight, not the result set
+    once = wand_topk_local(idx, "data", k=5)
+    twice = wand_topk_local(idx, "data data", k=5)
+    assert [d for d, _ in once] == [d for d, _ in twice]
+    for (_, a), (_, b) in zip(once, twice):
+        assert b == pytest.approx(2 * a, rel=1e-9)
+
+
+def test_single_huge_document(spark):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk_local
+
+    big_text = " ".join(f"tok{i % 997}" for i in range(120_000))
+    docs = spark.createDataFrame(
+        [(1, big_text), (2, "tok1 tok2 small doc")], "doc_id long, text string"
+    )
+    idx = build_index(spark, docs)
+    assert idx.avgdl == pytest.approx((120_000 + 4) / 2)
+    res = wand_topk_local(idx, "tok1", k=2)
+    assert {d for d, _ in res} == {1, 2}
+    # tf saturates but ~120 occurrences still outweigh 1; length
+    # normalization caps the gap well below the raw 120x tf ratio
+    scores = dict(res)
+    assert scores[1] > scores[2]
+    assert scores[1] / scores[2] < 3
+
+
+def test_dedup_and_text_ops_on_empty_and_null(spark):
+    from google_spark.operators.dedup import minhash_signatures, simhash_fingerprints
+    from google_spark.operators.text_analysis import token_estimate
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "ab")], "doc_id long, text string"
+    )
+    # too short for 3-shingles -> no signature rows, no crash
+    assert minhash_signatures(docs).collect() == []
+    fps = {r["doc_id"] for r in simhash_fingerprints(docs).collect()}
+    assert fps == {3}
+    te = {r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"]) for r in token_estimate(docs).collect()}
+    assert te == {1: (0, 0), 2: (0, 0), 3: (1, 1)}
