@@ -1,0 +1,129 @@
+"""Property test for the WAND shard kernel: on arbitrary posting lists the
+block-max slow path, the vectorized fast path, and a brute-force NumPy
+scorer must return the identical top-k (score desc, doc_id asc), bit-equal
+scores included — pruning is an optimization, never a semantics change."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from google_spark import BM25_B, BM25_K1
+from google_spark.functions.codec import block_metadata_np, encode_postings_np
+from google_spark.operators import index_query
+from google_spark.operators.index_query import _wand_shard_kernel
+
+
+@st.composite
+def shard_case(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=400))
+    # per-doc dl, consistent across terms like a real index
+    dls = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=500),
+            min_size=n_docs,
+            max_size=n_docs,
+        )
+    )
+    n_terms = draw(st.integers(min_value=1, max_value=5))
+    terms = []
+    for t in range(n_terms):
+        member = draw(
+            st.lists(st.booleans(), min_size=n_docs, max_size=n_docs)
+        )
+        docs = [i for i, m in enumerate(member) if m]
+        if not docs:
+            docs = [draw(st.integers(min_value=0, max_value=n_docs - 1))]
+        tfs = draw(
+            st.lists(
+                st.integers(min_value=1, max_value=50),
+                min_size=len(docs),
+                max_size=len(docs),
+            )
+        )
+        weight = draw(st.floats(min_value=0.5, max_value=3.0, allow_nan=False))
+        idf = draw(st.floats(min_value=0.01, max_value=5.0, allow_nan=False))
+        terms.append((f"t{t}", docs, tfs, weight, idf))
+    k = draw(st.integers(min_value=1, max_value=20))
+    avgdl = float(np.mean(dls))
+    return dls, terms, k, avgdl
+
+
+def _build_pdf(dls, terms):
+    rows = []
+    for name, docs, tfs, _w, _i in terms:
+        d = np.array(docs, dtype=np.int64)
+        t = np.array(tfs, dtype=np.int64)
+        dl = np.array([dls[i] for i in docs], dtype=np.int64)
+        blob = encode_postings_np(d, t, dl, [[1]] * len(d))
+        last, mx, mn = block_metadata_np(d, t, dl, block_size=16)
+        rows.append(
+            {
+                "term": name,
+                "df": len(d),
+                "postings": blob,
+                "block_last_doc": last.tolist(),
+                "block_max_tf": mx.tolist(),
+                "block_min_dl": mn.tolist(),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _brute(dls, terms, k, avgdl):
+    totals: dict[int, float] = {}
+    for _name, docs, tfs, w, idf in terms:
+        for d, tf in zip(docs, tfs):
+            dl = dls[d]
+            s = (
+                w
+                * idf
+                * tf
+                * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            )
+            totals[d] = totals.get(d, 0.0) + s
+    ranked = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [d for d, _ in ranked]
+
+
+@settings(max_examples=60, deadline=None)
+@given(case=shard_case())
+def test_slow_fast_brute_identical(case):
+    dls, terms, k, avgdl = case
+    pdf = _build_pdf(dls, terms)
+    weights = {name: w for name, _d, _t, w, _i in terms}
+    idf = {name: i for name, _d, _t, _w, i in terms}
+
+    saved = index_query.WAND_FASTPATH_MAX
+    try:
+        index_query.WAND_FASTPATH_MAX = 10**12
+        fast = _wand_shard_kernel(pdf, weights, idf, avgdl, k)
+        index_query.WAND_FASTPATH_MAX = 0
+        slow = _wand_shard_kernel(pdf, weights, idf, avgdl, k)
+    finally:
+        index_query.WAND_FASTPATH_MAX = saved
+
+    assert fast["doc_id"].tolist() == slow["doc_id"].tolist()
+    # same per-doc summation order -> bit-identical scores
+    assert fast["score"].tolist() == slow["score"].tolist()
+    brute = _brute(dls, terms, k, avgdl)
+    assert fast["doc_id"].tolist() == brute
+
+
+def test_kernel_empty_postings_row():
+    pdf = pd.DataFrame(
+        {
+            "term": ["t0"],
+            "df": [0],
+            "postings": [encode_postings_np([], [], [], [])],
+            "block_last_doc": [[]],
+            "block_max_tf": [[]],
+            "block_min_dl": [[]],
+        }
+    )
+    out = _wand_shard_kernel(pdf, {"t0": 1.0}, {"t0": 1.0}, 10.0, 5)
+    assert out["doc_id"].tolist() == []
