@@ -181,6 +181,23 @@ def _topk_from_arrays(
     )
 
 
+def _decode_posting_row(row) -> dict:
+    """Decode one posting row into reusable NumPy arrays. The serving row
+    cache stores THESE (not raw rows), so a hot term's blob is decoded once
+    per process, not once per query."""
+    docs, tfs, dls = decode_postings_arrays(bytes(row["postings"]))
+    return {
+        "term": row["term"],
+        "df": int(row["df"]),
+        "docs": docs,
+        "tf": tfs.astype(np.float64),
+        "dl": dls.astype(np.float64),
+        "bl": np.asarray(row["block_last_doc"], dtype=np.int64),
+        "bmax": np.asarray(row["block_max_tf"], dtype=np.float64),
+        "bmin": np.asarray(row["block_min_dl"], dtype=np.float64),
+    }
+
+
 def _wand_shard_kernel(
     pdf: pd.DataFrame,
     weights: dict[str, float],
@@ -188,7 +205,24 @@ def _wand_shard_kernel(
     avgdl: float,
     k: int,
 ) -> pd.DataFrame:
-    """Exact top-k within one shard.
+    """Exact top-k within one shard (see :func:`_kernel_decoded`)."""
+    return _kernel_decoded(
+        [_decode_posting_row(row) for _, row in pdf.iterrows()],
+        weights,
+        idf,
+        avgdl,
+        k,
+    )
+
+
+def _kernel_decoded(
+    entries: list[dict],
+    weights: dict[str, float],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """Exact top-k over decoded posting entries.
 
     Small candidate sets (<= WAND_FASTPATH_MAX postings) score everything
     with one vectorized accumulation. Above that, block-max segment pruning
@@ -210,19 +244,15 @@ def _wand_shard_kernel(
     order per doc matches the fast path, so scores are bit-identical."""
     # (docs, score_arr, per-block UBs, block last_doc boundaries)
     cols: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
-    for _, row in pdf.iterrows():
-        docs, tfs, dls = decode_postings_arrays(bytes(row["postings"]))
-        tf = tfs.astype(np.float64)
-        dl = dls.astype(np.float64)
-        w = weights[row["term"]] * idf[row["term"]]
+    for e in entries:
+        w = weights[e["term"]] * idf[e["term"]]
+        tf, dl = e["tf"], e["dl"]
         scores = w * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-        bmax = np.asarray(row["block_max_tf"], dtype=np.float64)
-        bmin = np.asarray(row["block_min_dl"], dtype=np.float64)
+        bmax, bmin = e["bmax"], e["bmin"]
         ub_blocks = w * bmax * (BM25_K1 + 1.0) / (
             bmax + BM25_K1 * (1.0 - BM25_B + BM25_B * bmin / avgdl)
         )
-        bl = np.asarray(row["block_last_doc"], dtype=np.int64)
-        cols.append((docs, scores, ub_blocks, bl))
+        cols.append((e["docs"], scores, ub_blocks, e["bl"]))
     cols = [c for c in cols if len(c[0])]
     if not cols:
         return _topk_from_arrays([], [], k)
@@ -389,31 +419,35 @@ def local_topk_core(
         "block_last_doc", "block_max_tf", "block_min_dl",
     )
     if row_cache is None:
-        rows = index.matching(terms).select(*cols).collect()
+        entries = [
+            _decode_posting_row(r)
+            for r in index.matching(terms).select(*cols).collect()
+        ]
     else:
         # Hot-term RAM cache (the analog of the reference's serve-time
         # preloads, ref: src/cis5550/jobs/SearchApi.java:135-145): fetch
-        # only terms not yet cached, in one pruned scan. Absent terms cache
-        # an empty list so they never re-scan.
+        # only terms not yet cached, in one pruned scan, and cache the
+        # DECODED arrays — a hot term's blob is decoded once per process,
+        # not once per query. Absent terms cache an empty list so they
+        # never re-scan.
         missing = [t for t in terms if t not in row_cache]
         if missing:
             fetched = index.matching(missing).select(*cols).collect()
             for t in missing:
                 row_cache[t] = []
             for r in fetched:
-                row_cache[r["term"]].append(r)
-        rows = [r for t in terms for r in row_cache.get(t, [])]
-    if not rows:
+                row_cache[r["term"]].append(_decode_posting_row(r))
+        entries = [e for t in terms for e in row_cache.get(t, [])]
+    if not entries:
         return []
     # Global df (hence idf) is recovered by summing the per-shard df of the
     # rows just fetched — no separate terms-table lookup job.
     df_total: dict[str, int] = {}
-    for r in rows:
-        df_total[r["term"]] = df_total.get(r["term"], 0) + int(r["df"])
+    for e in entries:
+        df_total[e["term"]] = df_total.get(e["term"], 0) + e["df"]
     n = index.n_docs
     idf = {
         t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in df_total.items()
     }
-    pdf = pd.DataFrame([r.asDict() for r in rows])
-    out = _wand_shard_kernel(pdf, weights, idf, index.avgdl, k)
+    out = _kernel_decoded(entries, weights, idf, index.avgdl, k)
     return list(zip(out["doc_id"].tolist(), out["score"].tolist()))
