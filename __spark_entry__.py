@@ -415,6 +415,14 @@ def q_doc_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion fidelity (input_hint invariant): per-row sha256(content)
+    must match an independent engine byte for byte."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
 def q_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 title half (urlpages analog, ref: src/cis5550/jobs/
     Indexer.java:135-138): first non-empty line, comment markers stripped,
@@ -662,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_window_agg": q_op_window_agg,
         "op_sessionize": q_op_sessionize,
         "op_sample": q_op_sample,
+        "doc_sha": q_doc_sha,
         "doc_titles": q_doc_titles,
         "doc_snippets": q_doc_snippets,
         "synonym_topk": q_synonym_topk,
@@ -1214,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
                        AS BIGINT) % 20 = 0
         """,
+        "doc_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "doc_titles": """
             SELECT doc_id,
                    substr(trim(regexp_replace(
