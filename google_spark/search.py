@@ -318,7 +318,8 @@ class SearchEngine:
         """Completions from the top-``TRIE_MAX_TERMS`` terms by df. The cap
         bounds driver memory at web scale (an uncapped vocabulary trie over
         10^9 docs would not fit); high-df terms are also the completions a
-        user actually wants."""
+        user actually wants. Prefixes the capped trie can't serve fall back
+        to :meth:`autocomplete_scan`."""
         if self._trie is None:
             self._trie = _Trie()
             top = (
@@ -329,4 +330,20 @@ class SearchEngine:
             )
             for r in top:
                 self._trie.insert(r["term"])
-        return self._trie.complete(prefix.lower(), limit)
+        hits = self._trie.complete(prefix.lower(), limit)
+        if hits:
+            return hits
+        return self.autocomplete_scan(prefix, limit)
+
+    def autocomplete_scan(self, prefix: str, limit: int = 10) -> list[str]:
+        """Distributed completion path: prefix filter pushed into the terms
+        scan, top-``limit`` by df. One small Spark job; serves the long tail
+        the capped trie drops."""
+        rows = (
+            self.index.terms.filter(F.col("term").startswith(prefix.lower()))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]

@@ -143,3 +143,11 @@ def test_row_cache_consistent_and_hit(spark, corpus_df):
     miss = wand_topk_local(idx, "zzznotaterm data", k=10, row_cache=cache)
     assert cache["zzznotaterm"] == []
     assert [d for d, _ in miss] == [d for d, _ in wand_topk_local(idx, "data", k=10)]
+
+
+def test_autocomplete_scan_fallback(engine):
+    scan = engine.autocomplete_scan("pa", 5)
+    assert scan and all(c.startswith("pa") for c in scan)
+    assert "partition" in engine.autocomplete_scan("partit", 5)
+    # absent prefix: trie misses, distributed fallback also (correctly) empty
+    assert engine.autocomplete("zzzq", 5) == []
