@@ -327,12 +327,19 @@ def simhash_fingerprints(
                 * 2
                 - 1
             )  # (V, 64) in {-1, +1}
-            contrib = (
-                signs[np.asarray(term_idx)]
-                * np.asarray(tfs, dtype=np.int64)[:, None]
-            )  # (M, 64)
             votes = np.zeros((len(ids), 64), dtype=np.int64)
-            np.add.at(votes, np.asarray(doc_idx), contrib)
+            ti = np.asarray(term_idx)
+            di = np.asarray(doc_idx)
+            tf_a = np.asarray(tfs, dtype=np.int64)
+            # chunk the scatter-add so the (chunk, 64) contrib transient
+            # stays bounded (~64 MB) no matter how many (doc, term) pairs
+            # one Arrow batch holds — long documents must not OOM a task
+            chunk = 131_072
+            for lo in range(0, len(ti), chunk):
+                hi = lo + chunk
+                np.add.at(
+                    votes, di[lo:hi], signs[ti[lo:hi]] * tf_a[lo:hi, None]
+                )
             fp = (
                 ((votes > 0).astype(np.uint64) << bit_idx[None, :])
                 .sum(axis=1, dtype=np.uint64)

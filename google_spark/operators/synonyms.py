@@ -51,6 +51,7 @@ def expand_query(
     """term -> [(synonym, weight)] with the reference's decay; the term
     itself is excluded; unknown terms expand to nothing."""
     inv = {i: w for w, i in words.items()}
+    vocab_np = np.array([inv[i] for i in range(len(words))])  # unicode dtype
     out: dict[str, list[tuple[str, float]]] = {}
     for t in terms:
         i = words.get(t)
@@ -58,7 +59,10 @@ def expand_query(
             out[t] = []
             continue
         sims = mat @ mat[i]
-        order = np.argsort(-sims)
+        # deterministic tie-break (sim desc, word asc) — matches the SQL
+        # oracle's ORDER BY; plain argsort's unstable tie order would
+        # diverge whenever two vectors are identical
+        order = np.lexsort((vocab_np, -sims))
         picked: list[tuple[str, float]] = []
         weights = synonym_weights(topn)
         for j in order:

@@ -215,9 +215,14 @@ class SearchEngine:
         (+ W_PROX*proximity when ``proximity``) (+ path/title boost),
         paginated; ties (priority desc, doc_id asc). The cached value is the
         full over-fetched candidate list, so any page within the over-fetch
-        window (>= 10*k results) is servable — not just page 1."""
+        window (>= 10*k results) is servable — not just page 1. Snippets
+        are attached lazily per page and stick to the cached rows, so a
+        cache hit with snippets stays a pure driver-memory operation."""
         page_size = page_size or k
-        key = (query, k, snippets, proximity)
+        # snippets deliberately NOT part of the identity (the False keeps
+        # the historical 4-tuple key shape): the ranked list is the same
+        # either way, and snippets attach to the cached rows on demand
+        key = (query, k, False, proximity)
         now = time.time()
         self._history[query] = now
         if len(self._history) > HISTORY_MAX:
@@ -286,8 +291,13 @@ class SearchEngine:
         return out
 
     def _attach_snippets(self, rows: list[SearchResult], terms: list[str]) -> None:
-        """Snippets for ONE page of results (<= page_size filtered rows)."""
+        """Snippets for ONE page of results (<= page_size filtered rows);
+        rows that already carry a snippet (a prior request for the same
+        cached entry) are skipped, so repeat hits cost no Spark job."""
         if self.docs is None:
+            return
+        rows = [r for r in rows if r.snippet is None]
+        if not rows:
             return
         ids = [r.doc_id for r in rows]
         fetched = self.docs.filter(F.col("doc_id").isin(ids)).collect()
@@ -331,9 +341,13 @@ class SearchEngine:
             for r in top:
                 self._trie.insert(r["term"])
         hits = self._trie.complete(prefix.lower(), limit)
-        if hits:
+        if len(hits) >= limit:
             return hits
-        return self.autocomplete_scan(prefix, limit)
+        # partial or zero trie coverage: merge in the distributed long tail
+        extra = [
+            t for t in self.autocomplete_scan(prefix, limit) if t not in hits
+        ]
+        return (hits + extra)[:limit]
 
     def autocomplete_scan(self, prefix: str, limit: int = 10) -> list[str]:
         """Distributed completion path: prefix filter pushed into the terms

@@ -80,15 +80,16 @@ def stream_index_builder(
         # would leave a permanent gap the merge refuses to cross, while the
         # stream checkpoint has already consumed the epoch.
         t0 = _time.perf_counter()
-        n_docs = batch_df.count()
         # Same order-independent content checksum as build_batch: lineage
         # rows carry identical integrity metadata whichever path wrote them.
+        # The agg's count doubles as n_docs (one source pass, not two).
         agg = batch_df.select(
             F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 15), 16, 10)
             .cast("long")
             .alias("p")
         ).agg(F.expr("bit_xor(p)").alias("x"), F.count("*").alias("n")).collect()[0]
-        checksum = f"{int(agg['n'] or 0)}:{int(agg['x'] or 0):015x}"
+        n_docs = int(agg["n"] or 0)
+        checksum = f"{n_docs}:{int(agg['x'] or 0):015x}"
         doc_terms = tokenize_docs(
             batch_df, id_col=id_col, text_col=text_col
         )

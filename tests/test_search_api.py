@@ -151,3 +151,17 @@ def test_autocomplete_scan_fallback(engine):
     assert "partition" in engine.autocomplete_scan("partit", 5)
     # absent prefix: trie misses, distributed fallback also (correctly) empty
     assert engine.autocomplete("zzzq", 5) == []
+
+
+def test_snippet_cache_hit_reuses_rows(engine):
+    """snippets=True on a cached query must not rebuild the candidate list
+    or refetch snippets: same cached row objects, one cache entry."""
+    q = "partition merge"
+    plain = engine.search(q, k=4)
+    with_snip = engine.search(q, k=4, snippets=True)
+    again = engine.search(q, k=4, snippets=True)
+    assert [r.doc_id for r in plain] == [r.doc_id for r in with_snip]
+    assert all(r.snippet for r in with_snip)
+    # same cached SearchResult objects round-trip (no recompute)
+    assert all(a is b for a, b in zip(with_snip, again))
+    assert len([k for k in engine._cache if k[0] == q]) == 1

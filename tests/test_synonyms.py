@@ -75,3 +75,16 @@ def test_search_history(spark, corpus_df):
     h = eng.history(limit=5)
     assert h[0] == "join" and len(h) == 5
     assert "data" in h  # re-accessed later than its first use
+
+
+def test_expand_query_tie_break_word_asc(spark):
+    """Exactly-tied cosine similarities must rank word-ascending (the SQL
+    oracle's ORDER BY sim DESC, word ASC), not argsort insertion order."""
+    from google_spark.operators.synonyms import expand_query, load_word_vectors
+
+    rows = [("alpha", [1.0, 0.0]), ("zeta", [0.9, 0.1]), ("beta", [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "word string, vector array<double>")
+    words, mat = load_word_vectors(df)
+    syn = expand_query(["alpha"], words, mat, topn=2)["alpha"]
+    assert [w for w, _ in syn] == ["beta", "zeta"]
+    assert [w for _, w in syn] == [0.5, 0.25]
