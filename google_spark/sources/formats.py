@@ -1,0 +1,89 @@
+"""Multi-format corpus IO: parquet (default), JSON/JSONL, CSV, ORC.
+
+The reference ingests only its own KVS byte rows (ref:
+src/cis5550/kvs/Worker.java:400-426 append-only log); Spark-first, a corpus
+arrives as files in whatever format the producer wrote. One reader/writer
+pair with format auto-detection keeps every engine operator
+format-agnostic — they all consume plain DataFrames.
+
+Scale notes: parquet/ORC are the only formats that support column pruning
+and predicate pushdown; JSON/CSV scans read every byte. ``read_corpus``
+therefore works with all four, but anything latency-critical should convert
+to parquet first (``convert_corpus``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".csv": "csv",
+    ".orc": "orc",
+}
+
+SUPPORTED_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+def detect_format(path: str) -> str:
+    """Infer the storage format from the path extension, falling back to
+    the extension of the first data file in a directory; parquet wins when
+    nothing matches (the engine's canonical format)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _EXT_FORMAT:
+        return _EXT_FORMAT[ext]
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            e = os.path.splitext(entry)[1].lower()
+            if e in _EXT_FORMAT:
+                return _EXT_FORMAT[e]
+    return "parquet"
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: str | None = None,
+) -> DataFrame:
+    """Read a corpus table in any supported format. CSV assumes a header
+    row when no schema is given; pass ``schema`` (a DDL string) for
+    schema-stable ingestion (recommended: inference costs an extra pass
+    and can drift between runs)."""
+    fmt = (fmt or detect_format(path)).lower()
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported corpus format {fmt!r}; use one of {SUPPORTED_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        return reader.option("multiLine", "true").option("escape", '"').csv(
+            path, header=True
+        )
+    return getattr(reader, fmt)(path)
+
+
+def write_corpus(df: DataFrame, path: str, fmt: str | None = None) -> None:
+    fmt = (fmt or detect_format(path)).lower()
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported corpus format {fmt!r}; use one of {SUPPORTED_FORMATS}")
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").option("escape", '"').csv(path)
+    else:
+        getattr(writer, fmt)(path)
+
+
+def convert_corpus(
+    spark: SparkSession, src: str, dst: str, src_fmt: str | None = None
+) -> DataFrame:
+    """One-shot conversion to the engine's canonical scan format (parquet):
+    read any supported source, write parquet, return the parquet-backed
+    DataFrame (pushdown + pruning from here on)."""
+    write_corpus(read_corpus(spark, src, fmt=src_fmt), dst, fmt="parquet")
+    return spark.read.parquet(dst)
