@@ -171,11 +171,13 @@ def build_batch(
     return res
 
 
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: partial blobs of one (term, shard) across
-    batches -> one merged, re-blocked posting row (indexJoin analog).
-    Vectorized end to end: NumPy decode of every partial, argsort over the
-    concatenated (disjoint) doc universe, NumPy re-encode."""
+def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (term-bucket, shard) group of partial
+    blobs across batches -> one merged, re-blocked posting row PER TERM
+    (indexJoin analog). Per-term merge is vectorized end to end: NumPy
+    decode of every partial, argsort over the concatenated (disjoint) doc
+    universe, NumPy re-encode. Bucketed grouping keeps the framework's
+    per-group cost off the rare-term tail, same as the encode kernel."""
     import numpy as np
 
     from google_spark.functions.codec import (
@@ -184,29 +186,44 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         encode_postings_np,
     )
 
-    d_parts, t_parts, l_parts, p_parts = [], [], [], []
-    for b in pdf["postings"]:
-        d, t, l, p = decode_postings_full_np(bytes(b))
-        d_parts.append(d)
-        t_parts.append(t)
-        l_parts.append(l)
-        p_parts.extend(p)
-    docs = np.concatenate(d_parts)
-    tfs = np.concatenate(t_parts)
-    dls = np.concatenate(l_parts)
-    order = np.argsort(docs, kind="stable")
-    docs, tfs, dls = docs[order], tfs[order], dls[order]
-    positions = [p_parts[i] for i in order]
-    last_doc, max_tf, min_dl = block_metadata_np(docs, tfs, dls)
+    shard = int(pdf["shard"].iloc[0])
+    out: dict[str, list] = {
+        k: []
+        for k in (
+            "term", "df", "postings",
+            "block_last_doc", "block_max_tf", "block_min_dl",
+        )
+    }
+    for term, g in pdf.groupby("term", sort=False):
+        d_parts, t_parts, l_parts, p_parts = [], [], [], []
+        for b in g["postings"]:
+            d, t, l, p = decode_postings_full_np(bytes(b))
+            d_parts.append(d)
+            t_parts.append(t)
+            l_parts.append(l)
+            p_parts.extend(p)
+        docs = np.concatenate(d_parts)
+        tfs = np.concatenate(t_parts)
+        dls = np.concatenate(l_parts)
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        positions = [p_parts[i] for i in order]
+        last_doc, max_tf, min_dl = block_metadata_np(docs, tfs, dls)
+        out["term"].append(term)
+        out["df"].append(len(docs))
+        out["postings"].append(encode_postings_np(docs, tfs, dls, positions))
+        out["block_last_doc"].append(last_doc.tolist())
+        out["block_max_tf"].append(max_tf.tolist())
+        out["block_min_dl"].append(min_dl.tolist())
     return pd.DataFrame(
         {
-            "term": [pdf["term"].iloc[0]],
-            "shard": pd.Series([int(pdf["shard"].iloc[0])], dtype="int32"),
-            "df": pd.Series([len(docs)], dtype="int64"),
-            "postings": [encode_postings_np(docs, tfs, dls, positions)],
-            "block_last_doc": [last_doc.tolist()],
-            "block_max_tf": [max_tf.tolist()],
-            "block_min_dl": [min_dl.tolist()],
+            "term": out["term"],
+            "shard": pd.Series([shard] * len(out["term"]), dtype="int32"),
+            "df": pd.Series(out["df"], dtype="int64"),
+            "postings": out["postings"],
+            "block_last_doc": pd.Series(out["block_last_doc"], dtype="object"),
+            "block_max_tf": pd.Series(out["block_max_tf"], dtype="object"),
+            "block_min_dl": pd.Series(out["block_min_dl"], dtype="object"),
         }
     )
 
@@ -221,12 +238,14 @@ def merge_batches(
     if missing:
         raise RuntimeError(f"cannot merge: uncommitted batches {missing}")
 
+    from google_spark.operators.index_build import term_bucket_col
+
     parts = spark.read.parquet(
         *[os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in done]
     )
-    merged = parts.groupBy("term", "shard").applyInPandas(
-        _merge_group, schema=POSTINGS_SCHEMA
-    )
+    merged = parts.withColumn("tb", term_bucket_col("term")).groupBy(
+        "tb", "shard"
+    ).applyInPandas(_merge_bucket, schema=POSTINGS_SCHEMA)
     doclens = spark.read.parquet(
         *[os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in done]
     )

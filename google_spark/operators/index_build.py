@@ -5,8 +5,9 @@ Indexer dataflow — ref: src/cis5550/jobs/Indexer.java:53-246):
 
     docs(id, text) --mapInPandas--> doc_terms(doc_id, dl, term, tf, positions)
         [map-side per-doc aggregation: no (doc,term) shuffle at all]
-    doc_terms --groupBy(term, shard)--> applyInPandas encode
+    doc_terms --groupBy(term-bucket, shard)--> applyInPandas encode
         -> postings(term, shard, df, postings BINARY, block metadata)
+        [bucketed groups: group count is a knob, not |vocab| * n_shards]
     doc_terms --agg--> stats(n_docs, avgdl)
     postings --groupBy(term)--> terms(term, df, idf)
 
@@ -139,42 +140,73 @@ def tokenize_docs(
     return docs.select(id_col, text_col).mapInPandas(gen, schema=DOC_TERMS_SCHEMA)
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (term, shard) group -> one postings row.
-    Fully vectorized: NumPy argsort + LEB128 scatter encode (bit-identical
-    to the scalar reference codec, parity-tested)."""
+def _encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (term-bucket, shard) group -> one postings
+    row PER TERM in the bucket. Per-term work is fully vectorized (NumPy
+    argsort + LEB128 scatter encode, bit-identical to the scalar reference
+    codec, parity-tested); batching many terms per Spark group keeps the
+    framework's per-group cost off the long tail of rare terms."""
     import numpy as np
 
     from google_spark.functions.codec import block_metadata_np, encode_postings_np
 
-    doc_ids = pdf["doc_id"].to_numpy()
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids = doc_ids[order]
-    tfs = pdf["tf"].to_numpy()[order]
-    dls = pdf["dl"].to_numpy()[order]
-    positions = pdf["positions"].to_numpy()[order]
-    blob = encode_postings_np(doc_ids, tfs, dls, positions)
-    last_doc, max_tf, min_dl = block_metadata_np(doc_ids, tfs, dls)
+    shard = int(pdf["shard"].iloc[0])
+    out: dict[str, list] = {
+        k: []
+        for k in (
+            "term", "df", "postings",
+            "block_last_doc", "block_max_tf", "block_min_dl",
+        )
+    }
+    for term, g in pdf.groupby("term", sort=False):
+        doc_ids = g["doc_id"].to_numpy()
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfs = g["tf"].to_numpy()[order]
+        dls = g["dl"].to_numpy()[order]
+        positions = g["positions"].to_numpy()[order]
+        blob = encode_postings_np(doc_ids, tfs, dls, positions)
+        last_doc, max_tf, min_dl = block_metadata_np(doc_ids, tfs, dls)
+        out["term"].append(term)
+        out["df"].append(len(doc_ids))
+        out["postings"].append(blob)
+        out["block_last_doc"].append(last_doc.tolist())
+        out["block_max_tf"].append(max_tf.tolist())
+        out["block_min_dl"].append(min_dl.tolist())
     return pd.DataFrame(
         {
-            "term": [pdf["term"].iloc[0]],
-            "shard": pd.Series([int(pdf["shard"].iloc[0])], dtype="int32"),
-            "df": pd.Series([len(doc_ids)], dtype="int64"),
-            "postings": [blob],
-            "block_last_doc": [last_doc.tolist()],
-            "block_max_tf": [max_tf.tolist()],
-            "block_min_dl": [min_dl.tolist()],
+            "term": out["term"],
+            "shard": pd.Series([shard] * len(out["term"]), dtype="int32"),
+            "df": pd.Series(out["df"], dtype="int64"),
+            "postings": out["postings"],
+            "block_last_doc": pd.Series(out["block_last_doc"], dtype="object"),
+            "block_max_tf": pd.Series(out["block_max_tf"], dtype="object"),
+            "block_min_dl": pd.Series(out["block_min_dl"], dtype="object"),
         }
     )
 
 
-def build_postings(doc_terms: DataFrame, n_shards: int = 8) -> DataFrame:
-    """doc_terms -> sharded, delta-varint-compressed posting lists."""
+def build_postings(
+    doc_terms: DataFrame, n_shards: int = 8, n_buckets: int | None = None
+) -> DataFrame:
+    """doc_terms -> sharded, delta-varint-compressed posting lists.
+
+    The encode exchange groups by (term-bucket, shard), not (term, shard):
+    group count is the fixed knob ``n_buckets * n_shards`` instead of
+    ``|vocab| * n_shards`` — at web scale a per-term grouping would pay the
+    framework's per-group cost hundreds of millions of times for singleton
+    rare-term groups, while hash-bucketed groups stay uniformly sized
+    (a hot term still spreads over all doc-shards exactly as before; the
+    output rows are byte-identical either way). Size ``n_buckets`` (default
+    :data:`N_TERM_BUCKETS`) so one group's postings — roughly
+    total_postings / (n_buckets * n_shards) — fits executor memory."""
+    if n_buckets is None:
+        n_buckets = N_TERM_BUCKETS
     sharded = doc_terms.withColumn(
         "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int")
-    )
-    return sharded.groupBy("term", "shard").applyInPandas(
-        _encode_group, schema=POSTINGS_SCHEMA
+    ).withColumn("tb", term_bucket_col("term", n_buckets))
+    return sharded.groupBy("tb", "shard").applyInPandas(
+        _encode_bucket, schema=POSTINGS_SCHEMA
     )
 
 
