@@ -597,6 +597,28 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: clamped dims + proportionally truncated
+    payload, all recomputable from the synthetic header rule in SQL."""
+    from google_spark.operators.multimodal import resize_stub, synth_media_table
+
+    media = synth_media_table(spark, _docs(spark, sf_dir), text_col="text")
+    out = resize_stub(media, max_side=64)
+    return out.select(
+        "media_id", "width", "height", "n_frames",
+        F.octet_length("payload").alias("payload_bytes"),
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: every 2nd frame index per media row
+    (JVM-side sequence + explode)."""
+    from google_spark.operators.multimodal import sample_frames, synth_media_table
+
+    media = synth_media_table(spark, _docs(spark, sf_dir), text_col="text")
+    return sample_frames(media, every=2)
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 embedding, all
     JVM-side (zip_with dot product + aggregate norms)."""
@@ -685,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
         "media_meta": q_media_meta,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "text_token_count": q_text_token_count,
         "text_token_estimate": q_text_token_estimate,
         "text_quality": q_text_quality,
@@ -1334,6 +1358,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 4 AS INT) AS n_frames,
                    CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
             FROM documents
+        """,
+        "media_resize": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     16 + (doc_id % 16) * 8 AS w,
+                     16 + (doc_id % 9) * 8 AS h,
+                     CAST(1 + doc_id % 4 AS INT) AS n_frames,
+                     octet_length(encode(text)) AS body
+              FROM documents
+            ),
+            s AS (SELECT *, least(1.0, 64.0 / greatest(w, h)) AS scale FROM m)
+            SELECT media_id,
+                   CAST(greatest(1, floor(w * scale)) AS INT) AS width,
+                   CAST(greatest(1, floor(h * scale)) AS INT) AS height,
+                   n_frames,
+                   CAST(16 + greatest(1, floor(body * scale * scale)) AS BIGINT)
+                     AS payload_bytes
+            FROM s
+        """,
+        "media_frames": """
+            SELECT doc_id AS media_id, CAST(f AS INT) AS frame
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, 1 + doc_id % 4)) AS f)
+            WHERE f % 2 = 0
         """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOK_SQL}) AS INT) AS n_tokens FROM documents
