@@ -1373,7 +1373,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(1, floor(w * scale)) AS INT) AS width,
                    CAST(greatest(1, floor(h * scale)) AS INT) AS height,
                    n_frames,
-                   CAST(16 + greatest(1, floor(body * scale * scale)) AS BIGINT)
+                   CAST(16 + greatest(1, floor(body * scale * scale)) AS INT)
                      AS payload_bytes
             FROM s
         """,

@@ -22,6 +22,53 @@ TABLES = (
 ).split()
 
 
+# Spark simpleString -> normalized type family; DuckDB type -> same family.
+# The driver's value-hash is TYPE-SENSITIVE (round-1 lesson: DuckDB HUGEINT
+# vs Spark BIGINT hash-mismatched on equal values), so the local gate flags
+# family mismatches too.
+_SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "long",
+    "float": "float", "double": "double", "string": "string",
+    "boolean": "bool", "binary": "binary", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+}
+_DUCK_FAMILY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "long",
+    "HUGEINT": "hugeint", "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "long", "UBIGINT": "hugeint", "FLOAT": "float",
+    "REAL": "float", "DOUBLE": "double", "VARCHAR": "string",
+    "BOOLEAN": "bool", "BLOB": "binary", "DATE": "date",
+    "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+}
+
+
+def _family(type_str: str, duck: bool) -> str:
+    t = type_str.strip()
+    if duck:
+        if t.upper().startswith("DECIMAL"):
+            return "decimal"
+        if t.endswith("[]"):
+            return "array<" + _family(t[:-2], True) + ">"
+        return _DUCK_FAMILY.get(t.upper(), t.lower())
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("array<") and t.endswith(">"):
+        return "array<" + _family(t[6:-1], False) + ">"
+    return _SPARK_FAMILY.get(t, t)
+
+
+def type_mismatches(sdf, ocols, otypes) -> list[str]:
+    stypes = {f.name: _family(f.dataType.simpleString(), False) for f in sdf.schema.fields}
+    out = []
+    for name, otype in zip(ocols, otypes):
+        if name not in stypes:
+            continue
+        of = _family(otype, True)
+        if of != stypes[name]:
+            out.append(f"{name}: spark={stypes[name]} oracle={of}")
+    return out
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -75,6 +122,8 @@ def main() -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            otypes = [r[1] for r in desc]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -87,6 +136,10 @@ def main() -> int:
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             ok = False
         else:
+            tm = type_mismatches(sdf, ocols, otypes)
+            if tm:
+                print(f"FAIL  {name}: TYPE mismatch (driver hash risk): {tm}")
+                ok = False
             ns, no = normalize(srows, scols), normalize(orows, ocols)
             if ns != no:
                 diffs = [(a, b) for a, b in zip(ns, no) if a != b][:3]
