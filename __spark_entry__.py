@@ -1365,7 +1365,7 @@ def oracle_sql() -> dict[str, str]:
                      16 + (doc_id % 16) * 8 AS w,
                      16 + (doc_id % 9) * 8 AS h,
                      CAST(1 + doc_id % 4 AS INT) AS n_frames,
-                     octet_length(encode(text)) AS body
+                     octet_length(encode(COALESCE(text, ''))) AS body
               FROM documents
             ),
             s AS (SELECT *, least(1.0, 64.0 / greatest(w, h)) AS scale FROM m)
@@ -1373,8 +1373,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(1, floor(w * scale)) AS INT) AS width,
                    CAST(greatest(1, floor(h * scale)) AS INT) AS height,
                    n_frames,
-                   CAST(16 + greatest(1, floor(body * scale * scale)) AS INT)
-                     AS payload_bytes
+                   -- least(body, ...) mirrors Python's body[:k] slice: the
+                   -- truncated body can never exceed the original length
+                   -- (matters for empty documents, where the slice is b'')
+                   CAST(16 + least(body, greatest(1, floor(body * scale * scale)))
+                        AS INT) AS payload_bytes
             FROM s
         """,
         "media_frames": """

@@ -43,9 +43,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from google_spark.operators.index_build import (
+    N_TERM_BUCKETS,
     POSTINGS_SCHEMA,
     IndexTables,
     build_postings,
+    term_bucket_col,
     term_stats,
     tokenize_docs,
 )
@@ -176,56 +178,34 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     blobs across batches -> one merged, re-blocked posting row PER TERM
     (indexJoin analog). Per-term merge is vectorized end to end: NumPy
     decode of every partial, argsort over the concatenated (disjoint) doc
-    universe, NumPy re-encode. Bucketed grouping keeps the framework's
-    per-group cost off the rare-term tail, same as the encode kernel."""
+    universe, NumPy re-encode; row assembly is shared with the encode
+    kernel (encode_sorted_terms), so batch and merge outputs cannot
+    structurally drift."""
     import numpy as np
 
-    from google_spark.functions.codec import (
-        block_metadata_np,
-        decode_postings_full_np,
-        encode_postings_np,
-    )
+    from google_spark.functions.codec import decode_postings_full_np
+    from google_spark.operators.index_build import encode_sorted_terms
 
-    shard = int(pdf["shard"].iloc[0])
-    out: dict[str, list] = {
-        k: []
-        for k in (
-            "term", "df", "postings",
-            "block_last_doc", "block_max_tf", "block_min_dl",
-        )
-    }
-    for term, g in pdf.groupby("term", sort=False):
-        d_parts, t_parts, l_parts, p_parts = [], [], [], []
-        for b in g["postings"]:
-            d, t, l, p = decode_postings_full_np(bytes(b))
-            d_parts.append(d)
-            t_parts.append(t)
-            l_parts.append(l)
-            p_parts.extend(p)
-        docs = np.concatenate(d_parts)
-        tfs = np.concatenate(t_parts)
-        dls = np.concatenate(l_parts)
-        order = np.argsort(docs, kind="stable")
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
-        positions = [p_parts[i] for i in order]
-        last_doc, max_tf, min_dl = block_metadata_np(docs, tfs, dls)
-        out["term"].append(term)
-        out["df"].append(len(docs))
-        out["postings"].append(encode_postings_np(docs, tfs, dls, positions))
-        out["block_last_doc"].append(last_doc.tolist())
-        out["block_max_tf"].append(max_tf.tolist())
-        out["block_min_dl"].append(min_dl.tolist())
-    return pd.DataFrame(
-        {
-            "term": out["term"],
-            "shard": pd.Series([shard] * len(out["term"]), dtype="int32"),
-            "df": pd.Series(out["df"], dtype="int64"),
-            "postings": out["postings"],
-            "block_last_doc": pd.Series(out["block_last_doc"], dtype="object"),
-            "block_max_tf": pd.Series(out["block_max_tf"], dtype="object"),
-            "block_min_dl": pd.Series(out["block_min_dl"], dtype="object"),
-        }
-    )
+    def term_arrays():
+        for term, g in pdf.groupby("term", sort=False):
+            d_parts, t_parts, l_parts, p_parts = [], [], [], []
+            for b in g["postings"]:
+                d, t, l, p = decode_postings_full_np(bytes(b))
+                d_parts.append(d)
+                t_parts.append(t)
+                l_parts.append(l)
+                p_parts.extend(p)
+            docs = np.concatenate(d_parts)
+            order = np.argsort(docs, kind="stable")
+            yield (
+                term,
+                docs[order],
+                np.concatenate(t_parts)[order],
+                np.concatenate(l_parts)[order],
+                [p_parts[i] for i in order],
+            )
+
+    return encode_sorted_terms(int(pdf["shard"].iloc[0]), term_arrays())
 
 
 def merge_batches(
@@ -238,8 +218,6 @@ def merge_batches(
     if missing:
         raise RuntimeError(f"cannot merge: uncommitted batches {missing}")
 
-    from google_spark.operators.index_build import term_bucket_col
-
     parts = spark.read.parquet(
         *[os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in done]
     )
@@ -251,8 +229,6 @@ def merge_batches(
     )
     total_dl = doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
     avgdl = total_dl / total_docs if total_docs else 0.0
-
-    from google_spark.operators.index_build import N_TERM_BUCKETS, term_bucket_col
 
     tmp = os.path.join(out_dir, "index.tmp")
     final = os.path.join(out_dir, "index")

@@ -140,17 +140,14 @@ def tokenize_docs(
     return docs.select(id_col, text_col).mapInPandas(gen, schema=DOC_TERMS_SCHEMA)
 
 
-def _encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (term-bucket, shard) group -> one postings
-    row PER TERM in the bucket. Per-term work is fully vectorized (NumPy
-    argsort + LEB128 scatter encode, bit-identical to the scalar reference
-    codec, parity-tested); batching many terms per Spark group keeps the
-    framework's per-group cost off the long tail of rare terms."""
-    import numpy as np
-
+def encode_sorted_terms(shard: int, term_arrays) -> pd.DataFrame:
+    """Shared POSTINGS_SCHEMA row assembly for the encode AND merge
+    kernels: ``term_arrays`` yields (term, doc_ids, tfs, dls, positions)
+    with arrays already doc_id-sorted; each becomes one compressed posting
+    row with block metadata. One definition keeps the batch-build and
+    incremental-merge outputs structurally identical by construction."""
     from google_spark.functions.codec import block_metadata_np, encode_postings_np
 
-    shard = int(pdf["shard"].iloc[0])
     out: dict[str, list] = {
         k: []
         for k in (
@@ -158,13 +155,7 @@ def _encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             "block_last_doc", "block_max_tf", "block_min_dl",
         )
     }
-    for term, g in pdf.groupby("term", sort=False):
-        doc_ids = g["doc_id"].to_numpy()
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids = doc_ids[order]
-        tfs = g["tf"].to_numpy()[order]
-        dls = g["dl"].to_numpy()[order]
-        positions = g["positions"].to_numpy()[order]
+    for term, doc_ids, tfs, dls, positions in term_arrays:
         blob = encode_postings_np(doc_ids, tfs, dls, positions)
         last_doc, max_tf, min_dl = block_metadata_np(doc_ids, tfs, dls)
         out["term"].append(term)
@@ -184,6 +175,29 @@ def _encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             "block_min_dl": pd.Series(out["block_min_dl"], dtype="object"),
         }
     )
+
+
+def _encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (term-bucket, shard) group -> one postings
+    row PER TERM in the bucket. Per-term work is fully vectorized (NumPy
+    argsort + LEB128 scatter encode, bit-identical to the scalar reference
+    codec, parity-tested); batching many terms per Spark group keeps the
+    framework's per-group cost off the long tail of rare terms."""
+    import numpy as np
+
+    def term_arrays():
+        for term, g in pdf.groupby("term", sort=False):
+            doc_ids = g["doc_id"].to_numpy()
+            order = np.argsort(doc_ids, kind="stable")
+            yield (
+                term,
+                doc_ids[order],
+                g["tf"].to_numpy()[order],
+                g["dl"].to_numpy()[order],
+                g["positions"].to_numpy()[order],
+            )
+
+    return encode_sorted_terms(int(pdf["shard"].iloc[0]), term_arrays())
 
 
 def build_postings(

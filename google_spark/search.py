@@ -35,8 +35,20 @@ from google_spark.operators.ranking import (
 CACHE_TTL_S = 30 * 60  # reference: 30-minute cache GC (SearchApi.java:58)
 CACHE_MAX = 1000  # reference: 1000-entry cap (SearchApi.java:171-188)
 POSTINGS_CACHE_MAX_TERMS = 10_000  # posting-row RAM cache cap (drop-all GC)
+# byte cap for the DECODED posting cache (decoded arrays are ~24
+# bytes/posting vs ~2-4 compressed, so a pure term-count cap could inflate
+# driver RAM several-fold on hot big-df terms)
+POSTINGS_CACHE_MAX_BYTES = 256 * 1024 * 1024
 HISTORY_MAX = 1000
 TRIE_MAX_TERMS = 100_000  # autocomplete vocabulary cap (top-df terms)
+
+
+def _postings_cache_nbytes(cache: dict) -> int:
+    total = 0
+    for entries in cache.values():
+        for e in entries:
+            total += e["docs"].nbytes + e["tf"].nbytes + e["dl"].nbytes
+    return total
 
 
 @dataclass
@@ -120,6 +132,7 @@ class SearchEngine:
         self.mode = mode
         self._cache: dict[tuple, tuple[float, list[SearchResult]]] = {}
         self._trie: _Trie | None = None
+        self._trie_complete = False
         self._history: dict[str, float] = {}  # query -> last access time
         self._postings_cache: dict = {}  # term -> posting rows (RAM cache)
 
@@ -230,7 +243,11 @@ class SearchEngine:
                 : HISTORY_MAX // 2
             ]
             self._history = dict(keep)
-        if len(self._postings_cache) > POSTINGS_CACHE_MAX_TERMS:
+        if (
+            len(self._postings_cache) > POSTINGS_CACHE_MAX_TERMS
+            or _postings_cache_nbytes(self._postings_cache)
+            > POSTINGS_CACHE_MAX_BYTES
+        ):
             self._postings_cache.clear()
         hit = self._cache.get(key)
         if hit and now - hit[0] < CACHE_TTL_S:
@@ -340,10 +357,14 @@ class SearchEngine:
             )
             for r in top:
                 self._trie.insert(r["term"])
+            # fewer rows than the cap -> the trie holds the WHOLE
+            # vocabulary, so a short completion list is the true answer and
+            # the distributed fallback would be a wasted job per keystroke
+            self._trie_complete = len(top) < TRIE_MAX_TERMS
         hits = self._trie.complete(prefix.lower(), limit)
-        if len(hits) >= limit:
+        if len(hits) >= limit or self._trie_complete:
             return hits
-        # partial or zero trie coverage: merge in the distributed long tail
+        # partial trie coverage: merge in the distributed long tail
         extra = [
             t for t in self.autocomplete_scan(prefix, limit) if t not in hits
         ]

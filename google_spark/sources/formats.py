@@ -63,7 +63,12 @@ def read_corpus(
         reader = reader.schema(schema)
     if fmt == "csv":
         return reader.option("multiLine", "true").option("escape", '"').csv(
-            path, header=True
+            path,
+            header=True,
+            # without a schema, infer types (an extra pass) so a CSV corpus
+            # yields the same dtypes as parquet/JSON/ORC — all-string
+            # columns would silently change joins, sorts, and hash sharding
+            inferSchema=schema is None,
         )
     return getattr(reader, fmt)(path)
 

@@ -63,3 +63,16 @@ def test_unsupported_format_raises(spark, small_docs, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported"):
         write_corpus(small_docs, str(tmp_path / "x"), fmt="avro")
+
+
+def test_csv_schemaless_infers_types(spark, small_docs, tmp_path):
+    """Without an explicit schema, CSV must infer dtypes so a CSV corpus
+    behaves like parquet/JSON (string doc_id would silently change joins,
+    sorts, and hash sharding)."""
+    from google_spark.sources.formats import read_corpus, write_corpus
+
+    path = str(tmp_path / "docs_csv_nos")
+    write_corpus(small_docs, path, fmt="csv")
+    back = read_corpus(spark, path, fmt="csv")
+    dtypes = dict(back.dtypes)
+    assert dtypes["doc_id"] in ("int", "bigint")

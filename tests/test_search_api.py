@@ -165,3 +165,12 @@ def test_snippet_cache_hit_reuses_rows(engine):
     # same cached SearchResult objects round-trip (no recompute)
     assert all(a is b for a, b in zip(with_snip, again))
     assert len([k for k in engine._cache if k[0] == q]) == 1
+
+
+def test_autocomplete_complete_trie_skips_fallback(engine):
+    """A vocabulary smaller than TRIE_MAX_TERMS makes the trie complete;
+    short completion lists are then final (no distributed fallback job)."""
+    engine.autocomplete("pa")  # builds the trie
+    assert engine._trie_complete is True
+    few = engine.autocomplete("partitio", 10)
+    assert few == engine._trie.complete("partitio", 10)
