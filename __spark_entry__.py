@@ -260,6 +260,34 @@ def q_op_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_op_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile() and
+    DuckDB quantile_cont share the p*(n-1) linear-interpolation
+    definition) — the relational-analytics staple the reference's
+    foldByKey surface cannot express."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+def q_op_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number() — the windowed dual of
+    TakeOrderedAndProject; deterministic ties (price desc, orderkey asc)."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary (grouped aggregates with derived measures)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -684,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_count": q_op_count,
         "op_take_ordered": q_op_take_ordered,
         "op_cogroup": q_op_cogroup,
+        "op_percentiles": q_op_percentiles,
+        "op_topk_per_group": q_op_topk_per_group,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "op_intersect": q_op_intersect,
@@ -1163,6 +1193,22 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN
                  (SELECT c_custkey AS custkey, count(*) AS n_cust FROM customer GROUP BY 1) c
             ON o.custkey = c.custkey
+        """,
+        "op_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "op_topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 3
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
