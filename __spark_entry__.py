@@ -332,6 +332,58 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-table join (region -> nation -> customer ->
+    orders -> lineitem -> supplier with the local-supplier condition),
+    revenue per nation — exercises Catalyst join ordering and broadcast
+    selection across every dimension table."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    region, nation, cust = rd("region"), rd("nation"), rd("customer")
+    orders, li, supp = rd("orders"), rd("lineitem"), rd("supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("n_name", F.round("revenue", 4).alias("revenue"))
+    )
+
+
+def q_tpch_partagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup (Q14 flavor): per-brand order counts, total
+    quantity, and revenue over the part-lineitem join."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .select(
+            "p_brand", "n_items",
+            F.round("sum_qty", 4).alias("sum_qty"),
+            F.round("revenue", 4).alias("revenue"),
+        )
+    )
+
+
 def q_op_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """intersect (declared-unimplemented in the reference,
     FlameRDD.java:99-103): custkeys appearing in both orders and customer."""
@@ -716,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_topk_per_group": q_op_topk_per_group,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_partagg": q_tpch_partagg,
         "op_intersect": q_op_intersect,
         "op_except": q_op_except,
         "op_rollup": q_op_rollup,
@@ -1239,6 +1293,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) DESC,
                      o_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+            FROM region
+            JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_partagg": """
+            SELECT p_brand,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+                     AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         "op_intersect": """
             SELECT o_custkey AS k FROM orders
