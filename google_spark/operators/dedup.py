@@ -356,32 +356,87 @@ def simhash_fingerprints(
     )
 
 
+def _simhash_chunk_plan(max_hamming: int) -> tuple[int, int, list[int], list[int]]:
+    """Choose (per-chunk radius r, n_chunks m, chunk widths, bit offsets) for
+    a 64-bit multi-probe block join.
+
+    Pigeonhole: a pair at total Hamming distance <= k, split over m chunks,
+    has some chunk at distance <= floor(k/m); with m = ceil((k+1)/(r+1))
+    that floor is <= r, so probing every key within distance r of one side's
+    chunk key finds every qualifying pair via an exact equi-join. r is the
+    smallest radius keeping m <= 8 (chunk keys >= 8 bits wide), so the join
+    key space never collapses however large k is — the fix for the
+    degenerate width-4 keys the old 1-chunk-per-allowed-error split produced
+    at k=12. All 64 bits are covered: divmod spreads the remainder so no
+    high bits are wasted."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31]")
+    for r in range(4):
+        m = -(-(max_hamming + 1) // (r + 1))  # ceil
+        if m <= 8:
+            break
+    base, rem = divmod(64, m)
+    widths = [base + (1 if i < rem else 0) for i in range(m)]
+    offsets = [sum(widths[:i]) for i in range(m)]
+    return r, m, widths, offsets
+
+
+def _probe_masks(width: int, r: int) -> list[int]:
+    """All XOR masks of Hamming weight <= r over `width` bits."""
+    masks = [0]
+    if r >= 1:
+        masks += [1 << i for i in range(width)]
+    if r >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(width) for j in range(i)]
+    if r >= 3:
+        masks += [
+            (1 << i) | (1 << j) | (1 << l)
+            for i in range(width)
+            for j in range(i)
+            for l in range(j)
+        ]
+    return masks
+
+
 def simhash_near_dups(
     fingerprints: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance <= max_hamming using the standard
-    block-permutation trick: split 64 bits into (max_hamming+1) chunks — any
-    pair within distance k must agree exactly on >=1 chunk, so candidate
-    generation is an equi-join per chunk (shuffle on 16-bit keys), never a
-    cross join."""
-    n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    """Near-dup pairs by Hamming distance <= max_hamming via multi-probe
+    block join: 64 bits split into m >= 8-bit-wide chunks; one side also
+    emits every key within per-chunk radius r of its chunk (see
+    :func:`_simhash_chunk_plan` for the pigeonhole argument), so candidate
+    generation is always an exact equi-join on >= 8-bit (chunk, key) pairs
+    — never a cross join, and the key space no longer collapses for large
+    max_hamming (the old split gave 4-bit/16-value keys at k=12 and left
+    bits 52-63 out of every key). The probe fan-out is bounded:
+    m * (1 + width + width^2/2 + ...) rows per doc on one side, a plan-time
+    constant."""
+    r, m, widths, offsets = _simhash_chunk_plan(max_hamming)
     fp = fingerprints.select(F.col(id_col).alias("id"), "simhash")
-    mask = (1 << width) - 1
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("key"),
+    a_structs = []
+    b_structs = []
+    for c, (w, off) in enumerate(zip(widths, offsets)):
+        key = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+            F.lit((1 << w) - 1)
         )
-        for c in range(n_chunks)
-    ]
-    chunks = fp.select(
-        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("ck")
-    ).select("id", "simhash", "ck.chunk", "ck.key")
-    a = chunks.select("chunk", "key", F.col("id").alias("a"), F.col("simhash").alias("fa"))
-    b = chunks.select("chunk", "key", F.col("id").alias("b"), F.col("simhash").alias("fb"))
+        b_structs.append(F.struct(F.lit(c).alias("chunk"), key.alias("key")))
+        for mk in _probe_masks(w, r):
+            a_structs.append(
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    key.bitwiseXOR(F.lit(mk)).alias("key"),
+                )
+            )
+    a = fp.select(
+        F.col("id").alias("a"),
+        F.col("simhash").alias("fa"),
+        F.explode(F.array(*a_structs)).alias("ck"),
+    ).select("a", "fa", "ck.chunk", "ck.key")
+    b = fp.select(
+        F.col("id").alias("b"),
+        F.col("simhash").alias("fb"),
+        F.explode(F.array(*b_structs)).alias("ck"),
+    ).select("b", "fb", "ck.chunk", "ck.key")
     cands = (
         a.join(b, ["chunk", "key"])
         .filter(F.col("a") < F.col("b"))

@@ -433,10 +433,14 @@ def local_topk_core(
         missing = [t for t in terms if t not in row_cache]
         if missing:
             fetched = index.matching(missing).select(*cols).collect()
-            for t in missing:
-                row_cache[t] = []
+            by_term: dict[str, list] = {t: [] for t in missing}
             for r in fetched:
-                row_cache[r["term"]].append(_decode_posting_row(r))
+                by_term[r["term"]].append(_decode_posting_row(r))
+            # single __setitem__ per term (absent terms cache [] so they
+            # never re-scan) — lets byte-accounting cache dicts observe
+            # every insertion without rescanning entries per query
+            for t, es in by_term.items():
+                row_cache[t] = es
         entries = [e for t in terms for e in row_cache.get(t, [])]
     if not entries:
         return []

@@ -41,14 +41,33 @@ POSTINGS_CACHE_MAX_TERMS = 10_000  # posting-row RAM cache cap (drop-all GC)
 POSTINGS_CACHE_MAX_BYTES = 256 * 1024 * 1024
 HISTORY_MAX = 1000
 TRIE_MAX_TERMS = 100_000  # autocomplete vocabulary cap (top-df terms)
+SCAN_CACHE_MAX = 10_000  # per-prefix autocomplete-scan memo cap (drop-all)
 
 
-def _postings_cache_nbytes(cache: dict) -> int:
-    total = 0
-    for entries in cache.values():
-        for e in entries:
-            total += e["docs"].nbytes + e["tf"].nbytes + e["dl"].nbytes
-    return total
+class PostingsCache(dict):
+    """term -> decoded posting entries, with a running byte counter kept on
+    insert/overwrite/clear — O(1) per query instead of rescanning every
+    cached entry's arrays, and it counts ALL six arrays (docs/tf/dl plus
+    the bl/bmax/bmin block metadata the old walk ignored)."""
+
+    _ARRAY_KEYS = ("docs", "tf", "dl", "bl", "bmax", "bmin")
+
+    def __init__(self):
+        super().__init__()
+        self.nbytes = 0
+
+    def _entry_nbytes(self, entries) -> int:
+        return sum(e[k].nbytes for e in entries for k in self._ARRAY_KEYS)
+
+    def __setitem__(self, term, entries):
+        if term in self:
+            self.nbytes -= self._entry_nbytes(self[term])
+        self.nbytes += self._entry_nbytes(entries)
+        super().__setitem__(term, entries)
+
+    def clear(self):
+        self.nbytes = 0
+        super().clear()
 
 
 @dataclass
@@ -63,19 +82,22 @@ class SearchResult:
 
 
 class _Trie:
-    """Autocomplete trie (driver-side, ref: SearchApi.java:527-575)."""
+    """Autocomplete trie (driver-side, ref: SearchApi.java:527-575).
+    Terminal nodes carry the term's df so completions rank by
+    (df desc, term asc) — the same order the distributed scan path uses,
+    so merging the two sources preserves top-df semantics."""
 
-    __slots__ = ("children", "terminal")
+    __slots__ = ("children", "df")
 
     def __init__(self):
         self.children: dict[str, _Trie] = {}
-        self.terminal = False
+        self.df: int | None = None  # terminal iff not None
 
-    def insert(self, word: str) -> None:
+    def insert(self, word: str, df: int = 0) -> None:
         node = self
         for ch in word:
             node = node.children.setdefault(ch, _Trie())
-        node.terminal = True
+        node.df = df
 
     def complete(self, prefix: str, limit: int = 10) -> list[str]:
         node = self
@@ -83,18 +105,21 @@ class _Trie:
             node = node.children.get(ch)
             if node is None:
                 return []
-        out: list[str] = []
+        # gather ALL terminals under the prefix, then rank by df: the trie
+        # is capped at TRIE_MAX_TERMS, so the worst-case walk is bounded
+        # driver-side work, and a correct df-ordering needs the full set
+        # (a cut-off lexicographic DFS would return 'aardvark' over 'and')
+        out: list[tuple[int, str]] = []
 
         def dfs(n: _Trie, acc: str) -> None:
-            if len(out) >= limit:
-                return
-            if n.terminal:
-                out.append(prefix + acc)
-            for ch in sorted(n.children):
-                dfs(n.children[ch], acc + ch)
+            if n.df is not None:
+                out.append((n.df, prefix + acc))
+            for ch, child in n.children.items():
+                dfs(child, acc + ch)
 
         dfs(node, "")
-        return out
+        out.sort(key=lambda t: (-t[0], t[1]))
+        return [w for _, w in out[:limit]]
 
 
 class SearchEngine:
@@ -127,14 +152,34 @@ class SearchEngine:
             self.ranks_df = ranks
             self._rank_cache = {}
             self._ranks_complete = ranks is None
-        self.doc_meta = doc_meta  # doc_id, repo, path (queried per result set)
+        if (
+            doc_meta is not None
+            and self.ranks_df is not None
+            and "rank" not in doc_meta.columns
+            and "repo" in doc_meta.columns
+        ):
+            # Pre-join doc_id -> (repo, path, title, rank) once (rank table
+            # = #repos rows, broadcastable) so an uncached query does ONE
+            # filtered collect instead of separate meta + rank jobs.
+            doc_meta = doc_meta.join(
+                F.broadcast(
+                    self.ranks_df.select(
+                        F.col("node").alias("repo"), "rank"
+                    )
+                ),
+                "repo",
+                "left",
+            ).withColumn("rank", F.coalesce(F.col("rank"), F.lit(DEFAULT_RANK)))
+        self.doc_meta = doc_meta  # doc_id, repo, path[, title, rank]
         self.docs = docs  # doc_id + content for snippets
         self.mode = mode
         self._cache: dict[tuple, tuple[float, list[SearchResult]]] = {}
         self._trie: _Trie | None = None
         self._trie_complete = False
+        self._scan_cache: dict[tuple, list[str]] = {}  # autocomplete memo
         self._history: dict[str, float] = {}  # query -> last access time
-        self._postings_cache: dict = {}  # term -> posting rows (RAM cache)
+        # term -> DECODED posting entries, with a running byte counter
+        self._postings_cache = PostingsCache()
 
     # -- construction -----------------------------------------------------
 
@@ -186,17 +231,28 @@ class SearchEngine:
 
     # -- serving ----------------------------------------------------------
 
-    def _meta_for(self, ids: list[int]) -> dict[int, tuple[str, str, str | None]]:
-        """(repo, path, title) for the candidate ids of ONE query — a pruned
-        filtered collect of <= fetch rows, never the whole meta table (the
-        whole-table dict was the one O(corpus) driver state in the serving
-        path; at 10^9 docs it would be multi-GB)."""
+    def _meta_for(
+        self, ids: list[int]
+    ) -> dict[int, tuple[str, str, str | None, float | None]]:
+        """(repo, path, title, rank) for the candidate ids of ONE query — a
+        pruned filtered collect of <= fetch rows, never the whole meta table
+        (the whole-table dict was the one O(corpus) driver state in the
+        serving path; at 10^9 docs it would be multi-GB). rank is None when
+        the meta table wasn't pre-joined (caller falls back to
+        :meth:`_ranks_for`)."""
         if self.doc_meta is None or not ids:
             return {}
-        has_title = "title" in self.doc_meta.columns
+        cols = self.doc_meta.columns
+        has_title = "title" in cols
+        has_rank = "rank" in cols
         rows = self.doc_meta.filter(F.col("doc_id").isin(ids)).collect()
         return {
-            r["doc_id"]: (r["repo"], r["path"], r["title"] if has_title else None)
+            r["doc_id"]: (
+                r["repo"],
+                r["path"],
+                r["title"] if has_title else None,
+                float(r["rank"]) if has_rank else None,
+            )
             for r in rows
         }
 
@@ -245,8 +301,7 @@ class SearchEngine:
             self._history = dict(keep)
         if (
             len(self._postings_cache) > POSTINGS_CACHE_MAX_TERMS
-            or _postings_cache_nbytes(self._postings_cache)
-            > POSTINGS_CACHE_MAX_BYTES
+            or self._postings_cache.nbytes > POSTINGS_CACHE_MAX_BYTES
         ):
             self._postings_cache.clear()
         hit = self._cache.get(key)
@@ -279,7 +334,10 @@ class SearchEngine:
             row_cache=self._postings_cache,
         )
         meta = self._meta_for([d for d, _ in scored])
-        ranks = self._ranks_for({m[0] for m in meta.values()})
+        # rank came with the pre-joined meta row for most configurations;
+        # only repos whose rank is missing (no pre-join) cost a second job
+        unranked = {m[0] for m in meta.values() if m[3] is None}
+        ranks = self._ranks_for(unranked) if unranked else self._rank_cache
         import re
 
         boost_re = re.compile(
@@ -294,8 +352,9 @@ class SearchEngine:
             )
         out = []
         for doc_id, score in scored:
-            repo, path, title = meta.get(doc_id, (None, None, None))
-            rank = ranks.get(repo, DEFAULT_RANK)
+            repo, path, title, rank = meta.get(doc_id, (None, None, None, None))
+            if rank is None:
+                rank = ranks.get(repo, DEFAULT_RANK)
             priority = W_RANK * rank + W_TEXT * score
             if prox_pos is not None:
                 priority += W_PROX * proximity_bonus_py(prox_pos, terms, doc_id)
@@ -352,11 +411,11 @@ class SearchEngine:
             top = (
                 self.index.terms.orderBy(F.desc("df"), F.asc("term"))
                 .limit(TRIE_MAX_TERMS)
-                .select("term")
+                .select("term", "df")
                 .collect()
             )
             for r in top:
-                self._trie.insert(r["term"])
+                self._trie.insert(r["term"], int(r["df"]))
             # fewer rows than the cap -> the trie holds the WHOLE
             # vocabulary, so a short completion list is the true answer and
             # the distributed fallback would be a wasted job per keystroke
@@ -364,10 +423,17 @@ class SearchEngine:
         hits = self._trie.complete(prefix.lower(), limit)
         if len(hits) >= limit or self._trie_complete:
             return hits
-        # partial trie coverage: merge in the distributed long tail
-        extra = [
-            t for t in self.autocomplete_scan(prefix, limit) if t not in hits
-        ]
+        # partial trie coverage: merge in the distributed long tail. The
+        # merged order stays (df desc, term asc): every trie term is in the
+        # GLOBAL top-df set, so any scan-only term has df below the trie
+        # cutoff. A bounded per-prefix memo keeps a prefix with genuinely
+        # few completions from costing a Spark job on every keystroke.
+        pkey = (prefix.lower(), limit)
+        if pkey not in self._scan_cache:
+            if len(self._scan_cache) >= SCAN_CACHE_MAX:
+                self._scan_cache.clear()
+            self._scan_cache[pkey] = self.autocomplete_scan(prefix, limit)
+        extra = [t for t in self._scan_cache[pkey] if t not in hits]
         return (hits + extra)[:limit]
 
     def autocomplete_scan(self, prefix: str, limit: int = 10) -> list[str]:

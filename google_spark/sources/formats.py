@@ -30,19 +30,58 @@ _EXT_FORMAT = {
 SUPPORTED_FORMATS = ("parquet", "json", "csv", "orc")
 
 
-def detect_format(path: str) -> str:
+_IGNORABLE_EXTS = {".crc"}  # Spark/Hadoop sidecar files, never data
+
+
+def detect_format(path: str, default: str | None = None) -> str:
     """Infer the storage format from the path extension, falling back to
-    the extension of the first data file in a directory; parquet wins when
-    nothing matches (the engine's canonical format)."""
+    the extension of the first data file in a directory. The parquet
+    default applies only to extensionless directories whose contents look
+    like a parquet dataset (part files / partition subdirs / _SUCCESS, all
+    extensionless); a mistyped path or an unrecognized extension (.tsv,
+    .txt, ...) raises a clear ValueError instead of surfacing later as a
+    confusing parquet-footer error. ``default`` (used by the write path for
+    not-yet-existing destinations) substitutes for the error."""
     ext = os.path.splitext(path)[1].lower()
     if ext in _EXT_FORMAT:
         return _EXT_FORMAT[ext]
+    if ext and not os.path.isdir(path):
+        raise ValueError(
+            f"unrecognized corpus extension {ext!r} in {path!r}; pass fmt= "
+            f"explicitly (supported: {SUPPORTED_FORMATS})"
+        )
     if os.path.isdir(path):
+        foreign: set[str] = set()
+        n_entries = 0
         for entry in sorted(os.listdir(path)):
+            n_entries += 1
             e = os.path.splitext(entry)[1].lower()
             if e in _EXT_FORMAT:
                 return _EXT_FORMAT[e]
-    return "parquet"
+            if e and e not in _IGNORABLE_EXTS:
+                foreign.add(e)
+        if n_entries and not foreign:
+            # extensionless contents only: part files, partition subdirs,
+            # _SUCCESS markers — the engine's canonical parquet layout
+            return "parquet"
+        if default is not None:
+            return default
+        detail = (
+            f"data files with unsupported extensions {sorted(foreign)}"
+            if foreign
+            else "no data files"
+        )
+        raise ValueError(
+            f"cannot detect corpus format of {path!r}: {detail}; pass fmt= "
+            f"explicitly (supported: {SUPPORTED_FORMATS})"
+        )
+    if default is not None:
+        return default
+    raise ValueError(
+        f"cannot detect corpus format: {path!r} does not exist and has no "
+        f"recognized extension; pass fmt= explicitly "
+        f"(supported: {SUPPORTED_FORMATS})"
+    )
 
 
 def read_corpus(
@@ -74,7 +113,9 @@ def read_corpus(
 
 
 def write_corpus(df: DataFrame, path: str, fmt: str | None = None) -> None:
-    fmt = (fmt or detect_format(path)).lower()
+    # a brand-new extensionless destination is legitimately parquet (the
+    # canonical format); a mistyped .tsv/.txt destination still raises
+    fmt = (fmt or detect_format(path, default="parquet")).lower()
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported corpus format {fmt!r}; use one of {SUPPORTED_FORMATS}")
     writer = df.write.mode("overwrite")
