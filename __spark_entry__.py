@@ -39,13 +39,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _index(spark: SparkSession, sf_dir: str, mode: str = "simple"):
+def _index(spark: SparkSession, sf_dir: str, mode: str = "simple", stem: bool = False):
     from google_spark.operators.index_build import build_index
 
-    key = (sf_dir, mode)
+    key = (sf_dir, mode, stem)
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = build_index(
-            spark, _docs(spark, sf_dir), id_col="doc_id", text_col="text", mode=mode
+            spark, _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+            mode=mode, stem=stem,
         )
     return _INDEX_CACHE[key]
 
@@ -86,6 +87,24 @@ def q_bm25_topk_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = wand_topk(
         _index(spark, sf_dir, mode="code"), FLAGSHIP_QUERY, k=10, mode="code"
     )
+    return _round4(df, "score")
+
+
+STEM_QUERY = "queries merged tables"  # every term matches the index only via stems
+
+
+def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 end-to-end: BM25 top-10 over a STEMMED index (Porter stems indexed
+    alongside originals at the same positions, dl = original-token count)
+    with a stemmed query. The query's surface forms (queries/merged/tables)
+    never occur in the corpus — every match flows through the stem channel
+    (queri/merg/tabl), so this row is red if either indexing- or query-side
+    stemming breaks. The oracle inlines the corpus vocabulary's stem map
+    (engine stemmer, the inlined-constants pattern the ANN oracles use) and
+    recomputes the whole stemmed BM25 in SQL."""
+    from google_spark.operators.index_query import wand_topk
+
+    df = wand_topk(_index(spark, sf_dir, stem=True), STEM_QUERY, k=10, stem=True)
     return _round4(df, "score")
 
 
@@ -645,12 +664,25 @@ def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 with the deterministic seed quantizer
     (n_iters=0: centroids are the 8 lowest-id vectors, so the SQL oracle
-    reproduces assignment, nprobe selection, and the top-k exactly; Lloyd
-    refinement + recall are pytest-verified separately)."""
+    reproduces assignment, nprobe selection, and the top-k exactly)."""
     from google_spark.operators.similarity import ann_ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = ann_ivf_topk(emb, probe_vec_id=0, k=10, n_centroids=8, nprobe=4, n_iters=0)
+    return _round4(df, "cos_sim")
+
+
+def q_sim_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 with TWO Lloyd refinement rounds — the oracle
+    replays the full training loop in SQL (seed init -> assign -> mean
+    update -> assign -> mean update -> final assign -> nprobe -> exact
+    cosine re-rank), so the refined-centroid path is driver-gated, not just
+    pytest-gated. Mean updates are plain double averages in both engines;
+    argmax margins dwarf summation-order noise on this data."""
+    from google_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = ann_ivf_topk(emb, probe_vec_id=0, k=10, n_centroids=8, nprobe=4, n_iters=2)
     return _round4(df, "cos_sim")
 
 
@@ -749,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_code": q_bm25_topk_code,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "tokenize_tf": q_tokenize_tf,
         "tokenize_code_tf": q_tokenize_code_tf,
         "term_df_idf": q_term_df_idf,
@@ -761,7 +794,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_fold_global": q_op_fold_global,
         "op_join": q_op_join,
         "op_distinct": q_op_distinct,
-        "op_count": q_op_count,
         "op_take_ordered": q_op_take_ordered,
         "op_cogroup": q_op_cogroup,
         "op_percentiles": q_op_percentiles,
@@ -771,7 +803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_partagg": q_tpch_partagg,
         "op_intersect": q_op_intersect,
-        "op_except": q_op_except,
         "op_rollup": q_op_rollup,
         "op_window_agg": q_op_window_agg,
         "op_sessionize": q_op_sessionize,
@@ -787,16 +818,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_topk": q_sim_ann_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_refined": q_sim_ivf_refined,
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
         "media_meta": q_media_meta,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "text_token_count": q_text_token_count,
-        "text_token_estimate": q_text_token_estimate,
         "text_quality": q_text_quality,
-        "sim_cosine_topk": q_sim_cosine_topk,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
+    lesson: the 51st queries() entry silently vanished from the driver's
+    output). These run in the LOCAL contract gate (tools/check_contract.py
+    merges them) with the same oracles; they were demoted because each is
+    near-redundant with a retained row (op_count ~ op_fold_global/
+    corpus_stats, op_except ~ op_intersect, text_token_estimate ~
+    text_token_count)."""
+    return {
+        "op_count": q_op_count,
+        "op_except": q_op_except,
+        "text_token_estimate": q_text_token_estimate,
     }
 
 
@@ -810,19 +856,25 @@ _TOK_CODE_SQL = (
 )
 
 
-def _bm25_sql(q_cte: str, tok_sql: str = _TOK_SQL) -> str:
+def _bm25_sql(
+    q_cte: str,
+    tok_sql: str = _TOK_SQL,
+    pre_tf_cte: str = "",
+    tf_from: str = "(SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)",
+) -> str:
     """Weighted-BM25 top-10 oracle, parameterized by the per-term weight
     CTE (plain queries use multiplicity weights; synonym expansion computes
-    decayed weights in SQL) and the tokenizer (simple or code mode)."""
+    decayed weights in SQL), the tokenizer (simple or code mode), and the
+    (doc_id, term, dl) relation feeding tf (the stemmed oracle injects
+    stem rows there; dl always counts original tokens only)."""
     return f"""
 WITH toks AS (
   SELECT doc_id, {tok_sql} AS ts FROM documents
 ),
 stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks
-  ) GROUP BY doc_id, term
+{pre_tf_cte}tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM {tf_from} GROUP BY doc_id, term
 ),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 {q_cte},
@@ -842,6 +894,74 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 
 
 _BM25_ORACLE = _bm25_sql("q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))")
+
+# Frozen snapshot of the testdata vocabulary (identical across
+# sf0.001/0.01/0.1), used only if the live read below is unavailable.
+_STEM_FALLBACK_VOCAB = (
+    "agg batch big column customer data dup fast filter group hash join key "
+    "line merge order part query row scan slow small sort spark stream table "
+    "the value vector window"
+).split()
+
+
+def _corpus_vocab() -> list[str]:
+    """Simple-mode vocabulary of the driver testdata (union over the sf
+    dirs), read at oracle-build time so the inlined stem map always covers
+    the corpus the gate runs on; falls back to the frozen snapshot."""
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        vocab: set[str] = set()
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = Path(f"/root/testdata/{sf}/documents.parquet")
+            if not p.exists():
+                continue
+            rows = con.execute(
+                f"SELECT DISTINCT unnest({_TOK_SQL}) "
+                f"FROM read_parquet('{p}')"
+            ).fetchall()
+            vocab |= {r[0] for r in rows}
+        if vocab:
+            return sorted(vocab)
+    except Exception:  # noqa: BLE001 — fall back to the frozen snapshot
+        pass
+    return list(_STEM_FALLBACK_VOCAB)
+
+
+def _bm25_stemmed_oracle() -> str:
+    """bm25_topk_stemmed contract: the corpus vocabulary's Porter stem map
+    (ENGINE stemmer — the inlined-constants pattern the ANN/synonym oracles
+    use; the stemmer itself is pytest-verified against the published
+    vocabulary lists) is inlined as VALUES, the (doc, term, dl) relation
+    gains one stem row per token whose stem differs (same dl — stems never
+    inflate document length, mirroring tokenizer.tokenize), and the query
+    terms come from the engine's stem-expanding query_terms."""
+    from collections import Counter
+
+    from google_spark.functions.stemmer import stem as porter_stem
+    from google_spark.operators.index_query import query_terms
+
+    pairs = [(w, porter_stem(w)) for w in _corpus_vocab()]
+    pairs = [(w, s) for w, s in pairs if s != w and 2 <= len(s) <= 40]
+    map_values = ", ".join(f"('{w}', '{s}')" for w, s in pairs)
+    qterms = Counter(query_terms(STEM_QUERY, stem=True))
+    q_values = ", ".join(
+        f"('{t}', {float(c)!r})" for t, c in sorted(qterms.items())
+    )
+    pre = f"""stem_map(w, s) AS (VALUES {map_values}),
+base AS (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks),
+withstems AS (
+  SELECT doc_id, term, dl FROM base
+  UNION ALL
+  SELECT b.doc_id, m.s AS term, b.dl FROM base b JOIN stem_map m ON b.term = m.w
+),
+"""
+    return _bm25_sql(
+        f"q(term, w) AS (VALUES {q_values})",
+        pre_tf_cte=pre,
+        tf_from="withstems",
+    )
 
 # Synonym expansion (D17/D20): deterministic word vectors inlined as
 # literals; the oracle re-runs cosine expansion (top-n, ties word-asc,
@@ -1091,6 +1211,75 @@ cands AS (
 {_COS_TOPK_TAIL}"""
 
 
+def _ann_ivf_refined_oracle() -> str:
+    """sim_ivf_refined contract at (n_centroids=8, nprobe=4, n_iters=2):
+    replays the engine's Lloyd loop exactly — seed init (8 lowest-id
+    vectors) -> cosine-argmax assign (ties to lowest cid) -> per-(cluster,
+    dim) double mean (clusters with no members keep their previous
+    centroid) -> assign -> mean -> final assign -> nprobe centroid choice
+    (sim desc, cid asc) under the refined centroids -> exact-cosine top-k
+    re-rank. Both engines average the same float32-widened doubles; only
+    summation order differs, and assignment margins dwarf that noise."""
+
+    def assign(cents: str, name: str) -> str:
+        dot = _dot_sql("e.v", "c.c")
+        return f"""sim_{name} AS (
+  SELECT e.vec_id, c.cid,
+         {dot} / ({_norm_sql('e.v')} * {_norm_sql('c.c')}) AS sim
+  FROM e CROSS JOIN {cents} c
+),
+a_{name} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM sim_{name}
+  ) WHERE rn = 1
+)"""
+
+    def update(prev: str, a: str, name: str) -> str:
+        return f"""m_{name} AS (
+  SELECT a.cid, d.i AS dim, avg(e.v[d.i]) AS m
+  FROM {a} a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d
+  GROUP BY a.cid, d.i
+),
+{name} AS (
+  SELECT p.cid, list(coalesce(m.m, p.c[d.i]) ORDER BY d.i) AS c
+  FROM {prev} p CROSS JOIN dims d
+  LEFT JOIN m_{name} m ON m.cid = p.cid AND m.dim = d.i
+  GROUP BY p.cid
+)"""
+
+    dot_pc = _dot_sql("c.c", "p.pv")
+    return f"""
+WITH {_E_CTE},
+dims AS (
+  SELECT unnest(range(1, len(v) + 1)) AS i
+  FROM (SELECT v FROM e ORDER BY vec_id LIMIT 1)
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+{assign('c0', '1')},
+{update('c0', 'a_1', 'c1')},
+{assign('c1', '2')},
+{update('c1', 'a_2', 'c2')},
+{assign('c2', 'f')},
+pc AS (
+  SELECT c.cid
+  FROM c2 c CROSS JOIN (SELECT v AS pv FROM e WHERE vec_id = 0) p
+  ORDER BY {dot_pc} / ({_norm_sql('c.c')} * {_norm_sql('p.pv')}) DESC,
+           c.cid ASC
+  LIMIT 4
+),
+cands AS (
+  SELECT a.vec_id FROM a_f a JOIN pc ON a.cid = pc.cid
+  WHERE a.vec_id <> 0
+),
+{_COS_TOPK_TAIL}"""
+
+
 _SIMHASH_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
 tf AS (
@@ -1118,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_exhaustive": _BM25_ORACLE,
         "bm25_topk_wand": _BM25_ORACLE,
+        "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "bm25_topk_code": _bm25_sql(
             "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
             tok_sql=_TOK_CODE_SQL,
@@ -1459,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_ann_topk": _ann_lsh_oracle(),
         "sim_ivf_topk": _ann_ivf_oracle(),
+        "sim_ivf_refined": _ann_ivf_refined_oracle(),
         "sim_near_dup_pairs": """
             WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
             pairs AS (

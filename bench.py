@@ -17,6 +17,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from google_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
@@ -73,6 +75,33 @@ def main() -> None:
     exhaustive_topk(index, BENCH_QUERIES[0], k=10).collect()
     timings["exhaustive_q1"] = round(time.perf_counter() - t0, 4)
 
+    # end-to-end serving facade (WAND + pre-joined meta/rank + boosts +
+    # priority sort), uncached per query — the full SearchEngine.search
+    # path, not just the WAND kernel
+    from google_spark.search import SearchEngine
+
+    doc_meta = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 101).cast("string").alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id"), F.lit(".py")).alias("path"),
+    )
+    ranks = doc_meta.groupBy("repo").count().select(
+        F.col("repo").alias("node"),
+        (F.lit(1.0) / (F.col("count") + 1)).alias("rank"),
+    )
+    eng = SearchEngine(
+        index,
+        ranks,
+        doc_meta,
+        docs.select("doc_id", F.col("text").alias("content")),
+    )
+    facade_ms = []
+    for q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        eng.search(q, k=10)
+        facade_ms.append((time.perf_counter() - t0) * 1000)
+    timings["facade_5q"] = round(sum(facade_ms) / 1000, 4)
+
     # training-data ops at sf scale
     from google_spark.operators.dedup import (
         minhash_near_dups,
@@ -92,8 +121,6 @@ def main() -> None:
     timings["pagerank_3it"] = round(time.perf_counter() - t0, 4)
 
     # relational headliners at sf scale
-    from pyspark.sql import functions as F
-
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -152,6 +179,7 @@ def main() -> None:
         "n_docs_replicated": n_big,
         "query_p50_ms": round(statistics.median(lat_ms), 2),
         "query_p50_warm_ms": round(statistics.median(warm_ms), 2),
+        "facade_p50_ms": round(statistics.median(facade_ms), 2),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "scaling": scaling,  # measured local[2]-vs-local[8]; see BENCH/BASELINE.md
     }

@@ -31,6 +31,8 @@ def __getattr__(name):
         "read_index": ("google_spark.operators.index_build", "read_index"),
         "write_index": ("google_spark.operators.index_build", "write_index"),
         "incremental_build": ("google_spark.operators.incremental", "incremental_build"),
+        "compact_batches": ("google_spark.operators.incremental", "compact_batches"),
+        "gc_compacted": ("google_spark.operators.incremental", "gc_compacted"),
         "wand_topk": ("google_spark.operators.index_query", "wand_topk"),
         "wand_topk_local": ("google_spark.operators.index_query", "wand_topk_local"),
         "exhaustive_topk": ("google_spark.operators.index_query", "exhaustive_topk"),

@@ -208,25 +208,147 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     return encode_sorted_terms(int(pdf["shard"].iloc[0]), term_arrays())
 
 
-def merge_batches(
-    spark: SparkSession, out_dir: str, n_batches: int, total_docs: int
-) -> IndexTables:
-    """Merge all committed batches into the final index and publish it
-    atomically under ``{out_dir}/index``. Requires every batch committed."""
-    done = committed_batches(out_dir, n_batches)
-    missing = sorted(set(range(n_batches)) - set(done))
-    if missing:
-        raise RuntimeError(f"cannot merge: uncommitted batches {missing}")
+def _segment_dir(out_dir: str, lo: int, hi: int) -> str:
+    return os.path.join(out_dir, "segments", f"seg={lo}-{hi}")
 
+
+def committed_segments(out_dir: str) -> list[tuple[int, int]]:
+    """Committed compaction segments as (lo, hi) batch ranges (inclusive)."""
+    sdir = os.path.join(out_dir, "segments")
+    if not os.path.isdir(sdir):
+        return []
+    out = []
+    for entry in os.scandir(sdir):
+        if not (entry.is_dir() and entry.name.startswith("seg=")):
+            continue
+        try:
+            lo, hi = (int(x) for x in entry.name[len("seg="):].split("-"))
+        except ValueError:
+            continue
+        if os.path.exists(os.path.join(entry.path, "_COMMITTED")):
+            out.append((lo, hi))
+    return sorted(out)
+
+
+def compact_batches(
+    spark: SparkSession, out_dir: str, lo: int, hi: int
+) -> None:
+    """Merge committed batches ``lo..hi`` (inclusive) into ONE segment —
+    the Iceberg ``rewrite_data_files`` analog for the committed-batch
+    layout (streaming epochs produce many small batches; compaction keeps
+    the finalize-merge fan-in bounded). Reference parity: the KVS worker's
+    ``tableGC`` log compaction (ref: src/cis5550/kvs/Worker.java:257-281)
+    rewrites an append-only table log into one compacted file the same
+    way — merged payload first, atomic swap after. The segment holds merged partial
+    postings (same ``_merge_bucket`` kernel, so merge associativity over
+    disjoint doc universes keeps the FINAL index byte-identical whether or
+    not a compaction ran), the unioned doc lengths, and an atomic
+    ``_COMMITTED`` marker that embeds the source batches' lineage payloads
+    verbatim (marker-preserving: ``write_lineage`` still emits one row per
+    original batch after the batch dirs are garbage-collected).
+
+    Crash safety: everything lands under ``seg=lo-hi`` BEFORE the marker
+    rename; a kill mid-compaction leaves an uncommitted segment dir that
+    the resolver ignores (the batch dirs still serve the merge), and a kill
+    after commit but before :func:`gc_compacted` double-stores but never
+    double-counts (the resolver reads covered batches from the segment
+    only)."""
+    done = set(committed_batches(out_dir))
+    rng = list(range(lo, hi + 1))
+    missing = [b for b in rng if b not in done]
+    if missing:
+        raise RuntimeError(f"cannot compact: uncommitted batches {missing}")
+    sdir = _segment_dir(out_dir, lo, hi)
+    os.makedirs(sdir, exist_ok=True)
     parts = spark.read.parquet(
-        *[os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in done]
+        *[os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in rng]
     )
     merged = parts.withColumn("tb", term_bucket_col("term")).groupBy(
         "tb", "shard"
     ).applyInPandas(_merge_bucket, schema=POSTINGS_SCHEMA)
+    merged.write.mode("overwrite").parquet(os.path.join(sdir, "postings.parquet"))
     doclens = spark.read.parquet(
-        *[os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in done]
+        *[os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in rng]
     )
+    doclens.write.mode("overwrite").parquet(os.path.join(sdir, "doclen.parquet"))
+    sources = []
+    for b in rng:
+        with open(_marker_path(out_dir, b)) as f:
+            sources.append(json.load(f))
+    path = os.path.join(sdir, "_COMMITTED")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"lo": lo, "hi": hi, "sources": sources, "committed_at": time.time()},
+            f,
+        )
+    os.replace(tmp, path)
+
+
+def gc_compacted(out_dir: str) -> list[int]:
+    """Delete batch dirs fully covered by a committed segment; returns the
+    collected batch ids. Safe to kill at any point — the resolver never
+    reads a covered batch dir."""
+    import shutil
+
+    covered = {
+        b for lo, hi in committed_segments(out_dir) for b in range(lo, hi + 1)
+    }
+    removed = []
+    for b in sorted(covered):
+        bdir = _batch_dir(out_dir, b)
+        if os.path.isdir(bdir):
+            shutil.rmtree(bdir)
+            removed.append(b)
+    return removed
+
+
+def _resolve_inputs(
+    out_dir: str, n_batches: int
+) -> tuple[list[tuple[int, int]], list[int]]:
+    """Choose the merge inputs: committed segments (largest spans first,
+    non-overlapping) plus individually-committed batches for everything a
+    chosen segment doesn't cover. Raises when a batch is covered by neither
+    (uncommitted work)."""
+    covered: set[int] = set()
+    segs: list[tuple[int, int]] = []
+    for lo, hi in sorted(
+        committed_segments(out_dir), key=lambda s: (s[0] - s[1], s[0])
+    ):
+        rng = set(range(lo, hi + 1))
+        if rng & covered:
+            continue  # superseded by a larger committed segment
+        segs.append((lo, hi))
+        covered |= rng
+    loose = [b for b in committed_batches(out_dir, n_batches) if b not in covered]
+    missing = sorted(set(range(n_batches)) - covered - set(loose))
+    if missing:
+        raise RuntimeError(f"cannot merge: uncommitted batches {missing}")
+    return segs, loose
+
+
+def merge_batches(
+    spark: SparkSession, out_dir: str, n_batches: int, total_docs: int
+) -> IndexTables:
+    """Merge all committed work — compaction segments plus loose batches —
+    into the final index and publish it atomically under
+    ``{out_dir}/index``. Requires every batch committed (directly or via a
+    committed segment)."""
+    segs, loose = _resolve_inputs(out_dir, n_batches)
+    posting_paths = [
+        os.path.join(_segment_dir(out_dir, lo, hi), "postings.parquet")
+        for lo, hi in segs
+    ] + [os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in loose]
+    doclen_paths = [
+        os.path.join(_segment_dir(out_dir, lo, hi), "doclen.parquet")
+        for lo, hi in segs
+    ] + [os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in loose]
+
+    parts = spark.read.parquet(*posting_paths)
+    merged = parts.withColumn("tb", term_bucket_col("term")).groupBy(
+        "tb", "shard"
+    ).applyInPandas(_merge_bucket, schema=POSTINGS_SCHEMA)
+    doclens = spark.read.parquet(*doclen_paths)
     total_dl = doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
     avgdl = total_dl / total_docs if total_docs else 0.0
 
@@ -261,11 +383,22 @@ def merge_batches(
 
 
 def write_lineage(spark: SparkSession, out_dir: str, n_batches: int) -> DataFrame:
-    """Materialize the lineage/metrics table from the commit markers."""
-    rows = []
+    """Materialize the lineage/metrics table from the commit markers. One
+    row per ORIGINAL batch even after compaction + GC: segments embed their
+    source batches' marker payloads verbatim, so per-batch lineage
+    (checksums, wall times) survives the batch dirs' removal."""
+    payloads: dict[int, dict] = {}
+    for lo, hi in committed_segments(out_dir):
+        with open(os.path.join(_segment_dir(out_dir, lo, hi), "_COMMITTED")) as f:
+            for d in json.load(f)["sources"]:
+                if d["batch"] < n_batches:
+                    payloads[d["batch"]] = d
     for b in committed_batches(out_dir, n_batches):
         with open(_marker_path(out_dir, b)) as f:
-            d = json.load(f)
+            payloads[b] = json.load(f)
+    rows = []
+    for b in sorted(payloads):
+        d = payloads[b]
         rows.append(
             (
                 d["batch"],

@@ -158,3 +158,101 @@ def test_queryable_after_merge(spark, identified, tmp_path):
     a = [(r["doc_id"], round(r["score"], 9)) for r in wand_topk(inc, q, k=10).collect()]
     b = [(r["doc_id"], round(r["score"], 9)) for r in wand_topk(single, q, k=10).collect()]
     assert a == b and len(a) == 10
+
+
+def test_compaction_byte_identical_and_marker_preserving(spark, identified, tmp_path):
+    """Kill after 3/4 batches -> compact batches 0-2 into one segment ->
+    GC the covered batch dirs -> resume -> merge. The final index must be
+    byte-identical to a clean build, and lineage must still carry one row
+    per ORIGINAL batch (segments embed source markers)."""
+    import os
+
+    from google_spark.operators.incremental import (
+        committed_batches,
+        committed_segments,
+        compact_batches,
+        gc_compacted,
+        incremental_build,
+    )
+
+    out = str(tmp_path / "cmp")
+    got = incremental_build(
+        spark, identified, out, n_batches=4,
+        id_col="doc_id", text_col="content", stop_after=3,
+    )
+    assert got is None
+    compact_batches(spark, out, 0, 2)
+    assert committed_segments(out) == [(0, 2)]
+    assert sorted(gc_compacted(out)) == [0, 1, 2]
+    # covered batch dirs are gone; only batch 3 remains to build
+    assert committed_batches(out, 4) == []
+    resumed = incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    clean = incremental_build(
+        spark, identified, str(tmp_path / "cmp_clean"), n_batches=4,
+        id_col="doc_id", text_col="content",
+    )
+    assert _postings_map(resumed) == _postings_map(clean)
+    # marker-preserving lineage: one row per original batch, doc-count exact
+    lineage = spark.read.parquet(os.path.join(out, "lineage.parquet"))
+    rows = {r["batch"]: r for r in lineage.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r["n_docs"] for r in rows.values()) == identified.count()
+
+
+def test_kill_during_compaction_is_ignored(spark, identified, tmp_path):
+    """A segment dir without _COMMITTED (kill mid-compaction) must not
+    affect the merge: batch dirs still serve it, bytes identical."""
+    import os
+
+    from google_spark.operators.incremental import (
+        _segment_dir,
+        incremental_build,
+    )
+
+    out = str(tmp_path / "killseg")
+    incremental_build(
+        spark, identified, out, n_batches=4,
+        id_col="doc_id", text_col="content", stop_after=4,
+    )
+    # orphan, uncommitted segment covering 0-1 (garbage postings on purpose)
+    sdir = _segment_dir(out, 0, 1)
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "junk.txt"), "w") as f:
+        f.write("partial write, no marker")
+    resumed = incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    clean = incremental_build(
+        spark, identified, str(tmp_path / "killseg_clean"), n_batches=4,
+        id_col="doc_id", text_col="content",
+    )
+    assert _postings_map(resumed) == _postings_map(clean)
+
+
+def test_overlapping_segments_resolve_largest_first(spark, identified, tmp_path):
+    """A later, larger compaction supersedes a smaller overlapping one; the
+    merge never double-counts a batch."""
+    from google_spark.operators.incremental import (
+        _resolve_inputs,
+        compact_batches,
+        incremental_build,
+    )
+
+    out = str(tmp_path / "overlap")
+    incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    compact_batches(spark, out, 0, 1)
+    compact_batches(spark, out, 0, 2)  # larger span, overlaps the first
+    segs, loose = _resolve_inputs(out, 4)
+    assert segs == [(0, 2)] and loose == [3]
+    resumed = incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    clean = incremental_build(
+        spark, identified, str(tmp_path / "overlap_clean"), n_batches=4,
+        id_col="doc_id", text_col="content",
+    )
+    assert _postings_map(resumed) == _postings_map(clean)

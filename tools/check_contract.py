@@ -102,6 +102,9 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entrymod.queries()
+    if hasattr(entrymod, "extra_queries"):
+        # rows beyond the driver's 50-entry budget still gate locally
+        qs = {**qs, **entrymod.extra_queries()}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
