@@ -1,0 +1,137 @@
+"""A/B: scan-side shingling (transform/slice over a materialized token
+array) vs the round-2 window+lead path, at the x-replicated protocol scale
+(verdict r2 item #4). Both feed the identical md5 -> CW-minima aggregation;
+only the shingle stage differs:
+
+- scan:   0 shuffles before the signature agg (shingles never exchanged)
+- window: 2 shuffles of the exploded token relation (window sort, distinct)
+
+Runs strictly alternate (A B A B ...) inside one JVM so box drift hits both
+variants equally. Usage:
+
+    python BENCH/ab_minhash.py --replicate 64 --runs 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def replicate(docs, r: int):
+    reps = docs.sparkSession.range(r).select(F.col("id").alias("rep"))
+    return (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") * r + F.col("rep")).alias("doc_id"),
+            "text",
+        )
+    )
+
+
+def run_once(docs, impl: str) -> float:
+    from google_spark.operators.dedup import (
+        _shingle_rows,
+        _shingle_rows_window,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        DEFAULT_N_HASHES,
+    )
+
+    sh = (_shingle_rows if impl == "scan" else _shingle_rows_window)(
+        docs, "doc_id", "text", 3
+    )
+    x = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    mins = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("x") + F.lit(MINHASH_B[j])) % MINHASH_P)
+        .alias(f"m{j}")
+        for j in range(DEFAULT_N_HASHES)
+    ]
+    t0 = time.perf_counter()
+    sig = sh.select(F.col("doc_id"), x.alias("x")).groupBy("doc_id").agg(*mins)
+    # force full evaluation + a checksum so both variants provably agree
+    row = sig.agg(
+        F.count("*").alias("n"), F.sum(F.col("m0") + F.col("m15")).alias("chk")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    return dt, (row["n"], row["chk"])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=64)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .appName("ab_minhash")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # Materialize the replicated corpus as a MULTI-FILE parquet and read it
+    # back: a 100 TB input arrives as thousands of splits, and the no-shuffle
+    # scan variant's parallelism equals input splits. Benchmarking straight
+    # off the crossJoin (one split at sf0.1) would serialize the scan
+    # variant and credit the window variant's shuffle with the
+    # parallelization — an artifact of the 1-file test corpus, not a
+    # property of either algorithm.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ab_minhash_")
+    corpus = os.path.join(tmp, "docs.parquet")
+    replicate(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+        args.replicate,
+    ).repartition(64).write.parquet(corpus)
+    docs = spark.read.parquet(corpus)
+    n = docs.count()
+    print(f"docs={n} (x{args.replicate}, 64 input files)", flush=True)
+    run_once(docs.limit(2000), "scan")  # JVM warmup, untimed
+
+    series: dict[str, list[float]] = {"scan": [], "window": []}
+    checks = set()
+    for i in range(args.runs):
+        for impl in ("scan", "window"):
+            dt, chk = run_once(docs, impl)
+            series[impl].append(round(dt, 3))
+            checks.add(chk)
+            print(f"run {i} {impl:6s} {dt:7.2f}s  chk={chk}", flush=True)
+    assert len(checks) == 1, f"variants disagree: {checks}"
+    out = {
+        "n_docs": n,
+        "replicate": args.replicate,
+        "scan_s": series["scan"],
+        "window_s": series["window"],
+        "scan_median": statistics.median(series["scan"]),
+        "window_median": statistics.median(series["window"]),
+    }
+    out["speedup_scan_over_window"] = round(
+        out["window_median"] / out["scan_median"], 3
+    )
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(__file__), "ab_minhash.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,57 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _shingle_rows(
+    docs: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, shingle) rows, built scan-side (no shuffle). Deliberately NOT
+    deduplicated: the CW minima downstream are idempotent to duplicate
+    shingles, and the partial aggregation already bounds the exchange at
+    n_hashes values per doc — a distinct would add a full shuffle (or an
+    O(n^2-ish) array_distinct over strings) for zero semantic effect.
+    Shingles are concat_ws over element_at probes rather than slice(), so
+    no per-shingle array is allocated. The token array is materialized in
+    its OWN projection: referenced 3+ times (size guard, sequence bound,
+    lambda probes), CollapseProject keeps it a per-row attribute instead of
+    re-inlining the split/filter tokenization into every reference."""
+    tk = docs.select(F.col(id_col), tokens_col(text_col).alias("tk"))
+    toks = F.col("tk")
+    n = F.size(toks)
+    sh = F.when(
+        n >= shingle_k,
+        F.transform(
+            F.sequence(F.lit(1), n - (shingle_k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(shingle_k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tk.select(F.col(id_col), F.explode(sh).alias("s"))
+
+
+def _shingle_rows_window(
+    docs: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """Window+lead shingling (round-2 implementation, kept for the A/B in
+    BENCH/ab_minhash.py): posexplode -> per-doc window sort -> lead(k-1)
+    -> distinct. Two full exchanges of the exploded token relation before
+    any aggregation."""
+    from pyspark.sql import Window
+
+    tk = docs.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, shingle_k)]
+    guard = F.lead("t", shingle_k - 1).over(w)
+    return (
+        tk.select(F.col(id_col), F.concat_ws(" ", *parts).alias("s"), guard.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(id_col, "s")
+        .distinct()
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -117,26 +168,19 @@ def minhash_signatures(
     """DataFrame[doc_id, sig: array<bigint>]; docs with no shingles get no
     row (they can't near-duplicate anything at this shingle size).
 
-    Shingles come from posexplode + lead() over a per-doc window (measured
-    ~5x faster than building shingle arrays with nested transform/slice
-    expressions), deduplicated per doc, hashed once with md5, then
-    groupBy(doc).agg(n_hashes mins) — partial aggregation scan-side, so
-    the final exchange carries at most n_hashes values per doc regardless
-    of document size."""
-    from pyspark.sql import Window
-
-    tk = docs.select(
-        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "t")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, shingle_k)]
-    guard = F.lead("t", shingle_k - 1).over(w)
-    sh = (
-        tk.select(F.col(id_col), F.concat_ws(" ", *parts).alias("s"), guard.alias("g"))
-        .filter(F.col("g").isNotNull())
-        .select(id_col, "s")
-        .distinct()
-    )
+    Shingling is scan-side: tokens are materialized as ONE array column
+    (its own projection, so CollapseProject won't re-inline the expensive
+    split/filter into every lambda reference — the round-2 "array
+    expressions are 5x slower" measurement was exactly that re-inlining),
+    then transform/slice builds the shingle array, array_distinct dedups
+    in place, and explode feeds md5 + groupBy(doc).agg(n_hashes mins) with
+    scan-side partial aggregation. ZERO pre-aggregation shuffles — the
+    exploded shingle relation is never exchanged, and the final exchange
+    carries at most n_hashes values per doc regardless of document size.
+    (The previous window+lead implementation shuffled the exploded token
+    relation twice — window sort + distinct — before aggregating; the A/B
+    at the x256 protocol scale is in BENCH/BASELINE.md.)"""
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k)
     x = (
         F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10).cast("long")
         % MINHASH_P
