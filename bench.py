@@ -49,23 +49,39 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 4)
 
-    # serving-path latency (driver-side WAND over the pruned posting scan),
-    # p50 across the suite — plus one distributed WAND + exhaustive sample
+    # serving-path latency, measured the way a serving tier actually runs:
+    # against the PUBLISHED on-disk index (write_index -> read_index), where
+    # point lookups are direct bucket-pruned pyarrow reads with no Spark
+    # job (index_query._fetch_posting_rows). The in-memory Spark-collect
+    # fallback is reported separately (query_p50_sparkjob_ms) for
+    # comparability with earlier rounds.
+    import tempfile
+
+    from google_spark.operators.index_build import read_index, write_index
     from google_spark.operators.index_query import wand_topk_local
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    write_index(index, idx_dir)
+    disk_index = read_index(spark, idx_dir)
 
     lat_ms = []
     row_cache: dict = {}
     for i, q in enumerate(BENCH_QUERIES):
         t0 = time.perf_counter()
-        wand_topk_local(index, q, k=10, row_cache=row_cache)
+        wand_topk_local(disk_index, q, k=10, row_cache=row_cache)
         dt = time.perf_counter() - t0
         timings[f"local_q{i + 1}"] = round(dt, 4)
         lat_ms.append(dt * 1000)
+    sparkjob_ms = []
+    for q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        wand_topk_local(index, q, k=10)
+        sparkjob_ms.append((time.perf_counter() - t0) * 1000)
     # warm pass: posting rows cached driver-side (the serve-time steady state)
     warm_ms = []
     for q in BENCH_QUERIES:
         t0 = time.perf_counter()
-        wand_topk_local(index, q, k=10, row_cache=row_cache)
+        wand_topk_local(disk_index, q, k=10, row_cache=row_cache)
         warm_ms.append((time.perf_counter() - t0) * 1000)
 
     t0 = time.perf_counter()
@@ -90,7 +106,7 @@ def main() -> None:
         (F.lit(1.0) / (F.col("count") + 1)).alias("rank"),
     )
     eng = SearchEngine(
-        index,
+        disk_index,  # postings via pyarrow point reads; meta via one job
         ranks,
         doc_meta,
         docs.select("doc_id", F.col("text").alias("content")),
@@ -179,7 +195,9 @@ def main() -> None:
         "n_docs_replicated": n_big,
         "query_p50_ms": round(statistics.median(lat_ms), 2),
         "query_p50_warm_ms": round(statistics.median(warm_ms), 2),
+        "query_p50_sparkjob_ms": round(statistics.median(sparkjob_ms), 2),
         "facade_p50_ms": round(statistics.median(facade_ms), 2),
+        "serving": "published disk index, bucket-pruned pyarrow point reads",
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "scaling": scaling,  # measured local[2]-vs-local[8]; see BENCH/BASELINE.md
     }

@@ -57,6 +57,11 @@ class IndexTables:
     n_docs: int
     avgdl: float
     n_buckets: int | None = None
+    # Set when the index was read from (or written to) a bucket-partitioned
+    # parquet layout: enables the serving tier's direct pyarrow point
+    # lookups (index_query._fetch_posting_rows) — the KVS `get` analog
+    # with no Spark job on the query path.
+    disk_path: str | None = None
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         rows = self.terms.filter(F.col("term").isin(terms)).collect()
@@ -336,4 +341,5 @@ def read_index(spark: SparkSession, out_dir: str) -> IndexTables:
         n_docs=int(row["n_docs"]),
         avgdl=float(row["avgdl"]),
         n_buckets=int(row.get("n_buckets") or 0) or None,
+        disk_path=out_dir,
     )
