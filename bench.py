@@ -57,12 +57,24 @@ def main() -> None:
     # comparability with earlier rounds.
     import tempfile
 
-    from google_spark.operators.index_build import read_index, write_index
     from google_spark.operators.index_query import wand_topk_local
+    from google_spark.search import SearchEngine
 
-    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
-    write_index(index, idx_dir)
-    disk_index = read_index(spark, idx_dir)
+    doc_meta = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 101).cast("string").alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id"), F.lit(".py")).alias("path"),
+    )
+    ranks = doc_meta.groupBy("repo").count().select(
+        F.col("repo").alias("node"),
+        (F.lit(1.0) / (F.col("count") + 1)).alias("rank"),
+    )
+    bundle_dir = tempfile.mkdtemp(prefix="bench_bundle_")
+    SearchEngine(
+        index, ranks, doc_meta, docs.select("doc_id", F.col("text").alias("content"))
+    ).save(bundle_dir)
+    eng = SearchEngine.load(spark, bundle_dir)
+    disk_index = eng.index
 
     lat_ms = []
     row_cache: dict = {}
@@ -92,29 +104,12 @@ def main() -> None:
     timings["exhaustive_q1"] = round(time.perf_counter() - t0, 4)
 
     # end-to-end serving facade (WAND + pre-joined meta/rank + boosts +
-    # priority sort), uncached per query — the full SearchEngine.search
-    # path, not just the WAND kernel
-    from google_spark.search import SearchEngine
-
-    doc_meta = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 101).cast("string").alias("repo"),
-        F.concat(F.lit("src/f"), F.col("doc_id"), F.lit(".py")).alias("path"),
-    )
-    ranks = doc_meta.groupBy("repo").count().select(
-        F.col("repo").alias("node"),
-        (F.lit(1.0) / (F.col("count") + 1)).alias("rank"),
-    )
-    eng = SearchEngine(
-        disk_index,  # postings via pyarrow point reads; meta via one job
-        ranks,
-        doc_meta,
-        docs.select("doc_id", F.col("text").alias("content")),
-    )
+    # priority sort + snippets), uncached per query, served from the
+    # published bundle — every lookup a pyarrow point read, zero Spark jobs
     facade_ms = []
     for q in BENCH_QUERIES:
         t0 = time.perf_counter()
-        eng.search(q, k=10)
+        eng.search(q, k=10, snippets=True)
         facade_ms.append((time.perf_counter() - t0) * 1000)
     timings["facade_5q"] = round(sum(facade_ms) / 1000, 4)
 

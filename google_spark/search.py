@@ -180,6 +180,11 @@ class SearchEngine:
         self._history: dict[str, float] = {}  # query -> last access time
         # term -> DECODED posting entries, with a running byte counter
         self._postings_cache = PostingsCache()
+        # set by load(): doc_id-sorted parquet for driver-side point reads
+        self._meta_path: str | None = None
+        self._docs_path: str | None = None
+        self._meta_ds = None  # memoized pyarrow datasets
+        self._docs_ds = None
 
     # -- construction -----------------------------------------------------
 
@@ -225,9 +230,51 @@ class SearchEngine:
         )
         return cls(index, ranks, doc_meta, docs, mode=mode)
 
+    def save(self, out_dir: str) -> None:
+        """Publish the full serving bundle: bucket-partitioned postings
+        (write_index) plus the pre-joined doc metadata, the docstore
+        content, and the rank table — meta and content globally sorted by
+        doc_id, so each parquet row group covers a narrow id range and the
+        serving tier's point reads prune on row-group statistics. After
+        :meth:`load`, an uncached query (including snippets) runs with NO
+        Spark jobs — the analog of the reference serving straight from KVS
+        tables (ref: src/cis5550/jobs/SearchApi.java:92-145) rather than
+        re-running its build jobs."""
+        from google_spark.operators.index_build import write_index
+
+        write_index(self.index, out_dir)
+        if self.doc_meta is not None:
+            self.doc_meta.sort("doc_id").write.mode("overwrite").parquet(
+                f"{out_dir}/doc_meta.parquet"
+            )
+        if self.docs is not None:
+            self.docs.sort("doc_id").write.mode("overwrite").parquet(
+                f"{out_dir}/docstore.parquet"
+            )
+        if self.ranks_df is not None:
+            self.ranks_df.write.mode("overwrite").parquet(f"{out_dir}/ranks.parquet")
+
     @classmethod
     def load(cls, spark: SparkSession, index_dir: str, mode: str = "simple") -> "SearchEngine":
-        return cls(read_index(spark, index_dir), mode=mode)
+        """Load a published serving bundle (see :meth:`save`). Postings,
+        meta, and snippet lookups are then served driver-side via pyarrow
+        point reads; the DataFrame handles stay available for distributed
+        paths (autocomplete long tail, wand_topk)."""
+        import os
+
+        index = read_index(spark, index_dir)
+        meta_p = os.path.join(index_dir, "doc_meta.parquet")
+        docs_p = os.path.join(index_dir, "docstore.parquet")
+        ranks_p = os.path.join(index_dir, "ranks.parquet")
+        ranks = spark.read.parquet(ranks_p) if os.path.isdir(ranks_p) else None
+        meta = spark.read.parquet(meta_p) if os.path.isdir(meta_p) else None
+        docs = spark.read.parquet(docs_p) if os.path.isdir(docs_p) else None
+        eng = cls(index, ranks, meta, docs, mode=mode)
+        if meta is not None:
+            eng._meta_path = meta_p
+        if docs is not None:
+            eng._docs_path = docs_p
+        return eng
 
     # -- serving ----------------------------------------------------------
 
@@ -245,16 +292,34 @@ class SearchEngine:
         cols = self.doc_meta.columns
         has_title = "title" in cols
         has_rank = "rank" in cols
-        rows = self.doc_meta.filter(F.col("doc_id").isin(ids)).collect()
+        if self._meta_path is not None:
+            # published bundle: doc_id-sorted parquet, row-group pruned
+            # pyarrow point read — no Spark job
+            rows = self._point_read(self._meta_path, "_meta_ds", ids)
+        else:
+            rows = self.doc_meta.filter(F.col("doc_id").isin(ids)).collect()
         return {
             r["doc_id"]: (
                 r["repo"],
                 r["path"],
                 r["title"] if has_title else None,
-                float(r["rank"]) if has_rank else None,
+                float(r["rank"]) if has_rank and r["rank"] is not None else None,
             )
             for r in rows
         }
+
+    def _point_read(self, path: str, memo_attr: str, ids: list[int]) -> list[dict]:
+        """Fetch rows by doc_id from a published doc_id-sorted parquet via
+        pyarrow (row-group statistics prune to the groups whose id range
+        overlaps the request) — the serving tier's KVS ``get``, with the
+        dataset handle memoized so repeat queries skip file discovery."""
+        import pyarrow.dataset as ds
+
+        dset = getattr(self, memo_attr)
+        if dset is None:
+            dset = ds.dataset(path, format="parquet")
+            setattr(self, memo_attr, dset)
+        return dset.to_table(filter=ds.field("doc_id").isin(ids)).to_pylist()
 
     def _ranks_for(self, repos: set[str]) -> dict[str, float]:
         """PageRank values for the given repos, via the lazily-filled
@@ -376,7 +441,10 @@ class SearchEngine:
         if not rows:
             return
         ids = [r.doc_id for r in rows]
-        fetched = self.docs.filter(F.col("doc_id").isin(ids)).collect()
+        if self._docs_path is not None:
+            fetched = self._point_read(self._docs_path, "_docs_ds", ids)
+        else:
+            fetched = self.docs.filter(F.col("doc_id").isin(ids)).collect()
         texts = {r["doc_id"]: r["content"] for r in fetched}
         for r in rows:
             text = texts.get(r.doc_id) or ""

@@ -174,3 +174,24 @@ def test_autocomplete_complete_trie_skips_fallback(engine):
     assert engine._trie_complete is True
     few = engine.autocomplete("partitio", 10)
     assert few == engine._trie.complete("partitio", 10)
+
+
+def test_save_load_serving_bundle(engine, spark, tmp_path_factory):
+    """A published bundle must serve the same results as the live engine —
+    same ranked ids/priorities, same snippets — with the point-read paths
+    (postings/meta/docstore pyarrow datasets) active."""
+    from google_spark.search import SearchEngine
+
+    out = str(tmp_path_factory.mktemp("bundle"))
+    engine.save(out)
+    loaded = SearchEngine.load(spark, out)
+    assert loaded._meta_path and loaded._docs_path
+    assert loaded.index.disk_path == out
+    assert "rank" in loaded.doc_meta.columns  # saved pre-joined
+
+    for q in ("data partition", "merge sort", "zzznotthere"):
+        a = engine.search(q, k=8, snippets=True)
+        b = loaded.search(q, k=8, snippets=True)
+        assert [(r.doc_id, round(r.priority, 9), r.path, r.snippet) for r in a] == [
+            (r.doc_id, round(r.priority, 9), r.path, r.snippet) for r in b
+        ], q
