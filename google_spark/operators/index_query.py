@@ -375,13 +375,28 @@ def positions_for(
     the decode kernel (the candidate set rides in as a closure — it is <=
     one result page), so the driver receives only |candidates| x |terms|
     position lists — never a hot term's full posting row, which at web
-    scale is the difference between KBs and GBs per query."""
+    scale is the difference between KBs and GBs per query.
+
+    On a disk-backed index the rows come through the same pyarrow point
+    read the scoring path uses and are decoded in the driver — no Spark
+    job. That is safe under the same assumption wand_topk_local already
+    makes (the query terms' posting rows fit one machine); a serving
+    deployment that can't assume it should use the distributed
+    wand_topk/positions path."""
     from google_spark.functions.codec import decode_postings_full_np
 
     out: dict[str, dict[int, list[int]]] = {t: {} for t in terms}
     if not terms or not doc_ids:
         return out
     cand = np.array(sorted(doc_ids), dtype=np.int64)
+
+    if index.disk_path:
+        for r in _fetch_posting_rows(index, terms):
+            docs, _tfs, _dls, pos = decode_postings_full_np(bytes(r["postings"]))
+            idx = np.minimum(np.searchsorted(cand, docs), len(cand) - 1)
+            for i in np.flatnonzero(cand[idx] == docs):
+                out[r["term"]][int(docs[i])] = pos[i].tolist()
+        return out
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

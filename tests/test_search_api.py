@@ -195,3 +195,12 @@ def test_save_load_serving_bundle(engine, spark, tmp_path_factory):
         assert [(r.doc_id, round(r.priority, 9), r.path, r.snippet) for r in a] == [
             (r.doc_id, round(r.priority, 9), r.path, r.snippet) for r in b
         ], q
+
+    # proximity re-rank: the bundle serves positions driver-side (pyarrow),
+    # the live engine runs the executor-side kernel — identical results
+    for q in ("data partition", "hash join"):
+        a = engine.search(q, k=8, proximity=True)
+        b = loaded.search(q, k=8, proximity=True)
+        assert [(r.doc_id, round(r.priority, 9)) for r in a] == [
+            (r.doc_id, round(r.priority, 9)) for r in b
+        ], q

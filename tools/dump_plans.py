@@ -101,9 +101,12 @@ def main() -> None:
     sections.append(
         (
             "MinHash signatures",
-            "posexplode + lead window builds shingles; HashAggregate shows "
-            "partial_min for all 16 hash functions BEFORE the exchange — the "
-            "shuffle carries 16 longs per doc, never the shingles.",
+            "Shingles are built scan-side (transform over the materialized "
+            "token array — no window, no pre-aggregation exchange at all); "
+            "HashAggregate shows partial_min for all 16 hash functions "
+            "BEFORE the one exchange — the shuffle carries 16 longs per "
+            "doc, never the shingles (A/B vs the window+lead variant in "
+            "BENCH/ab_minhash.json).",
             fmt(minhash_signatures(docs)),
         )
     )
