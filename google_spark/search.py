@@ -253,6 +253,13 @@ class SearchEngine:
             )
         if self.ranks_df is not None:
             self.ranks_df.write.mode("overwrite").parquet(f"{out_dir}/ranks.parquet")
+        elif self._rank_cache:
+            # dict-provided ranks would otherwise silently vanish from the
+            # bundle (the loaded engine would serve DEFAULT_RANK everywhere)
+            self.index.postings.sparkSession.createDataFrame(
+                [(k, float(v)) for k, v in self._rank_cache.items()],
+                "node string, rank double",
+            ).write.mode("overwrite").parquet(f"{out_dir}/ranks.parquet")
 
     @classmethod
     def load(cls, spark: SparkSession, index_dir: str, mode: str = "simple") -> "SearchEngine":
@@ -289,14 +296,19 @@ class SearchEngine:
         :meth:`_ranks_for`)."""
         if self.doc_meta is None or not ids:
             return {}
-        cols = self.doc_meta.columns
-        has_title = "title" in cols
-        has_rank = "rank" in cols
         if self._meta_path is not None:
             # published bundle: doc_id-sorted parquet, row-group pruned
-            # pyarrow point read — no Spark job
+            # pyarrow point read — no Spark job. Column flags come from the
+            # FILE schema, not self.doc_meta: __init__ may have re-joined
+            # rank onto the DataFrame while the saved file predates it.
             rows = self._point_read(self._meta_path, "_meta_ds", ids)
+            names = set(self._meta_ds.schema.names)
+            has_title = "title" in names
+            has_rank = "rank" in names
         else:
+            cols = self.doc_meta.columns
+            has_title = "title" in cols
+            has_rank = "rank" in cols
             rows = self.doc_meta.filter(F.col("doc_id").isin(ids)).collect()
         return {
             r["doc_id"]: (

