@@ -253,28 +253,52 @@ def compact_batches(
     after commit but before :func:`gc_compacted` double-stores but never
     double-counts (the resolver reads covered batches from the segment
     only)."""
-    done = set(committed_batches(out_dir))
-    rng = list(range(lo, hi + 1))
-    missing = [b for b in rng if b not in done]
+    rng = set(range(lo, hi + 1))
+    # Sources: committed segments fully inside [lo, hi] (largest spans
+    # first, non-overlapping, never the target range itself), then loose
+    # committed batches for whatever those don't cover. Accepting segments
+    # as inputs makes compaction HIERARCHICAL: seg 0-1 + batches 2-3 can
+    # re-compact into seg 0-3 even after batches 0-1 were GC'd (their
+    # lineage payloads travel inside seg 0-1's marker).
+    covered: set[int] = set()
+    src_segs: list[tuple[int, int]] = []
+    for slo, shi in sorted(
+        committed_segments(out_dir), key=lambda s: (s[0] - s[1], s[0])
+    ):
+        srng = set(range(slo, shi + 1))
+        if (slo, shi) == (lo, hi) or not srng <= rng or srng & covered:
+            continue
+        src_segs.append((slo, shi))
+        covered |= srng
+    loose = [b for b in committed_batches(out_dir) if b in rng - covered]
+    missing = sorted(rng - covered - set(loose))
     if missing:
         raise RuntimeError(f"cannot compact: uncommitted batches {missing}")
     sdir = _segment_dir(out_dir, lo, hi)
     os.makedirs(sdir, exist_ok=True)
-    parts = spark.read.parquet(
-        *[os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in rng]
-    )
+    posting_paths = [
+        os.path.join(_segment_dir(out_dir, s, e), "postings.parquet")
+        for s, e in src_segs
+    ] + [os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in loose]
+    doclen_paths = [
+        os.path.join(_segment_dir(out_dir, s, e), "doclen.parquet")
+        for s, e in src_segs
+    ] + [os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in loose]
+    parts = spark.read.parquet(*posting_paths)
     merged = parts.withColumn("tb", term_bucket_col("term")).groupBy(
         "tb", "shard"
     ).applyInPandas(_merge_bucket, schema=POSTINGS_SCHEMA)
     merged.write.mode("overwrite").parquet(os.path.join(sdir, "postings.parquet"))
-    doclens = spark.read.parquet(
-        *[os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in rng]
-    )
+    doclens = spark.read.parquet(*doclen_paths)
     doclens.write.mode("overwrite").parquet(os.path.join(sdir, "doclen.parquet"))
     sources = []
-    for b in rng:
+    for s, e in src_segs:
+        with open(os.path.join(_segment_dir(out_dir, s, e), "_COMMITTED")) as f:
+            sources.extend(json.load(f)["sources"])
+    for b in loose:
         with open(_marker_path(out_dir, b)) as f:
             sources.append(json.load(f))
+    sources.sort(key=lambda d: d["batch"])
     path = os.path.join(sdir, "_COMMITTED")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -285,21 +309,44 @@ def compact_batches(
     os.replace(tmp, path)
 
 
+def _chosen_segments(out_dir: str) -> tuple[list[tuple[int, int]], set[int]]:
+    """The greedy non-overlapping segment selection the merge resolver
+    uses (largest spans first, ties to lowest lo) and the batch ids it
+    covers. GC must use the SAME selection: a batch covered only by an
+    overlapping segment the resolver ignores still serves merges from its
+    loose dir and must not be collected."""
+    covered: set[int] = set()
+    segs: list[tuple[int, int]] = []
+    for lo, hi in sorted(
+        committed_segments(out_dir), key=lambda s: (s[0] - s[1], s[0])
+    ):
+        rng = set(range(lo, hi + 1))
+        if rng & covered:
+            continue
+        segs.append((lo, hi))
+        covered |= rng
+    return segs, covered
+
+
 def gc_compacted(out_dir: str) -> list[int]:
-    """Delete batch dirs fully covered by a committed segment; returns the
+    """Delete batch dirs covered by the resolver's CHOSEN segments, plus
+    superseded segment dirs that lie fully inside the chosen cover (e.g.
+    seg 0-1 after a hierarchical re-compaction into seg 0-3); returns the
     collected batch ids. Safe to kill at any point — the resolver never
-    reads a covered batch dir."""
+    reads a covered batch dir or a non-chosen segment."""
     import shutil
 
-    covered = {
-        b for lo, hi in committed_segments(out_dir) for b in range(lo, hi + 1)
-    }
+    chosen, covered = _chosen_segments(out_dir)
     removed = []
     for b in sorted(covered):
         bdir = _batch_dir(out_dir, b)
         if os.path.isdir(bdir):
             shutil.rmtree(bdir)
             removed.append(b)
+    chosen_set = set(chosen)
+    for lo, hi in committed_segments(out_dir):
+        if (lo, hi) not in chosen_set and set(range(lo, hi + 1)) <= covered:
+            shutil.rmtree(_segment_dir(out_dir, lo, hi))
     return removed
 
 
@@ -310,16 +357,7 @@ def _resolve_inputs(
     non-overlapping) plus individually-committed batches for everything a
     chosen segment doesn't cover. Raises when a batch is covered by neither
     (uncommitted work)."""
-    covered: set[int] = set()
-    segs: list[tuple[int, int]] = []
-    for lo, hi in sorted(
-        committed_segments(out_dir), key=lambda s: (s[0] - s[1], s[0])
-    ):
-        rng = set(range(lo, hi + 1))
-        if rng & covered:
-            continue  # superseded by a larger committed segment
-        segs.append((lo, hi))
-        covered |= rng
+    segs, covered = _chosen_segments(out_dir)
     loose = [b for b in committed_batches(out_dir, n_batches) if b not in covered]
     missing = sorted(set(range(n_batches)) - covered - set(loose))
     if missing:

@@ -256,3 +256,79 @@ def test_overlapping_segments_resolve_largest_first(spark, identified, tmp_path)
         id_col="doc_id", text_col="content",
     )
     assert _postings_map(resumed) == _postings_map(clean)
+
+
+def test_hierarchical_compaction_and_gc(spark, identified, tmp_path):
+    """Binpack pattern at stream scale: compact 0-1, GC (batches 0-1
+    gone), then re-compact 0-3 FROM seg 0-1 + loose batches 2-3, GC again
+    (superseded seg 0-1 removed). Final merge byte-identical to a clean
+    build; lineage still one row per original batch."""
+    import os
+
+    from google_spark.operators.incremental import (
+        _resolve_inputs,
+        _segment_dir,
+        committed_segments,
+        compact_batches,
+        gc_compacted,
+        incremental_build,
+    )
+
+    out = str(tmp_path / "hier")
+    incremental_build(
+        spark, identified, out, n_batches=4,
+        id_col="doc_id", text_col="content", stop_after=4,
+    )
+    compact_batches(spark, out, 0, 1)
+    assert sorted(gc_compacted(out)) == [0, 1]
+    compact_batches(spark, out, 0, 3)  # sources: seg 0-1 + batches 2,3
+    assert committed_segments(out) == [(0, 1), (0, 3)]
+    gc_compacted(out)
+    # superseded seg 0-1 collected; only the big segment remains
+    assert committed_segments(out) == [(0, 3)]
+    assert not os.path.isdir(_segment_dir(out, 0, 1))
+    segs, loose = _resolve_inputs(out, 4)
+    assert segs == [(0, 3)] and loose == []
+    resumed = incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    clean = incremental_build(
+        spark, identified, str(tmp_path / "hier_clean"), n_batches=4,
+        id_col="doc_id", text_col="content",
+    )
+    assert _postings_map(resumed) == _postings_map(clean)
+    lineage = spark.read.parquet(os.path.join(out, "lineage.parquet"))
+    assert {r["batch"] for r in lineage.collect()} == {0, 1, 2, 3}
+
+
+def test_gc_keeps_batches_of_ignored_overlapping_segment(spark, identified, tmp_path):
+    """seg 0-2 and seg 1-3 overlap; the resolver chooses 0-2 and serves 3
+    from its loose batch dir. GC must NOT collect batch 3 (covered only by
+    the ignored segment) or the merge would lose it."""
+    from google_spark.operators.incremental import (
+        _resolve_inputs,
+        committed_batches,
+        compact_batches,
+        gc_compacted,
+        incremental_build,
+    )
+
+    out = str(tmp_path / "ovl")
+    incremental_build(
+        spark, identified, out, n_batches=4,
+        id_col="doc_id", text_col="content", stop_after=4,
+    )
+    compact_batches(spark, out, 0, 2)
+    compact_batches(spark, out, 1, 3)
+    assert sorted(gc_compacted(out)) == [0, 1, 2]
+    assert committed_batches(out, 4) == [3]  # batch 3 survives GC
+    segs, loose = _resolve_inputs(out, 4)
+    assert segs == [(0, 2)] and loose == [3]
+    resumed = incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    clean = incremental_build(
+        spark, identified, str(tmp_path / "ovl_clean"), n_batches=4,
+        id_col="doc_id", text_col="content",
+    )
+    assert _postings_map(resumed) == _postings_map(clean)
