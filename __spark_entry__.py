@@ -831,6 +831,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+FACADE_QUERY = "hash join"
+
+
+def q_serve_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D21/D22 end-to-end through ENGINE code (no reimplementation): the
+    SearchEngine facade's priority blend — W_RANK*rank + W_TEXT*bm25 +
+    path boost — over deterministic meta/ranks (repo = doc_id % 7; every
+    10th doc's path contains a query term so the boost branch fires).
+    The facade over-fetches BM25 top-100 then re-sorts by priority; the
+    oracle replays exactly that: unrounded top-100 by (score, doc_id),
+    rank join, regex path boost, priority order, limit 10."""
+    from google_spark.search import SearchEngine
+
+    docs = _docs(spark, sf_dir)
+    meta = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7).cast("string").alias("repo"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("src/hash/f"), F.col("doc_id"), F.lit(".py")),
+        )
+        .otherwise(F.concat(F.lit("src/f"), F.col("doc_id"), F.lit(".py")))
+        .alias("path"),
+    )
+    ranks = meta.groupBy("repo").count().select(
+        F.col("repo").alias("node"),
+        (F.lit(1.0) / (F.col("count") + 1)).alias("rank"),
+    )
+    eng = SearchEngine(_index(spark, sf_dir), ranks, meta, None)
+    res = eng.search(FACADE_QUERY, k=10)
+    return spark.createDataFrame(
+        [(r.doc_id, round(r.priority, 4)) for r in res],
+        "doc_id long, priority double",
+    )
+
+
+def _serve_priority_oracle() -> str:
+    from google_spark.operators.ranking import W_PATH_BOOST, W_RANK, W_TEXT
+
+    base = _bm25_sql(
+        "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
+        limit=100,
+        rounded=False,
+    )
+    return f"""
+WITH scored AS ({base}),
+meta AS (
+  SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS repo,
+         CASE WHEN doc_id % 10 = 0
+              THEN 'src/hash/f' || doc_id || '.py'
+              ELSE 'src/f' || doc_id || '.py' END AS path
+  FROM documents
+),
+ranks AS (SELECT repo, 1.0 / (count(*) + 1) AS rank FROM meta GROUP BY repo)
+SELECT s.doc_id,
+       round({W_RANK!r} * r.rank + {W_TEXT!r} * s.score
+             + CASE WHEN regexp_matches(m.path, '(?i)\\b(hash|join)\\b')
+                    THEN {W_PATH_BOOST!r} ELSE 0.0 END, 4) AS priority
+FROM scored s JOIN meta m USING (doc_id) JOIN ranks r ON r.repo = m.repo
+ORDER BY priority DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -843,6 +906,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_count": q_op_count,
         "op_except": q_op_except,
         "text_token_estimate": q_text_token_estimate,
+        "serve_priority_topk": q_serve_priority_topk,
     }
 
 
@@ -861,6 +925,8 @@ def _bm25_sql(
     tok_sql: str = _TOK_SQL,
     pre_tf_cte: str = "",
     tf_from: str = "(SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)",
+    limit: int = 10,
+    rounded: bool = True,
 ) -> str:
     """Weighted-BM25 top-10 oracle, parameterized by the per-term weight
     CTE (plain queries use multiplicity weights; synonym expansion computes
@@ -888,8 +954,8 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 4) AS score FROM scored
-ORDER BY score DESC, doc_id ASC LIMIT 10
+SELECT doc_id, {"round(score, 4) AS score" if rounded else "score"} FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {limit}
 """
 
 
@@ -1308,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_exhaustive": _BM25_ORACLE,
         "bm25_topk_wand": _BM25_ORACLE,
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
+        "serve_priority_topk": _serve_priority_oracle(),
         "bm25_topk_code": _bm25_sql(
             "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
             tok_sql=_TOK_CODE_SQL,
