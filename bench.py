@@ -51,6 +51,14 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64).persist()
     n_docs = docs.count()
 
+    # untimed warmup (same protocol as BENCH/scale_worker.py): the very
+    # first applyInPandas action pays one-off JVM codegen + Python worker
+    # pool spin-up (~4-6s) that is per-process, not per-build — without
+    # this the 5k-doc line reads SLOWER than the 80k-doc line below
+    build_index(
+        spark, docs.limit(200), id_col="doc_id", text_col="text", total_docs=200
+    )
+
     t0 = time.perf_counter()
     index = build_index(spark, docs, id_col="doc_id", text_col="text", total_docs=n_docs)
     build_sec = time.perf_counter() - t0

@@ -136,14 +136,21 @@ def stream_index_builder(
 
 
 def finalize_stream_index(spark: SparkSession, out_dir: str, total_docs: int):
-    """Merge every committed streaming batch into the published index."""
-    from google_spark.operators.incremental import committed_batches, merge_batches
+    """Merge every committed streaming batch — including epochs that now
+    live only inside compaction segments — into the published index."""
+    from google_spark.operators.incremental import (
+        committed_batches,
+        committed_segments,
+        merge_batches,
+    )
 
     batches = committed_batches(out_dir)
-    if not batches:
+    seg_his = [hi for _, hi in committed_segments(out_dir)]
+    if not batches and not seg_his:
         raise RuntimeError("no committed streaming batches to merge")
     # merge_batches expects a dense range; streaming epochs are dense from 0
-    return merge_batches(spark, out_dir, max(batches) + 1, total_docs)
+    n = max(batches + seg_his) + 1
+    return merge_batches(spark, out_dir, n, total_docs)
 
 
 def streaming_session_stats(

@@ -192,3 +192,73 @@ def test_stream_appends_to_existing_batches_without_overwrite(spark, tmp_path):
         a = [(d, round(s, 9)) for d, s in wand_topk_local(idx, query, k=10)]
         b = [(d, round(s, 9)) for d, s in wand_topk_local(single, query, k=10)]
         assert a == b, query
+
+
+def test_stream_with_midstream_compaction_equals_batch_build(spark, tmp_path):
+    """Long-running-stream lifecycle: ingest 3 files -> stop -> compact the
+    committed epochs into one segment -> GC the epoch dirs -> resume the
+    stream (same checkpoint; epoch base preserved) with 2 more files ->
+    finalize. The published index must equal the batch build, and lineage
+    must still carry one row per streaming epoch."""
+    from google_spark.operators.incremental import (
+        committed_batches,
+        committed_segments,
+        compact_batches,
+        gc_compacted,
+        write_lineage,
+    )
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk_local
+    from google_spark.streaming.ingest import (
+        finalize_stream_index,
+        stream_index_builder,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "incoming2")
+    os.makedirs(in_dir)
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 5 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{i}.parquet")
+
+    out = str(tmp_path / "sidx2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = stream_index_builder(spark, f"{in_dir}/*", out, checkpoint_dir=ckpt)
+    q.awaitTermination(240)
+    done = committed_batches(out)
+    assert len(done) >= 1
+    lo, hi = min(done), max(done)
+    compact_batches(spark, out, lo, hi)
+    assert committed_segments(out) == [(lo, hi)]
+    assert sorted(gc_compacted(out)) == list(range(lo, hi + 1))
+
+    for i in range(3, 5):
+        docs.filter(F.col("doc_id") % 5 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/part{i}.parquet")
+    q2 = stream_index_builder(spark, f"{in_dir}/*", out, checkpoint_dir=ckpt)
+    q2.awaitTermination(240)
+
+    idx = finalize_stream_index(spark, out, total_docs=docs.count())
+    batch_idx = build_index(spark, docs, id_col="doc_id", text_col="text")
+    for query in ("hash join", "data"):
+        a = [(d, round(s, 9)) for d, s in wand_topk_local(idx, query, k=10)]
+        b = [(d, round(s, 9)) for d, s in wand_topk_local(batch_idx, query, k=10)]
+        assert a == b, query
+    # lineage: every epoch accounted for, doc counts sum to the corpus
+    n_epochs = max(committed_batches(out) + [hi]) + 1
+    lineage = write_lineage(spark, out, n_epochs)
+    rows = lineage.collect()
+    assert {r["batch"] for r in rows} == set(range(n_epochs))
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+
+    # compact EVERYTHING (hierarchically, over the first segment) and GC:
+    # finalize must still publish, from segments alone, byte-identically
+    compact_batches(spark, out, 0, n_epochs - 1)
+    gc_compacted(out)
+    assert committed_batches(out) == []
+    idx2 = finalize_stream_index(spark, out, total_docs=docs.count())
+    a = [(d, round(s, 9)) for d, s in wand_topk_local(idx2, "hash join", k=10)]
+    b = [(d, round(s, 9)) for d, s in wand_topk_local(batch_idx, "hash join", k=10)]
+    assert a == b
