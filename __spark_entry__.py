@@ -894,6 +894,34 @@ ORDER BY priority DESC, s.doc_id ASC LIMIT 10
 """
 
 
+def q_autocomplete_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D27 through ENGINE code: SearchEngine.autocomplete('s') — trie
+    completions ranked (df desc, term asc). The oracle recomputes document
+    frequency over distinct (doc, term) pairs and ranks the same way; pos
+    pins the ORDER into the value hash."""
+    from google_spark.search import SearchEngine
+
+    eng = SearchEngine(_index(spark, sf_dir))
+    comps = eng.autocomplete("s", limit=10)
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(comps)], "pos int, term string"
+    )
+
+
+_AUTOCOMPLETE_ORACLE = f"""
+WITH tf AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+  )
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS INT) AS pos,
+       term
+FROM dft WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -907,6 +935,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_except": q_op_except,
         "text_token_estimate": q_text_token_estimate,
         "serve_priority_topk": q_serve_priority_topk,
+        "autocomplete_topdf": q_autocomplete_topdf,
     }
 
 
@@ -1375,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": _BM25_ORACLE,
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "serve_priority_topk": _serve_priority_oracle(),
+        "autocomplete_topdf": _AUTOCOMPLETE_ORACLE,
         "bm25_topk_code": _bm25_sql(
             "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
             tok_sql=_TOK_CODE_SQL,
