@@ -894,6 +894,42 @@ ORDER BY priority DESC, s.doc_id ASC LIMIT 10
 """
 
 
+def q_tfidf_ref_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-fidelity scoring mode (SURVEY §5 tier-6): top-10 by the
+    REFERENCE's exact formula — queryFreq * (count/doclen) * ln(N/df) * 10
+    (ref: src/cis5550/jobs/Indexer.java:181-187,238-242 and
+    RankScore.java:171-178) — through the engine's exhaustive kernel."""
+    from google_spark.operators.index_query import exhaustive_topk
+
+    df = exhaustive_topk(
+        _index(spark, sf_dir), "hash join", k=10, scoring="ref_tfidf"
+    )
+    return _round4(df, "score")
+
+
+_REF_TFIDF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+n AS (SELECT count(*) AS n_docs FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS c, any_value(dl) AS dl FROM (
+    SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks
+  ) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * (CAST(tf.c AS DOUBLE) / tf.dl)
+             * ln(CAST(n.n_docs AS DOUBLE) / dft.df) * 10.0) AS score
+  FROM tf JOIN q ON tf.term = q.term JOIN dft ON tf.term = dft.term
+  CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_autocomplete_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D27 through ENGINE code: SearchEngine.autocomplete('s') — trie
     completions ranked (df desc, term asc). The oracle recomputes document
@@ -936,6 +972,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_estimate": q_text_token_estimate,
         "serve_priority_topk": q_serve_priority_topk,
         "autocomplete_topdf": q_autocomplete_topdf,
+        "tfidf_ref_topk": q_tfidf_ref_topk,
     }
 
 
@@ -1405,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "serve_priority_topk": _serve_priority_oracle(),
         "autocomplete_topdf": _AUTOCOMPLETE_ORACLE,
+        "tfidf_ref_topk": _REF_TFIDF_ORACLE,
         "bm25_topk_code": _bm25_sql(
             "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
             tok_sql=_TOK_CODE_SQL,

@@ -88,9 +88,22 @@ def bm25_score_col(avgdl: float) -> F.Column:
 
 
 def exhaustive_topk(
-    index: IndexTables, query: str, k: int = 10, mode: str = "simple", stem: bool = False
+    index: IndexTables,
+    query: str,
+    k: int = 10,
+    mode: str = "simple",
+    stem: bool = False,
+    scoring: str = "bm25",
 ) -> DataFrame:
-    """DataFrame[doc_id, score] — top-k by BM25, exhaustive scoring.
+    """DataFrame[doc_id, score] — top-k by exhaustive scoring.
+
+    ``scoring="bm25"`` (default) is the engine's ranking function.
+    ``scoring="ref_tfidf"`` reproduces the REFERENCE's formula exactly for
+    fidelity testing: per-term score = queryFreq * (count/doclen) *
+    ln(N/df) * 10 — normalized tf from Indexer.java:181-187
+    (``wordCountInverse``), idf = ln(pageCount/df) from
+    Indexer.java:238-242, and the queryFreq * tf * idf * 10 blend from
+    RankScore.java:171-178 (singleSearch).
 
     The per-term weight and idf are tiny query-side constants, so they ride
     into the decode kernel as closures (idf needs global df, fetched with
@@ -109,11 +122,19 @@ def exhaustive_topk(
     import math
 
     n = index.n_docs
-    widf = {
-        r["term"]: float(qf[r["term"]])
-        * math.log((n - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5) + 1.0)
-        for r in df_rows
-    }
+    if scoring == "ref_tfidf":
+        widf = {
+            r["term"]: float(qf[r["term"]])
+            * math.log(n / int(r["df"]))
+            * 10.0
+            for r in df_rows
+        }
+    else:
+        widf = {
+            r["term"]: float(qf[r["term"]])
+            * math.log((n - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5) + 1.0)
+            for r in df_rows
+        }
     avgdl = index.avgdl
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,12 +145,15 @@ def exhaustive_topk(
                 w = widf[term]
                 tf = tfs.astype(np.float64)
                 dl = dls.astype(np.float64)
-                scores = (
-                    w
-                    * tf
-                    * (BM25_K1 + 1.0)
-                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-                )
+                if scoring == "ref_tfidf":
+                    scores = w * tf / dl
+                else:
+                    scores = (
+                        w
+                        * tf
+                        * (BM25_K1 + 1.0)
+                        / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+                    )
                 d_out.append(doc_ids)
                 s_out.append(scores)
             if d_out:

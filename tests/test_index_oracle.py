@@ -93,3 +93,39 @@ def test_wand_pivot_loop_equals_fast_path(built, query_id, query, k, monkeypatch
         assert a == pytest.approx(b, abs=1e-9)
     want = oracle.topk(query, k=k)
     assert [d for d, _ in loop] == [d for d, _ in want]
+
+
+def test_ref_tfidf_mode_matches_hand_computation(spark):
+    """Reference-fidelity scoring (SURVEY §5 tier-6): score must equal
+    queryFreq * (count/doclen) * ln(N/df) * 10 computed by hand (ref:
+    Indexer.java:181-187 normalized tf, :238-242 idf=ln(N/df),
+    RankScore.java:171-178 blend)."""
+    import math
+
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import exhaustive_topk
+
+    rows = [
+        (1, "apple banana apple cherry"),       # dl=4, apple c=2
+        (2, "apple banana banana banana date"),  # dl=5
+        (3, "cherry date elder fig grape kiwi"),  # dl=6, no query terms
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(spark, docs, id_col="doc_id", text_col="text")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in exhaustive_topk(
+            idx, "apple banana apple", k=10, scoring="ref_tfidf"
+        ).collect()
+    }
+    n = 3
+    df_apple, df_banana = 2, 2
+    want = {
+        1: 2 * (2 / 4) * math.log(n / df_apple) * 10
+        + 1 * (1 / 4) * math.log(n / df_banana) * 10,
+        2: 2 * (1 / 5) * math.log(n / df_apple) * 10
+        + 1 * (3 / 5) * math.log(n / df_banana) * 10,
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12), d
