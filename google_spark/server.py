@@ -1,0 +1,106 @@
+"""Zero-dependency HTTP JSON serving layer over :class:`SearchEngine` —
+the analog of the reference's route surface (ref:
+src/cis5550/jobs/SearchApi.java:90-95 registers GET /search, /autocomplete,
+/synonym, /emptyquery; searchHandler at :248-320 reads query/pageSize/
+pageNum and returns titles + urls + snippets). JSON only — the reference's
+HTML pages are presentation, not engine semantics.
+
+stdlib ``http.server`` is deliberate: with a bundle-loaded engine
+(:meth:`SearchEngine.load`) a request touches no Spark job at all (postings,
+meta, and snippets are pyarrow point reads), so the serving tier needs no
+web framework and no cluster round-trip. Engine calls are serialized with a
+lock — the engine's driver-side caches are plain dicts, and correctness
+beats a microsecond of handler concurrency.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def _result_json(r) -> dict:
+    return {
+        "doc_id": r.doc_id,
+        "score": r.score,
+        "priority": r.priority,
+        "rank": r.rank,
+        "path": r.path,
+        "title": r.title,
+        "snippet": r.snippet,
+    }
+
+
+def make_handler(engine):
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802 — http.server API
+            u = urlparse(self.path)
+            qs = parse_qs(u.query)
+            q = (qs.get("query") or [""])[0]
+            try:
+                if u.path == "/health":
+                    return self._json(200, {"ok": True})
+                if u.path == "/search":
+                    if not q.strip():
+                        # the reference routes empty queries to /emptyquery
+                        return self._json(400, {"error": "empty query"})
+                    page = int((qs.get("pageNum") or ["1"])[0])
+                    size = int((qs.get("pageSize") or ["10"])[0])
+                    snippets = (qs.get("snippets") or ["true"])[0] != "false"
+                    proximity = (qs.get("proximity") or ["false"])[0] == "true"
+                    with lock:
+                        res = engine.search(
+                            q, k=size, page=page, page_size=size,
+                            snippets=snippets, proximity=proximity,
+                        )
+                    return self._json(
+                        200,
+                        {
+                            "query": q,
+                            "page": page,
+                            "results": [_result_json(r) for r in res],
+                        },
+                    )
+                if u.path == "/autocomplete":
+                    limit = int((qs.get("limit") or ["10"])[0])
+                    with lock:
+                        comps = engine.autocomplete(q, limit=limit)
+                    return self._json(200, {"completions": comps})
+                if u.path == "/history":
+                    limit = int((qs.get("limit") or ["5"])[0])
+                    with lock:
+                        hist = engine.history(limit=limit)
+                    return self._json(200, {"history": hist})
+                return self._json(404, {"error": "not found"})
+            except Exception as exc:  # noqa: BLE001 — surface as 500 JSON
+                return self._json(500, {"error": str(exc)})
+
+        def log_message(self, *args) -> None:  # quiet test output
+            pass
+
+    return Handler
+
+
+def start_server(engine, host: str = "127.0.0.1", port: int = 0):
+    """Start serving in a daemon thread; returns the server (bound port in
+    ``server.server_address``; call ``server.shutdown()`` to stop)."""
+    srv = ThreadingHTTPServer((host, port), make_handler(engine))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 8080) -> None:
+    """Blocking variant of :func:`start_server`."""
+    ThreadingHTTPServer((host, port), make_handler(engine)).serve_forever()

@@ -1,0 +1,76 @@
+"""HTTP JSON serving layer: routes mirror the reference's SearchApi
+surface; responses must equal direct SearchEngine calls."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served(spark, corpus_df, tmp_path_factory):
+    from google_spark.search import SearchEngine
+    from google_spark.server import start_server
+    from google_spark.sources.tables import with_doc_identity
+
+    eng = SearchEngine.build(spark, with_doc_identity(corpus_df))
+    out = str(tmp_path_factory.mktemp("srvbundle"))
+    eng.save(out)
+    loaded = SearchEngine.load(spark, out)  # bundle: zero Spark jobs/request
+    srv = start_server(loaded)
+    host, port = srv.server_address
+    yield loaded, f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def _get(base: str, path: str):
+    with urllib.request.urlopen(base + path, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_search_route_matches_engine(served):
+    eng, base = served
+    status, body = _get(base, "/search?query=data+partition&pageSize=5")
+    assert status == 200
+    direct = eng.search("data partition", k=5, snippets=True)
+    assert [r["doc_id"] for r in body["results"]] == [r.doc_id for r in direct]
+    assert [r["priority"] for r in body["results"]] == [
+        pytest.approx(r.priority) for r in direct
+    ]
+    assert all(r["snippet"] for r in body["results"])
+
+
+def test_pagination_params(served):
+    eng, base = served
+    _, p1 = _get(base, "/search?query=data&pageSize=3&pageNum=1&snippets=false")
+    _, p2 = _get(base, "/search?query=data&pageSize=3&pageNum=2&snippets=false")
+    full = eng.search("data", k=3, page_size=3)
+    full2 = eng.search("data", k=3, page=2, page_size=3)
+    assert [r["doc_id"] for r in p1["results"]] == [r.doc_id for r in full]
+    assert [r["doc_id"] for r in p2["results"]] == [r.doc_id for r in full2]
+    assert p1["results"] != p2["results"]
+
+
+def test_autocomplete_and_history_routes(served):
+    eng, base = served
+    _, comp = _get(base, "/autocomplete?query=pa")
+    assert comp["completions"] == eng.autocomplete("pa", limit=10)
+    _get(base, "/search?query=merge+sort&pageSize=2")
+    _, hist = _get(base, "/history")
+    assert "merge sort" in hist["history"]
+
+
+def test_error_routes(served):
+    _, base = served
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e400:
+        _get(base, "/search?query=")
+    assert e400.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e404:
+        _get(base, "/nope")
+    assert e404.value.code == 404
+    status, ok = _get(base, "/health")
+    assert status == 200 and ok["ok"] is True
