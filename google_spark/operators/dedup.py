@@ -172,14 +172,15 @@ def minhash_signatures(
     (its own projection, so CollapseProject won't re-inline the expensive
     split/filter into every lambda reference — the round-2 "array
     expressions are 5x slower" measurement was exactly that re-inlining),
-    then transform/slice builds the shingle array, array_distinct dedups
-    in place, and explode feeds md5 + groupBy(doc).agg(n_hashes mins) with
+    then transform + element_at probes build shingles WITHOUT dedup (the
+    CW minima are idempotent to duplicates; see :func:`_shingle_rows`),
+    and explode feeds md5 + groupBy(doc).agg(n_hashes mins) with
     scan-side partial aggregation. ZERO pre-aggregation shuffles — the
     exploded shingle relation is never exchanged, and the final exchange
     carries at most n_hashes values per doc regardless of document size.
     (The previous window+lead implementation shuffled the exploded token
     relation twice — window sort + distinct — before aggregating; the A/B
-    at the x256 protocol scale is in BENCH/BASELINE.md.)"""
+    at protocol scale is in BENCH/BASELINE.md.)"""
     sh = _shingle_rows(docs, id_col, text_col, shingle_k)
     x = (
         F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10).cast("long")
@@ -419,6 +420,10 @@ def _simhash_chunk_plan(max_hamming: int) -> tuple[int, int, list[int], list[int
         m = -(-(max_hamming + 1) // (r + 1))  # ceil
         if m <= 8:
             break
+    # m >= 2 keeps every chunk <= 32 bits: a single 64-bit chunk's key mask
+    # (1<<64)-1 does not fit Spark's LongType (max_hamming=0 hits this);
+    # completeness is unaffected — at distance 0 ALL chunks match.
+    m = max(2, m)
     base, rem = divmod(64, m)
     widths = [base + (1 if i < rem else 0) for i in range(m)]
     offsets = [sum(widths[:i]) for i in range(m)]

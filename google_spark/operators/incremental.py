@@ -253,6 +253,13 @@ def compact_batches(
     after commit but before :func:`gc_compacted` double-stores but never
     double-counts (the resolver reads covered batches from the segment
     only)."""
+    sdir = _segment_dir(out_dir, lo, hi)
+    if os.path.exists(os.path.join(sdir, "_COMMITTED")):
+        # Idempotent retry: a committed segment is immutable. Rewriting its
+        # parquet under the live marker would break crash safety (a second
+        # kill mid-rewrite leaves a committed-but-corrupt segment), and
+        # after GC the sources may no longer exist anyway.
+        return
     rng = set(range(lo, hi + 1))
     # Sources: committed segments fully inside [lo, hi] (largest spans
     # first, non-overlapping, never the target range itself), then loose
@@ -274,22 +281,9 @@ def compact_batches(
     missing = sorted(rng - covered - set(loose))
     if missing:
         raise RuntimeError(f"cannot compact: uncommitted batches {missing}")
-    sdir = _segment_dir(out_dir, lo, hi)
     os.makedirs(sdir, exist_ok=True)
-    posting_paths = [
-        os.path.join(_segment_dir(out_dir, s, e), "postings.parquet")
-        for s, e in src_segs
-    ] + [os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in loose]
-    doclen_paths = [
-        os.path.join(_segment_dir(out_dir, s, e), "doclen.parquet")
-        for s, e in src_segs
-    ] + [os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in loose]
-    parts = spark.read.parquet(*posting_paths)
-    merged = parts.withColumn("tb", term_bucket_col("term")).groupBy(
-        "tb", "shard"
-    ).applyInPandas(_merge_bucket, schema=POSTINGS_SCHEMA)
+    merged, doclens = _merged_sources(spark, out_dir, src_segs, loose)
     merged.write.mode("overwrite").parquet(os.path.join(sdir, "postings.parquet"))
-    doclens = spark.read.parquet(*doclen_paths)
     doclens.write.mode("overwrite").parquet(os.path.join(sdir, "doclen.parquet"))
     sources = []
     for s, e in src_segs:
@@ -307,6 +301,33 @@ def compact_batches(
             f,
         )
     os.replace(tmp, path)
+
+
+def _merged_sources(
+    spark: SparkSession,
+    out_dir: str,
+    segs: list[tuple[int, int]],
+    loose: list[int],
+):
+    """Read partial postings + doclens from segment and batch dirs and
+    merge the postings with the associative ``_merge_bucket`` kernel —
+    shared by :func:`compact_batches` (writes a segment) and
+    :func:`merge_batches` (publishes the index), so the two paths cannot
+    diverge (divergence would break the byte-identical-after-compaction
+    invariant)."""
+    posting_paths = [
+        os.path.join(_segment_dir(out_dir, lo, hi), "postings.parquet")
+        for lo, hi in segs
+    ] + [os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in loose]
+    doclen_paths = [
+        os.path.join(_segment_dir(out_dir, lo, hi), "doclen.parquet")
+        for lo, hi in segs
+    ] + [os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in loose]
+    parts = spark.read.parquet(*posting_paths)
+    merged = parts.withColumn("tb", term_bucket_col("term")).groupBy(
+        "tb", "shard"
+    ).applyInPandas(_merge_bucket, schema=POSTINGS_SCHEMA)
+    return merged, spark.read.parquet(*doclen_paths)
 
 
 def _chosen_segments(out_dir: str) -> tuple[list[tuple[int, int]], set[int]]:
@@ -373,20 +394,7 @@ def merge_batches(
     ``{out_dir}/index``. Requires every batch committed (directly or via a
     committed segment)."""
     segs, loose = _resolve_inputs(out_dir, n_batches)
-    posting_paths = [
-        os.path.join(_segment_dir(out_dir, lo, hi), "postings.parquet")
-        for lo, hi in segs
-    ] + [os.path.join(_batch_dir(out_dir, b), "postings.parquet") for b in loose]
-    doclen_paths = [
-        os.path.join(_segment_dir(out_dir, lo, hi), "doclen.parquet")
-        for lo, hi in segs
-    ] + [os.path.join(_batch_dir(out_dir, b), "doclen.parquet") for b in loose]
-
-    parts = spark.read.parquet(*posting_paths)
-    merged = parts.withColumn("tb", term_bucket_col("term")).groupBy(
-        "tb", "shard"
-    ).applyInPandas(_merge_bucket, schema=POSTINGS_SCHEMA)
-    doclens = spark.read.parquet(*doclen_paths)
+    merged, doclens = _merged_sources(spark, out_dir, segs, loose)
     total_dl = doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
     avgdl = total_dl / total_docs if total_docs else 0.0
 
@@ -471,7 +479,14 @@ def incremental_build(
     hook simulating a mid-build kill); returns None when stopped early."""
     os.makedirs(out_dir, exist_ok=True)
     total_docs = docs.count()
-    done = set(committed_batches(out_dir, n_batches))
+    # "committed" includes batches whose only copy lives inside a
+    # compaction segment (their dirs are GC'd): rebuilding those would
+    # re-pay O(corpus) tokenize+encode for dirs the merge resolver then
+    # ignores anyway.
+    _, seg_cover = _chosen_segments(out_dir)
+    done = set(committed_batches(out_dir, n_batches)) | {
+        b for b in seg_cover if b < n_batches
+    }
     built = 0
     for b in range(n_batches):
         if b in done:

@@ -23,6 +23,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _fresh_batch_base(out_dir: str) -> int:
+    """First batch id a NEW stream may use: above every committed batch
+    AND every compaction segment. Segments matter because their source
+    batch dirs may be GC'd — a base below a segment's range would commit
+    new epochs under ids the merge resolver reads from the segment
+    instead, silently dropping the new documents."""
+    from google_spark.operators.incremental import (
+        committed_batches,
+        committed_segments,
+    )
+
+    done = committed_batches(out_dir)
+    seg_his = [hi for _, hi in committed_segments(out_dir)]
+    return (max(done + seg_his) + 1) if (done or seg_his) else 0
+
+
 def stream_index_builder(
     spark: SparkSession,
     input_dir: str,
@@ -62,8 +78,7 @@ def stream_index_builder(
         with open(base_path) as f:
             base = json.load(f)["base"]
     else:
-        done = committed_batches(out_dir)
-        base = (max(done) + 1) if done else 0
+        base = _fresh_batch_base(out_dir)
         os.makedirs(checkpoint_dir, exist_ok=True)
         with open(base_path, "w") as f:
             json.dump({"base": base}, f)

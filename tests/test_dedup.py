@@ -136,3 +136,24 @@ def test_simhash_near_dups_block_permutation(spark, dup_df):
             ham = bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
             if ham <= 10:
                 assert (a, b) in pairs and pairs[(a, b)] == ham
+
+
+def test_simhash_max_hamming_zero(spark):
+    """max_hamming=0 must run (the naive 1-chunk plan would need a 64-bit
+    mask that overflows LongType) and return exactly the identical-
+    fingerprint pairs."""
+    from google_spark.operators.dedup import simhash_fingerprints, simhash_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical -> same fp
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = simhash_fingerprints(docs)
+    pairs = {
+        (r["a"], r["b"]) for r in simhash_near_dups(fps, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2)}

@@ -332,3 +332,41 @@ def test_gc_keeps_batches_of_ignored_overlapping_segment(spark, identified, tmp_
         id_col="doc_id", text_col="content",
     )
     assert _postings_map(resumed) == _postings_map(clean)
+
+
+def test_resume_skips_segment_covered_batches_and_fresh_base(spark, identified, tmp_path):
+    """After compact+GC: (a) resume must NOT rebuild the covered batches
+    (their only copy lives in the segment; rebuilding re-pays O(corpus)
+    work the resolver then ignores), (b) a NEW stream's batch base must
+    clear the segment range (ids below it would be silently dropped by the
+    merge), (c) re-running the same compaction is an idempotent no-op even
+    though its source batches are gone."""
+    from google_spark.operators.incremental import (
+        _batch_dir,
+        compact_batches,
+        gc_compacted,
+        incremental_build,
+    )
+    from google_spark.streaming.ingest import _fresh_batch_base
+
+    out = str(tmp_path / "skiprebuild")
+    incremental_build(
+        spark, identified, out, n_batches=4,
+        id_col="doc_id", text_col="content", stop_after=3,
+    )
+    compact_batches(spark, out, 0, 2)
+    gc_compacted(out)
+    assert _fresh_batch_base(out) == 3  # segment hi + 1, not 0
+    resumed = incremental_build(
+        spark, identified, out, n_batches=4, id_col="doc_id", text_col="content"
+    )
+    # covered batches were NOT rebuilt: their dirs stay absent
+    for b in (0, 1, 2):
+        assert not os.path.isdir(_batch_dir(out, b)), b
+    assert _fresh_batch_base(out) == 4
+    compact_batches(spark, out, 0, 2)  # committed target -> no-op, no raise
+    clean = incremental_build(
+        spark, identified, str(tmp_path / "skiprebuild_clean"), n_batches=4,
+        id_col="doc_id", text_col="content",
+    )
+    assert _postings_map(resumed) == _postings_map(clean)

@@ -231,5 +231,7 @@ def test_save_load_with_dict_ranks(spark, corpus_df, tmp_path_factory):
     assert [(r.doc_id, round(r.priority, 9), round(r.rank, 9)) for r in a] == [
         (r.doc_id, round(r.priority, 9), round(r.rank, 9)) for r in b
     ]
-    assert any(abs(r.rank - 0.1) > 1e-9 or True for r in b)  # ranks present
-    assert {round(r.rank, 4) for r in b} <= {round(v, 4) for v in rank_map.values()}
+    # loaded ranks are the saved dict values, never the DEFAULT_RANK fill
+    got_ranks = {round(r.rank, 6) for r in b}
+    assert got_ranks <= {round(v, 6) for v in rank_map.values()}
+    assert len(got_ranks) > 1  # distinct per-repo values survived, not one fill
