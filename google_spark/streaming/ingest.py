@@ -296,3 +296,29 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Exact content dedup on an ingest stream: keep the first arrival of
+    each sha256(content) (the training-pipeline "don't index the same page
+    twice" guard, computed on the 32-byte hash so streaming state never
+    holds document text). With ``ts_col``, a watermark bounds the dedup
+    state (dropDuplicatesWithinWatermark): duplicates arriving within the
+    watermark horizon are dropped, state older than it is evicted — the
+    only way unbounded-corpus streaming dedup survives at scale. Without
+    ``ts_col`` (or in batch mode) the dedup is global. Works on both a
+    streaming and a batch DataFrame; batch parity with
+    operators.dedup.exact_dedup is tested."""
+    hashed = docs.withColumn("_sha", F.sha2(F.col(text_col), 256))
+    if ts_col is not None:
+        hashed = hashed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        if hashed.isStreaming:
+            return hashed.withWatermark(ts_col, watermark) \
+                .dropDuplicatesWithinWatermark(["_sha"]).drop("_sha")
+    return hashed.dropDuplicates(["_sha"]).drop("_sha")

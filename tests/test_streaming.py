@@ -262,3 +262,42 @@ def test_stream_with_midstream_compaction_equals_batch_build(spark, tmp_path):
     a = [(d, round(s, 9)) for d, s in wand_topk_local(idx2, "hash join", k=10)]
     b = [(d, round(s, 9)) for d, s in wand_topk_local(batch_idx, "hash join", k=10)]
     assert a == b
+
+
+def test_streaming_dedup_stream_and_batch(spark, tmp_path):
+    """streaming_dedup drops same-content docs across micro-batches (state
+    on sha256, never text); batch mode keeps one row per distinct content,
+    same as exact_dedup's grouping."""
+    from pyspark.sql.functions import col
+    from google_spark.streaming.ingest import streaming_dedup
+
+    rows = [
+        (1, "same content here for dedup", "2024-01-01 10:00:00"),
+        (2, "same content here for dedup", "2024-01-01 10:05:00"),  # dup
+        (3, "unique content one", "2024-01-01 10:10:00"),
+        (4, "unique content two", "2024-01-01 11:00:00"),
+        (5, "same content here for dedup", "2024-01-01 11:30:00"),  # dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts string")
+
+    # batch mode: one row per distinct content
+    kept = streaming_dedup(docs, ts_col="ts").select("text").distinct().count()
+    assert streaming_dedup(docs, ts_col="ts").count() == 3 == kept
+
+    # stream mode: drip the rows as files, collect via memory sink
+    in_dir = str(tmp_path / "dd_in")
+    os.makedirs(in_dir)
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], "doc_id long, text string, ts string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/f{i}.parquet")
+    stream = spark.readStream.schema("doc_id long, text string, ts string") \
+        .option("maxFilesPerTrigger", 1).parquet(f"{in_dir}/*")
+    q = (
+        streaming_dedup(stream, ts_col="ts")
+        .writeStream.format("memory").queryName("dd_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dd_out").collect()}
+    # first arrival of the dup content wins; 2 and 5 dropped
+    assert got == {1, 3, 4}
