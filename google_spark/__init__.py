@@ -47,6 +47,9 @@ def __getattr__(name):
         "ann_ivf_topk": ("google_spark.operators.similarity", "ann_ivf_topk"),
         "write_ivf_index": ("google_spark.operators.similarity", "write_ivf_index"),
         "ivf_index_topk": ("google_spark.operators.similarity", "ivf_index_topk"),
+        "streaming_dedup": ("google_spark.streaming.ingest", "streaming_dedup"),
+        "serve": ("google_spark.server", "serve"),
+        "start_server": ("google_spark.server", "start_server"),
     }
     if name in lazy:
         import importlib
