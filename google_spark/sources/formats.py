@@ -45,11 +45,20 @@ def detect_format(path: str, default: str | None = None) -> str:
     ext = os.path.splitext(path)[1].lower()
     if ext in _EXT_FORMAT:
         return _EXT_FORMAT[ext]
-    if "://" in path or any(c in path for c in "*?["):
+    if "://" in path or (
+        any(c in path for c in "*?[") and not os.path.exists(path)
+    ):
         # Remote URIs (hdfs://, s3a://, ...) and globs can't be inspected
         # with local os calls; the engine's canonical remote layout is
-        # parquet, and an explicit fmt= overrides. Raising here would
-        # reject paths Spark reads fine.
+        # parquet, and an explicit fmt= overrides. Raising for an
+        # EXTENSIONLESS remote path would reject paths Spark reads fine —
+        # but a recognized-yet-unsupported extension still gets the clear
+        # error rather than a later parquet-footer failure.
+        if ext:
+            raise ValueError(
+                f"unrecognized corpus extension {ext!r} in {path!r}; pass "
+                f"fmt= explicitly (supported: {SUPPORTED_FORMATS})"
+            )
         return default or "parquet"
     if ext and not os.path.isdir(path):
         raise ValueError(

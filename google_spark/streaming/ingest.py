@@ -61,7 +61,6 @@ def stream_index_builder(
     deterministic encode)."""
     import json
 
-    from google_spark.operators.incremental import committed_batches
     from google_spark.operators.index_build import build_postings, tokenize_docs
 
     os.makedirs(out_dir, exist_ok=True)
@@ -153,18 +152,14 @@ def stream_index_builder(
 def finalize_stream_index(spark: SparkSession, out_dir: str, total_docs: int):
     """Merge every committed streaming batch — including epochs that now
     live only inside compaction segments — into the published index."""
-    from google_spark.operators.incremental import (
-        committed_batches,
-        committed_segments,
-        merge_batches,
-    )
+    from google_spark.operators.incremental import merge_batches
 
-    batches = committed_batches(out_dir)
-    seg_his = [hi for _, hi in committed_segments(out_dir)]
-    if not batches and not seg_his:
+    # merge_batches expects a dense range; streaming epochs are dense from
+    # 0, and _fresh_batch_base is exactly "one past the last committed
+    # work" (batches + segments — one shared definition, not two copies)
+    n = _fresh_batch_base(out_dir)
+    if n == 0:
         raise RuntimeError("no committed streaming batches to merge")
-    # merge_batches expects a dense range; streaming epochs are dense from 0
-    n = max(batches + seg_his) + 1
     return merge_batches(spark, out_dir, n, total_docs)
 
 
@@ -311,14 +306,23 @@ def streaming_dedup(
     holds document text). With ``ts_col``, a watermark bounds the dedup
     state (dropDuplicatesWithinWatermark): duplicates arriving within the
     watermark horizon are dropped, state older than it is evicted — the
-    only way unbounded-corpus streaming dedup survives at scale. Without
-    ``ts_col`` (or in batch mode) the dedup is global. Works on both a
-    streaming and a batch DataFrame; batch parity with
-    operators.dedup.exact_dedup is tested."""
+    only way unbounded-corpus streaming dedup survives at scale.
+
+    In batch mode "first arrival" has no meaning, so the survivor is the
+    smallest ``id_col`` per content — deterministic and identical to
+    :func:`operators.dedup.exact_dedup`'s keep-smallest-id contract
+    (tested); a bare dropDuplicates would keep an arbitrary row."""
     hashed = docs.withColumn("_sha", F.sha2(F.col(text_col), 256))
     if ts_col is not None:
         hashed = hashed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         if hashed.isStreaming:
             return hashed.withWatermark(ts_col, watermark) \
                 .dropDuplicatesWithinWatermark(["_sha"]).drop("_sha")
-    return hashed.dropDuplicates(["_sha"]).drop("_sha")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_sha").orderBy(F.col(id_col).asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_sha", "_rn")
+    )

@@ -280,9 +280,13 @@ def test_streaming_dedup_stream_and_batch(spark, tmp_path):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, ts string")
 
-    # batch mode: one row per distinct content
-    kept = streaming_dedup(docs, ts_col="ts").select("text").distinct().count()
-    assert streaming_dedup(docs, ts_col="ts").count() == 3 == kept
+    # batch mode: keep-smallest-id per content — exact_dedup parity
+    from google_spark.operators.dedup import exact_dedup
+
+    batch = streaming_dedup(docs, ts_col="ts")
+    assert {r["doc_id"] for r in batch.collect()} == {
+        r["doc_id"] for r in exact_dedup(docs).collect()
+    } == {1, 3, 4}
 
     # stream mode: drip the rows as files, collect via memory sink
     in_dir = str(tmp_path / "dd_in")
