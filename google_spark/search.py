@@ -137,8 +137,15 @@ class SearchEngine:
         doc_meta: DataFrame | None = None,
         docs: DataFrame | None = None,
         mode: str = "simple",
+        word_vectors: DataFrame | None = None,
     ):
         self.index = index
+        # (word, vector) table for query-time synonym expansion (D17/D20;
+        # the reference ships GloVe, ref: SearchApi.java:147-160 — any
+        # table of that shape works). Collected lazily on first synonym
+        # search; vocabulary-sized, not corpus-sized.
+        self.word_vectors = word_vectors
+        self._syn: tuple[dict[str, int], object] | None = None
         # ranks stay a DataFrame (node, rank): at 10^9 docs the rank table
         # does not fit the driver. Per-repo values are fetched lazily for
         # the repos that actually appear in results (the cache is bounded
@@ -251,6 +258,10 @@ class SearchEngine:
             self.docs.sort("doc_id").write.mode("overwrite").parquet(
                 f"{out_dir}/docstore.parquet"
             )
+        if self.word_vectors is not None:
+            self.word_vectors.write.mode("overwrite").parquet(
+                f"{out_dir}/word_vectors.parquet"
+            )
         if self.ranks_df is not None:
             self.ranks_df.write.mode("overwrite").parquet(f"{out_dir}/ranks.parquet")
         elif self._rank_cache:
@@ -273,10 +284,12 @@ class SearchEngine:
         meta_p = os.path.join(index_dir, "doc_meta.parquet")
         docs_p = os.path.join(index_dir, "docstore.parquet")
         ranks_p = os.path.join(index_dir, "ranks.parquet")
+        wv_p = os.path.join(index_dir, "word_vectors.parquet")
         ranks = spark.read.parquet(ranks_p) if os.path.isdir(ranks_p) else None
         meta = spark.read.parquet(meta_p) if os.path.isdir(meta_p) else None
         docs = spark.read.parquet(docs_p) if os.path.isdir(docs_p) else None
-        eng = cls(index, ranks, meta, docs, mode=mode)
+        wv = spark.read.parquet(wv_p) if os.path.isdir(wv_p) else None
+        eng = cls(index, ranks, meta, docs, mode=mode, word_vectors=wv)
         if meta is not None:
             eng._meta_path = meta_p
         if docs is not None:
@@ -356,6 +369,7 @@ class SearchEngine:
         page_size: int | None = None,
         snippets: bool = False,
         proximity: bool = False,
+        synonyms: bool = False,
     ) -> list[SearchResult]:
         """Top-k by priority = W_RANK*pagerank + W_TEXT*bm25
         (+ W_PROX*proximity when ``proximity``) (+ path/title boost),
@@ -365,10 +379,10 @@ class SearchEngine:
         are attached lazily per page and stick to the cached rows, so a
         cache hit with snippets stays a pure driver-memory operation."""
         page_size = page_size or k
-        # snippets deliberately NOT part of the identity (the False keeps
-        # the historical 4-tuple key shape): the ranked list is the same
-        # either way, and snippets attach to the cached rows on demand
-        key = (query, k, False, proximity)
+        # snippets deliberately NOT part of the identity: the ranked list
+        # is the same either way, and snippets attach to the cached rows on
+        # demand. synonyms IS part of it — expansion changes the ranking.
+        key = (query, k, synonyms, proximity)
         now = time.time()
         self._history[query] = now
         if len(self._history) > HISTORY_MAX:
@@ -385,7 +399,7 @@ class SearchEngine:
         if hit and now - hit[0] < CACHE_TTL_S:
             results = hit[1]
         else:
-            results = self._search_uncached(query, k, proximity)
+            results = self._search_uncached(query, k, proximity, synonyms)
             if len(self._cache) >= CACHE_MAX:
                 self._cache.clear()  # reference GC: drop-all past the cap
             self._cache[key] = (now, results)
@@ -395,21 +409,51 @@ class SearchEngine:
             self._attach_snippets(page_rows, normalize_query(query, mode=self.mode))
         return page_rows
 
+    def synonym_expansions(
+        self, query: str, topn: int = 5
+    ) -> dict[str, list[tuple[str, float]]]:
+        """term -> [(synonym, decayed weight)] for the query's normalized
+        terms (the GET /synonym payload; empty without word vectors)."""
+        if self.word_vectors is None:
+            return {}
+        from google_spark.operators.synonyms import expand_query, load_word_vectors
+
+        if self._syn is None:
+            self._syn = load_word_vectors(self.word_vectors)
+        terms = list(dict.fromkeys(normalize_query(query, mode=self.mode)))
+        return expand_query(terms, self._syn[0], self._syn[1], topn=topn)
+
     def _search_uncached(
-        self, query: str, k: int, proximity: bool = False
+        self, query: str, k: int, proximity: bool = False, synonyms: bool = False
     ) -> list[SearchResult]:
         terms = normalize_query(query, mode=self.mode)
         if not terms:
             return []
         # over-fetch: the boost can promote docs from beyond text-score top-k
         fetch = max(k * 10, 100)
-        scored = wand_topk_local(
-            self.index,
-            " ".join(terms),
-            k=fetch,
-            mode=self.mode,
-            row_cache=self._postings_cache,
-        )
+        if synonyms and self.word_vectors is not None:
+            # D17/D20 in the serving path: original terms at query
+            # multiplicity plus synonyms at decayed weights, through the
+            # SAME scoring core as the plain path (so the two cannot drift)
+            from collections import Counter
+
+            from google_spark.operators.index_query import local_topk_core
+
+            weights = {t: float(c) for t, c in Counter(terms).items()}
+            for t, syns in self.synonym_expansions(query).items():
+                for s, w in syns:
+                    weights[s] = max(weights.get(s, 0.0), w)
+            scored = local_topk_core(
+                self.index, weights, fetch, row_cache=self._postings_cache
+            )
+        else:
+            scored = wand_topk_local(
+                self.index,
+                " ".join(terms),
+                k=fetch,
+                mode=self.mode,
+                row_cache=self._postings_cache,
+            )
         meta = self._meta_for([d for d, _ in scored])
         # rank came with the pre-joined meta row for most configurations;
         # only repos whose rank is missing (no pre-join) cost a second job

@@ -60,10 +60,12 @@ def make_handler(engine):
                     size = int((qs.get("pageSize") or ["10"])[0])
                     snippets = (qs.get("snippets") or ["true"])[0] != "false"
                     proximity = (qs.get("proximity") or ["false"])[0] == "true"
+                    synonyms = (qs.get("synonyms") or ["false"])[0] == "true"
                     with lock:
                         res = engine.search(
                             q, k=size, page=page, page_size=size,
                             snippets=snippets, proximity=proximity,
+                            synonyms=synonyms,
                         )
                     return self._json(
                         200,
@@ -71,6 +73,16 @@ def make_handler(engine):
                             "query": q,
                             "page": page,
                             "results": [_result_json(r) for r in res],
+                        },
+                    )
+                if u.path == "/synonym":
+                    with lock:
+                        exp = engine.synonym_expansions(q)
+                    return self._json(
+                        200,
+                        {
+                            t: [{"word": w, "weight": wt} for w, wt in syns]
+                            for t, syns in exp.items()
                         },
                     )
                 if u.path == "/autocomplete":

@@ -74,3 +74,36 @@ def test_error_routes(served):
     assert e404.value.code == 404
     status, ok = _get(base, "/health")
     assert status == 200 and ok["ok"] is True
+
+
+def test_synonym_route(spark):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.synonyms import synthetic_word_vectors
+    from google_spark.search import SearchEngine
+    from google_spark.server import start_server
+
+    docs = spark.createDataFrame(
+        [(i, f"data record merge doc {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs, id_col="doc_id", text_col="text")
+    wv = synthetic_word_vectors(
+        spark, ["data", "record", "dataset", "merge"],
+        clusters={"data": ["dataset", "record"]},
+    )
+    eng = SearchEngine(idx, word_vectors=wv)
+    srv = start_server(eng)
+    host, port = srv.server_address
+    try:
+        _, exp = _get(f"http://{host}:{port}", "/synonym?query=data")
+        assert "data" in exp and len(exp["data"]) > 0
+        assert {"word", "weight"} <= set(exp["data"][0])
+        _, body = _get(
+            f"http://{host}:{port}",
+            "/search?query=data&pageSize=5&synonyms=true&snippets=false",
+        )
+        assert [r["doc_id"] for r in body["results"]] == [
+            r.doc_id for r in eng.search("data", k=5, synonyms=True)
+        ]
+    finally:
+        srv.shutdown()

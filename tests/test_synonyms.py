@@ -88,3 +88,52 @@ def test_expand_query_tie_break_word_asc(spark):
     syn = expand_query(["alpha"], words, mat, topn=2)["alpha"]
     assert [w for w, _ in syn] == ["beta", "zeta"]
     assert [w for _, w in syn] == [0.5, 0.25]
+
+
+def test_facade_synonym_search_matches_operator(spark, corpus_df, tmp_path):
+    """SearchEngine(search synonyms=True) must rank exactly like the
+    synonym_topk operator (same weights through the same core), survive the
+    bundle round-trip (word_vectors.parquet), and differ from the plain
+    path when expansion actually adds terms."""
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.synonyms import (
+        load_word_vectors,
+        synonym_topk,
+        synthetic_word_vectors,
+    )
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    idx = build_index(spark, docs, id_col="doc_id", text_col="content")
+    vocab = ["data", "partition", "dataset", "record", "merge", "sort", "shard"]
+    wv = synthetic_word_vectors(
+        spark, vocab, clusters={"data": ["dataset", "record"], "partition": ["shard"]}
+    )
+    eng = SearchEngine(idx, word_vectors=wv)
+
+    q = "data partition"
+    got = eng.search(q, k=10, synonyms=True)
+    words, mat = load_word_vectors(wv)
+    want = synonym_topk(idx, q, words, mat, k=100)[:10]  # facade over-fetches
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    plain = eng.search(q, k=10, synonyms=False)
+    assert [r.doc_id for r in plain] != [] and (
+        [(r.doc_id, round(r.score, 6)) for r in plain]
+        != [(r.doc_id, round(r.score, 6)) for r in got]
+    )
+
+    out = str(tmp_path / "synbundle")
+    eng.save(out)
+    loaded = SearchEngine.load(spark, out)
+    assert loaded.word_vectors is not None
+    again = loaded.search(q, k=10, synonyms=True)
+    assert [(r.doc_id, round(r.score, 9)) for r in again] == [
+        (r.doc_id, round(r.score, 9)) for r in got
+    ]
+    exp = loaded.synonym_expansions(q)
+    assert [w for w, _ in exp["data"][:2]] == ["dataset", "record"] or set(
+        w for w, _ in exp["data"]
+    ) >= {"dataset"}
