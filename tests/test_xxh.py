@@ -63,3 +63,22 @@ def test_disk_backed_lookup_matches_spark_path(spark, corpus_df):
         want = [(i, round(s, 9)) for i, s in a]
         assert [(i, round(s, 9)) for i, s in b] == want, q
         assert [(i, round(s, 9)) for i, s in c] == want, q
+
+
+def test_xxh64_parity_over_full_corpus_vocabulary(spark):
+    """Every distinct term in the testdata corpus must bucket identically
+    in Python and in Spark — one mismatch means the serving tier silently
+    misses that term's postings."""
+    from google_spark.functions.xxh import term_bucket
+    from google_spark.operators.dedup import tokens_col
+
+    vocab = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+        .select("term", F.pmod(F.xxhash64("term"), F.lit(64)).cast("int").alias("tb"))
+        .collect()
+    )
+    assert len(vocab) > 10
+    for r in vocab:
+        assert term_bucket(r["term"], 64) == r["tb"], r["term"]
