@@ -146,6 +146,27 @@ def main() -> None:
     pagerank(synthetic_doc_graph(docs), exact_iters=3).count()
     timings["pagerank_3it"] = round(time.perf_counter() - t0, 4)
 
+    # similarity ops at sf scale: IVF disk-index build + partition-pruned
+    # probe, and the brute-force cosine baseline it approximates
+    from google_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [float(x) for x in emb.select("embedding").first()[0]]
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    t0 = time.perf_counter()
+    write_ivf_index(emb, ivf_dir, n_centroids=8, n_iters=2)
+    timings["ivf_index_build"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    ivf_index_topk(spark, ivf_dir, probe, k=10, nprobe=3).collect()
+    timings["ivf_probe"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    cosine_topk(emb, probe_vec_id=0, k=10).collect()
+    timings["cosine_brute"] = round(time.perf_counter() - t0, 4)
+
     # relational headliners at sf scale
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

@@ -294,6 +294,17 @@ class SearchEngine:
             eng._meta_path = meta_p
         if docs is not None:
             eng._docs_path = docs_p
+        # prime the pyarrow dataset handles now (one directory listing
+        # each) so the FIRST query doesn't pay ~25ms of file discovery
+        import pyarrow.dataset as pads
+
+        index._pa_dataset = pads.dataset(
+            f"{index_dir}/postings.parquet", format="parquet", partitioning="hive"
+        )
+        if meta is not None:
+            eng._meta_ds = pads.dataset(meta_p, format="parquet")
+        if docs is not None:
+            eng._docs_ds = pads.dataset(docs_p, format="parquet")
         return eng
 
     # -- serving ----------------------------------------------------------
