@@ -1,0 +1,130 @@
+"""spark-submit entry: the full training-data preparation pipeline.
+
+    spark-submit --py-files google_spark.zip jobs/prepare_corpus.py \
+        --input /data/raw_docs.parquet --out /data/prepared \
+        [--near-dup-threshold 0.85] [--min-quality 0.3] [--langs en]
+
+Stages (each a first-class operator, composed declaratively so Catalyst
+optimizes across them; anti-joins carry only doc_id — fixed-width keys at
+any scale):
+
+  1. exact dedup        — sha256 hash-aggregate keep-smallest-id
+  2. near dedup         — MinHash+LSH candidates, exact-Jaccard verified;
+                          drop the larger id of each verified pair
+  3. language filter    — n-gram heuristic language_id
+  4. quality filter     — length/punct/stopword composite score
+  5. token accounting   — per-doc token counts + corpus totals
+  6. index build        — the surviving corpus, published atomically
+
+Writes ``{out}/corpus.parquet`` (surviving docs + lang/quality/token
+columns), ``{out}/index`` (the inverted index), and prints one JSON line
+of per-stage row accounting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def prepare_corpus(
+    spark,
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.85,
+    min_quality: float = 0.0,
+    langs: list[str] | None = None,
+):
+    """Run stages 1-5; returns (prepared DataFrame, accounting dict).
+    Importable so tests drive it without spark-submit."""
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.dedup import exact_dedup, minhash_near_dups
+    from google_spark.operators.text_analysis import (
+        language_id,
+        quality_scores,
+        token_count,
+    )
+
+    acct = {"input": docs.count()}
+
+    keep_exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
+    docs = docs.join(keep_exact, id_col, "left_semi")
+    acct["after_exact_dedup"] = docs.count()
+
+    pairs = minhash_near_dups(
+        docs, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+    )
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    docs = docs.join(losers, id_col, "left_anti")
+    acct["after_near_dedup"] = docs.count()
+
+    # metric operators emit (doc_id, metrics...) projections; join them on
+    # so the prepared corpus carries its provenance columns
+    docs = docs.join(language_id(docs, id_col=id_col, text_col=text_col), id_col)
+    if langs:
+        docs = docs.filter(F.col("lang_pred").isin(langs))
+    acct["after_lang_filter"] = docs.count()
+
+    qual = quality_scores(docs, id_col=id_col, text_col=text_col)
+    # q_ prefix: the raw corpus may already carry columns like n_chars
+    qual = qual.select(
+        id_col, *[F.col(c).alias(f"q_{c}") for c in qual.columns if c != id_col]
+    )
+    docs = docs.join(qual, id_col)
+    # alpha_ratio is the pipeline's quality gate (the cheap pretraining
+    # filter: mostly-symbol/binary-ish docs score low)
+    docs = docs.filter(F.col("q_alpha_ratio") >= min_quality)
+    acct["after_quality_filter"] = docs.count()
+
+    docs = docs.join(token_count(docs, id_col=id_col, text_col=text_col), id_col)
+    total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
+    acct["total_tokens"] = int(total)
+    return docs, acct
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.85)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--langs", action="append", default=None)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from google_spark.operators.index_build import build_index, write_index
+    from google_spark.session import get_spark
+    from google_spark.sources.formats import read_corpus
+
+    spark = get_spark(app="prepare_corpus", cores=args.cores)
+    docs = read_corpus(spark, args.input)
+    prepared, acct = prepare_corpus(
+        spark,
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        near_dup_threshold=args.near_dup_threshold,
+        min_quality=args.min_quality,
+        langs=args.langs,
+    )
+    prepared.write.mode("overwrite").parquet(f"{args.out}/corpus.parquet")
+    prepared_back = spark.read.parquet(f"{args.out}/corpus.parquet")
+    index = build_index(
+        spark, prepared_back, id_col=args.id_col, text_col=args.text_col
+    )
+    write_index(index, f"{args.out}/index")
+    acct["indexed_docs"] = prepared_back.count()
+    print(json.dumps(acct))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""The composed training-data preparation pipeline (jobs/prepare_corpus):
+stage accounting, provenance columns, and dedup correctness."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+
+
+def test_prepare_corpus_stages(spark):
+    from prepare_corpus import prepare_corpus
+
+    from google_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prepared, acct = prepare_corpus(
+        spark, docs, near_dup_threshold=0.8, min_quality=0.3
+    )
+    # monotone row accounting, every stage recorded
+    seq = [
+        acct["input"],
+        acct["after_exact_dedup"],
+        acct["after_near_dedup"],
+        acct["after_lang_filter"],
+        acct["after_quality_filter"],
+    ]
+    assert seq == sorted(seq, reverse=True) and seq[0] == 500
+    assert acct["total_tokens"] > 0
+
+    # provenance columns ride along with the surviving rows
+    cols = set(prepared.columns)
+    assert {"doc_id", "text", "lang_pred", "q_alpha_ratio", "n_tokens"} <= cols
+
+    # near-dedup dropped EXACTLY the larger ids of verified pairs
+    pairs = minhash_near_dups(docs, threshold=0.8)
+    losers = {r["b"] for r in pairs.collect()}
+    kept = {r["doc_id"] for r in prepared.select("doc_id").collect()}
+    assert losers.isdisjoint(kept)
+    assert acct["after_exact_dedup"] - acct["after_near_dedup"] == len(losers)
