@@ -930,6 +930,57 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_phrase_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search through the facade: '"hash join"' must rank by
+    BM25 but only over docs containing the EXACT consecutive phrase
+    (positions from the positional index; the reference's phraseSearch
+    analog, ref: src/cis5550/jobs/RankScore.java:81-98,214-290). The
+    oracle recomputes adjacency with a pos/pos+1 self-join and restricts
+    the same BM25 ranking."""
+    from google_spark.search import SearchEngine
+
+    eng = SearchEngine(_index(spark, sf_dir))
+    res = eng.search('"hash join"', k=10)
+    return spark.createDataFrame(
+        [(r.doc_id, round(r.score, 4)) for r in res], "doc_id long, score double"
+    )
+
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+postoks AS (
+  SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+  FROM toks
+),
+ph AS (
+  SELECT DISTINCT a.doc_id FROM postoks a
+  JOIN postoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'hash' AND b.term = 'join'
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks
+  ) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN q ON tf.term = q.term JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN ph ON ph.doc_id = s.doc_id
+ORDER BY score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 def q_autocomplete_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D27 through ENGINE code: SearchEngine.autocomplete('s') — trie
     completions ranked (df desc, term asc). The oracle recomputes document
@@ -973,6 +1024,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serve_priority_topk": q_serve_priority_topk,
         "autocomplete_topdf": q_autocomplete_topdf,
         "tfidf_ref_topk": q_tfidf_ref_topk,
+        "phrase_filter_topk": q_phrase_filter_topk,
     }
 
 
@@ -1443,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         "serve_priority_topk": _serve_priority_oracle(),
         "autocomplete_topdf": _AUTOCOMPLETE_ORACLE,
         "tfidf_ref_topk": _REF_TFIDF_ORACLE,
+        "phrase_filter_topk": _PHRASE_ORACLE,
         "bm25_topk_code": _bm25_sql(
             "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
             tok_sql=_TOK_CODE_SQL,

@@ -53,6 +53,44 @@ def normalize_query(query: str, mode: str = "simple", stem: bool = False) -> lis
     return terms
 
 
+def parse_query(
+    query: str, mode: str = "simple", stem: bool = False
+) -> tuple[list[str], list[list[str]]]:
+    """Split a raw query into (terms, phrases): each double-quoted span
+    becomes an exact-phrase constraint (its tokens ALSO score like plain
+    terms — the analog of the reference blending phraseSearch scores with
+    singleSearch, ref: src/cis5550/jobs/RankScore.java:81-98); everything
+    else scores as usual. Phrase tokens skip the stopword guard — inside
+    quotes the user means every word."""
+    import re
+
+    phrases: list[list[str]] = []
+    for m in re.finditer(r'"([^"]*)"', query):
+        toks = [t for t, _ in tokenize(m.group(1), mode=mode, stem=stem)]
+        if len(toks) >= 2:
+            phrases.append(toks)
+    return normalize_query(query.replace('"', " "), mode=mode, stem=stem), phrases
+
+
+def phrase_match_py(
+    pos_by_term: dict[str, dict[int, list[int]]],
+    tokens: list[str],
+    doc_id: int,
+) -> bool:
+    """True iff ``tokens`` occur consecutively, in order, in ``doc_id``
+    (positions are 1-based from the tokenizer; set-intersect the
+    offset-shifted position lists)."""
+    plists = [pos_by_term.get(t, {}).get(doc_id) for t in tokens]
+    if any(not p for p in plists):
+        return False
+    starts = set(plists[0])
+    for off, pl in enumerate(plists[1:], start=1):
+        starts &= {p - off for p in pl}
+        if not starts:
+            return False
+    return True
+
+
 def min_gap_col(pa: str, pb: str) -> F.Column:
     """min over |pa_i - pb_j| with nested JVM higher-order functions — the
     vectorized analog of the reference's pairwise loop (ref:

@@ -29,6 +29,8 @@ from google_spark.operators.ranking import (
     W_TEXT,
     W_TITLE_BOOST,
     normalize_query,
+    parse_query,
+    phrase_match_py,
     proximity_bonus_py,
 )
 
@@ -437,11 +439,14 @@ class SearchEngine:
     def _search_uncached(
         self, query: str, k: int, proximity: bool = False, synonyms: bool = False
     ) -> list[SearchResult]:
-        terms = normalize_query(query, mode=self.mode)
+        terms, phrases = parse_query(query, mode=self.mode)
         if not terms:
             return []
-        # over-fetch: the boost can promote docs from beyond text-score top-k
-        fetch = max(k * 10, 100)
+        # over-fetch: the boost can promote docs from beyond text-score
+        # top-k; phrase constraints discard candidates wholesale, so they
+        # widen the window further (filtering happens WITHIN this window —
+        # a doc whose BM25 rank falls outside it cannot surface)
+        fetch = max(k * 10, 100) * (5 if phrases else 1)
         if synonyms and self.word_vectors is not None:
             # D17/D20 in the serving path: original terms at query
             # multiplicity plus synonyms at decayed weights, through the
@@ -465,6 +470,19 @@ class SearchEngine:
                 mode=self.mode,
                 row_cache=self._postings_cache,
             )
+        if phrases and scored:
+            # exact quoted-phrase constraint: candidates must contain each
+            # quoted span consecutively (positions via the same serving
+            # point-read path; candidate set <= fetch)
+            from google_spark.operators.index_query import positions_for
+
+            ph_terms = sorted({t for p in phrases for t in p})
+            ph_pos = positions_for(self.index, ph_terms, {d for d, _ in scored})
+            scored = [
+                (d, s)
+                for d, s in scored
+                if all(phrase_match_py(ph_pos, p, d) for p in phrases)
+            ]
         meta = self._meta_for([d for d, _ in scored])
         # rank came with the pre-joined meta row for most configurations;
         # only repos whose rank is missing (no pre-join) cost a second job

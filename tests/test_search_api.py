@@ -235,3 +235,28 @@ def test_save_load_with_dict_ranks(spark, corpus_df, tmp_path_factory):
     got_ranks = {round(r.rank, 6) for r in b}
     assert got_ranks <= {round(v, 6) for v in rank_map.values()}
     assert len(got_ranks) > 1  # distinct per-repo values survived, not one fill
+
+
+def test_quoted_phrase_filters_results(spark):
+    """'"alpha beta"' must return only docs where the two terms are
+    ADJACENT and in order; plain 'alpha beta' ranks all docs with either
+    term. Reversed phrases match nothing."""
+    from google_spark.search import SearchEngine
+    from google_spark.operators.index_build import build_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma more words here"),
+            (2, "alpha gamma beta words apart here"),
+            (3, "beta alpha reversed order doc here"),
+            (4, "alpha only document with words here"),
+        ],
+        "doc_id long, text string",
+    )
+    eng = SearchEngine(build_index(spark, docs))
+    plain = {r.doc_id for r in eng.search("alpha beta", k=10)}
+    assert plain == {1, 2, 3, 4}
+    quoted = [r.doc_id for r in eng.search('"alpha beta" gamma', k=10)]
+    assert set(quoted) == {1}
+    assert eng.search('"beta alpha" gamma', k=10)[0].doc_id == 3  # reversed phrase
+    assert {r.doc_id for r in eng.search('"words alpha"', k=10)} == set()
