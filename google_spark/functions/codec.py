@@ -288,3 +288,14 @@ def merge_postings(blobs: list[bytes]) -> tuple[list[int], list[int], list[int],
         [all_dls[i] for i in order],
         [all_pos[i] for i in order],
     )
+
+
+def not_deleted_mask(docs: "np.ndarray", deletes: "np.ndarray") -> "np.ndarray":
+    """Boolean keep-mask over a doc_id array: True where the doc is NOT in
+    the SORTED ``deletes`` array (branch-free searchsorted membership; the
+    query-side half of the catalog's merge-on-read delete files)."""
+    if not len(deletes):
+        return np.ones(len(docs), dtype=bool)
+    idx = np.searchsorted(deletes, docs)
+    idx_c = np.minimum(idx, len(deletes) - 1)
+    return ~((idx < len(deletes)) & (deletes[idx_c] == docs))

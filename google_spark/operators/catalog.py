@@ -1,0 +1,588 @@
+"""Snapshot catalog: Iceberg-style versioned metadata over the published
+index (SURVEY.md §1.1 "persisted as Iceberg/parquet table"; north-rule
+"over Iceberg tables ... resumable from checkpoint with per-partition
+lineage").
+
+The reference publishes its index by renaming ``index2`` -> ``index``
+(ref: src/cis5550/jobs/Indexer.java:245-246) — an in-place swap that
+deletes the previous table under any reader still scanning it. At 10^12
+files a republish takes hours and live queries cannot stop, so the
+published index gets Iceberg's reader/writer isolation instead:
+
+- every commit writes IMMUTABLE data under ``{root}/data/`` and a manifest
+  under ``{root}/meta/v{N}.json``, then atomically flips ``{root}/HEAD``
+  (``os.replace``; on an object store this is the catalog's compare-and-
+  swap). A reader resolves a snapshot once and keeps a consistent view —
+  a republish never touches its files;
+- snapshot operations mirror Iceberg's:
+  ``overwrite``   full publish (new segment replaces everything),
+  ``append``      a new doc segment — the snapshot's postings become the
+                  UNION of segment dirs. No rewrite: every query kernel
+                  already accumulates across multiple posting rows per
+                  term (that is how doc-sharding works), so a segment is
+                  just more rows over a disjoint doc_id universe,
+  ``delete``      merge-on-read delete files (doc_id parquet). Deleted
+                  docs vanish from results immediately; global stats
+                  (df, n_docs, avgdl) stay at their pre-delete values
+                  until a compaction, exactly like Iceberg v2 position
+                  deletes awaiting a rewrite,
+  ``compact``     rewrite applying the delete files: posting blobs are
+                  re-encoded without the deleted docs (bit-identical to a
+                  fresh build over the survivors), df/idf/n_docs/avgdl
+                  are re-finalized exactly;
+- time travel: ``read(spark, version=k)``; audit: ``log()`` (the
+  snapshot-history analog of the incremental layout's lineage table);
+  ``expire(keep_last=k)`` drops old manifests and any data no surviving
+  manifest references.
+
+Single-writer, like Iceberg without a catalog service: concurrent
+committers need an external CAS on HEAD. Readers need no coordination at
+any point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_spark.operators.index_build import (
+    N_TERM_BUCKETS,
+    POSTINGS_SCHEMA,
+    IndexTables,
+    build_postings,
+    encode_sorted_terms,
+    term_stats,
+    tokenize_docs,
+    write_index,
+)
+
+DELETES_SCHEMA = "doc_id long"
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: int | None
+    operation: str
+    committed_at: float
+    segments: list[str]  # data-relative segment dirs, commit order
+    deletes: list[str]  # data-relative delete parquet files
+    summary: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "operation": self.operation,
+            "committed_at": self.committed_at,
+            "segments": self.segments,
+            "deletes": self.deletes,
+            "summary": self.summary,
+        }
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+class SnapshotCatalog:
+    """Versioned index root. All paths inside manifests are relative to
+    ``{root}`` so the catalog directory can be moved/mirrored wholesale."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "meta")
+        self.data_dir = os.path.join(root, "data")
+        self.head_path = os.path.join(root, "HEAD")
+
+    # -- metadata ---------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def head(self) -> int | None:
+        try:
+            with open(self.head_path) as f:
+                return int(f.read().strip().lstrip("v"))
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = self.head() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        with open(os.path.join(self.meta_dir, f"v{v:05d}.json")) as f:
+            d = json.load(f)
+        return Manifest(
+            version=d["version"],
+            parent=d["parent"],
+            operation=d["operation"],
+            committed_at=d["committed_at"],
+            segments=d["segments"],
+            deletes=d["deletes"],
+            summary=d["summary"],
+        )
+
+    def log(self) -> list[dict]:
+        """Snapshot history, oldest first (Iceberg ``history()``)."""
+        return [self.manifest(v).to_json() for v in self.versions()]
+
+    def _commit(
+        self,
+        operation: str,
+        segments: list[str],
+        deletes: list[str],
+        summary: dict,
+    ) -> int:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        parent = self.head()
+        v = (max(self.versions()) + 1) if self.versions() else 1
+        m = Manifest(
+            version=v,
+            parent=parent,
+            operation=operation,
+            committed_at=time.time(),
+            segments=segments,
+            deletes=deletes,
+            summary=summary,
+        )
+        # manifest first, HEAD flip last: a crash in between leaves an
+        # unreferenced manifest that the next commit supersedes (version
+        # numbers advance past it) and expire() garbage-collects
+        _atomic_write(
+            os.path.join(self.meta_dir, f"v{v:05d}.json"),
+            json.dumps(m.to_json(), indent=1),
+        )
+        _atomic_write(self.head_path, f"v{v:05d}\n")
+        return v
+
+    def _new_data_path(self, prefix: str, version: int, suffix: str = "") -> str:
+        os.makedirs(self.data_dir, exist_ok=True)
+        return os.path.join(self.data_dir, f"{prefix}{version:05d}{suffix}")
+
+    # -- commits ----------------------------------------------------------
+
+    def commit_index(
+        self,
+        index: IndexTables,
+        operation: str = "overwrite",
+        doclens: DataFrame | None = None,
+        n_buckets: int = N_TERM_BUCKETS,
+    ) -> int:
+        """Publish a fully-built index as a new snapshot. ``doclens``
+        (doc_id, dl — one row per doc that produced tokens) is an optional
+        segment sidecar that lets a later compaction re-finalize avgdl
+        without decoding the postings."""
+        v = (max(self.versions()) + 1) if self.versions() else 1
+        seg = self._new_data_path("b", v)
+        tmp = seg + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        write_index(index, tmp, n_buckets=n_buckets)
+        if doclens is not None:
+            doclens.select("doc_id", "dl").write.mode("overwrite").parquet(
+                os.path.join(tmp, "doclens.parquet")
+            )
+        os.replace(tmp, seg)
+        summary = {
+            "n_docs": index.n_docs,
+            "avgdl": index.avgdl,
+            "total_dl": index.avgdl * index.n_docs,
+            "n_buckets": n_buckets,
+            "n_deletes": 0,
+        }
+        return self._commit(operation, [os.path.relpath(seg, self.root)], [], summary)
+
+    def commit_build(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        mode: str = "simple",
+        stem: bool = False,
+        n_shards: int = 8,
+        n_buckets: int = N_TERM_BUCKETS,
+    ) -> int:
+        """Tokenize + build + publish in one pass (the convenience full
+        publish; writes the doclens sidecar so compaction stays cheap)."""
+        total_docs = docs.count()
+        doc_terms = tokenize_docs(
+            docs, id_col=id_col, text_col=text_col, mode=mode, stem=stem
+        ).persist()
+        try:
+            postings = build_postings(doc_terms, n_shards=n_shards, n_buckets=n_buckets)
+            doclens = doc_terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            total_dl = int(
+                doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+            )
+            avgdl = total_dl / total_docs if total_docs else 0.0
+            index = IndexTables(
+                postings=postings,
+                terms=term_stats(postings, total_docs),
+                n_docs=total_docs,
+                avgdl=avgdl,
+                n_buckets=n_buckets,
+            )
+            return self.commit_index(index, doclens=doclens, n_buckets=n_buckets)
+        finally:
+            doc_terms.unpersist()
+
+    def append_docs(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        mode: str = "simple",
+        stem: bool = False,
+        n_shards: int = 8,
+    ) -> int:
+        """Append a segment of NEW docs (doc_ids disjoint from every live
+        segment — the caller's contract, e.g. ids that hash a fresh commit).
+        Cost is proportional to the appended docs only: no existing posting
+        row is read or rewritten. n_docs/avgdl are advanced exactly from the
+        segment's own doc lengths; per-term df (hence idf) is re-finalized
+        lazily at read time by summing segment dfs."""
+        m = self.manifest()
+        n_buckets = int(m.summary["n_buckets"])
+        n_new = docs.count()
+        doc_terms = tokenize_docs(
+            docs, id_col=id_col, text_col=text_col, mode=mode, stem=stem
+        ).persist()
+        try:
+            postings = build_postings(doc_terms, n_shards=n_shards, n_buckets=n_buckets)
+            doclens = doc_terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            new_dl = int(doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0)
+            n_docs = int(m.summary["n_docs"]) + n_new
+            total_dl = float(m.summary["total_dl"]) + new_dl
+            seg_index = IndexTables(
+                postings=postings,
+                terms=term_stats(postings, n_docs),
+                n_docs=n_new,
+                avgdl=(new_dl / n_new if n_new else 0.0),
+                n_buckets=n_buckets,
+            )
+            v = (max(self.versions()) + 1) if self.versions() else 1
+            seg = self._new_data_path("b", v)
+            tmp = seg + ".tmp"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            write_index(seg_index, tmp, n_buckets=n_buckets)
+            doclens.select("doc_id", "dl").write.mode("overwrite").parquet(
+                os.path.join(tmp, "doclens.parquet")
+            )
+            os.replace(tmp, seg)
+        finally:
+            doc_terms.unpersist()
+        summary = {
+            "n_docs": n_docs,
+            "avgdl": (total_dl / n_docs if n_docs else 0.0),
+            "total_dl": total_dl,
+            "n_buckets": n_buckets,
+            "n_deletes": int(m.summary.get("n_deletes", 0)),
+        }
+        return self._commit(
+            "append",
+            m.segments + [os.path.relpath(seg, self.root)],
+            m.deletes,
+            summary,
+        )
+
+    def delete_docs(self, doc_ids) -> int:
+        """Merge-on-read delete: writes ONE doc_id parquet file and a new
+        manifest sharing every data dir with the parent — O(|deletes|)
+        work, no Spark job, no posting touched. ``doc_ids`` is an iterable
+        of ints or a 1-column DataFrame. Ids must reference live docs (the
+        n_docs bookkeeping trusts this, like Iceberg trusts delete files
+        to point at real rows)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m = self.manifest()
+        if isinstance(doc_ids, DataFrame):
+            ids = np.array(
+                [r[0] for r in doc_ids.select(doc_ids.columns[0]).collect()],
+                dtype=np.int64,
+            )
+        else:
+            ids = np.asarray(sorted(doc_ids), dtype=np.int64)
+        ids = np.unique(ids)
+        v = (max(self.versions()) + 1) if self.versions() else 1
+        path = self._new_data_path("d", v, ".parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
+        os.replace(tmp, path)
+        summary = dict(m.summary)
+        summary["n_deletes"] = int(summary.get("n_deletes", 0)) + int(len(ids))
+        return self._commit(
+            "delete",
+            m.segments,
+            m.deletes + [os.path.relpath(path, self.root)],
+            summary,
+        )
+
+    # -- reads ------------------------------------------------------------
+
+    def load_deletes(self, version: int | None = None) -> np.ndarray | None:
+        """Sorted unique deleted doc_ids for a snapshot (None when the
+        snapshot carries no delete files)."""
+        import pyarrow.parquet as pq
+
+        m = self.manifest(version)
+        if not m.deletes:
+            return None
+        parts = [
+            pq.read_table(os.path.join(self.root, p), columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+            for p in m.deletes
+        ]
+        return np.unique(np.concatenate(parts).astype(np.int64))
+
+    def read(self, spark: SparkSession, version: int | None = None) -> IndexTables:
+        """Resolve a snapshot into IndexTables. Postings are the union of
+        the snapshot's segment scans (tb partition pruning pushes into
+        every child); per-term idf is a lazy re-finalization over segment
+        dfs with the snapshot's n_docs; delete files ride along as a
+        sorted doc_id array the query kernels mask against."""
+        m = self.manifest(version)
+        seg_dirs = [os.path.join(self.root, s) for s in m.segments]
+        postings = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(f"{d}/postings.parquet") for d in seg_dirs],
+        )
+        n_docs = int(m.summary["n_docs"])
+        seg_terms = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(f"{d}/terms.parquet").select("term", "df")
+                for d in seg_dirs
+            ],
+        )
+        terms = seg_terms.groupBy("term").agg(F.sum("df").alias("df")).withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        return IndexTables(
+            postings=postings,
+            terms=terms,
+            n_docs=n_docs,
+            avgdl=float(m.summary["avgdl"]),
+            n_buckets=int(m.summary["n_buckets"]),
+            disk_path=(seg_dirs[0] if len(seg_dirs) == 1 else seg_dirs),
+            deletes=self.load_deletes(version),
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, spark: SparkSession, n_shards_hint: int | None = None) -> int:
+        """Rewrite the head snapshot applying its delete files (Iceberg
+        ``rewrite_data_files`` + ``rewrite_position_deletes`` in one):
+        every posting blob is decoded, delete-masked, and re-encoded with
+        fresh block metadata — bit-identical to a fresh build over the
+        surviving docs (shards are a pure function of doc_id, block
+        metadata a pure function of the surviving arrays). df/idf/n_docs/
+        avgdl are re-finalized exactly; the new snapshot carries no delete
+        files. Multi-segment snapshots also fold into ONE segment (the
+        append path's read-time union disappears)."""
+        m = self.manifest()
+        idx = self.read(spark)
+        deletes = idx.deletes
+        rewritten = _rewrite_postings(idx.postings, deletes)
+        n_docs = int(m.summary["n_docs"]) - int(m.summary.get("n_deletes", 0))
+
+        # exact avgdl re-finalization: surviving doc lengths
+        seg_dirs = [os.path.join(self.root, s) for s in m.segments]
+        doclen_paths = [
+            f"{d}/doclens.parquet"
+            for d in seg_dirs
+            if os.path.isdir(f"{d}/doclens.parquet")
+        ]
+        if len(doclen_paths) == len(seg_dirs):
+            doclens = reduce(
+                DataFrame.unionByName,
+                [spark.read.parquet(p) for p in doclen_paths],
+            )
+        else:
+            # no sidecar: recover (doc_id, dl) pairs from the blobs
+            doclens = _doclens_from_postings(idx.postings)
+        if deletes is not None and len(deletes):
+            dels = spark.createDataFrame(
+                [(int(x),) for x in deletes], DELETES_SCHEMA
+            )
+            doclens = doclens.join(F.broadcast(dels), "doc_id", "left_anti")
+        total_dl = int(doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0)
+        avgdl = total_dl / n_docs if n_docs else 0.0
+
+        n_buckets = int(m.summary["n_buckets"])
+        index = IndexTables(
+            postings=rewritten,
+            terms=term_stats(rewritten, n_docs),
+            n_docs=n_docs,
+            avgdl=avgdl,
+            n_buckets=n_buckets,
+        )
+        v = (max(self.versions()) + 1) if self.versions() else 1
+        seg = self._new_data_path("b", v)
+        tmp = seg + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        write_index(index, tmp, n_buckets=n_buckets)
+        doclens.select("doc_id", "dl").write.mode("overwrite").parquet(
+            os.path.join(tmp, "doclens.parquet")
+        )
+        os.replace(tmp, seg)
+        summary = {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "total_dl": float(total_dl),
+            "n_buckets": n_buckets,
+            "n_deletes": 0,
+        }
+        return self._commit(
+            "compact", [os.path.relpath(seg, self.root)], [], summary
+        )
+
+    def expire(self, keep_last: int = 2) -> list[str]:
+        """Drop all but the newest ``keep_last`` manifests, then delete
+        every data path no surviving manifest references (plus orphaned
+        ``*.tmp`` from crashed commits). Time travel to expired versions
+        stops working; readers that already resolved a surviving snapshot
+        are unaffected. Returns removed paths."""
+        versions = self.versions()
+        keep = set(versions[-max(keep_last, 1):])
+        head = self.head()
+        if head is not None:
+            keep.add(head)
+        removed = []
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self.meta_dir, f"v{v:05d}.json"))
+                removed.append(f"meta/v{v:05d}.json")
+        referenced = set()
+        for v in self.versions():
+            m = self.manifest(v)
+            referenced.update(m.segments)
+            referenced.update(m.deletes)
+        if os.path.isdir(self.data_dir):
+            for entry in os.scandir(self.data_dir):
+                rel = os.path.relpath(entry.path, self.root)
+                if rel in referenced:
+                    continue
+                if entry.is_dir():
+                    shutil.rmtree(entry.path)
+                else:
+                    os.remove(entry.path)
+                removed.append(rel)
+        return removed
+
+
+def _rewrite_postings(postings: DataFrame, deletes: np.ndarray | None) -> DataFrame:
+    """Decode -> delete-mask -> re-encode every posting blob. Rows whose
+    postings are fully deleted disappear (a fresh build would not emit
+    them). Runs as one mapInPandas over the (already sharded) rows — no
+    shuffle; the write after it repartitions by (tb, term) exactly like a
+    fresh publish."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from google_spark.functions.codec import (
+            decode_postings_full_np,
+            not_deleted_mask,
+        )
+
+        for pdf in batches:
+            for shard, g in pdf.groupby("shard", sort=False):
+
+                def term_arrays():
+                    for term, blob in zip(g["term"].values, g["postings"].values):
+                        docs, tfs, dls, pos = decode_postings_full_np(bytes(blob))
+                        if deletes is not None and len(deletes):
+                            keep = not_deleted_mask(docs, deletes)
+                            if not keep.all():
+                                docs = docs[keep]
+                                tfs = tfs[keep]
+                                dls = dls[keep]
+                                pos = [p for p, k in zip(pos, keep) if k]
+                        if len(docs):
+                            yield term, docs, tfs, dls, pos
+
+                out = encode_sorted_terms(int(shard), term_arrays())
+                if len(out):
+                    yield out
+        yield pd.DataFrame(
+            {
+                "term": pd.Series([], dtype="object"),
+                "shard": pd.Series([], dtype="int32"),
+                "df": pd.Series([], dtype="int64"),
+                "postings": pd.Series([], dtype="object"),
+                "block_last_doc": pd.Series([], dtype="object"),
+                "block_max_tf": pd.Series([], dtype="object"),
+                "block_min_dl": pd.Series([], dtype="object"),
+            }
+        )
+
+    return postings.select("term", "shard", "postings").mapInPandas(
+        gen, schema=POSTINGS_SCHEMA
+    )
+
+
+def _doclens_from_postings(postings: DataFrame) -> DataFrame:
+    """(doc_id, dl) pairs recovered from posting blobs (per-batch unique,
+    then global distinct) — the compaction fallback when a segment predates
+    the doclens sidecar."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from google_spark.functions.codec import decode_postings_arrays
+
+        for pdf in batches:
+            d_out, l_out = [], []
+            for blob in pdf["postings"].values:
+                docs, _tfs, dls = decode_postings_arrays(bytes(blob))
+                d_out.append(docs)
+                l_out.append(dls)
+            if d_out:
+                docs = np.concatenate(d_out)
+                dls = np.concatenate(l_out)
+                uniq, first = np.unique(docs, return_index=True)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(uniq, dtype="int64"),
+                        "dl": pd.Series(dls[first].astype(np.int64), dtype="int64"),
+                    }
+                )
+
+    return (
+        postings.select("postings")
+        .mapInPandas(gen, schema="doc_id long, dl long")
+        .distinct()
+    )
+
+

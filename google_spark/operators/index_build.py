@@ -60,8 +60,16 @@ class IndexTables:
     # Set when the index was read from (or written to) a bucket-partitioned
     # parquet layout: enables the serving tier's direct pyarrow point
     # lookups (index_query._fetch_posting_rows) — the KVS `get` analog
-    # with no Spark job on the query path.
-    disk_path: str | None = None
+    # with no Spark job on the query path. A snapshot with multiple append
+    # segments (operators.catalog) carries a LIST of segment dirs; the
+    # point-read tier unions their pyarrow datasets.
+    disk_path: str | list[str] | None = None
+    # Sorted int64 array of merge-on-read deleted doc_ids (operators.
+    # catalog delete files). Query kernels mask decoded postings against
+    # it, so deleted docs vanish from results immediately; df/idf/n_docs/
+    # avgdl stay at pre-delete values until a compaction re-finalizes them
+    # (Iceberg v2 position-delete semantics). None/empty = no deletes.
+    deletes: object | None = None
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         rows = self.terms.filter(F.col("term").isin(terms)).collect()

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from google_spark import BM25_B, BM25_K1
-from google_spark.functions.codec import decode_postings_arrays
+from google_spark.functions.codec import decode_postings_arrays, not_deleted_mask
 from google_spark.functions.tokenizer import tokenize
 from google_spark.operators.index_build import IndexTables
 
@@ -136,12 +136,16 @@ def exhaustive_topk(
             for r in df_rows
         }
     avgdl = index.avgdl
+    deletes = index.deletes
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             d_out, s_out = [], []
             for term, blob in zip(pdf["term"].values, pdf["postings"].values):
                 doc_ids, tfs, dls = decode_postings_arrays(bytes(blob))
+                if deletes is not None and len(deletes):
+                    keep = not_deleted_mask(doc_ids, deletes)
+                    doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
                 w = widf[term]
                 tf = tfs.astype(np.float64)
                 dl = dls.astype(np.float64)
@@ -232,11 +236,20 @@ def _fetch_posting_rows(index: IndexTables, terms: list[str]) -> list:
 
         dset = getattr(index, "_pa_dataset", None)
         if dset is None:
-            dset = ds.dataset(
-                f"{index.disk_path}/postings.parquet",
-                format="parquet",
-                partitioning="hive",
+            paths = (
+                index.disk_path
+                if isinstance(index.disk_path, list)
+                else [index.disk_path]
             )
+            children = [
+                ds.dataset(
+                    f"{p}/postings.parquet", format="parquet", partitioning="hive"
+                )
+                for p in paths
+            ]
+            # multi-segment snapshots (catalog append) serve from a
+            # UnionDataset: the tb/term filters push into every child
+            dset = children[0] if len(children) == 1 else ds.dataset(children)
             index._pa_dataset = dset
         expr = ds.field("term").isin(terms)
         if index.n_buckets:
@@ -246,11 +259,23 @@ def _fetch_posting_rows(index: IndexTables, terms: list[str]) -> list:
     return index.matching(terms).select(*_FETCH_COLS).collect()
 
 
-def _decode_posting_row(row) -> dict:
+def _decode_posting_row(row, deletes=None) -> dict:
     """Decode one posting row into reusable NumPy arrays. The serving row
     cache stores THESE (not raw rows), so a hot term's blob is decoded once
-    per process, not once per query."""
+    per process, not once per query.
+
+    ``deletes`` (sorted int64 array from the snapshot catalog's merge-on-
+    read delete files) masks deleted docs out of the scoring arrays here —
+    one central hook covers the driver serving path, the distributed WAND
+    kernel, and the row cache. ``df`` and the block metadata stay at their
+    stored (pre-delete) values: df keeps idf consistent across every query
+    path until compaction, and block maxima remain valid UPPER bounds when
+    docs are removed, so WAND pruning stays exact."""
     docs, tfs, dls = decode_postings_arrays(bytes(row["postings"]))
+    if deletes is not None and len(deletes):
+        keep = not_deleted_mask(docs, deletes)
+        if not keep.all():
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
     return {
         "term": row["term"],
         "df": int(row["df"]),
@@ -269,10 +294,11 @@ def _wand_shard_kernel(
     idf: dict[str, float],
     avgdl: float,
     k: int,
+    deletes=None,
 ) -> pd.DataFrame:
     """Exact top-k within one shard (see :func:`_kernel_decoded`)."""
     return _kernel_decoded(
-        [_decode_posting_row(row) for _, row in pdf.iterrows()],
+        [_decode_posting_row(row, deletes) for _, row in pdf.iterrows()],
         weights,
         idf,
         avgdl,
@@ -380,9 +406,14 @@ def wand_topk(
     weights = {t: float(c) for t, c in qf.items()}
     idf = index.idf_map(list(qf))
     avgdl = index.avgdl
+    # merge-on-read deletes ride into the kernel closure. Delete files are
+    # bounded by the compaction cadence (compact when |deletes| grows past
+    # ~1% of the corpus); on a real cluster wrap in sc.broadcast for reuse
+    # across the shard tasks instead of per-task pickling.
+    deletes = index.deletes
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _wand_shard_kernel(pdf, weights, idf, avgdl, k)
+        return _wand_shard_kernel(pdf, weights, idf, avgdl, k, deletes)
 
     matching = index.matching(list(qf))
     per_shard = matching.groupBy("shard").applyInPandas(
@@ -413,6 +444,12 @@ def positions_for(
     if not terms or not doc_ids:
         return out
     cand = np.array(sorted(doc_ids), dtype=np.int64)
+    if index.deletes is not None and len(index.deletes):
+        # candidates normally come from a (already delete-masked) top-k,
+        # but a caller-supplied id set must not resurrect deleted docs
+        cand = cand[not_deleted_mask(cand, index.deletes)]
+        if not len(cand):
+            return out
 
     if index.disk_path:
         for r in _fetch_posting_rows(index, terms):
@@ -496,7 +533,8 @@ def local_topk_core(
         return []
     if row_cache is None:
         entries = [
-            _decode_posting_row(r) for r in _fetch_posting_rows(index, terms)
+            _decode_posting_row(r, index.deletes)
+            for r in _fetch_posting_rows(index, terms)
         ]
     else:
         # Hot-term RAM cache (the analog of the reference's serve-time
@@ -510,7 +548,7 @@ def local_topk_core(
             fetched = _fetch_posting_rows(index, missing)
             by_term: dict[str, list] = {t: [] for t in missing}
             for r in fetched:
-                by_term[r["term"]].append(_decode_posting_row(r))
+                by_term[r["term"]].append(_decode_posting_row(r, index.deletes))
             # single __setitem__ per term (absent terms cache [] so they
             # never re-scan) — lets byte-accounting cache dicts observe
             # every insertion without rescanning entries per query

@@ -1,0 +1,225 @@
+"""Snapshot catalog (operators/catalog.py): versioned publish, time
+travel, merge-on-read deletes, compaction, append segments, expiry.
+
+The load-bearing invariants:
+- a republish NEVER touches a resolved snapshot's files (reader/writer
+  isolation — the property the reference's index2->index rename lacks,
+  ref: src/cis5550/jobs/Indexer.java:245-246);
+- deleted docs vanish from every query path immediately, surviving docs'
+  scores don't move until compaction (stats stay pre-delete);
+- compaction output is blob-for-blob identical to a fresh build over the
+  surviving docs;
+- an append segment changes results only by adding the new docs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from google_spark.operators.catalog import SnapshotCatalog
+from google_spark.operators.index_build import build_index
+from google_spark.operators.index_query import (
+    exhaustive_topk,
+    wand_topk,
+    wand_topk_local,
+)
+from google_spark.sources.tables import with_doc_identity
+
+QUERY = "def hash index"
+
+
+@pytest.fixture(scope="module")
+def identified(spark, corpus_df):
+    df = with_doc_identity(corpus_df).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _mk_catalog(tmp_path, spark, docs):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    v = cat.commit_build(spark, docs, id_col="doc_id", text_col="content")
+    assert v == 1 and cat.head() == 1
+    return cat
+
+
+def _local_ids(index, query=QUERY, k=10):
+    return [d for d, _ in wand_topk_local(index, query, k=k)]
+
+
+def test_commit_read_matches_direct_build(spark, identified, tmp_path):
+    cat = _mk_catalog(tmp_path, spark, identified)
+    idx = cat.read(spark)
+    direct = build_index(spark, identified, id_col="doc_id", text_col="content")
+    assert idx.n_docs == direct.n_docs
+    assert idx.avgdl == pytest.approx(direct.avgdl)
+    got = wand_topk(idx, QUERY, k=10).collect()
+    want = wand_topk(direct, QUERY, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    # disk-backed point-read path agrees with the distributed path
+    assert _local_ids(idx) == [r["doc_id"] for r in got]
+
+
+def test_time_travel_and_reader_isolation(spark, identified, tmp_path):
+    half = identified.filter(F.col("doc_id") % 2 == 0)
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    cat.commit_build(spark, half, id_col="doc_id", text_col="content")
+    v1_idx = cat.read(spark, version=1)
+    v1_before = _local_ids(v1_idx)
+
+    cat.commit_build(spark, identified, id_col="doc_id", text_col="content")
+    assert cat.head() == 2
+    assert [m["operation"] for m in cat.log()] == ["overwrite", "overwrite"]
+
+    # the already-resolved v1 handle keeps serving identical results after
+    # the republish, and a fresh time-travel read agrees
+    assert _local_ids(v1_idx) == v1_before
+    assert _local_ids(cat.read(spark, version=1)) == v1_before
+    assert cat.read(spark, version=2).n_docs == identified.count()
+
+
+def test_delete_merge_on_read_all_paths(spark, identified, tmp_path):
+    cat = _mk_catalog(tmp_path, spark, identified)
+    idx0 = cat.read(spark)
+    before = wand_topk(idx0, QUERY, k=10).collect()
+    victims = [r["doc_id"] for r in before[:3]]
+
+    v = cat.delete_docs(victims)
+    assert v == 2 and cat.manifest().operation == "delete"
+    idx = cat.read(spark)
+    assert sorted(idx.deletes.tolist()) == sorted(victims)
+
+    # deleted docs are gone from every path; stats are still pre-delete
+    assert idx.n_docs == idx0.n_docs
+    for ids in (
+        [r["doc_id"] for r in wand_topk(idx, QUERY, k=10).collect()],
+        [r["doc_id"] for r in exhaustive_topk(idx, QUERY, k=10).collect()],
+        _local_ids(idx),
+    ):
+        assert not set(ids) & set(victims)
+
+    # surviving docs keep their exact scores (df/avgdl frozen until compact)
+    before_scores = {r["doc_id"]: r["score"] for r in before}
+    after = wand_topk(idx, QUERY, k=7).collect()
+    for r in after:
+        if r["doc_id"] in before_scores:
+            assert r["score"] == pytest.approx(before_scores[r["doc_id"]], abs=1e-12)
+
+
+def _postings_signature(index):
+    rows = index.postings.select(
+        "term", "shard", "df", "postings",
+        "block_last_doc", "block_max_tf", "block_min_dl",
+    ).collect()
+    return sorted(
+        (
+            r["term"], r["shard"], r["df"], bytes(r["postings"]),
+            tuple(r["block_last_doc"]), tuple(r["block_max_tf"]),
+            tuple(r["block_min_dl"]),
+        )
+        for r in rows
+    )
+
+
+def test_compact_equals_fresh_build(spark, identified, tmp_path):
+    all_ids = [r["doc_id"] for r in identified.select("doc_id").collect()]
+    victims = sorted(all_ids)[:: 7]  # ~14% of the corpus, spread out
+    survivors = identified.filter(~F.col("doc_id").isin(victims))
+
+    cat = _mk_catalog(tmp_path, spark, identified)
+    cat.delete_docs(victims)
+    v = cat.compact(spark)
+    m = cat.manifest()
+    assert v == 3 and m.operation == "compact" and m.deletes == []
+    assert m.summary["n_deletes"] == 0
+
+    idx = cat.read(spark)
+    fresh = build_index(spark, survivors, id_col="doc_id", text_col="content")
+    assert idx.n_docs == fresh.n_docs
+    assert idx.avgdl == pytest.approx(fresh.avgdl, abs=1e-12)
+    # blob-for-blob identical postings (shards are pure functions of
+    # doc_id; block metadata recomputed from the surviving arrays)
+    assert _postings_signature(idx) == _postings_signature(fresh)
+    # and df/idf re-finalized exactly
+    got_terms = {
+        r["term"]: (r["df"], round(r["idf"], 12)) for r in idx.terms.collect()
+    }
+    want_terms = {
+        r["term"]: (r["df"], round(r["idf"], 12)) for r in fresh.terms.collect()
+    }
+    assert got_terms == want_terms
+
+
+def test_append_segment_matches_full_build(spark, identified, tmp_path):
+    from google_spark.corpus import generate_source_files
+
+    extra_pdf = generate_source_files(n_files=120, seed=99)
+    extra = with_doc_identity(
+        spark.createDataFrame(extra_pdf).repartition(4)
+    ).persist()
+    try:
+        cat = _mk_catalog(tmp_path, spark, identified)
+        v = cat.append_docs(spark, extra, id_col="doc_id", text_col="content")
+        assert v == 2 and cat.manifest().operation == "append"
+        assert len(cat.manifest().segments) == 2
+
+        idx = cat.read(spark)
+        union = identified.unionByName(extra)
+        fresh = build_index(spark, union, id_col="doc_id", text_col="content")
+        assert idx.n_docs == fresh.n_docs
+        assert idx.avgdl == pytest.approx(fresh.avgdl, abs=1e-12)
+
+        got = wand_topk(idx, QUERY, k=10).collect()
+        want = wand_topk(fresh, QUERY, k=10).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+        # multi-segment pyarrow point reads (UnionDataset) agree too
+        assert _local_ids(idx) == [r["doc_id"] for r in got]
+
+        # compacting a multi-segment snapshot folds to ONE segment with
+        # unchanged results
+        cat.compact(spark)
+        m = cat.manifest()
+        assert len(m.segments) == 1
+        assert _local_ids(cat.read(spark)) == [r["doc_id"] for r in got]
+    finally:
+        extra.unpersist()
+
+
+def test_expire_keeps_head_and_gcs_data(spark, identified, tmp_path):
+    cat = _mk_catalog(tmp_path, spark, identified)
+    idx1 = cat.read(spark)
+    victims = [r["doc_id"] for r in wand_topk(idx1, QUERY, k=3).collect()]
+    cat.delete_docs(victims)
+    cat.compact(spark)
+    # orphan tmp dir from a "crashed" commit
+    os.makedirs(os.path.join(cat.data_dir, "b99999.tmp"), exist_ok=True)
+
+    removed = cat.expire(keep_last=1)
+    assert cat.head() == 3 and cat.versions() == [3]
+    assert any(p.startswith("meta/") for p in removed)
+    assert any("b99999.tmp" in p for p in removed)
+    # v1's segment is gone (only v3's compacted segment survives)
+    live = {e.name for e in os.scandir(cat.data_dir)}
+    assert live == {f"b{3:05d}"}
+    with pytest.raises(FileNotFoundError):
+        cat.manifest(1)
+    # head still serves, deletions still applied
+    assert not set(_local_ids(cat.read(spark))) & set(victims)
+
+
+def test_delete_docs_accepts_dataframe(spark, identified, tmp_path):
+    cat = _mk_catalog(tmp_path, spark, identified)
+    idx0 = cat.read(spark)
+    victims = [r["doc_id"] for r in wand_topk(idx0, QUERY, k=2).collect()]
+    cat.delete_docs(
+        spark.createDataFrame([(int(v),) for v in victims], "doc_id long")
+    )
+    assert not set(_local_ids(cat.read(spark))) & set(victims)
