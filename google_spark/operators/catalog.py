@@ -96,6 +96,26 @@ def _atomic_write(path: str, text: str) -> None:
     os.replace(tmp, path)
 
 
+def _write_delete_file(path: str, ids: np.ndarray) -> None:
+    """One sorted doc_id parquet, written atomically — no Spark job (the
+    serving tier can tombstone without scheduling anything)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
+    os.replace(tmp, path)
+
+
+def _keys_of(docs: DataFrame, id_col: str) -> DataFrame | None:
+    """(doc_id, repo, path) primary-key sidecar rows, or None when the
+    docs table has no repo/path columns (plain doc_id+text corpora)."""
+    cols = set(docs.columns)
+    if not {"repo", "path"} <= cols:
+        return None
+    return docs.select(F.col(id_col).alias("doc_id"), "repo", "path")
+
+
 class SnapshotCatalog:
     """Versioned index root. All paths inside manifests are relative to
     ``{root}`` so the catalog directory can be moved/mirrored wholesale."""
@@ -180,21 +200,21 @@ class SnapshotCatalog:
         os.makedirs(self.data_dir, exist_ok=True)
         return os.path.join(self.data_dir, f"{prefix}{version:05d}{suffix}")
 
-    # -- commits ----------------------------------------------------------
-
-    def commit_index(
+    def _write_segment(
         self,
         index: IndexTables,
-        operation: str = "overwrite",
+        version: int,
+        n_buckets: int,
         doclens: DataFrame | None = None,
-        n_buckets: int = N_TERM_BUCKETS,
-    ) -> int:
-        """Publish a fully-built index as a new snapshot. ``doclens``
-        (doc_id, dl — one row per doc that produced tokens) is an optional
-        segment sidecar that lets a later compaction re-finalize avgdl
-        without decoding the postings."""
-        v = (max(self.versions()) + 1) if self.versions() else 1
-        seg = self._new_data_path("b", v)
+        keys: DataFrame | None = None,
+    ) -> str:
+        """Write one immutable segment dir (postings/terms/stats via
+        write_index, plus the doclens and keys sidecars) under a tmp name
+        and atomically rename it in. ``doclens`` (doc_id, dl) lets a later
+        compaction re-finalize avgdl without decoding blobs; ``keys``
+        (doc_id, repo, path) is the logical-primary-key map upserts use to
+        find the doc versions they replace."""
+        seg = self._new_data_path("b", version)
         tmp = seg + ".tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
@@ -203,13 +223,55 @@ class SnapshotCatalog:
             doclens.select("doc_id", "dl").write.mode("overwrite").parquet(
                 os.path.join(tmp, "doclens.parquet")
             )
+        if keys is not None:
+            keys.select("doc_id", "repo", "path").write.mode("overwrite").parquet(
+                os.path.join(tmp, "keys.parquet")
+            )
         os.replace(tmp, seg)
+        return seg
+
+    def _seg_dirs(self, m: Manifest) -> list[str]:
+        return [os.path.join(self.root, s) for s in m.segments]
+
+    def _sidecar(
+        self, spark: SparkSession, m: Manifest, name: str
+    ) -> DataFrame | None:
+        """Union of a sidecar parquet across the snapshot's segments, or
+        None when any segment lacks it (sidecars are all-or-nothing per
+        snapshot so derived stats never silently cover half the corpus)."""
+        paths = [f"{d}/{name}.parquet" for d in self._seg_dirs(m)]
+        if not all(os.path.isdir(p) for p in paths):
+            return None
+        return reduce(
+            DataFrame.unionByName, [spark.read.parquet(p) for p in paths]
+        )
+
+    # -- commits ----------------------------------------------------------
+
+    def commit_index(
+        self,
+        index: IndexTables,
+        operation: str = "overwrite",
+        doclens: DataFrame | None = None,
+        keys: DataFrame | None = None,
+        n_buckets: int = N_TERM_BUCKETS,
+    ) -> int:
+        """Publish a fully-built index as a new snapshot. ``doclens``
+        (doc_id, dl — one row per doc that produced tokens) and ``keys``
+        (doc_id, repo, path) are optional segment sidecars: doclens lets a
+        later compaction re-finalize avgdl without decoding the postings,
+        keys lets upsert_files find the doc versions it replaces."""
+        v = (max(self.versions()) + 1) if self.versions() else 1
+        seg = self._write_segment(
+            index, v, n_buckets, doclens=doclens, keys=keys
+        )
         summary = {
             "n_docs": index.n_docs,
             "avgdl": index.avgdl,
             "total_dl": index.avgdl * index.n_docs,
             "n_buckets": n_buckets,
             "n_deletes": 0,
+            "n_pending": 0,
         }
         return self._commit(operation, [os.path.relpath(seg, self.root)], [], summary)
 
@@ -244,7 +306,12 @@ class SnapshotCatalog:
                 avgdl=avgdl,
                 n_buckets=n_buckets,
             )
-            return self.commit_index(index, doclens=doclens, n_buckets=n_buckets)
+            return self.commit_index(
+                index,
+                doclens=doclens,
+                keys=_keys_of(docs, id_col),
+                n_buckets=n_buckets,
+            )
         finally:
             doc_terms.unpersist()
 
@@ -265,6 +332,39 @@ class SnapshotCatalog:
         segment's own doc lengths; per-term df (hence idf) is re-finalized
         lazily at read time by summing segment dfs."""
         m = self.manifest()
+        seg, n_new, new_dl = self._build_segment(
+            m, docs, id_col, text_col, mode, stem, n_shards
+        )
+        n_docs = int(m.summary["n_docs"]) + n_new
+        total_dl = float(m.summary["total_dl"]) + new_dl
+        summary = {
+            "n_docs": n_docs,
+            "avgdl": (total_dl / n_docs if n_docs else 0.0),
+            "total_dl": total_dl,
+            "n_buckets": int(m.summary["n_buckets"]),
+            "n_deletes": int(m.summary.get("n_deletes", 0)),
+            "n_pending": int(m.summary.get("n_pending", 0)),
+        }
+        return self._commit(
+            "append",
+            m.segments + [os.path.relpath(seg, self.root)],
+            m.deletes,
+            summary,
+        )
+
+    def _build_segment(
+        self,
+        m: Manifest,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        mode: str,
+        stem: bool,
+        n_shards: int,
+    ) -> tuple[str, int, int]:
+        """Tokenize + build + write one new segment for ``docs``; returns
+        (segment path, n_docs, sum of doc lengths). Shared by append and
+        upsert."""
         n_buckets = int(m.summary["n_buckets"])
         n_new = docs.count()
         doc_terms = tokenize_docs(
@@ -274,38 +374,130 @@ class SnapshotCatalog:
             postings = build_postings(doc_terms, n_shards=n_shards, n_buckets=n_buckets)
             doclens = doc_terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
             new_dl = int(doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0)
-            n_docs = int(m.summary["n_docs"]) + n_new
-            total_dl = float(m.summary["total_dl"]) + new_dl
             seg_index = IndexTables(
                 postings=postings,
-                terms=term_stats(postings, n_docs),
+                terms=term_stats(postings, max(n_new, 1)),
                 n_docs=n_new,
                 avgdl=(new_dl / n_new if n_new else 0.0),
                 n_buckets=n_buckets,
             )
             v = (max(self.versions()) + 1) if self.versions() else 1
-            seg = self._new_data_path("b", v)
-            tmp = seg + ".tmp"
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)
-            write_index(seg_index, tmp, n_buckets=n_buckets)
-            doclens.select("doc_id", "dl").write.mode("overwrite").parquet(
-                os.path.join(tmp, "doclens.parquet")
+            seg = self._write_segment(
+                seg_index,
+                v,
+                n_buckets,
+                doclens=doclens,
+                keys=_keys_of(docs, id_col),
             )
-            os.replace(tmp, seg)
         finally:
             doc_terms.unpersist()
+        return seg, n_new, new_dl
+
+    def upsert_files(
+        self,
+        spark: SparkSession,
+        new_files: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "content",
+        mode: str = "simple",
+        stem: bool = False,
+        n_shards: int = 8,
+    ) -> int:
+        """Replace-or-add by logical primary key (repo, path) — "index the
+        new commit of these files". One snapshot commit that:
+
+        1. finds the LIVE doc versions sharing a (repo, path) with
+           ``new_files`` via the keys sidecars (already-deleted ids are
+           excluded so bookkeeping never double-counts),
+        2. tombstones them with a merge-on-read delete file,
+        3. appends one segment holding the new docs.
+
+        Cost ∝ |new_files| + a pruned keys-sidecar join — no existing
+        posting row is read or rewritten; at 10^12 files re-indexing one
+        repo's push stays a small bounded job. n_docs/avgdl are advanced
+        exactly (replaced docs' lengths come from the doclens sidecar);
+        per-term df/idf stay pre-delete until compact(), like any delete.
+
+        ``new_files`` must carry repo/path columns, one row per (repo,
+        path); the snapshot must have been committed with keys+doclens
+        sidecars (commit_build/append_docs/upsert_files all write them)."""
+        m = self.manifest()
+        keys = self._sidecar(spark, m, "keys")
+        doclens = self._sidecar(spark, m, "doclens")
+        if keys is None or doclens is None:
+            raise ValueError(
+                "upsert_files needs the keys+doclens sidecars; this "
+                "snapshot's segments lack them (publish via commit_build/"
+                "append_docs, or use append_docs+delete_docs manually)"
+            )
+        live_keys = keys
+        deleted = self.load_deletes()
+        if deleted is not None and len(deleted):
+            dels_df = spark.createDataFrame(
+                [(int(x),) for x in deleted], DELETES_SCHEMA
+            )
+            live_keys = live_keys.join(
+                F.broadcast(dels_df), "doc_id", "left_anti"
+            )
+        replaced = (
+            live_keys.join(
+                new_files.select("repo", "path").distinct(), ["repo", "path"]
+            )
+            .join(doclens, "doc_id", "left")
+            .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
+            .collect()
+        )
+        # an unchanged file (same repo/path/commit => same doc_id) is a
+        # no-op: it must be neither tombstoned (the delete mask applies by
+        # doc_id across ALL segments and would kill the appended copy too)
+        # nor re-indexed (double postings)
+        new_ids = {
+            int(r[0]) for r in new_files.select(id_col).distinct().collect()
+        }
+        replaced = [r for r in replaced if int(r["doc_id"]) not in new_ids]
+        old_ids = np.unique(np.array([r["doc_id"] for r in replaced], dtype=np.int64))
+        old_dl = sum(int(r["dl"]) for r in replaced)
+        live_new_ids = {
+            int(r[0])
+            for r in live_keys.join(
+                new_files.select(F.col(id_col).alias("doc_id")), "doc_id", "semi"
+            ).collect()
+        }
+        docs_to_add = new_files
+        if live_new_ids:
+            docs_to_add = new_files.filter(
+                ~F.col(id_col).isin([int(x) for x in live_new_ids])
+            )
+        if not (new_ids - live_new_ids) and not len(old_ids):
+            # every new file is byte-for-byte the live version: nothing to
+            # tombstone, nothing to index — don't commit an empty segment
+            return self.head()
+
+        seg, n_new, new_dl = self._build_segment(
+            m, docs_to_add, id_col, text_col, mode, stem, n_shards
+        )
+        deletes = list(m.deletes)
+        if len(old_ids):
+            v = (max(self.versions()) + 1) if self.versions() else 1
+            dpath = self._new_data_path("d", v, ".parquet")
+            _write_delete_file(dpath, old_ids)
+            deletes.append(os.path.relpath(dpath, self.root))
+        n_docs = int(m.summary["n_docs"]) - int(len(old_ids)) + n_new
+        total_dl = float(m.summary["total_dl"]) - old_dl + new_dl
         summary = {
             "n_docs": n_docs,
             "avgdl": (total_dl / n_docs if n_docs else 0.0),
             "total_dl": total_dl,
-            "n_buckets": n_buckets,
-            "n_deletes": int(m.summary.get("n_deletes", 0)),
+            "n_buckets": int(m.summary["n_buckets"]),
+            "n_deletes": int(m.summary.get("n_deletes", 0)) + int(len(old_ids)),
+            # the replaced docs are subtracted from n_docs HERE (exact
+            # bookkeeping), so compaction must not subtract them again
+            "n_pending": int(m.summary.get("n_pending", 0)),
         }
         return self._commit(
-            "append",
+            "upsert",
             m.segments + [os.path.relpath(seg, self.root)],
-            m.deletes,
+            deletes,
             summary,
         )
 
@@ -316,9 +508,6 @@ class SnapshotCatalog:
         of ints or a 1-column DataFrame. Ids must reference live docs (the
         n_docs bookkeeping trusts this, like Iceberg trusts delete files
         to point at real rows)."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         m = self.manifest()
         if isinstance(doc_ids, DataFrame):
             ids = np.array(
@@ -328,13 +517,21 @@ class SnapshotCatalog:
         else:
             ids = np.asarray(sorted(doc_ids), dtype=np.int64)
         ids = np.unique(ids)
+        # already-tombstoned ids are no-ops: keeping them out of the new
+        # file keeps the n_deletes/n_pending counters exact (compaction
+        # subtracts n_pending from n_docs)
+        existing = self.load_deletes()
+        if existing is not None and len(existing):
+            ids = np.setdiff1d(ids, existing)
         v = (max(self.versions()) + 1) if self.versions() else 1
         path = self._new_data_path("d", v, ".parquet")
-        tmp = path + ".tmp"
-        pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
-        os.replace(tmp, path)
+        _write_delete_file(path, ids)
         summary = dict(m.summary)
         summary["n_deletes"] = int(summary.get("n_deletes", 0)) + int(len(ids))
+        # a plain delete leaves n_docs/avgdl frozen (scores of survivors
+        # must not move until compact); n_pending records how many
+        # tombstones compaction still has to subtract from n_docs
+        summary["n_pending"] = int(summary.get("n_pending", 0)) + int(len(ids))
         return self._commit(
             "delete",
             m.segments,
@@ -413,28 +610,23 @@ class SnapshotCatalog:
         idx = self.read(spark)
         deletes = idx.deletes
         rewritten = _rewrite_postings(idx.postings, deletes)
-        n_docs = int(m.summary["n_docs"]) - int(m.summary.get("n_deletes", 0))
+        # n_pending = tombstones whose removal n_docs does not yet reflect
+        # (plain deletes); upsert tombstones were already subtracted
+        n_docs = int(m.summary["n_docs"]) - int(m.summary.get("n_pending", 0))
 
-        # exact avgdl re-finalization: surviving doc lengths
-        seg_dirs = [os.path.join(self.root, s) for s in m.segments]
-        doclen_paths = [
-            f"{d}/doclens.parquet"
-            for d in seg_dirs
-            if os.path.isdir(f"{d}/doclens.parquet")
-        ]
-        if len(doclen_paths) == len(seg_dirs):
-            doclens = reduce(
-                DataFrame.unionByName,
-                [spark.read.parquet(p) for p in doclen_paths],
-            )
-        else:
-            # no sidecar: recover (doc_id, dl) pairs from the blobs
+        # exact avgdl re-finalization: surviving doc lengths (doclens
+        # sidecar when every segment has one, else recovered from blobs)
+        doclens = self._sidecar(spark, m, "doclens")
+        if doclens is None:
             doclens = _doclens_from_postings(idx.postings)
+        keys = self._sidecar(spark, m, "keys")
         if deletes is not None and len(deletes):
             dels = spark.createDataFrame(
                 [(int(x),) for x in deletes], DELETES_SCHEMA
             )
             doclens = doclens.join(F.broadcast(dels), "doc_id", "left_anti")
+            if keys is not None:
+                keys = keys.join(F.broadcast(dels), "doc_id", "left_anti")
         total_dl = int(doclens.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0)
         avgdl = total_dl / n_docs if n_docs else 0.0
 
@@ -447,21 +639,14 @@ class SnapshotCatalog:
             n_buckets=n_buckets,
         )
         v = (max(self.versions()) + 1) if self.versions() else 1
-        seg = self._new_data_path("b", v)
-        tmp = seg + ".tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        write_index(index, tmp, n_buckets=n_buckets)
-        doclens.select("doc_id", "dl").write.mode("overwrite").parquet(
-            os.path.join(tmp, "doclens.parquet")
-        )
-        os.replace(tmp, seg)
+        seg = self._write_segment(index, v, n_buckets, doclens=doclens, keys=keys)
         summary = {
             "n_docs": n_docs,
             "avgdl": avgdl,
             "total_dl": float(total_dl),
             "n_buckets": n_buckets,
             "n_deletes": 0,
+            "n_pending": 0,
         }
         return self._commit(
             "compact", [os.path.relpath(seg, self.root)], [], summary
@@ -502,54 +687,60 @@ class SnapshotCatalog:
 
 
 def _rewrite_postings(postings: DataFrame, deletes: np.ndarray | None) -> DataFrame:
-    """Decode -> delete-mask -> re-encode every posting blob. Rows whose
-    postings are fully deleted disappear (a fresh build would not emit
-    them). Runs as one mapInPandas over the (already sharded) rows — no
-    shuffle; the write after it repartitions by (tb, term) exactly like a
-    fresh publish."""
+    """Decode -> merge -> delete-mask -> re-encode, one (term-bucket,
+    shard) group at a time: rows of the same (term, shard) split across
+    append segments fold into ONE row (their doc universes are disjoint,
+    so the merge is a concatenate + argsort like the incremental layout's
+    indexJoin), deleted docs drop out, blobs and block metadata are
+    re-encoded — making the output structurally identical to a fresh
+    build over the surviving docs. Terms whose postings are fully deleted
+    disappear. One exchange on (tb, shard), the same shape as the build's
+    encode exchange."""
 
-    def gen(batches):
-        import pandas as pd
-
+    def kernel(pdf):
         from google_spark.functions.codec import (
             decode_postings_full_np,
             not_deleted_mask,
         )
 
-        for pdf in batches:
-            for shard, g in pdf.groupby("shard", sort=False):
+        shard = int(pdf["shard"].iloc[0])
 
-                def term_arrays():
-                    for term, blob in zip(g["term"].values, g["postings"].values):
-                        docs, tfs, dls, pos = decode_postings_full_np(bytes(blob))
-                        if deletes is not None and len(deletes):
-                            keep = not_deleted_mask(docs, deletes)
-                            if not keep.all():
-                                docs = docs[keep]
-                                tfs = tfs[keep]
-                                dls = dls[keep]
-                                pos = [p for p, k in zip(pos, keep) if k]
-                        if len(docs):
-                            yield term, docs, tfs, dls, pos
+        def term_arrays():
+            for term, g in pdf.groupby("term", sort=False):
+                d_parts, t_parts, l_parts, p_parts = [], [], [], []
+                for blob in g["postings"]:
+                    d, t, l, p = decode_postings_full_np(bytes(blob))
+                    d_parts.append(d)
+                    t_parts.append(t)
+                    l_parts.append(l)
+                    p_parts.extend(p)
+                docs = np.concatenate(d_parts)
+                tfs = np.concatenate(t_parts)
+                dls = np.concatenate(l_parts)
+                if deletes is not None and len(deletes):
+                    keep = not_deleted_mask(docs, deletes)
+                    if not keep.all():
+                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                        p_parts = [p for p, k in zip(p_parts, keep) if k]
+                if not len(docs):
+                    continue
+                order = np.argsort(docs, kind="stable")
+                yield (
+                    term,
+                    docs[order],
+                    tfs[order],
+                    dls[order],
+                    [p_parts[i] for i in order],
+                )
 
-                out = encode_sorted_terms(int(shard), term_arrays())
-                if len(out):
-                    yield out
-        yield pd.DataFrame(
-            {
-                "term": pd.Series([], dtype="object"),
-                "shard": pd.Series([], dtype="int32"),
-                "df": pd.Series([], dtype="int64"),
-                "postings": pd.Series([], dtype="object"),
-                "block_last_doc": pd.Series([], dtype="object"),
-                "block_max_tf": pd.Series([], dtype="object"),
-                "block_min_dl": pd.Series([], dtype="object"),
-            }
-        )
+        return encode_sorted_terms(shard, term_arrays())
 
-    return postings.select("term", "shard", "postings").mapInPandas(
-        gen, schema=POSTINGS_SCHEMA
-    )
+    df = postings
+    if "tb" not in df.columns:
+        from google_spark.operators.index_build import term_bucket_col
+
+        df = df.withColumn("tb", term_bucket_col("term"))
+    return df.groupBy("tb", "shard").applyInPandas(kernel, schema=POSTINGS_SCHEMA)
 
 
 def _doclens_from_postings(postings: DataFrame) -> DataFrame:

@@ -223,3 +223,69 @@ def test_delete_docs_accepts_dataframe(spark, identified, tmp_path):
         spark.createDataFrame([(int(v),) for v in victims], "doc_id long")
     )
     assert not set(_local_ids(cat.read(spark))) & set(victims)
+
+
+def _modified_rows(corpus_pdf, n=25, marker="upserted freshness marker tokens"):
+    """Copy of the first n corpus rows with new commits + changed content
+    (a new commit hashes to a NEW doc_id via with_doc_identity)."""
+    changed = corpus_pdf.head(n).copy()
+    changed["commit"] = changed["commit"] + "f"
+    changed["content"] = changed["content"] + f"\n// {marker}\n"
+    return changed
+
+
+def test_upsert_replaces_changed_files(spark, identified, corpus_pdf, tmp_path):
+    changed = _modified_rows(corpus_pdf)
+    new_files = with_doc_identity(spark.createDataFrame(changed))
+    updated_pdf = corpus_pdf.copy()
+    updated_pdf.iloc[: len(changed), :] = changed.values
+    updated = with_doc_identity(spark.createDataFrame(updated_pdf).repartition(8))
+
+    cat = _mk_catalog(tmp_path, spark, identified)
+    v = cat.upsert_files(spark, new_files, text_col="content")
+    m = cat.manifest()
+    assert v == 2 and m.operation == "upsert"
+    assert m.summary["n_deletes"] == len(changed)
+
+    idx = cat.read(spark)
+    # pure replace: corpus size unchanged, avgdl advanced exactly
+    fresh = build_index(spark, updated, id_col="doc_id", text_col="content")
+    assert idx.n_docs == fresh.n_docs
+    assert idx.avgdl == pytest.approx(fresh.avgdl, abs=1e-9)
+    # the replaced doc versions never surface; the new versions rank for
+    # their marker tokens
+    old_ids = {
+        int(r["doc_id"])
+        for r in identified.join(
+            new_files.select("repo", "path"), ["repo", "path"]
+        ).select("doc_id").collect()
+    }
+    hits = wand_topk(idx, "upserted freshness marker", k=10).collect()
+    hit_ids = {r["doc_id"] for r in hits}
+    assert hit_ids and not hit_ids & old_ids
+    assert not set(_local_ids(idx, "def hash index", k=20)) & old_ids
+
+    # compaction folds the upsert into one segment that is blob-identical
+    # to a fresh build over the updated corpus
+    cat.compact(spark)
+    idx2 = cat.read(spark)
+    assert len(cat.manifest().segments) == 1
+    assert _postings_signature(idx2) == _postings_signature(fresh)
+    assert idx2.avgdl == pytest.approx(fresh.avgdl, abs=1e-9)
+
+
+def test_upsert_unchanged_commit_is_noop(spark, identified, corpus_pdf, tmp_path):
+    cat = _mk_catalog(tmp_path, spark, identified)
+    before = wand_topk_local(cat.read(spark), QUERY, k=10)
+
+    same = with_doc_identity(spark.createDataFrame(corpus_pdf.head(20).copy()))
+    cat.upsert_files(spark, same, text_col="content")
+    m = cat.manifest()
+    # same (repo, path, commit) => same doc_id => nothing tombstoned,
+    # nothing re-indexed (no doubled postings)
+    assert m.deletes == [] and m.summary["n_deletes"] == 0
+    assert m.summary["n_docs"] == identified.count()
+    after = wand_topk_local(cat.read(spark), QUERY, k=10)
+    assert [(d, round(s, 12)) for d, s in after] == [
+        (d, round(s, 12)) for d, s in before
+    ]
