@@ -1009,6 +1009,73 @@ ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
+_CAT_CACHE: dict[str, tuple] = {}
+CAT_MARKER = "catalog upsert marker beacon"
+
+
+def _catalog_for(spark: SparkSession, sf_dir: str):
+    """One shared snapshot-catalog lifecycle over the documents table:
+    v1 full publish -> v2 merge-on-read delete (doc_id % 17 == 3) ->
+    v3 primary-key upsert of modified copies (doc_id % 23 == 5, excluding
+    the deleted set; new doc_id = old + 1e9, same (repo, path) key) ->
+    v4 compact. Returns (catalog, delete_version, head_version); both
+    catalog gate rows time-travel into this one lineage."""
+    if sf_dir not in _CAT_CACHE:
+        import tempfile
+
+        from google_spark.operators.catalog import SnapshotCatalog
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("r"), (F.col("doc_id") % 7)).alias("repo"),
+            F.concat(F.lit("p"), F.col("doc_id")).alias("path"),
+        )
+        cat = SnapshotCatalog(tempfile.mkdtemp(prefix="gs_catalog_"))
+        cat.commit_build(spark, docs, id_col="doc_id", text_col="text")
+        v_del = cat.delete_docs(docs.filter(F.col("doc_id") % 17 == 3).select("doc_id"))
+        new_files = docs.filter(
+            (F.col("doc_id") % 23 == 5) & (F.col("doc_id") % 17 != 3)
+        ).select(
+            (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+            F.concat("text", F.lit(" " + CAT_MARKER)).alias("text"),
+            "repo",
+            "path",
+        )
+        cat.upsert_files(spark, new_files, id_col="doc_id", text_col="text")
+        head = cat.compact(spark)
+        _CAT_CACHE[sf_dir] = (cat, v_del, head)
+    return _CAT_CACHE[sf_dir]
+
+
+def q_catalog_mor_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-catalog merge-on-read delete + time travel: BM25 top-10 at
+    the DELETE snapshot (read back via version= although HEAD has moved
+    on twice). Deleted docs are masked out of the candidates while
+    df/idf/n_docs/avgdl stay at their full-corpus values until compaction
+    — Iceberg v2 position-delete semantics, which the oracle replays as
+    full-corpus scoring with the deleted ids filtered from the result."""
+    from google_spark.operators.index_query import wand_topk
+
+    cat, v_del, _head = _catalog_for(spark, sf_dir)
+    df = wand_topk(cat.read(spark, version=v_del), FLAGSHIP_QUERY, k=10)
+    return _round4(df, "score")
+
+
+def q_catalog_upsert_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-catalog upsert + compact: after replacing each (repo,
+    path) key's doc with a marker-suffixed copy and compacting, the head
+    snapshot must score EXACTLY like a fresh build over the updated
+    corpus (compaction re-finalizes df/idf/n_docs/avgdl and re-encodes
+    blobs without tombstoned docs) — the oracle scores that updated
+    corpus directly."""
+    from google_spark.operators.index_query import wand_topk
+
+    cat, _v_del, head = _catalog_for(spark, sf_dir)
+    df = wand_topk(cat.read(spark, version=head), "marker beacon hash", k=10)
+    return _round4(df, "score")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1025,6 +1092,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete_topdf": q_autocomplete_topdf,
         "tfidf_ref_topk": q_tfidf_ref_topk,
         "phrase_filter_topk": q_phrase_filter_topk,
+        "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
+        "catalog_upsert_compact_topk": q_catalog_upsert_compact_topk,
     }
 
 
@@ -1045,15 +1114,20 @@ def _bm25_sql(
     tf_from: str = "(SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)",
     limit: int = 10,
     rounded: bool = True,
+    corpus_from: str = "documents",
+    final_where: str = "",
 ) -> str:
     """Weighted-BM25 top-10 oracle, parameterized by the per-term weight
     CTE (plain queries use multiplicity weights; synonym expansion computes
-    decayed weights in SQL), the tokenizer (simple or code mode), and the
+    decayed weights in SQL), the tokenizer (simple or code mode), the
     (doc_id, term, dl) relation feeding tf (the stemmed oracle injects
-    stem rows there; dl always counts original tokens only)."""
+    stem rows there; dl always counts original tokens only), the corpus
+    relation (catalog oracles rewrite it), and a final WHERE over scored
+    (doc_id, score) rows (merge-on-read delete semantics: full-corpus
+    stats, excluded candidates)."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, {tok_sql} AS ts FROM documents
+  SELECT doc_id, {tok_sql} AS ts FROM {corpus_from}
 ),
 stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
 {pre_tf_cte}tf AS (
@@ -1073,6 +1147,7 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, {"round(score, 4) AS score" if rounded else "score"} FROM scored
+{final_where}
 ORDER BY score DESC, doc_id ASC LIMIT {limit}
 """
 
@@ -1496,6 +1571,25 @@ def oracle_sql() -> dict[str, str]:
         "autocomplete_topdf": _AUTOCOMPLETE_ORACLE,
         "tfidf_ref_topk": _REF_TFIDF_ORACLE,
         "phrase_filter_topk": _PHRASE_ORACLE,
+        # merge-on-read: stats over the FULL corpus, deleted ids filtered
+        # only from the final candidates (matches the pre-compact snapshot)
+        "catalog_mor_delete_topk": _bm25_sql(
+            "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
+            final_where="WHERE doc_id % 17 <> 3",
+        ),
+        # post-compact: score the UPDATED corpus directly (deleted docs
+        # gone, upserted docs re-keyed + marker-suffixed, stats re-final)
+        "catalog_upsert_compact_topk": _bm25_sql(
+            "q(term, w) AS "
+            "(VALUES ('marker', 1.0), ('beacon', 1.0), ('hash', 1.0))",
+            corpus_from=(
+                "(SELECT CASE WHEN doc_id % 23 = 5 AND doc_id % 17 <> 3 "
+                "THEN doc_id + 1000000000 ELSE doc_id END AS doc_id, "
+                "CASE WHEN doc_id % 23 = 5 AND doc_id % 17 <> 3 "
+                f"THEN text || ' {CAT_MARKER}' ELSE text END AS text "
+                "FROM documents WHERE doc_id % 17 <> 3)"
+            ),
+        ),
         "bm25_topk_code": _bm25_sql(
             "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
             tok_sql=_TOK_CODE_SQL,
