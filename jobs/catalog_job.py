@@ -1,0 +1,105 @@
+"""spark-submit entry: snapshot-catalog lifecycle operations.
+
+    spark-submit --py-files google_spark.zip jobs/catalog_job.py \
+        --root /data/index_catalog publish --input /data/files.parquet
+    ... catalog_job.py --root R upsert --input /data/changed.parquet
+    ... catalog_job.py --root R delete --ids 12,34  (or --ids-parquet P)
+    ... catalog_job.py --root R compact
+    ... catalog_job.py --root R expire --keep 2
+    ... catalog_job.py --root R log
+
+Also runnable as plain ``python jobs/catalog_job.py`` (the session factory
+self-ships the package to executors). Every subcommand prints one JSON
+line: the committed version (or history) plus the head manifest summary.
+The zip for --py-files is produced by ``python jobs/make_pyfiles.py``.
+
+This is the maintenance surface a scheduled pipeline would drive: nightly
+``upsert`` of changed commits, ``compact`` when the manifest's n_deletes
+passes a threshold, ``expire`` to bound storage — all while serving reads
+from already-resolved snapshots (commits never touch a reader's files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True, help="catalog root directory")
+    ap.add_argument("--cores", default=None)
+    sub = ap.add_subparsers(dest="op", required=True)
+
+    p_pub = sub.add_parser("publish", help="full build -> new overwrite snapshot")
+    p_up = sub.add_parser("upsert", help="replace-or-add by (repo, path) key")
+    for p in (p_pub, p_up):
+        p.add_argument("--input", required=True, help="parquet path of the doc table")
+        p.add_argument("--id-col", default="doc_id")
+        p.add_argument("--text-col", default="content")
+        p.add_argument("--mode", default="simple", choices=["simple", "code"])
+        p.add_argument("--n-shards", type=int, default=8)
+
+    p_del = sub.add_parser("delete", help="merge-on-read tombstones")
+    p_del.add_argument("--ids", default=None, help="comma-separated doc_ids")
+    p_del.add_argument("--ids-parquet", default=None, help="parquet with a doc_id column")
+
+    sub.add_parser("compact", help="rewrite applying deletes; fold segments")
+
+    p_exp = sub.add_parser("expire", help="drop old snapshots + unreferenced data")
+    p_exp.add_argument("--keep", type=int, default=2)
+
+    sub.add_parser("log", help="print the snapshot history")
+
+    args = ap.parse_args()
+
+    from google_spark.operators.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(args.root)
+    if args.op == "log":
+        print(json.dumps({"op": "log", "history": cat.log()}))
+        return
+
+    from google_spark.session import get_spark
+
+    spark = get_spark(app=f"catalog_{args.op}", cores=args.cores)
+    t0 = time.perf_counter()
+    out: dict = {"op": args.op, "root": args.root}
+    if args.op == "publish":
+        docs = spark.read.parquet(args.input)
+        out["version"] = cat.commit_build(
+            spark, docs, id_col=args.id_col, text_col=args.text_col,
+            mode=args.mode, n_shards=args.n_shards,
+        )
+    elif args.op == "upsert":
+        docs = spark.read.parquet(args.input)
+        out["version"] = cat.upsert_files(
+            spark, docs, id_col=args.id_col, text_col=args.text_col,
+            mode=args.mode, n_shards=args.n_shards,
+        )
+    elif args.op == "delete":
+        if args.ids_parquet:
+            ids = spark.read.parquet(args.ids_parquet)
+        elif args.ids:
+            ids = [int(x) for x in args.ids.split(",") if x]
+        else:
+            raise SystemExit("delete needs --ids or --ids-parquet")
+        out["version"] = cat.delete_docs(ids)
+    elif args.op == "compact":
+        out["version"] = cat.compact(spark)
+    elif args.op == "expire":
+        out["removed"] = cat.expire(keep_last=args.keep)
+        out["version"] = cat.head()
+    out["wall_s"] = round(time.perf_counter() - t0, 3)
+    out["head_summary"] = cat.manifest().summary
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

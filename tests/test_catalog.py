@@ -289,3 +289,27 @@ def test_upsert_unchanged_commit_is_noop(spark, identified, corpus_pdf, tmp_path
     assert [(d, round(s, 12)) for d, s in after] == [
         (d, round(s, 12)) for d, s in before
     ]
+
+
+def test_search_engine_over_catalog_snapshot(spark, identified, tmp_path):
+    """The serving facade composes with catalog snapshots: deletes flow
+    through the hot-term row cache (decoded entries are masked at decode
+    time), and proximity positions never resurrect a deleted doc."""
+    from google_spark.search import SearchEngine
+
+    cat = _mk_catalog(tmp_path, spark, identified)
+    meta = identified.select("doc_id", "repo", "path")
+
+    eng0 = SearchEngine(cat.read(spark), None, meta, None)
+    before = eng0.search(QUERY, k=10)
+    victims = [r.doc_id for r in before[:3]]
+    cat.delete_docs(victims)
+
+    eng = SearchEngine(cat.read(spark), None, meta, None)
+    got = eng.search(QUERY, k=10, proximity=True)
+    assert got and not {r.doc_id for r in got} & set(victims)
+    # second call serves from the decoded-row cache — identical, still masked
+    again = eng.search(QUERY, k=10, proximity=True)
+    assert [(r.doc_id, r.priority) for r in again] == [
+        (r.doc_id, r.priority) for r in got
+    ]

@@ -94,3 +94,52 @@ def test_jobs_end_to_end(corpus_parquet, tmp_path):
     )
     assert pr["n_edges"] > 0 and pr["n_nodes"] > 0
     assert pr_out.exists()
+
+
+def test_catalog_job_lifecycle(spark, corpus_parquet, tmp_path):
+    """jobs/catalog_job.py drives the snapshot catalog's maintenance
+    surface as subprocesses: publish -> delete -> compact -> expire -> log,
+    each emitting a JSON line with the committed version + head summary."""
+    root = str(tmp_path / "cat_root")
+    pub = _run(
+        [
+            sys.executable, "jobs/catalog_job.py", "--root", root,
+            "--cores", "8", "publish",
+            "--input", corpus_parquet, "--text-col", "content",
+        ],
+        timeout=420,
+    )
+    assert pub["version"] == 1 and pub["head_summary"]["n_docs"] == 300
+
+    victims = [
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_parquet).select("doc_id").limit(5).collect()
+    ]
+    dele = _run(
+        [
+            sys.executable, "jobs/catalog_job.py", "--root", root,
+            "--cores", "8", "delete", "--ids", ",".join(map(str, victims)),
+        ]
+    )
+    assert dele["version"] == 2 and dele["head_summary"]["n_deletes"] == 5
+
+    comp = _run(
+        [
+            sys.executable, "jobs/catalog_job.py", "--root", root,
+            "--cores", "8", "compact",
+        ],
+        timeout=420,
+    )
+    assert comp["version"] == 3 and comp["head_summary"]["n_docs"] == 295
+    assert comp["head_summary"]["n_deletes"] == 0
+
+    exp = _run(
+        [
+            sys.executable, "jobs/catalog_job.py", "--root", root,
+            "--cores", "8", "expire", "--keep", "1",
+        ]
+    )
+    assert exp["version"] == 3 and exp["removed"]
+
+    log = _run([sys.executable, "jobs/catalog_job.py", "--root", root, "log"])
+    assert [h["version"] for h in log["history"]] == [3]
