@@ -1076,6 +1076,24 @@ def q_catalog_upsert_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return _round4(df, "score")
 
 
+# (query_id, query) pairs for the batch-scoring row; q3 exercises
+# repeated-term multiplicity weights in a batch context
+BATCH_EVAL_QUERIES = [(1, "hash join"), (2, "data pipeline"), (3, "join join merge")]
+
+
+def q_batch_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline batch retrieval: top-5 for a whole query TABLE in one
+    distributed plan (broadcast semi-join prunes the decode to the batch
+    vocabulary; per-query rank window). Each query's rows must equal its
+    per-query exhaustive/WAND top-k — the oracle recomputes all three
+    queries' BM25 in SQL grouped by (query_id, doc_id)."""
+    from google_spark.operators.index_query import batch_topk
+
+    qdf = spark.createDataFrame(BATCH_EVAL_QUERIES, "query_id long, query string")
+    df = batch_topk(_index(spark, sf_dir), qdf, k=5)
+    return _round4(df, "score")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1094,6 +1112,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_filter_topk": q_phrase_filter_topk,
         "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
         "catalog_upsert_compact_topk": q_catalog_upsert_compact_topk,
+        "batch_bm25_topk": q_batch_bm25_topk,
     }
 
 
@@ -1594,6 +1613,40 @@ def oracle_sql() -> dict[str, str]:
             "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
             tok_sql=_TOK_CODE_SQL,
         ),
+        # batch retrieval: the same BM25 CTEs, grouped by (query_id, doc_id)
+        # with a per-query rank window; weights inline query multiplicity
+        "batch_bm25_topk": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, w) AS (VALUES
+  (1, 'hash', 1.0), (1, 'join', 1.0),
+  (2, 'data', 1.0), (2, 'pipeline', 1.0),
+  (3, 'join', 2.0), (3, 'merge', 1.0)),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN q ON tf.term = q.term JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 4) AS score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
         "tokenize_tf": f"""
             SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
               SELECT doc_id, unnest({_TOK_SQL}) AS term

@@ -118,6 +118,21 @@ def main() -> None:
     exhaustive_topk(index, BENCH_QUERIES[0], k=10).collect()
     timings["exhaustive_q1"] = round(time.perf_counter() - t0, 4)
 
+    # offline batch retrieval: 200 queries answered in ONE distributed plan
+    # (batch_topk) — the throughput path a per-query loop can't touch
+    from google_spark.operators.index_query import batch_topk
+
+    vocab = sorted({t for q in BENCH_QUERIES for t in q.split()})
+    batch_rows = [
+        (i, f"{vocab[i % len(vocab)]} {vocab[(i * 7 + 3) % len(vocab)]}")
+        for i in range(200)
+    ]
+    qdf = spark.createDataFrame(batch_rows, "query_id long, query string")
+    t0 = time.perf_counter()
+    n_batch_rows = batch_topk(index, qdf, k=10).count()
+    batch_sec = time.perf_counter() - t0
+    timings["batch_200q"] = round(batch_sec, 4)
+
     # end-to-end serving facade (WAND + pre-joined meta/rank + boosts +
     # priority sort + snippets), uncached per query, served from the
     # published bundle — every lookup a pyarrow point read, zero Spark jobs
@@ -227,6 +242,8 @@ def main() -> None:
         "index_build_docs_per_sec": round(n_docs / build_sec, 2),
         "index_build_docs_per_sec_replicated": round(n_big / big_sec, 2),
         "n_docs_replicated": n_big,
+        "batch_queries_per_sec": round(200 / batch_sec, 2),
+        "n_batch_result_rows": n_batch_rows,
         "query_p50_ms": round(statistics.median(lat_ms), 2),
         "query_p50_warm_ms": round(statistics.median(warm_ms), 2),
         "query_p50_sparkjob_ms": round(statistics.median(sparkjob_ms), 2),

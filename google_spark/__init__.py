@@ -48,6 +48,7 @@ def __getattr__(name):
         "write_ivf_index": ("google_spark.operators.similarity", "write_ivf_index"),
         "ivf_index_topk": ("google_spark.operators.similarity", "ivf_index_topk"),
         "streaming_dedup": ("google_spark.streaming.ingest", "streaming_dedup"),
+        "batch_topk": ("google_spark.operators.index_query", "batch_topk"),
         "SnapshotCatalog": ("google_spark.operators.catalog", "SnapshotCatalog"),
         "serve": ("google_spark.server", "serve"),
         "start_server": ("google_spark.server", "start_server"),

@@ -422,6 +422,144 @@ def wand_topk(
     return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def batch_topk(
+    index: IndexTables,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    mode: str = "simple",
+    stem: bool = False,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """DataFrame[query_id, doc_id, score] — top-k for EVERY query in a
+    query table, in one distributed plan.
+
+    The reference engine answers one query per HTTP request (ref:
+    src/cis5550/jobs/SearchApi.java:248-320); the Spark-native superpower
+    is throughput: score a million-query eval batch against the index with
+    two shuffles instead of a million driver round-trips. This is the
+    offline-retrieval / relevance-eval path (query-log replay, judgment
+    scoring, distillation-corpus mining).
+
+    Plan shape (and why it scales):
+
+    1. tokenize queries with the SAME kernel as documents -> per-query term
+       multiplicity weights (query_id, term, w);
+    2. left-semi join postings against the distinct query vocabulary
+       (broadcast by default — a 1M-query batch has a vocabulary far
+       smaller than the index), so only matching posting rows are ever
+       DECODED;
+    3. decode matched rows once (mapInPandas, merge-on-read deletes
+       masked), join decoded (term, doc_id, tf, dl) with the per-query
+       weighted terms — the join key is ``term``, the broadcast side is
+       query-sized, the big side streams;
+    4. BM25 per (query, doc) with JVM-side expressions, partial-agg'd
+       map-side by groupBy(query_id, doc_id);
+    5. per-query exact top-k via a rank window partitioned by query_id
+       (ties: score desc, doc_id asc — the engine-wide contract).
+
+    ``broadcast_queries=False`` drops the broadcast hints for batches too
+    large to broadcast (> ~10M query-term rows): both joins become
+    shuffle joins on ``term`` and AQE re-plans from runtime sizes.
+
+    Queries that tokenize to nothing (or match no indexed term) simply
+    produce no output rows — same contract as ``wand_topk`` returning an
+    empty frame."""
+    spark = index.postings.sparkSession
+    deletes = index.deletes
+    n = index.n_docs
+    avgdl = index.avgdl
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            q_out, t_out, w_out = [], [], []
+            for qid, text in zip(pdf[query_id_col].values, pdf[query_col].values):
+                for term, cnt in Counter(
+                    query_terms(text or "", mode=mode, stem=stem)
+                ).items():
+                    q_out.append(qid)
+                    t_out.append(term)
+                    w_out.append(float(cnt))
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(q_out, dtype="int64"),
+                    "term": pd.Series(t_out, dtype="object"),
+                    "w": pd.Series(w_out, dtype="float64"),
+                }
+            )
+
+    qt = queries.select(query_id_col, query_col).mapInPandas(
+        tok, schema="query_id long, term string, w double"
+    )
+    hint = F.broadcast if broadcast_queries else (lambda df: df)
+
+    matched = index.postings.join(
+        hint(qt.select("term").distinct()), "term", "left_semi"
+    )
+    # global df per matched term (sum over shards of the stored column) ->
+    # idf; a metadata-sized aggregate, no posting blobs touched
+    idf = matched.groupBy("term").agg(
+        F.log(
+            (F.lit(float(n)) - F.sum("df") + 0.5) / (F.sum("df") + 0.5) + 1.0
+        ).alias("idf")
+    )
+    qtw = qt.join(idf, "term").withColumn("weight", F.col("w") * F.col("idf"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t_out, d_out, tf_out, dl_out = [], [], [], []
+            for term, blob in zip(pdf["term"].values, pdf["postings"].values):
+                doc_ids, tfs, dls = decode_postings_arrays(bytes(blob))
+                if deletes is not None and len(deletes):
+                    keep = not_deleted_mask(doc_ids, deletes)
+                    doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                t_out.extend([term] * len(doc_ids))
+                d_out.append(doc_ids)
+                tf_out.append(tfs)
+                dl_out.append(dls)
+            if d_out:
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series(t_out, dtype="object"),
+                        "doc_id": pd.Series(np.concatenate(d_out), dtype="int64"),
+                        "tf": pd.Series(np.concatenate(tf_out), dtype="int32"),
+                        "dl": pd.Series(np.concatenate(dl_out), dtype="int32"),
+                    }
+                )
+
+    decoded = matched.select("term", "postings").mapInPandas(
+        gen, schema=DECODED_SCHEMA
+    )
+    tf = F.col("tf").cast("double")
+    term_score = (
+        F.col("weight")
+        * tf
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            tf
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        decoded.join(hint(qtw.select("term", "query_id", "weight")), "term")
+        .select("query_id", "doc_id", term_score.alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "score")
+    )
+
+
 def positions_for(
     index: IndexTables, terms: list[str], doc_ids: set[int]
 ) -> dict[str, dict[int, list[int]]]:

@@ -291,6 +291,29 @@ def test_upsert_unchanged_commit_is_noop(spark, identified, corpus_pdf, tmp_path
     ]
 
 
+def test_batch_topk_masks_catalog_deletes(spark, identified, tmp_path):
+    """The batch scoring path honors merge-on-read deletes: victims vanish
+    from every query in the batch, survivors keep their frozen scores."""
+    from google_spark.operators.index_query import batch_topk
+
+    cat = _mk_catalog(tmp_path, spark, identified)
+    qdf = spark.createDataFrame(
+        [(1, QUERY), (2, "merge sort")], "query_id long, query string"
+    )
+    before = batch_topk(cat.read(spark), qdf, k=10).collect()
+    victims = sorted({r["doc_id"] for r in before})[:3]
+    cat.delete_docs(victims)
+
+    after = batch_topk(cat.read(spark), qdf, k=10).collect()
+    hit = {r["doc_id"] for r in after}
+    assert hit and not hit & set(victims)
+    frozen = {(r["query_id"], r["doc_id"]): r["score"] for r in before}
+    for r in after:
+        key = (r["query_id"], r["doc_id"])
+        if key in frozen:
+            assert r["score"] == pytest.approx(frozen[key], abs=1e-12)
+
+
 def test_search_engine_over_catalog_snapshot(spark, identified, tmp_path):
     """The serving facade composes with catalog snapshots: deletes flow
     through the hot-term row cache (decoded entries are masked at decode

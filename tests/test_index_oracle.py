@@ -50,6 +50,51 @@ def test_rank_identity_vs_oracle(built, query_id, query, k):
         assert gs == pytest.approx(ws, abs=1e-6)
 
 
+def test_batch_topk_equals_per_query(built, spark):
+    """One distributed batch over the ENTIRE reference query set must
+    reproduce each query's per-query exhaustive top-k exactly (ranks and
+    scores), including queries sharing terms and repeated-term queries."""
+    from google_spark.operators.index_query import batch_topk
+
+    index, _ = built
+    qset = list(reference_queries())
+    qdf = spark.createDataFrame(
+        [(qid, q) for qid, q, _k in qset], "query_id long, query string"
+    )
+    rows = batch_topk(index, qdf, k=10, mode=MODE).collect()
+    by_q: dict[int, list[tuple[int, float]]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, query, _k in qset:
+        got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+        want = _rows(exhaustive_topk(index, query, k=10, mode=MODE))
+        assert [d for d, _ in got] == [d for d, _ in want], f"query {qid}: {query}"
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_batch_topk_shuffle_join_path(built, spark):
+    """broadcast_queries=False (the huge-batch path: shuffle joins on term,
+    AQE re-plans) must produce identical results to the broadcast path."""
+    from google_spark.operators.index_query import batch_topk
+
+    index, _ = built
+    qdf = spark.createDataFrame(
+        [(1, "hash join"), (2, "merge merge sort")], "query_id long, query string"
+    )
+    a = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9))
+        for r in batch_topk(index, qdf, k=5, mode=MODE).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9))
+        for r in batch_topk(
+            index, qdf, k=5, mode=MODE, broadcast_queries=False
+        ).collect()
+    )
+    assert a == b and a
+
+
 @pytest.mark.parametrize("query_id,query,k", reference_queries())
 def test_wand_equals_exhaustive(built, query_id, query, k):
     index, _ = built
