@@ -1076,6 +1076,71 @@ def q_catalog_upsert_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return _round4(df, "score")
 
 
+def q_field_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-language end-to-end through ENGINE code: ``hash join repo:3
+    -merge`` — BM25 over the positive terms, candidates containing the
+    excluded term dropped, then scoped to repo 3 — all inside the facade's
+    over-fetch window (k*10*5 = 500 with constraints). ranks=None so every
+    doc gets DEFAULT_RANK; the oracle replays the same top-500 -> exclude
+    -> filter -> priority pipeline in SQL."""
+    from google_spark.search import SearchEngine
+
+    docs = _docs(spark, sf_dir)
+    meta = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7).cast("string").alias("repo"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("src/hash/f"), F.col("doc_id"), F.lit(".py")),
+        )
+        .otherwise(F.concat(F.lit("src/f"), F.col("doc_id"), F.lit(".py")))
+        .alias("path"),
+    )
+    eng = SearchEngine(_index(spark, sf_dir), None, meta, None)
+    res = eng.search("hash join repo:3 -merge", k=10)
+    return spark.createDataFrame(
+        [(r.doc_id, round(r.priority, 4)) for r in res],
+        "doc_id long, priority double",
+    )
+
+
+def _field_search_oracle() -> str:
+    from google_spark.operators.ranking import (
+        DEFAULT_RANK,
+        W_PATH_BOOST,
+        W_RANK,
+        W_TEXT,
+    )
+
+    base = _bm25_sql(
+        "q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
+        limit=500,
+        rounded=False,
+    )
+    return f"""
+WITH scored AS ({base}),
+excl AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+  ) WHERE term = 'merge'
+),
+meta AS (
+  SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS repo,
+         CASE WHEN doc_id % 10 = 0
+              THEN 'src/hash/f' || doc_id || '.py'
+              ELSE 'src/f' || doc_id || '.py' END AS path
+  FROM documents
+)
+SELECT s.doc_id,
+       round({W_RANK!r} * {DEFAULT_RANK!r} + {W_TEXT!r} * s.score
+             + CASE WHEN regexp_matches(m.path, '(?i)\\b(hash|join)\\b')
+                    THEN {W_PATH_BOOST!r} ELSE 0.0 END, 4) AS priority
+FROM scored s JOIN meta m USING (doc_id)
+WHERE m.repo = '3' AND s.doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY priority DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 # (query_id, query) pairs for the batch-scoring row; q3 exercises
 # repeated-term multiplicity weights in a batch context
 BATCH_EVAL_QUERIES = [(1, "hash join"), (2, "data pipeline"), (3, "join join merge")]
@@ -1113,6 +1178,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
         "catalog_upsert_compact_topk": q_catalog_upsert_compact_topk,
         "batch_bm25_topk": q_batch_bm25_topk,
+        "field_search_topk": q_field_search_topk,
     }
 
 
@@ -1587,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": _BM25_ORACLE,
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "serve_priority_topk": _serve_priority_oracle(),
+        "field_search_topk": _field_search_oracle(),
         "autocomplete_topdf": _AUTOCOMPLETE_ORACLE,
         "tfidf_ref_topk": _REF_TFIDF_ORACLE,
         "phrase_filter_topk": _PHRASE_ORACLE,

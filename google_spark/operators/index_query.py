@@ -654,6 +654,49 @@ def wand_topk_local(
     return local_topk_core(index, weights, k, row_cache=row_cache)
 
 
+def _entries_for(
+    index: IndexTables, terms: list[str], row_cache: dict | None = None
+) -> list[dict]:
+    """Decoded posting entries for the given terms via the serving point-
+    read path, optionally through the hot-term RAM cache (the analog of the
+    reference's serve-time preloads, ref:
+    src/cis5550/jobs/SearchApi.java:135-145): fetch only terms not yet
+    cached, in one pruned scan, and cache the DECODED arrays — a hot term's
+    blob is decoded once per process, not once per query. Absent terms
+    cache an empty list so they never re-scan."""
+    if row_cache is None:
+        return [
+            _decode_posting_row(r, index.deletes)
+            for r in _fetch_posting_rows(index, terms)
+        ]
+    missing = [t for t in terms if t not in row_cache]
+    if missing:
+        fetched = _fetch_posting_rows(index, missing)
+        by_term: dict[str, list] = {t: [] for t in missing}
+        for r in fetched:
+            by_term[r["term"]].append(_decode_posting_row(r, index.deletes))
+        # single __setitem__ per term — lets byte-accounting cache dicts
+        # observe every insertion without rescanning entries per query
+        for t, es in by_term.items():
+            row_cache[t] = es
+    return [e for t in terms for e in row_cache.get(t, [])]
+
+
+def docs_containing(
+    index: IndexTables, terms: list[str], row_cache: dict | None = None
+) -> np.ndarray:
+    """Sorted unique doc_ids containing ANY of ``terms`` (the ``-term``
+    exclusion set in the query language). Same point-read/cache path and
+    the same one-machine assumption as the rest of the serving tier: the
+    excluded terms' posting rows fit the driver."""
+    if not terms:
+        return np.empty(0, dtype=np.int64)
+    entries = _entries_for(index, terms, row_cache)
+    if not entries:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate([e["docs"] for e in entries]))
+
+
 def local_topk_core(
     index: IndexTables,
     weights: dict[str, float],
@@ -669,30 +712,7 @@ def local_topk_core(
     terms = [t for t, w in weights.items() if w > 0]
     if not terms:
         return []
-    if row_cache is None:
-        entries = [
-            _decode_posting_row(r, index.deletes)
-            for r in _fetch_posting_rows(index, terms)
-        ]
-    else:
-        # Hot-term RAM cache (the analog of the reference's serve-time
-        # preloads, ref: src/cis5550/jobs/SearchApi.java:135-145): fetch
-        # only terms not yet cached, in one pruned scan, and cache the
-        # DECODED arrays — a hot term's blob is decoded once per process,
-        # not once per query. Absent terms cache an empty list so they
-        # never re-scan.
-        missing = [t for t in terms if t not in row_cache]
-        if missing:
-            fetched = _fetch_posting_rows(index, missing)
-            by_term: dict[str, list] = {t: [] for t in missing}
-            for r in fetched:
-                by_term[r["term"]].append(_decode_posting_row(r, index.deletes))
-            # single __setitem__ per term (absent terms cache [] so they
-            # never re-scan) — lets byte-accounting cache dicts observe
-            # every insertion without rescanning entries per query
-            for t, es in by_term.items():
-                row_cache[t] = es
-        entries = [e for t in terms for e in row_cache.get(t, [])]
+    entries = _entries_for(index, terms, row_cache)
     if not entries:
         return []
     # Global df (hence idf) is recovered by summing the per-shard df of the

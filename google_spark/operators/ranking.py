@@ -19,6 +19,8 @@ min-gap) or in Arrow-batched pandas UDFs over just the k result rows.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -62,6 +64,51 @@ def parse_query(
     singleSearch, ref: src/cis5550/jobs/RankScore.java:81-98); everything
     else scores as usual. Phrase tokens skip the stopword guard — inside
     quotes the user means every word."""
+    spec = parse_query_ext(query, mode=mode, stem=stem)
+    return spec.terms, spec.phrases
+
+
+# metadata fields addressable as ``field:value`` in the query language;
+# repo/lang match exactly (case-insensitive), path matches by substring —
+# the scoping a code-search user actually types (repo:torch path:test
+# lang:py). The reference has no field syntax (SearchApi.java treats the
+# whole input as text); this is the code-payload extension of its
+# phrase/priority blending.
+SEARCH_FIELDS = ("repo", "path", "lang")
+
+
+@dataclass
+class QuerySpec:
+    """Parsed query: positive scoring terms, quoted exact phrases,
+    ``-term`` exclusions, and ``field:value`` / ``-field:value`` metadata
+    filters (values OR within a field, AND across fields)."""
+
+    terms: list[str]
+    phrases: list[list[str]]
+    excludes: list[str]
+    filters: dict[str, list[str]]
+    neg_filters: dict[str, list[str]]
+
+    @property
+    def has_constraints(self) -> bool:
+        return bool(
+            self.phrases or self.excludes or self.filters or self.neg_filters
+        )
+
+
+def parse_query_ext(
+    query: str, mode: str = "simple", stem: bool = False
+) -> QuerySpec:
+    """Full query-language parse. Grammar, applied token-by-token on the
+    whitespace-split raw query (quoted spans are lifted out first and their
+    words always score as plain terms):
+
+    - ``"exact phrase"``   -> consecutive-positions constraint (+ scoring)
+    - ``-word``            -> exclude docs containing word
+    - ``field:value``      -> keep only docs whose field matches
+    - ``-field:value``     -> drop docs whose field matches
+    - anything else        -> a scoring term (stopword guard as usual)
+    """
     import re
 
     phrases: list[list[str]] = []
@@ -69,7 +116,43 @@ def parse_query(
         toks = [t for t, _ in tokenize(m.group(1), mode=mode, stem=stem)]
         if len(toks) >= 2:
             phrases.append(toks)
-    return normalize_query(query.replace('"', " "), mode=mode, stem=stem), phrases
+    # strip the quotes but KEEP phrase words: they score like plain terms
+    # (and, now unquoted, they are plain words — no operator chars inside)
+    rest = re.sub(r'"([^"]*)"', r" \1 ", query)
+
+    field_re = re.compile(
+        r"(-?)(" + "|".join(SEARCH_FIELDS) + r"):(\S+)", re.ASCII
+    )
+    filters: dict[str, list[str]] = {}
+    neg_filters: dict[str, list[str]] = {}
+    excludes: list[str] = []
+    plain: list[str] = []
+    for raw in rest.split():
+        m = field_re.fullmatch(raw)
+        if m:
+            neg, fld, val = m.groups()
+            (neg_filters if neg else filters).setdefault(fld, []).append(val)
+        elif raw.startswith("-") and len(raw) > 1:
+            excludes.extend(t for t, _ in tokenize(raw[1:], mode=mode, stem=stem))
+        else:
+            plain.append(raw)
+    return QuerySpec(
+        terms=normalize_query(" ".join(plain), mode=mode, stem=stem),
+        phrases=phrases,
+        excludes=excludes,
+        filters=filters,
+        neg_filters=neg_filters,
+    )
+
+
+def field_matches(fld: str, value: str, row: dict) -> bool:
+    """One field filter against one meta row: path by substring, repo/lang
+    exact — all case-insensitive."""
+    got = row.get(fld)
+    if got is None:
+        return False
+    got, want = str(got).lower(), value.lower()
+    return want in got if fld == "path" else got == want
 
 
 def phrase_match_py(

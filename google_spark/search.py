@@ -28,8 +28,9 @@ from google_spark.operators.ranking import (
     W_RANK,
     W_TEXT,
     W_TITLE_BOOST,
+    field_matches,
     normalize_query,
-    parse_query,
+    parse_query_ext,
     phrase_match_py,
     proximity_bonus_py,
 )
@@ -227,13 +228,18 @@ class SearchEngine:
             ranks.count()
         if repo_col in cols and path_col in cols:
             # title from the docstore heuristic (the urlpages analog): a
-            # projection-only derivation, carried with the meta columns
-            doc_meta = source_files.select(
+            # projection-only derivation, carried with the meta columns;
+            # lang rides along when the source table has it (the
+            # input-contract column — enables lang: query filters)
+            meta_cols = [
                 F.col(id_col).alias("doc_id"),
-                repo_col,
-                path_col,
+                F.col(repo_col).alias("repo"),
+                F.col(path_col).alias("path"),
                 title_col(text_col).alias("title"),
-            )
+            ]
+            if "lang" in cols:
+                meta_cols.append(F.col("lang"))
+            doc_meta = source_files.select(*meta_cols)
         docs = source_files.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")
         )
@@ -311,40 +317,25 @@ class SearchEngine:
 
     # -- serving ----------------------------------------------------------
 
-    def _meta_for(
-        self, ids: list[int]
-    ) -> dict[int, tuple[str, str, str | None, float | None]]:
-        """(repo, path, title, rank) for the candidate ids of ONE query — a
-        pruned filtered collect of <= fetch rows, never the whole meta table
-        (the whole-table dict was the one O(corpus) driver state in the
-        serving path; at 10^9 docs it would be multi-GB). rank is None when
-        the meta table wasn't pre-joined (caller falls back to
-        :meth:`_ranks_for`)."""
+    def _meta_for(self, ids: list[int]) -> dict[int, dict]:
+        """Meta row (repo, path, and title/rank/lang when present) for the
+        candidate ids of ONE query — a pruned filtered collect of <= fetch
+        rows, never the whole meta table (the whole-table dict was the one
+        O(corpus) driver state in the serving path; at 10^9 docs it would
+        be multi-GB). ``rank`` is absent/None when the meta table wasn't
+        pre-joined (caller falls back to :meth:`_ranks_for`)."""
         if self.doc_meta is None or not ids:
             return {}
         if self._meta_path is not None:
             # published bundle: doc_id-sorted parquet, row-group pruned
-            # pyarrow point read — no Spark job. Column flags come from the
-            # FILE schema, not self.doc_meta: __init__ may have re-joined
-            # rank onto the DataFrame while the saved file predates it.
+            # pyarrow point read — no Spark job
             rows = self._point_read(self._meta_path, "_meta_ds", ids)
-            names = set(self._meta_ds.schema.names)
-            has_title = "title" in names
-            has_rank = "rank" in names
         else:
-            cols = self.doc_meta.columns
-            has_title = "title" in cols
-            has_rank = "rank" in cols
-            rows = self.doc_meta.filter(F.col("doc_id").isin(ids)).collect()
-        return {
-            r["doc_id"]: (
-                r["repo"],
-                r["path"],
-                r["title"] if has_title else None,
-                float(r["rank"]) if has_rank and r["rank"] is not None else None,
-            )
-            for r in rows
-        }
+            rows = [
+                r.asDict()
+                for r in self.doc_meta.filter(F.col("doc_id").isin(ids)).collect()
+            ]
+        return {r["doc_id"]: r for r in rows}
 
     def _point_read(self, path: str, memo_attr: str, ids: list[int]) -> list[dict]:
         """Fetch rows by doc_id from a published doc_id-sorted parquet via
@@ -439,14 +430,19 @@ class SearchEngine:
     def _search_uncached(
         self, query: str, k: int, proximity: bool = False, synonyms: bool = False
     ) -> list[SearchResult]:
-        terms, phrases = parse_query(query, mode=self.mode)
+        spec = parse_query_ext(query, mode=self.mode)
+        terms, phrases = spec.terms, spec.phrases
         if not terms:
+            # the language requires at least one positive scoring term;
+            # filters/exclusions alone have no candidate generator (a
+            # filter-only listing is a metadata scan, not a search)
             return []
         # over-fetch: the boost can promote docs from beyond text-score
-        # top-k; phrase constraints discard candidates wholesale, so they
-        # widen the window further (filtering happens WITHIN this window —
-        # a doc whose BM25 rank falls outside it cannot surface)
-        fetch = max(k * 10, 100) * (5 if phrases else 1)
+        # top-k; phrase/exclusion/field constraints discard candidates
+        # wholesale, so they widen the window further (filtering happens
+        # WITHIN this window — a doc whose BM25 rank falls outside it
+        # cannot surface)
+        fetch = max(k * 10, 100) * (5 if spec.has_constraints else 1)
         if synonyms and self.word_vectors is not None:
             # D17/D20 in the serving path: original terms at query
             # multiplicity plus synonyms at decayed weights, through the
@@ -483,10 +479,43 @@ class SearchEngine:
                 for d, s in scored
                 if all(phrase_match_py(ph_pos, p, d) for p in phrases)
             ]
+        if spec.excludes and scored:
+            # -term exclusion: the excluded terms' doc sets come through
+            # the same point-read/row-cache path as scoring postings
+            import numpy as np
+
+            from google_spark.operators.index_query import docs_containing
+
+            banned = docs_containing(
+                self.index, spec.excludes, row_cache=self._postings_cache
+            )
+            if len(banned):
+                cand = np.array([d for d, _ in scored], dtype=np.int64)
+                keep = ~np.isin(cand, banned, assume_unique=False)
+                scored = [ds for ds, ok in zip(scored, keep) if ok]
         meta = self._meta_for([d for d, _ in scored])
+        if (spec.filters or spec.neg_filters) and scored:
+            # field:value scoping over the candidates' meta rows (OR within
+            # a field, AND across fields; -field:value negates)
+            def passes(doc_id: int) -> bool:
+                row = meta.get(doc_id)
+                if row is None:
+                    return False
+                return all(
+                    any(field_matches(f, v, row) for v in vals)
+                    for f, vals in spec.filters.items()
+                ) and not any(
+                    field_matches(f, v, row)
+                    for f, vals in spec.neg_filters.items()
+                    for v in vals
+                )
+
+            scored = [(d, s) for d, s in scored if passes(d)]
         # rank came with the pre-joined meta row for most configurations;
         # only repos whose rank is missing (no pre-join) cost a second job
-        unranked = {m[0] for m in meta.values() if m[3] is None}
+        unranked = {
+            m["repo"] for m in meta.values() if m.get("rank") is None
+        }
         ranks = self._ranks_for(unranked) if unranked else self._rank_cache
         import re
 
@@ -502,9 +531,10 @@ class SearchEngine:
             )
         out = []
         for doc_id, score in scored:
-            repo, path, title, rank = meta.get(doc_id, (None, None, None, None))
-            if rank is None:
-                rank = ranks.get(repo, DEFAULT_RANK)
+            row = meta.get(doc_id, {})
+            repo, path, title = row.get("repo"), row.get("path"), row.get("title")
+            rank = row.get("rank")
+            rank = float(rank) if rank is not None else ranks.get(repo, DEFAULT_RANK)
             priority = W_RANK * rank + W_TEXT * score
             if prox_pos is not None:
                 priority += W_PROX * proximity_bonus_py(prox_pos, terms, doc_id)

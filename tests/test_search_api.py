@@ -89,6 +89,43 @@ def test_bucketed_index_roundtrip_and_pruning(spark, corpus_df, tmp_path):
     assert [(d, round(s, 9)) for d, s in a] == [(d, round(s, 9)) for d, s in b]
 
 
+def test_field_filter_scopes_results(engine):
+    base = engine.search("data partition", k=10)
+    assert base
+    repo = engine._meta_for([base[0].doc_id])[base[0].doc_id]["repo"]
+    scoped = engine.search(f"data partition repo:{repo}", k=10)
+    assert scoped
+    meta = engine._meta_for([r.doc_id for r in scoped])
+    assert all(meta[r.doc_id]["repo"] == repo for r in scoped)
+    # negated field: the same repo must now be absent
+    negated = engine.search(f"data partition -repo:{repo}", k=10)
+    nmeta = engine._meta_for([r.doc_id for r in negated])
+    assert negated and all(nmeta[r.doc_id]["repo"] != repo for r in negated)
+
+
+def test_path_and_lang_filters(engine):
+    scoped = engine.search("data partition path:.py lang:py", k=10)
+    assert scoped
+    meta = engine._meta_for([r.doc_id for r in scoped])
+    for r in scoped:
+        assert ".py" in meta[r.doc_id]["path"].lower()
+        assert meta[r.doc_id]["lang"].lower() == "py"
+    # a lang that doesn't exist filters everything out
+    assert engine.search("data partition lang:cobol", k=10) == []
+
+
+def test_term_exclusion(engine):
+    res = engine.search("data partition -merge", k=10)
+    assert res
+    with_merge = {r.doc_id for r in engine.search("merge", k=500)}
+    assert not {r.doc_id for r in res} & with_merge
+
+
+def test_filter_only_query_returns_empty(engine):
+    assert engine.search("repo:org1/repo1", k=10) == []
+    assert engine.search("-merge lang:python", k=10) == []
+
+
 def test_search_empty_and_stopword_queries(engine):
     assert engine.search("", k=5) == []
     assert engine.search("!!!", k=5) == []
