@@ -1141,6 +1141,17 @@ ORDER BY priority DESC, s.doc_id ASC LIMIT 10
 """
 
 
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell correction over the index vocabulary: closest terms to the
+    typo 'custoemr' (a transposition of 'customer') by (edit distance asc,
+    df desc, term asc) — the exact distributed path (JVM levenshtein over
+    the terms table); the serving-side bigram shortlist is pytest-checked
+    to agree with it."""
+    from google_spark.operators.spelling import suggest_distributed
+
+    return suggest_distributed(_index(spark, sf_dir), "custoemr", limit=5)
+
+
 # (query_id, query) pairs for the batch-scoring row; q3 exercises
 # repeated-term multiplicity weights in a batch context
 BATCH_EVAL_QUERIES = [(1, "hash join"), (2, "data pipeline"), (3, "join join merge")]
@@ -1179,6 +1190,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_upsert_compact_topk": q_catalog_upsert_compact_topk,
         "batch_bm25_topk": q_batch_bm25_topk,
         "field_search_topk": q_field_search_topk,
+        "spell_suggest": q_spell_suggest,
     }
 
 
@@ -1654,6 +1666,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "serve_priority_topk": _serve_priority_oracle(),
         "field_search_topk": _field_search_oracle(),
+        "spell_suggest": f"""
+WITH vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+  ) GROUP BY term
+)
+SELECT term, df, CAST(levenshtein(term, 'custoemr') AS INT) AS dist
+FROM vocab WHERE levenshtein(term, 'custoemr') <= 2
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+""",
         "autocomplete_topdf": _AUTOCOMPLETE_ORACLE,
         "tfidf_ref_topk": _REF_TFIDF_ORACLE,
         "phrase_filter_topk": _PHRASE_ORACLE,

@@ -186,6 +186,8 @@ class SearchEngine:
         self._cache: dict[tuple, tuple[float, list[SearchResult]]] = {}
         self._trie: _Trie | None = None
         self._trie_complete = False
+        self._vocab: list[tuple[str, int]] | None = None
+        self._suggester = None  # lazy NgramSuggester over the capped vocab
         self._scan_cache: dict[tuple, list[str]] = {}  # autocomplete memo
         self._history: dict[str, float] = {}  # query -> last access time
         # term -> DECODED posting entries, with a running byte counter
@@ -581,6 +583,46 @@ class SearchEngine:
             )[:limit]
         ]
 
+    # -- query assist -----------------------------------------------------
+
+    def _top_vocab(self) -> list[tuple[str, int]]:
+        """The top-``TRIE_MAX_TERMS`` (term, df) vocabulary, collected once
+        and shared by autocomplete and spell suggestion — bounded driver
+        memory at web scale, one small Spark job total."""
+        if self._vocab is None:
+            self._vocab = [
+                (r["term"], int(r["df"]))
+                for r in self.index.terms.orderBy(F.desc("df"), F.asc("term"))
+                .limit(TRIE_MAX_TERMS)
+                .select("term", "df")
+                .collect()
+            ]
+        return self._vocab
+
+    def suggest(
+        self, query: str, limit: int = 5, max_dist: int = 2
+    ) -> dict[str, list[tuple[str, int, int]]]:
+        """Did-you-mean: for each query term ABSENT from the (capped)
+        vocabulary, corrections [(term, df, dist)] ranked (dist asc, df
+        desc, term asc) — bigram-shortlisted, exact-DP verified, zero
+        Spark jobs per call (see operators/spelling.py; the distributed
+        exact path is :func:`suggest_distributed`). Known terms produce
+        no entry, so an empty dict means the query is spelled fine."""
+        from google_spark.operators.spelling import NgramSuggester
+
+        if self._suggester is None:
+            self._suggester = NgramSuggester(self._top_vocab())
+        from google_spark.functions.tokenizer import tokenize
+
+        terms = list(
+            dict.fromkeys(t for t, _ in tokenize(query, mode=self.mode))
+        )
+        return {
+            t: self._suggester.suggest(t, limit=limit, max_dist=max_dist)
+            for t in terms
+            if t not in self._suggester
+        }
+
     # -- autocomplete -----------------------------------------------------
 
     def autocomplete(self, prefix: str, limit: int = 10) -> list[str]:
@@ -591,14 +633,9 @@ class SearchEngine:
         to :meth:`autocomplete_scan`."""
         if self._trie is None:
             self._trie = _Trie()
-            top = (
-                self.index.terms.orderBy(F.desc("df"), F.asc("term"))
-                .limit(TRIE_MAX_TERMS)
-                .select("term", "df")
-                .collect()
-            )
-            for r in top:
-                self._trie.insert(r["term"], int(r["df"]))
+            top = self._top_vocab()
+            for term, df in top:
+                self._trie.insert(term, df)
             # fewer rows than the cap -> the trie holds the WHOLE
             # vocabulary, so a short completion list is the true answer and
             # the distributed fallback would be a wasted job per keystroke

@@ -90,6 +90,20 @@ def make_handler(engine):
                     with lock:
                         comps = engine.autocomplete(q, limit=limit)
                     return self._json(200, {"completions": comps})
+                if u.path == "/suggest":
+                    limit = int((qs.get("limit") or ["5"])[0])
+                    with lock:
+                        sugg = engine.suggest(q, limit=limit)
+                    return self._json(
+                        200,
+                        {
+                            t: [
+                                {"term": s, "df": df, "dist": d}
+                                for s, df, d in cands
+                            ]
+                            for t, cands in sugg.items()
+                        },
+                    )
                 if u.path == "/history":
                     limit = int((qs.get("limit") or ["5"])[0])
                     with lock:

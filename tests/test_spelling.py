@@ -1,0 +1,95 @@
+"""Spell suggestion (operators/spelling.py + SearchEngine.suggest):
+the driver-side bigram-shortlist path must agree with the exact
+distributed levenshtein path; known terms are never 'corrected'."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_df):
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+
+    return SearchEngine.build(
+        spark, with_doc_identity(corpus_df), with_pagerank=False
+    )
+
+
+def _distributed(index, term, limit=5):
+    from google_spark.operators.spelling import suggest_distributed
+
+    return [
+        (r["term"], int(r["df"]), int(r["dist"]))
+        for r in suggest_distributed(index, term, limit=limit).collect()
+    ]
+
+
+def test_edit_distance_kernel():
+    from google_spark.operators.spelling import _edit_distance
+
+    assert _edit_distance("kitten", "sitting", 3) == 3
+    assert _edit_distance("abc", "abc", 2) == 0
+    assert _edit_distance("abc", "abcd", 2) == 1
+    assert _edit_distance("abc", "xyzzy", 2) == 3  # capped at cap+1
+    assert _edit_distance("ab", "abxxxx", 2) == 3  # length-band early out
+
+
+def test_local_matches_distributed(engine):
+    """On a corpus whose vocabulary fits under the trie cap, the serving
+    shortlist path and the exact distributed path must return the SAME
+    ranked suggestions for typo'd versions of real vocabulary terms."""
+    from google_spark.operators.spelling import NgramSuggester
+
+    sugg = NgramSuggester(engine._top_vocab())
+    vocab = dict(engine._top_vocab())
+    # typos built from real terms: drop a char, swap two, append one
+    bases = [t for t in vocab if len(t) >= 5][:8]
+    assert bases
+    typos = (
+        [t[:-1] for t in bases]
+        + [t[1] + t[0] + t[2:] for t in bases]
+        + [t + "x" for t in bases]
+    )
+    for typo in typos:
+        if typo in vocab:
+            continue
+        local = sugg.suggest(typo, limit=5)
+        dist = _distributed(engine.index, typo, limit=5)
+        assert local == dist, typo
+
+
+def test_exact_term_returns_itself(engine):
+    from google_spark.operators.spelling import NgramSuggester
+
+    sugg = NgramSuggester(engine._top_vocab())
+    term, df = engine._top_vocab()[0]
+    assert sugg.suggest(term) == [(term, df, 0)]
+
+
+def test_engine_suggest_skips_known_terms(engine):
+    known = engine._top_vocab()[0][0]
+    assert engine.suggest(known) == {}
+    out = engine.suggest(f"{known} partitoin")
+    assert list(out) == ["partitoin"]
+    assert out["partitoin"] and out["partitoin"][0][0] == "partition"
+
+
+def test_suggest_http_route(engine):
+    import json
+    from urllib.request import urlopen
+
+    from google_spark.server import start_server
+
+    srv = start_server(engine)
+    try:
+        port = srv.server_address[1]
+        with urlopen(
+            f"http://127.0.0.1:{port}/suggest?query=partitoin"
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["partitoin"][0]["term"] == "partition"
+        assert body["partitoin"][0]["dist"] <= 2
+    finally:
+        srv.shutdown()
