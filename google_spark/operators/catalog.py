@@ -539,6 +539,19 @@ class SnapshotCatalog:
             summary,
         )
 
+    def rollback(self, version: int) -> int:
+        """Restore a previous snapshot's state as a NEW head version (the
+        Iceberg ``rollback_to_snapshot`` analog): pure metadata — the new
+        manifest references the target's segments/deletes verbatim, so no
+        data is copied or rewritten and the commit is O(1) regardless of
+        index size. History is preserved: the rolled-past versions stay
+        readable (time travel) until :meth:`expire`, and expire's
+        reference-based GC keeps every file the rollback head needs."""
+        m = self.manifest(version)
+        summary = dict(m.summary)
+        summary["rolled_back_to"] = int(version)
+        return self._commit("rollback", m.segments, m.deletes, summary)
+
     # -- reads ------------------------------------------------------------
 
     def load_deletes(self, version: int | None = None) -> np.ndarray | None:

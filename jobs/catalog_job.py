@@ -51,6 +51,9 @@ def main() -> None:
 
     sub.add_parser("compact", help="rewrite applying deletes; fold segments")
 
+    p_rb = sub.add_parser("rollback", help="restore an old snapshot as new head (O(1))")
+    p_rb.add_argument("--to", type=int, required=True, help="target version")
+
     p_exp = sub.add_parser("expire", help="drop old snapshots + unreferenced data")
     p_exp.add_argument("--keep", type=int, default=2)
 
@@ -63,6 +66,14 @@ def main() -> None:
     cat = SnapshotCatalog(args.root)
     if args.op == "log":
         print(json.dumps({"op": "log", "history": cat.log()}))
+        return
+    if args.op == "rollback":
+        # pure metadata — no Spark session needed
+        v = cat.rollback(args.to)
+        print(json.dumps({
+            "op": "rollback", "root": args.root, "version": v,
+            "head_summary": cat.manifest().summary,
+        }))
         return
 
     from google_spark.session import get_spark

@@ -291,6 +291,51 @@ def test_upsert_unchanged_commit_is_noop(spark, identified, corpus_pdf, tmp_path
     ]
 
 
+def test_rollback_restores_state_and_survives_expire(spark, identified, tmp_path):
+    """rollback(v) is an O(1) metadata commit whose reads are identical to
+    the target snapshot; expire's reference-based GC keeps every file the
+    rollback head needs even when the target manifest itself is expired."""
+    cat = _mk_catalog(tmp_path, spark, identified)
+    v1_hits = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(cat.read(spark), QUERY, k=10).collect()
+    ]
+    victims = [d for d, _ in v1_hits[:3]]
+    v2 = cat.delete_docs(victims)
+    assert not {d for d, _ in _scores(cat.read(spark))} & set(victims)
+
+    v3 = cat.rollback(1)
+    assert v3 == 3 and cat.head() == 3
+    m = cat.manifest()
+    assert m.operation == "rollback" and m.summary["rolled_back_to"] == 1
+    restored = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(cat.read(spark), QUERY, k=10).collect()
+    ]
+    assert restored == v1_hits
+    # the rolled-past delete snapshot is still time-travelable pre-expire
+    assert not {
+        d for d, _ in _scores(cat.read(spark, version=v2))
+    } & set(victims)
+
+    # expire down to the head only: v1/v2 manifests go, but the segment
+    # the rollback references must survive and still serve reads
+    removed = cat.expire(keep_last=1)
+    assert any(p.startswith("meta/") for p in removed)
+    after = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(cat.read(spark), QUERY, k=10).collect()
+    ]
+    assert after == v1_hits
+
+
+def _scores(index):
+    return [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(index, QUERY, k=10).collect()
+    ]
+
+
 def test_batch_topk_masks_catalog_deletes(spark, identified, tmp_path):
     """The batch scoring path honors merge-on-read deletes: victims vanish
     from every query in the batch, survivors keep their frozen scores."""

@@ -133,13 +133,28 @@ def test_catalog_job_lifecycle(spark, corpus_parquet, tmp_path):
     assert comp["version"] == 3 and comp["head_summary"]["n_docs"] == 295
     assert comp["head_summary"]["n_deletes"] == 0
 
+    rb = _run(
+        [
+            sys.executable, "jobs/catalog_job.py", "--root", root,
+            "rollback", "--to", "2",
+        ]
+    )
+    assert rb["version"] == 4 and rb["head_summary"]["n_deletes"] == 5
+    rb2 = _run(
+        [
+            sys.executable, "jobs/catalog_job.py", "--root", root,
+            "rollback", "--to", "3",
+        ]
+    )
+    assert rb2["version"] == 5 and rb2["head_summary"]["n_deletes"] == 0
+
     exp = _run(
         [
             sys.executable, "jobs/catalog_job.py", "--root", root,
             "--cores", "8", "expire", "--keep", "1",
         ]
     )
-    assert exp["version"] == 3 and exp["removed"]
+    assert exp["version"] == 5 and exp["removed"]
 
     log = _run([sys.executable, "jobs/catalog_job.py", "--root", root, "log"])
-    assert [h["version"] for h in log["history"]] == [3]
+    assert [h["version"] for h in log["history"]] == [5]
