@@ -115,6 +115,92 @@ def quality_scores(
     )
 
 
+def repetition_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    char_run_len: int = 20,
+) -> DataFrame:
+    """(doc_id, dup_line_frac, top_bigram_frac, has_char_run) — the
+    Gopher-style repetition signals a pretraining filter applies after the
+    cheap charset checks (Rae et al. 2021, "Scaling Language Models",
+    table A1: repeated lines / most-common-n-gram dominance):
+
+    - ``dup_line_frac``: 1 - distinct/total over non-empty trimmed lines
+      (0.0 when the doc has no lines). Computed scan-side with array
+      expressions — whole-stage codegen, no shuffle.
+    - ``top_bigram_frac``: occurrences of the most frequent token bigram /
+      total bigrams (0.0 when fewer than 2 tokens). Computed as explode ->
+      per-(doc, bigram) count -> per-doc max/sum: two hash aggregates
+      keyed by doc_id, linear in corpus size, map-side partial agg — the
+      per-doc vocabulary never concentrates on one key, so no skew guard
+      is needed.
+    - ``has_char_run``: any single character repeated >= ``char_run_len``
+      times (keyboard-mash / separator-art detector), one JVM regex.
+    """
+    # NB: F.transform(arr, F.trim) is a trap — F.trim has an optional
+    # second parameter, so transform hands it the element INDEX as the
+    # trim-character set; the one-arg lambda pins the unary signature
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+    dup_line = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    run_re = f"(.)\\1{{{char_run_len - 1},}}"
+    base = docs.select(
+        F.col(id_col),
+        F.round(dup_line, 4).alias("dup_line_frac"),
+        F.coalesce(F.col(text_col), F.lit("")).rlike(run_re).alias(
+            "has_char_run"
+        ),
+    )
+    # same idiom as dedup._shingle_rows: tokens materialized in their OWN
+    # projection (3 references below keep CollapseProject from re-inlining
+    # the tokenization), element_at probes instead of slice allocations,
+    # and a when-guard because sequence(1, n-1) DESCENDS when n == 0
+    tk = docs.select(F.col(id_col), tokens_col(text_col).alias("tk"))
+    toks = F.col("tk")
+    n = F.size(toks)
+    bigrams = tk.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    top_frac = (
+        bigrams.groupBy(id_col, "bigram")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("count").cast("double") / F.sum("count"), 4
+            ).alias("top_bigram_frac")
+        )
+    )
+    return (
+        base.join(top_frac, on=id_col, how="left")
+        .select(
+            id_col,
+            "dup_line_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+            "has_char_run",
+        )
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -24,6 +24,45 @@ def test_language_id(spark):
     assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
 
 
+def test_repetition_scores(spark):
+    from google_spark.operators.text_analysis import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 2 distinct -> dup_line_frac 0.5; the
+            # repeated bigram "spam spam" dominates
+            (1, "spam spam spam\nspam spam spam\n\n  ham eggs \nham eggs"),
+            (2, "all distinct lines here\nno repeats at all\nquite clean"),
+            (3, "x" * 25 + " normal words follow here"),  # 25-char run
+            (4, "aa " * 10),  # runs of len 2 only -> no char run
+            (5, "one"),  # single token -> no bigrams
+            (6, ""),  # empty text
+            (7, None),  # null text
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["dup_line_frac"],
+            r["top_bigram_frac"],
+            r["has_char_run"],
+        )
+        for r in repetition_scores(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    # doc 1: lines [spam..., spam..., ham eggs, ham eggs] -> 2/4 dups;
+    # bigrams: "spam spam" x4, "spam ham"? no — per-line text is one token
+    # stream: spam spam spam spam spam spam ham eggs ham eggs ->
+    # 9 bigrams, "spam spam" appears 5x
+    assert got[1] == (0.5, round(5 / 9, 4), False)
+    assert got[2][0] == 0.0 and not got[2][2]
+    assert got[3][2] is True
+    assert got[4] == (0.0, 1.0, False)  # "aa aa" is every bigram
+    assert got[5] == (0.0, 0.0, False)
+    assert got[6] == (0.0, 0.0, False)
+    assert got[7] == (0.0, 0.0, False)
+
+
 def test_doc_fingerprint_stable_and_order_insensitive(spark):
     from google_spark.operators.text_analysis import doc_fingerprint
 

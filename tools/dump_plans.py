@@ -140,6 +140,55 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.index_query import batch_topk
+
+    qdf = spark.createDataFrame(
+        [(1, "hash join"), (2, "data pipeline")], "query_id long, query string"
+    )
+    sections.append(
+        (
+            "Batch top-k retrieval (query table x index, one plan)",
+            "The whole query workload scores in ONE plan with two exchanges: "
+            "the (query_id, term) relation joins the postings on term (the "
+            "tiny query side broadcasts), partial aggregation combines "
+            "per-(query, doc) scores map-side before the single hash "
+            "exchange on query_id, and per-query top-k is a window over "
+            "that exchange — cost is independent of the number of queries' "
+            "Spark-job overhead (1 job for N queries, not N jobs).",
+            fmt(batch_topk(idx, qdf, k=5)),
+        )
+    )
+
+    from google_spark.operators.text_analysis import repetition_scores
+
+    sections.append(
+        (
+            "Repetition filters (Gopher-style quality signals)",
+            "dup-line fraction and char-run detection are pure scan-side "
+            "expressions (whole-stage codegen, zero shuffles); top-bigram "
+            "dominance is explode -> two hash aggregates keyed by doc_id "
+            "with map-side partial aggregation — linear in corpus size, "
+            "and the exploded bigram relation is aggregated before any "
+            "exchange ships it.",
+            fmt(repetition_scores(docs)),
+        )
+    )
+
+    from google_spark.operators.spelling import suggest_distributed
+
+    sections.append(
+        (
+            "Spell suggestion (distributed exact path)",
+            "The |len(term) - len(q)| <= max_dist band is a plain "
+            "comparison filter evaluated at the vocabulary scan, so the "
+            "threshold levenshtein runs on the banded slice only; the "
+            "result is a TakeOrderedAndProject of the k best — the whole "
+            "query touches the terms table (vocabulary-sized), never the "
+            "postings.",
+            fmt(suggest_distributed(idx, "custoemr", limit=5)),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
