@@ -592,6 +592,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals through ENGINE code
+    (text_analysis.repetition_scores): duplicate-line fraction, most-common
+    -bigram dominance, long single-char runs."""
+    from google_spark.operators.text_analysis import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (md5-family, lexicographic min — engine-portable)."""
     from google_spark.operators.dedup import minhash_signatures
@@ -795,18 +804,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_join": q_op_join,
         "op_distinct": q_op_distinct,
         "op_take_ordered": q_op_take_ordered,
-        "op_cogroup": q_op_cogroup,
-        "op_percentiles": q_op_percentiles,
-        "op_topk_per_group": q_op_topk_per_group,
+        # round-3 serving/catalog rows promoted into the driver's 50-row
+        # budget; the demoted extension rows (percentiles, topk-per-group,
+        # partagg, intersect, sample, cogroup) stay oracle-checked in
+        # extra_queries() via tools/check_contract.py
+        "serve_priority_topk": q_serve_priority_topk,
+        "autocomplete_topdf": q_autocomplete_topdf,
+        "tfidf_ref_topk": q_tfidf_ref_topk,
+        "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
+        "catalog_upsert_compact_topk": q_catalog_upsert_compact_topk,
+        "batch_bm25_topk": q_batch_bm25_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
-        "tpch_partagg": q_tpch_partagg,
-        "op_intersect": q_op_intersect,
         "op_rollup": q_op_rollup,
         "op_window_agg": q_op_window_agg,
         "op_sessionize": q_op_sessionize,
-        "op_sample": q_op_sample,
         "doc_sha": q_doc_sha,
         "doc_titles": q_doc_titles,
         "doc_snippets": q_doc_snippets,
@@ -1174,21 +1187,25 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
     output). These run in the LOCAL contract gate (tools/check_contract.py
-    merges them) with the same oracles; they were demoted because each is
+    merges them) with the same oracles; each was demoted because it is
     near-redundant with a retained row (op_count ~ op_fold_global/
     corpus_stats, op_except ~ op_intersect, text_token_estimate ~
-    text_token_count)."""
+    text_token_count, percentiles/topk_per_group/partagg ~ the retained
+    TPC-H + rollup aggregates, intersect/sample/cogroup ~ ref-unimplemented
+    bonus ops with pytest coverage) so the round-3 serving/catalog rows fit
+    the driver budget."""
     return {
         "op_count": q_op_count,
         "op_except": q_op_except,
+        "op_cogroup": q_op_cogroup,
+        "op_percentiles": q_op_percentiles,
+        "op_topk_per_group": q_op_topk_per_group,
+        "op_intersect": q_op_intersect,
+        "op_sample": q_op_sample,
+        "tpch_partagg": q_tpch_partagg,
         "text_token_estimate": q_text_token_estimate,
-        "serve_priority_topk": q_serve_priority_topk,
-        "autocomplete_topdf": q_autocomplete_topdf,
-        "tfidf_ref_topk": q_tfidf_ref_topk,
+        "text_repetition": q_text_repetition,
         "phrase_filter_topk": q_phrase_filter_topk,
-        "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
-        "catalog_upsert_compact_topk": q_catalog_upsert_compact_topk,
-        "batch_bm25_topk": q_batch_bm25_topk,
         "field_search_topk": q_field_search_topk,
         "spell_suggest": q_spell_suggest,
     }
@@ -2154,6 +2171,56 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    ELSE 0.0 END, 4) AS mean_token_len
             FROM documents
         """,
+        # has_char_run: DuckDB's regexp is RE2 (no backreferences), so the
+        # oracle detects a 20-char run by comparing each length-20 window
+        # to repeat(first_char, 20) via a lateral generate_series — O(chars)
+        # at sf scale, semantically identical to Spark's (.)\1{19,} regex
+        "text_repetition": f"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)),
+                     x -> len(x) > 0) AS l
+  FROM documents
+),
+linefrac AS (
+  SELECT doc_id,
+         CASE WHEN len(l) > 0
+              THEN round(1.0 - len(list_distinct(l)) * 1.0 / len(l), 4)
+              ELSE 0.0 END AS dup_line_frac
+  FROM lines
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+  FROM (SELECT doc_id, {_TOK_SQL} AS t FROM documents)
+),
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram, count(*) AS c
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2
+),
+topfrac AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+  FROM bg GROUP BY 1
+),
+series AS (
+  SELECT unnest(generate_series(1,
+           (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i
+),
+runs AS (
+  SELECT d.doc_id,
+         bool_or(substr(d.text, CAST(s.i AS INT), 20)
+                 = repeat(substr(d.text, CAST(s.i AS INT), 1), 20))
+           AS has_char_run
+  FROM documents d JOIN series s ON s.i <= len(d.text) - 19
+  GROUP BY 1
+)
+SELECT lf.doc_id, lf.dup_line_frac,
+       coalesce(tf.top_bigram_frac, 0.0) AS top_bigram_frac,
+       coalesce(r.has_char_run, FALSE) AS has_char_run
+FROM linefrac lf
+LEFT JOIN topfrac tf ON lf.doc_id = tf.doc_id
+LEFT JOIN runs r ON lf.doc_id = r.doc_id
+""",
         "sim_cosine_topk": """
             WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
             sims AS (
