@@ -592,6 +592,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-corpus unigram LM quality score through ENGINE code
+    (text_analysis.unigram_logprob)."""
+    from google_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals through ENGINE code
     (text_analysis.repetition_scores): duplicate-line fraction, most-common
@@ -1205,6 +1213,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_partagg": q_tpch_partagg,
         "text_token_estimate": q_text_token_estimate,
         "text_repetition": q_text_repetition,
+        "text_unigram_logprob": q_text_unigram_logprob,
         "phrase_filter_topk": q_phrase_filter_topk,
         "field_search_topk": q_field_search_topk,
         "spell_suggest": q_spell_suggest,
@@ -2171,6 +2180,28 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    ELSE 0.0 END, 4) AS mean_token_len
             FROM documents
         """,
+        # DuckDB sum() yields HUGEINT — CAST to BIGINT for the
+        # type-sensitive driver hash (round-1 lesson)
+        "text_unigram_logprob": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+freq AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM freq),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         round(sum(tf.tf * ln(freq.c * 1.0 / tot.n)) / sum(tf.tf), 4)
+           AS mean_logprob
+  FROM tf JOIN freq USING (term), tot
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       coalesce(s.mean_logprob, 0.0) AS mean_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""",
         # has_char_run: DuckDB's regexp is RE2 (no backreferences), so the
         # oracle detects a 20-char run by comparing each length-20 window
         # to repeat(first_char, 20) via a lateral generate_series — O(chars)

@@ -201,6 +201,56 @@ def repetition_scores(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_logprob) — mean token log-probability under
+    the corpus's OWN unigram distribution: the scan-scale analog of the
+    LM-perplexity quality filter (CCNet/Gopher run a trained LM; this
+    needs no external model, and ranks the same tail — docs dominated by
+    rare/garbage tokens score low, ordinary prose scores high).
+
+    Scale shape: everything is aggregated to per-doc (term, tf) FIRST
+    (explode -> hash agg with map-side combine), so the term-keyed join
+    against the vocabulary-sized frequency table carries one row per
+    distinct (doc, term) — not one per token occurrence — and hot terms
+    ("the") skew only that reduced relation (AQE skew-join splits it).
+    The corpus total joins in as a broadcast scalar. Three linear
+    shuffles total; nothing is ever collected to the driver."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    scored = (
+        tf.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("c").cast("double") / F.col("n_total"))
+                )
+                / F.sum("tf"),
+                4,
+            ).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+        )
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -63,6 +63,36 @@ def test_repetition_scores(spark):
     assert got[7] == (0.0, 0.0, False)
 
 
+def test_unigram_logprob_ranks_garbage_low(spark):
+    import math
+
+    from google_spark.operators.text_analysis import unigram_logprob
+
+    common = "alpha beta gamma delta " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, common),
+            (3, "zq9x w7kk qmzzt vvqp8 hh3j"),  # all-rare tokens
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in unigram_logprob(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    # corpus: 4 common terms x10 occurrences + 5 singletons = 45 tokens;
+    # doc1 tokens all have p = 10/45, doc3 tokens all have p = 1/45
+    assert got[1] == (20, round(math.log(10 / 45), 4))
+    assert got[1] == got[2]
+    assert got[3] == (5, round(math.log(1 / 45), 4))
+    assert got[3][1] < got[1][1]  # garbage scores lower
+    assert got[4] == (0, 0.0) and got[5] == (0, 0.0)
+
+
 def test_doc_fingerprint_stable_and_order_insensitive(spark):
     from google_spark.operators.text_analysis import doc_fingerprint
 
