@@ -600,6 +600,17 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-language sample (data-mixing quota) through
+    ENGINE code (sampling.sample_stratified); md5-order determinism lets
+    DuckDB replay the exact same sample."""
+    from google_spark.operators.sampling import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf_dir), "lang", 5, id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals through ENGINE code
     (text_analysis.repetition_scores): duplicate-line fraction, most-common
@@ -1214,6 +1225,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_estimate": q_text_token_estimate,
         "text_repetition": q_text_repetition,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "sample_stratified": q_sample_stratified,
         "phrase_filter_topk": q_phrase_filter_topk,
         "field_search_topk": q_field_search_topk,
         "spell_suggest": q_spell_suggest,
@@ -2180,6 +2192,16 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    ELSE 0.0 END, 4) AS mean_token_len
             FROM documents
         """,
+        "sample_stratified": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 5
+""",
         # DuckDB sum() yields HUGEINT — CAST to BIGINT for the
         # type-sensitive driver hash (round-1 lesson)
         "text_unigram_logprob": f"""

@@ -1,0 +1,52 @@
+"""Deterministic sampling for training-data mixing.
+
+The reference has no sampling surface (Flame declares ``sample`` but never
+implements it — see SURVEY §2.1); these are the operators a pretraining
+pipeline needs to assemble a data mix: exact per-stratum quotas
+(n docs per language/source/quality-bucket) that are reproducible across
+engines and cluster sizes.
+
+Determinism comes from ordering within each stratum by ``md5(id)`` — a
+stable pseudo-random permutation any engine can replay (the DuckDB oracle
+computes the identical sample), unlike ``df.sample`` whose output depends
+on partitioning. Spark rewrites the rank filter into WindowGroupLimit
+(rank pushdown): every task keeps at most n rows per stratum BEFORE the
+stratum exchange, so a hot stratum (90% English at 100 TB) ships
+n * n_tasks rows, never its full population.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int | dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep an exact, deterministic sample of ``n`` rows per stratum.
+
+    ``n_per_stratum`` is either one quota for every stratum or a
+    ``{stratum_value: quota}`` dict (strata absent from the dict are
+    dropped — that's the data-mixing contract: unlisted sources don't
+    enter the mix). Output columns = input columns; row order within the
+    result is unspecified (downstream writers repartition anyway).
+    """
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    if isinstance(n_per_stratum, dict):
+        if not n_per_stratum:
+            return df.limit(0)
+        quota = F.lit(None).cast("int")
+        for value, n in sorted(n_per_stratum.items()):
+            quota = F.when(
+                F.col(strata_col) == F.lit(value), F.lit(int(n))
+            ).otherwise(quota)
+        keep = F.col("_rk") <= quota  # null quota -> false -> dropped
+    else:
+        keep = F.col("_rk") <= int(n_per_stratum)
+    return ranked.filter(keep).drop("_rk")

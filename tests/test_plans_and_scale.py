@@ -31,6 +31,54 @@ def test_join_broadcasts_small_side(spark):
     assert "BroadcastHashJoin" in _plan(df)
 
 
+def test_repetition_partial_agg_before_exchange(spark):
+    """The exploded bigram relation must be hash-aggregated map-side
+    BEFORE any exchange ships it (the plan claim in PLANS.md)."""
+    from google_spark.operators.text_analysis import repetition_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(repetition_scores(docs))
+    gen = plan.index("Generate explode")
+    # walking UP from the explode: first a partial HashAggregate, and the
+    # first Exchange appears only above that aggregate
+    above = plan[:gen]
+    agg = above.rindex("HashAggregate")
+    exch = above.rindex("Exchange")
+    assert exch < agg, "exchange sits between explode and first aggregate"
+
+
+def test_batch_topk_map_side_window_limit(spark, corpus_df):
+    """Per-query top-k uses WindowGroupLimit (rank pushdown) so each task
+    keeps k rows per query before the query_id exchange."""
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import batch_topk
+    from google_spark.sources.tables import with_doc_identity
+
+    idx = build_index(
+        spark, with_doc_identity(corpus_df), id_col="doc_id", text_col="content"
+    )
+    qdf = spark.createDataFrame(
+        [(1, "hash join"), (2, "merge sort")], "query_id long, query string"
+    )
+    plan = _plan(batch_topk(idx, qdf, k=5))
+    assert "WindowGroupLimit" in plan
+
+
+def test_spell_suggest_band_filter_before_levenshtein(spark, corpus_df):
+    """The length band is a plain Filter on the vocabulary scan and the
+    result is a TakeOrderedAndProject — never a full sort."""
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.spelling import suggest_distributed
+    from google_spark.sources.tables import with_doc_identity
+
+    idx = build_index(
+        spark, with_doc_identity(corpus_df), id_col="doc_id", text_col="content"
+    )
+    plan = _plan(suggest_distributed(idx, "custoemr", limit=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "levenshtein" in plan
+
+
 def test_disk_index_partition_pruning(spark, corpus_df, tmp_path):
     from google_spark.operators.index_build import (
         build_index,

@@ -1,0 +1,73 @@
+"""sample_stratified: exact quotas, dict quotas, partitioning-independent
+determinism, and the WindowGroupLimit rank-pushdown plan property."""
+
+from __future__ import annotations
+
+
+def _mk_docs(spark):
+    rows = [(i, ["en", "de", "es"][i % 3], f"text {i}") for i in range(90)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_exact_quota_per_stratum(spark):
+    from google_spark.operators.sampling import sample_stratified
+
+    out = sample_stratified(_mk_docs(spark), "lang", 7).collect()
+    by_lang: dict[str, int] = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang == {"en": 7, "de": 7, "es": 7}
+    assert set(r["text"] for r in out) <= {f"text {i}" for i in range(90)}
+
+
+def test_quota_caps_at_population(spark):
+    from google_spark.operators.sampling import sample_stratified
+
+    out = sample_stratified(_mk_docs(spark), "lang", 1000).collect()
+    assert len(out) == 90  # quota above population -> whole stratum
+
+
+def test_dict_quotas_drop_unlisted_strata(spark):
+    from google_spark.operators.sampling import sample_stratified
+
+    out = sample_stratified(
+        _mk_docs(spark), "lang", {"en": 10, "de": 2}
+    ).collect()
+    by_lang: dict[str, int] = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang == {"en": 10, "de": 2}  # es dropped entirely
+
+    from google_spark.operators.sampling import sample_stratified as ss
+
+    assert ss(_mk_docs(spark), "lang", {}).count() == 0
+
+
+def test_sample_is_partitioning_invariant(spark):
+    """The same logical input must yield the SAME sample regardless of
+    physical partitioning — the property df.sample does not have."""
+    from google_spark.operators.sampling import sample_stratified
+
+    docs = _mk_docs(spark)
+    a = {r["doc_id"] for r in sample_stratified(docs, "lang", 5).collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_stratified(docs.repartition(17), "lang", 5).collect()
+    }
+    c = {
+        r["doc_id"]
+        for r in sample_stratified(docs.coalesce(1), "lang", 5).collect()
+    }
+    assert a == b == c and len(a) == 15
+
+
+def test_rank_pushdown_in_plan(spark):
+    from google_spark.operators.sampling import sample_stratified
+
+    plan = (
+        sample_stratified(_mk_docs(spark), "lang", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
