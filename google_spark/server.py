@@ -67,14 +67,22 @@ def make_handler(engine):
                             snippets=snippets, proximity=proximity,
                             synonyms=synonyms,
                         )
-                    return self._json(
-                        200,
-                        {
-                            "query": q,
-                            "page": page,
-                            "results": [_result_json(r) for r in res],
-                        },
-                    )
+                    payload = {
+                        "query": q,
+                        "page": page,
+                        "results": [_result_json(r) for r in res],
+                    }
+                    if not res:
+                        # zero hits: attach did-you-mean corrections for
+                        # out-of-vocabulary terms (zero Spark jobs)
+                        with lock:
+                            sugg = engine.suggest(q)
+                        if sugg:
+                            payload["did_you_mean"] = {
+                                t: [s for s, _df, _d in cands]
+                                for t, cands in sugg.items()
+                            }
+                    return self._json(200, payload)
                 if u.path == "/synonym":
                     with lock:
                         exp = engine.synonym_expansions(q)

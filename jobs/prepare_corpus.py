@@ -13,8 +13,13 @@ any scale):
                           drop the larger id of each verified pair
   3. language filter    — n-gram heuristic language_id
   4. quality filter     — length/punct/stopword composite score
-  5. token accounting   — per-doc token counts + corpus totals
-  6. index build        — the surviving corpus, published atomically
+  5. repetition filter  — Gopher-style dup-line / top-bigram / char-run
+                          gates (opt-in via --max-dup-line-frac etc.)
+  6. LM-quality floor   — self-corpus unigram mean logprob >= --min-logprob
+  7. data mix           — exact per-language quotas (--mix en=1000 de=500),
+                          deterministic md5-order stratified sample
+  8. token accounting   — per-doc token counts + corpus totals
+  9. index build        — the surviving corpus, published atomically
 
 Writes ``{out}/corpus.parquet`` (surviving docs + lang/quality/token
 columns), ``{out}/index`` (the inverted index), and prints one JSON line
@@ -39,6 +44,11 @@ def prepare_corpus(
     near_dup_threshold: float = 0.85,
     min_quality: float = 0.0,
     langs: list[str] | None = None,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    drop_char_runs: bool = False,
+    min_logprob: float | None = None,
+    mix: dict[str, int] | None = None,
 ):
     """Run stages 1-5; returns (prepared DataFrame, accounting dict).
     Importable so tests drive it without spark-submit."""
@@ -82,6 +92,40 @@ def prepare_corpus(
     docs = docs.filter(F.col("q_alpha_ratio") >= min_quality)
     acct["after_quality_filter"] = docs.count()
 
+    if (
+        max_dup_line_frac is not None
+        or max_top_bigram_frac is not None
+        or drop_char_runs
+    ):
+        from google_spark.operators.text_analysis import repetition_scores
+
+        rep = repetition_scores(docs, id_col=id_col, text_col=text_col)
+        docs = docs.join(rep, id_col)
+        if max_dup_line_frac is not None:
+            docs = docs.filter(F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_bigram_frac is not None:
+            docs = docs.filter(F.col("top_bigram_frac") <= max_top_bigram_frac)
+        if drop_char_runs:
+            docs = docs.filter(~F.col("has_char_run"))
+        acct["after_repetition_filter"] = docs.count()
+
+    if min_logprob is not None:
+        from google_spark.operators.text_analysis import unigram_logprob
+
+        # scored against the surviving corpus's own distribution — the
+        # filter adapts to the domain instead of needing a shipped model
+        lp = unigram_logprob(docs, id_col=id_col, text_col=text_col).select(
+            id_col, "mean_logprob"
+        )
+        docs = docs.join(lp, id_col).filter(F.col("mean_logprob") >= min_logprob)
+        acct["after_logprob_filter"] = docs.count()
+
+    if mix:
+        from google_spark.operators.sampling import sample_stratified
+
+        docs = sample_stratified(docs, "lang_pred", mix, id_col=id_col)
+        acct["after_mix"] = docs.count()
+
     docs = docs.join(token_count(docs, id_col=id_col, text_col=text_col), id_col)
     total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
     acct["total_tokens"] = int(total)
@@ -97,8 +141,28 @@ def main() -> None:
     ap.add_argument("--near-dup-threshold", type=float, default=0.85)
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--langs", action="append", default=None)
+    ap.add_argument("--max-dup-line-frac", type=float, default=None)
+    ap.add_argument("--max-top-bigram-frac", type=float, default=None)
+    ap.add_argument("--drop-char-runs", action="store_true")
+    ap.add_argument("--min-logprob", type=float, default=None)
+    ap.add_argument(
+        "--mix",
+        action="append",
+        default=None,
+        metavar="LANG=N",
+        help="per-language quota, e.g. --mix en=1000 --mix de=500; "
+        "unlisted languages are dropped",
+    )
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
+    mix = None
+    if args.mix:
+        mix = {}
+        for spec in args.mix:
+            lang, _, n = spec.partition("=")
+            if not n.isdigit():
+                ap.error(f"--mix expects LANG=N, got {spec!r}")
+            mix[lang] = int(n)
 
     from google_spark.operators.index_build import build_index, write_index
     from google_spark.session import get_spark
@@ -114,6 +178,11 @@ def main() -> None:
         near_dup_threshold=args.near_dup_threshold,
         min_quality=args.min_quality,
         langs=args.langs,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        drop_char_runs=args.drop_char_runs,
+        min_logprob=args.min_logprob,
+        mix=mix,
     )
     prepared.write.mode("overwrite").parquet(f"{args.out}/corpus.parquet")
     prepared_back = spark.read.parquet(f"{args.out}/corpus.parquet")

@@ -39,3 +39,38 @@ def test_prepare_corpus_stages(spark):
     kept = {r["doc_id"] for r in prepared.select("doc_id").collect()}
     assert losers.isdisjoint(kept)
     assert acct["after_exact_dedup"] - acct["after_near_dedup"] == len(losers)
+
+
+def test_prepare_corpus_quality_and_mix_stages(spark):
+    """The opt-in stages: repetition gates, LM-logprob floor, and exact
+    per-language mix quotas — accounting monotone, quotas exact."""
+    from prepare_corpus import prepare_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prepared, acct = prepare_corpus(
+        spark,
+        docs,
+        near_dup_threshold=0.8,
+        max_dup_line_frac=0.9,
+        max_top_bigram_frac=0.9,
+        drop_char_runs=True,
+        min_logprob=-10.0,
+        mix={"en": 5, "de": 3},
+    )
+    seq = [
+        acct["after_quality_filter"],
+        acct["after_repetition_filter"],
+        acct["after_logprob_filter"],
+        acct["after_mix"],
+    ]
+    assert seq == sorted(seq, reverse=True)
+    by_lang: dict[str, int] = {}
+    for r in prepared.select("lang_pred").collect():
+        by_lang[r["lang_pred"]] = by_lang.get(r["lang_pred"], 0) + 1
+    assert set(by_lang) <= {"en", "de"}
+    assert all(
+        n <= {"en": 5, "de": 3}[lang] for lang, n in by_lang.items()
+    )
+    assert {"dup_line_frac", "top_bigram_frac", "mean_logprob"} <= set(
+        prepared.columns
+    )

@@ -42,6 +42,22 @@ def test_search_route_matches_engine(served):
     assert all(r["snippet"] for r in body["results"])
 
 
+def test_zero_hit_search_includes_did_you_mean(served):
+    eng, base = served
+    # a typo of a vocabulary term: zero hits, but corrections attached
+    term = eng._top_vocab()[0][0]
+    typo = term[1] + term[0] + term[2:]  # transpose first two chars
+    if typo in dict(eng._top_vocab()):
+        typo = term + "x"
+    status, body = _get(base, f"/search?query={typo}")
+    assert status == 200
+    if not body["results"]:
+        assert term in body["did_you_mean"][typo]
+    # a normal query with hits never carries the key
+    status, body = _get(base, "/search?query=data+partition")
+    assert "did_you_mean" not in body
+
+
 def test_pagination_params(served):
     eng, base = served
     _, p1 = _get(base, "/search?query=data&pageSize=3&pageNum=1&snippets=false")
