@@ -600,6 +600,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_dedup_shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-shingle fraction through ENGINE code
+    (dedup.cross_doc_shingle_frac) — the exact-substring-dedup signal."""
+    from google_spark.operators.dedup import cross_doc_shingle_frac
+
+    return cross_doc_shingle_frac(_docs(spark, sf_dir), shingle_k=5)
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-per-language sample (data-mixing quota) through
     ENGINE code (sampling.sample_stratified); md5-order determinism lets
@@ -1226,6 +1234,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_unigram_logprob": q_text_unigram_logprob,
         "sample_stratified": q_sample_stratified,
+        "dedup_shared_shingles": q_dedup_shared_shingles,
         "phrase_filter_topk": q_phrase_filter_topk,
         "field_search_topk": q_field_search_topk,
         "spell_suggest": q_spell_suggest,
@@ -2192,6 +2201,27 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    ELSE 0.0 END, 4) AS mean_token_len
             FROM documents
         """,
+        "dedup_shared_shingles": f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, md5(s) AS h FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+                          i -> array_to_string(t[i:i+4], ' '))) AS s
+    FROM tok)
+),
+dfc AS (SELECT h, count(*) AS nd FROM sh GROUP BY 1),
+agg AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         round(sum(CASE WHEN dfc.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS shared_shingle_frac
+  FROM sh JOIN dfc USING (h) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+       coalesce(a.shared_shingle_frac, 0.0) AS shared_shingle_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
         "sample_stratified": """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,

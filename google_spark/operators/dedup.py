@@ -496,3 +496,57 @@ def simhash_near_dups(
     return cands.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def cross_doc_shingle_frac(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(doc_id, n_shingles, shared_shingle_frac) — the fraction of each
+    document's DISTINCT k-shingles that also occur in at least one OTHER
+    document: the scan-scale signal behind exact-substring deduplication
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — their suffix-array pass removes exactly the spans this
+    fraction counts). Boilerplate-heavy docs (licenses, headers,
+    templates) score near 1.0; original prose scores near 0.0. Internal
+    repetition is deliberately excluded (that's repetition_scores).
+
+    Scale shape: shingles are built scan-side (:func:`_shingle_rows`,
+    zero pre-shuffle), hashed to fixed-width md5 keys, and distinct-ed per
+    (doc, shingle) so no exchange ever carries a shingle string twice for
+    one doc. The document-frequency aggregate and the membership join are
+    both keyed by the hash — a viral boilerplate shingle is one hot key
+    among millions (AQE skew-join splits it) — and the final aggregate is
+    keyed by doc. Four linear exchanges, nothing driver-side.
+    """
+    sh = (
+        _shingle_rows(docs, id_col, text_col, shingle_k)
+        .select(F.col(id_col), F.md5("s").alias("h"))
+        .distinct()
+    )
+    dfc = sh.groupBy("h").agg(F.count("*").alias("nd"))
+    agg = (
+        sh.join(dfc, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("shared_shingle_frac"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("shared_shingle_frac", F.lit(0.0)).alias(
+                "shared_shingle_frac"
+            ),
+        )
+    )

@@ -157,3 +157,29 @@ def test_simhash_max_hamming_zero(spark):
         (r["a"], r["b"]) for r in simhash_near_dups(fps, max_hamming=0).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_cross_doc_shingle_frac(spark):
+    from google_spark.operators.dedup import cross_doc_shingle_frac
+
+    boiler = "permission is hereby granted free of charge to any person"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " obtaining a copy"),  # license header + tail
+            (2, boiler + " different ending text here"),
+            (3, "completely original prose with no shared spans at all ok"),
+            (4, "tiny"),  # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["shared_shingle_frac"])
+        for r in cross_doc_shingle_frac(docs, shingle_k=5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # docs 1/2 share the 6 shingles fully inside the 10-token boilerplate;
+    # doc 1 has 12 tokens -> 8 shingles, doc 2 has 14 -> 10
+    assert got[1] == (8, round(6 / 8, 4))
+    assert got[2] == (10, round(6 / 10, 4))
+    assert got[3] == (6, 0.0)  # 10 tokens, all original
+    assert got[4] == (0, 0.0)
