@@ -600,6 +600,72 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted BM25F (title w=2 / body w=1) through ENGINE code
+    (ranking.bm25f_topk) for the query 'hash join'."""
+    from google_spark.operators.ranking import bm25f_topk
+
+    return bm25f_topk(_docs(spark, sf_dir), "hash join", k=10)
+
+
+# the docstore title expression (doc_titles oracle) reused as a token source
+_TITLE_SQL = (
+    "substr(trim(regexp_replace(COALESCE(list_filter(str_split(text, "
+    "chr(10)), x -> trim(x) <> '')[1], ''), '^[\\s#/*\"''=-]+', '')), 1, 80)"
+)
+
+
+def _bm25f_oracle(terms: list[str], k: int = 10) -> str:
+    """BM25F oracle: mirrors ranking.bm25f_topk term-for-term (sorted term
+    order keeps float summation order identical)."""
+    uniq = sorted(set(terms))
+    tok_title = _TOK_SQL.replace("lower(text)", f"lower({_TITLE_SQL})")
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(tt, x -> x = '{t}')) AS tft_{i},\n         "
+        f"len(list_filter(tb, x -> x = '{t}')) AS tfb_{i}"
+        for i, t in enumerate(uniq)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tft_{i} + tfb_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(uniq))
+    )
+    tfw_cols = ",\n      ".join(
+        f"(CASE WHEN avgdl_t > 0 THEN 2.0 * tft_{i} / (0.25 + 0.75 * dl_t / avgdl_t) ELSE 0.0 END\n"
+        f"       + CASE WHEN avgdl_b > 0 THEN 1.0 * tfb_{i} / (0.25 + 0.75 * dl_b / avgdl_b) ELSE 0.0 END) AS tfw_{i}"
+        for i in range(len(uniq))
+    )
+    score = "\n    + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) "
+        f"* tfw_{i} / ({BM25_K1} + tfw_{i})"
+        for i in range(len(uniq))
+    )
+    return f"""
+WITH fields AS (
+  SELECT doc_id, {tok_title} AS tt, {_TOK_SQL} AS tb FROM documents
+),
+per_doc AS (
+  SELECT doc_id, len(tt) AS dl_t, len(tb) AS dl_b,
+         {tf_cols}
+  FROM fields
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl_t) AS avgdl_t, avg(dl_b) AS avgdl_b,
+         {df_cols}
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id, round({score}, 4) AS score
+  FROM (
+    SELECT doc_id, n_docs, dl_t, dl_b, avgdl_t, avgdl_b,
+      {", ".join(f"df_{i}" for i in range(len(uniq)))},
+      {tfw_cols}
+    FROM per_doc, stats)
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def q_dedup_shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicated-shingle fraction through ENGINE code
     (dedup.cross_doc_shingle_frac) — the exact-substring-dedup signal."""
@@ -1235,6 +1301,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "sample_stratified": q_sample_stratified,
         "dedup_shared_shingles": q_dedup_shared_shingles,
+        "bm25f_topk": q_bm25f_topk,
         "phrase_filter_topk": q_phrase_filter_topk,
         "field_search_topk": q_field_search_topk,
         "spell_suggest": q_spell_suggest,
@@ -2201,6 +2268,7 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    ELSE 0.0 END, 4) AS mean_token_len
             FROM documents
         """,
+        "bm25f_topk": _bm25f_oracle(["hash", "join"]),
         "dedup_shared_shingles": f"""
 WITH tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
 sh AS (

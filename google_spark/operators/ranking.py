@@ -323,3 +323,107 @@ def snippets(
         F.broadcast(results.select(id_col)), id_col, "left_semi"
     ).select(id_col, snip(F.col(text_col)).alias("snippet"))
     return results.join(joined, id_col, "left")
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    k1: float = 1.2,
+    b_title: float = 0.75,
+    b_body: float = 0.75,
+) -> DataFrame:
+    """DataFrame[doc_id, score] — top-k by BM25F over (title, body) fields
+    (Robertson/Zaragoza: weighted per-field tf with per-field length
+    normalization combined BEFORE the k1 saturation, one idf per term).
+    The title is the docstore's first-non-empty-line title (D1); this is
+    the principled generalization of the reference's additive title boost
+    (RankScore.java:51-60 adds a flat constant on a title hit).
+
+    Plan shape: ZERO explodes and zero data shuffles — per-field token
+    arrays are materialized scan-side, per-query-term tf is an array
+    filter on them (queries have a handful of terms, so the expression
+    count stays small), corpus stats and per-term document frequencies
+    reduce to ONE scalar row broadcast back over the scan, and the result
+    is a TakeOrderedAndProject. Cost is one corpus scan per call — this
+    is the batch/offline scorer; interactive serving stays on the posting
+    index."""
+    from collections import Counter
+
+    from google_spark.operators.docstore import title_col
+
+    spark = docs.sparkSession
+    terms = normalize_query(query)
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    qf = Counter(terms)
+    uniq = sorted(qf)
+
+    def toks_of(col: F.Column) -> F.Column:
+        return F.filter(
+            F.split(F.lower(col), "[^a-z0-9]+"),
+            lambda t: (F.length(t) >= 2) & (F.length(t) <= 40),
+        )
+
+    fields = docs.select(
+        F.col(id_col),
+        toks_of(title_col(text_col)).alias("tt"),
+        toks_of(F.col(text_col)).alias("tb"),
+    )
+    def eq(t: str):
+        # NB: a `lambda x, t=t:` default-arg closure would LOOK unary but
+        # pyspark inspects the arity and passes the element index as t
+        return lambda x: x == F.lit(t)
+
+    per_doc = fields.select(
+        id_col,
+        F.size("tt").alias("dl_t"),
+        F.size("tb").alias("dl_b"),
+        *[
+            F.size(F.filter("tt", eq(t))).alias(f"tft_{i}")
+            for i, t in enumerate(uniq)
+        ],
+        *[
+            F.size(F.filter("tb", eq(t))).alias(f"tfb_{i}")
+            for i, t in enumerate(uniq)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl_t").alias("avgdl_t"),
+        F.avg("dl_b").alias("avgdl_b"),
+        *[
+            F.sum(
+                (F.col(f"tft_{i}") + F.col(f"tfb_{i}") > 0).cast("long")
+            ).alias(f"df_{i}")
+            for i in range(len(uniq))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, t in enumerate(uniq):
+        bt = F.lit(1.0 - b_title) + F.lit(b_title) * F.col("dl_t") / F.col("avgdl_t")
+        bb = F.lit(1.0 - b_body) + F.lit(b_body) * F.col("dl_b") / F.col("avgdl_b")
+        # an all-empty field has avgdl 0 -> dl/avgdl is NaN (not NULL, so
+        # coalesce can't catch it); gate on avgdl > 0 = field absent -> 0
+        tfw = F.when(
+            F.col("avgdl_t") > 0, F.lit(w_title) * F.col(f"tft_{i}") / bt
+        ).otherwise(F.lit(0.0)) + F.when(
+            F.col("avgdl_b") > 0, F.lit(w_body) * F.col(f"tfb_{i}") / bb
+        ).otherwise(F.lit(0.0))
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        score = score + F.lit(float(qf[t])) * idf * tfw / (F.lit(k1) + tfw)
+    return (
+        joined.select(F.col(id_col), F.round(score, 4).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

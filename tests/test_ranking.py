@@ -94,3 +94,46 @@ def test_snippets_first_occurrence(spark):
     got = {r["doc_id"]: r["snippet"] for r in snippets(results, docs, ["hash"]).collect()}
     assert "hash" in got[1]
     assert got[2].startswith("no match")
+
+
+def test_bm25f_title_weight_outranks_body_only(spark):
+    from google_spark.operators.ranking import bm25f_topk
+
+    # identical bodies; doc 1 also carries the term in its title line
+    docs = spark.createDataFrame(
+        [
+            (1, "searchable widget\nalpha beta gamma delta"),
+            (2, "unrelated headline\nalpha beta gamma delta widget"),
+            (3, "unrelated headline\nalpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r["doc_id"], r["score"]) for r in bm25f_topk(docs, "widget").collect()]
+    ids = [d for d, _ in got]
+    assert set(ids) == {1, 2}  # doc 3 never matches
+    assert ids[0] == 1  # title hit (w=2) outranks the body-only hit
+    assert got[0][1] > got[1][1] > 0
+
+    # repeated query terms weight the per-term contribution
+    once = bm25f_topk(docs, "widget").collect()[0]["score"]
+    twice = bm25f_topk(docs, "widget widget").collect()[0]["score"]
+    assert twice == pytest.approx(2 * once, rel=1e-3)
+
+    assert bm25f_topk(docs, "") .count() == 0
+    assert bm25f_topk(docs, "absentterm").count() == 0
+
+
+def test_bm25f_plan_has_no_data_shuffle(spark):
+    """The only exchange is the broadcast of the one-row stats aggregate;
+    the corpus relation itself is never hash-exchanged."""
+    from google_spark.operators.ranking import bm25f_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        bm25f_topk(docs, "hash join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
