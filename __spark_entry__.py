@@ -600,6 +600,16 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the verified near-dup graph through ENGINE
+    code (components.connected_components over minhash_near_dups pairs);
+    the oracle recomputes components with a recursive CTE over the same
+    SQL-reproduced pair set."""
+    from google_spark.operators.components import near_dup_components
+
+    return near_dup_components(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-weighted BM25F (title w=2 / body w=1) through ENGINE code
     (ranking.bm25f_topk) for the query 'hash join'."""
@@ -1302,6 +1312,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "dedup_shared_shingles": q_dedup_shared_shingles,
         "bm25f_topk": q_bm25f_topk,
+        "dedup_components": q_dedup_components,
         "phrase_filter_topk": q_phrase_filter_topk,
         "field_search_topk": q_field_search_topk,
         "spell_suggest": q_spell_suggest,
@@ -2269,6 +2280,29 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
             FROM documents
         """,
         "bm25f_topk": _bm25f_oracle(["hash", "join"]),
+        "dedup_components": f"""
+WITH RECURSIVE {_LSH_CTES},
+sets AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+verified AS (
+  SELECT a, b FROM (
+    SELECT p.a, p.b,
+           len(list_intersect(x.ds, y.ds)) * 1.0
+             / len(list_distinct(list_concat(x.ds, y.ds))) AS raw
+    FROM pairs p
+    JOIN sets x ON p.a = x.doc_id
+    JOIN sets y ON p.b = y.doc_id
+  ) WHERE raw >= 0.5
+),
+e AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
+n AS (SELECT DISTINCT a AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY 1
+""",
         "dedup_shared_shingles": f"""
 WITH tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
 sh AS (

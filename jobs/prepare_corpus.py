@@ -10,7 +10,8 @@ any scale):
 
   1. exact dedup        — sha256 hash-aggregate keep-smallest-id
   2. near dedup         — MinHash+LSH candidates, exact-Jaccard verified;
-                          drop the larger id of each verified pair
+                          drop the larger id of each verified pair, or one
+                          canonical per connected component (--cluster-dedup)
   3. language filter    — n-gram heuristic language_id
   4. quality filter     — length/punct/stopword composite score
   5. repetition filter  — Gopher-style dup-line / top-bigram / char-run
@@ -42,6 +43,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     near_dup_threshold: float = 0.85,
+    cluster_dedup: bool = False,
     min_quality: float = 0.0,
     langs: list[str] | None = None,
     max_dup_line_frac: float | None = None,
@@ -67,11 +69,22 @@ def prepare_corpus(
     docs = docs.join(keep_exact, id_col, "left_semi")
     acct["after_exact_dedup"] = docs.count()
 
-    pairs = minhash_near_dups(
-        docs, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
-    )
-    losers = pairs.select(F.col("b").alias(id_col)).distinct()
-    docs = docs.join(losers, id_col, "left_anti")
+    if cluster_dedup:
+        # transitive-closure-correct: one canonical doc per connected
+        # component of the near-dup graph (components.cluster_dedup)
+        from google_spark.operators.components import cluster_dedup as _cd
+
+        docs = _cd(
+            docs, id_col=id_col, text_col=text_col,
+            threshold=near_dup_threshold,
+        )
+    else:
+        pairs = minhash_near_dups(
+            docs, id_col=id_col, text_col=text_col,
+            threshold=near_dup_threshold,
+        )
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        docs = docs.join(losers, id_col, "left_anti")
     acct["after_near_dedup"] = docs.count()
 
     # metric operators emit (doc_id, metrics...) projections; join them on
@@ -139,6 +152,12 @@ def main() -> None:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--near-dup-threshold", type=float, default=0.85)
+    ap.add_argument(
+        "--cluster-dedup",
+        action="store_true",
+        help="resolve near-dups per connected component (one canonical "
+        "doc per cluster) instead of per verified pair",
+    )
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--langs", action="append", default=None)
     ap.add_argument("--max-dup-line-frac", type=float, default=None)
@@ -176,6 +195,7 @@ def main() -> None:
         id_col=args.id_col,
         text_col=args.text_col,
         near_dup_threshold=args.near_dup_threshold,
+        cluster_dedup=args.cluster_dedup,
         min_quality=args.min_quality,
         langs=args.langs,
         max_dup_line_frac=args.max_dup_line_frac,

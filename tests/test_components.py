@@ -1,0 +1,74 @@
+"""Connected components + cluster-level dedup: transitive chains,
+long-diameter convergence, partitioning invariance, canonical selection."""
+
+from __future__ import annotations
+
+
+def _cc(spark, pairs, **kw):
+    from google_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    return {
+        r["id"]: r["comp"] for r in connected_components(edges, **kw).collect()
+    }
+
+
+def test_transitive_chain_is_one_component(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # a pure path 0-1-2-...-9 has diameter 9: the worst case for
+    # min-label propagation; must still converge inside max_iter
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_direction_and_partitioning_invariant(spark):
+    from google_spark.operators.components import connected_components
+
+    pairs = [(5, 4), (2, 5), (9, 8), (3, 9)]
+    a = _cc(spark, pairs)
+    flipped = spark.createDataFrame(
+        [(b, a_) for a_, b in pairs], "a long, b long"
+    ).repartition(13)
+    b = {
+        r["id"]: r["comp"]
+        for r in connected_components(flipped).collect()
+    }
+    assert a == b == {2: 2, 4: 2, 5: 2, 3: 3, 8: 3, 9: 3}
+
+
+def test_cluster_dedup_keeps_one_canonical_per_cluster(spark):
+    from google_spark.operators.components import (
+        cluster_dedup,
+        near_dup_components,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill nearby today"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, base + " extra tail"),  # near-dup of 2 (chain to 1)
+            (4, "an entirely different document about spark physical plans "
+                "and shuffle exchanges in distributed query execution"),
+        ],
+        "doc_id long, text string",
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_components(docs, threshold=0.5).collect()
+    }
+    # whatever the verified edge set is, components must be consistent
+    # with transitivity and every member maps to the cluster minimum
+    for d, c in comp.items():
+        assert c <= d and c in ({1, 2, 3} if d in {1, 2, 3} else {4})
+    kept = {r["doc_id"] for r in cluster_dedup(docs, threshold=0.5).collect()}
+    assert 4 in kept and 1 in kept
+    # exactly one survivor per cluster: dropped ids are the non-minimums
+    assert kept == {1, 4} or comp == {}
