@@ -600,6 +600,27 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related documents for doc 42 through ENGINE code
+    (index_query.more_like_this): its 5 most-salient terms (tf*idf)
+    queried via WAND, self excluded. The oracle recomputes the salient
+    terms and the BM25 scores entirely in SQL."""
+    from google_spark.operators.index_query import more_like_this
+
+    out = more_like_this(
+        _index(spark, sf_dir), _docs(spark, sf_dir), doc_id=42, k=10
+    )
+    return _round4(out, "score")
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index introspection (index_build.index_stats): doc/vocab/posting
+    counts + avgdl, oracle-recomputed from the raw corpus."""
+    from google_spark.operators.index_build import index_stats
+
+    return index_stats(_index(spark, sf_dir))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the verified near-dup graph through ENGINE
     code (components.connected_components over minhash_near_dups pairs);
@@ -1313,6 +1334,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shared_shingles": q_dedup_shared_shingles,
         "bm25f_topk": q_bm25f_topk,
         "dedup_components": q_dedup_components,
+        "index_stats": q_index_stats,
+        "more_like_this": q_more_like_this,
         "phrase_filter_topk": q_phrase_filter_topk,
         "field_search_topk": q_field_search_topk,
         "spell_suggest": q_spell_suggest,
@@ -2280,6 +2303,25 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
             FROM documents
         """,
         "bm25f_topk": _bm25f_oracle(["hash", "join"]),
+        "more_like_this": _bm25_sql(
+            """q AS (
+  SELECT term, 1.0 AS w FROM (
+    SELECT tf.term,
+           tf.tf * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0) AS sal
+    FROM tf JOIN dft USING (term) CROSS JOIN stats s
+    WHERE tf.doc_id = 42
+    ORDER BY sal DESC, tf.term ASC LIMIT 5))""",
+            final_where="WHERE doc_id <> 42",
+        ),
+        "index_stats": f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+pairs AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM toks)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       (SELECT round(avg(len(ts)), 4) FROM toks) AS avgdl
+FROM pairs
+""",
         "dedup_components": f"""
 WITH RECURSIVE {_LSH_CTES},
 sets AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),

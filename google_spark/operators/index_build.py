@@ -351,3 +351,19 @@ def read_index(spark: SparkSession, out_dir: str) -> IndexTables:
         n_buckets=int(row.get("n_buckets") or 0) or None,
         disk_path=out_dir,
     )
+
+
+def index_stats(index: IndexTables) -> DataFrame:
+    """One-row DataFrame[n_docs, n_terms, n_postings, avgdl] — index
+    introspection for capacity planning and build validation (the
+    reference exposes nothing comparable; operators eyeball KVS row
+    counts). n_postings is the total inverted-list entry count
+    (sum of per-term document frequencies), i.e. distinct (doc, term)
+    pairs — the number that sizes the index on disk. One vocabulary-sized
+    aggregate; the postings themselves are never scanned."""
+    return index.terms.agg(
+        F.lit(int(index.n_docs)).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.round(F.lit(float(index.avgdl)), 4).alias("avgdl"),
+    )

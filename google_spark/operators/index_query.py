@@ -726,3 +726,48 @@ def local_topk_core(
     }
     out = _kernel_decoded(entries, weights, idf, index.avgdl, k)
     return list(zip(out["doc_id"].tolist(), out["score"].tolist()))
+
+
+def more_like_this(
+    index: IndexTables,
+    docs: DataFrame,
+    doc_id: int,
+    k: int = 10,
+    n_query_terms: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+) -> DataFrame:
+    """DataFrame[doc_id, score] — the k documents most similar to
+    ``doc_id`` (the "related pages" feature): the source document's
+    ``n_query_terms`` most salient terms (tf * idf, ties by term) become
+    a BM25 query against the index, the source itself excluded.
+
+    Driver work is bounded by ONE document: a point lookup of its text
+    (partition-pruned under the disk/docstore layout), its own term
+    counts, and an idf fetch for its distinct terms (the same
+    vocabulary-sized pruned scan every query makes). Scoring then runs
+    the ordinary distributed WAND path — no corpus scan, no O(corpus)
+    state."""
+    from collections import Counter as _Counter
+
+    from google_spark.functions.tokenizer import tokenize
+
+    spark = index.postings.sparkSession
+    row = docs.filter(F.col(id_col) == doc_id).select(text_col).take(1)
+    if not row or row[0][0] is None:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    tf = _Counter(t for t, _ in tokenize(row[0][0], mode=mode))
+    idf = index.idf_map(list(tf))
+    salient = sorted(
+        tf,
+        key=lambda t: (-tf[t] * idf.get(t, 0.0), t),
+    )[:n_query_terms]
+    if not salient:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    hits = wand_topk(index, " ".join(salient), k=k + 1, mode=mode)
+    return (
+        hits.filter(F.col("doc_id") != doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

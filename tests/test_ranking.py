@@ -137,3 +137,31 @@ def test_bm25f_plan_has_no_data_shuffle(spark):
     )
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_more_like_this_finds_near_twin(spark):
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import more_like_this
+
+    base = (
+        "distributed query execution with shuffle exchanges and hash "
+        "partitioning across executor tasks in a columnar engine"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " plus one extra trailing clause"),
+            (3, "gardening tips for growing tomatoes in small urban spaces "
+                "with limited sunlight and containers on balconies"),
+            (4, "recipe for sourdough bread with a long cold fermentation "
+                "and a very hot dutch oven bake"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs, id_col="doc_id", text_col="text")
+    hits = more_like_this(idx, docs, doc_id=1, k=3).collect()
+    ids = [r["doc_id"] for r in hits]
+    assert 1 not in ids  # self excluded
+    assert ids[0] == 2  # the near-twin ranks first
+
+    assert more_like_this(idx, docs, doc_id=999).count() == 0
