@@ -2401,7 +2401,8 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         # has_char_run: DuckDB's regexp is RE2 (no backreferences), so the
         # oracle detects a 20-char run by comparing each length-20 window
         # to repeat(first_char, 20) via a lateral generate_series — O(chars)
-        # at sf scale, semantically identical to Spark's (.)\1{19,} regex
+        # at sf scale, semantically identical to Spark's (?s)(.)\1{19,}
+        # regex (dotall on the Spark side so newline runs match there too)
         "text_repetition": f"""
 WITH lines AS (
   SELECT doc_id,

@@ -42,6 +42,11 @@ def connected_components(
         F.col(b_col).cast("long").alias("dst"),
     )
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # cut the upstream lineage ONCE: every round re-references sym (and a
+    # per-round action runs), so without this the edge-producing pipeline
+    # (e.g. the whole MinHash+Jaccard verification DAG under
+    # near_dup_components) would re-execute a growing number of times
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

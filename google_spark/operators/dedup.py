@@ -53,11 +53,13 @@ MINHASH_B = (
 )
 
 
-def tokens_col(text_col: str = "text") -> Column:
+def tokens_col(text_col: str | Column = "text") -> Column:
     """The engine-wide token list: lower -> [a-z0-9]+ runs -> len 2..40
-    (same contract as the tokenizer kernel / _TOK_SQL)."""
+    (same contract as the tokenizer kernel / _TOK_SQL). Accepts a column
+    name or an arbitrary string Column (e.g. a derived title)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        F.split(F.lower(c), "[^a-z0-9]+"),
         lambda t: (F.length(t) >= 2) & (F.length(t) <= 40),
     )
 

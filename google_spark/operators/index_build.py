@@ -364,6 +364,7 @@ def index_stats(index: IndexTables) -> DataFrame:
     return index.terms.agg(
         F.lit(int(index.n_docs)).cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_terms"),
-        F.sum("df").cast("long").alias("n_postings"),
+        # sum over zero rows is NULL, not 0 (empty/fully-filtered corpus)
+        F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("n_postings"),
         F.round(F.lit(float(index.avgdl)), 4).alias("avgdl"),
     )

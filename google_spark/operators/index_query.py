@@ -766,8 +766,11 @@ def more_like_this(
     if not salient:
         return spark.createDataFrame([], f"{id_col} long, score double")
     hits = wand_topk(index, " ".join(salient), k=k + 1, mode=mode)
+    # wand_topk's output column is always doc_id; rename so both return
+    # paths of this function use the caller's id_col
     return (
         hits.filter(F.col("doc_id") != doc_id)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+        .withColumnRenamed("doc_id", id_col)
     )

@@ -345,15 +345,17 @@ def bm25f_topk(
     (RankScore.java:51-60 adds a flat constant on a title hit).
 
     Plan shape: ZERO explodes and zero data shuffles — per-field token
-    arrays are materialized scan-side, per-query-term tf is an array
+    arrays are materialized scan-side and per-query-term tf is an array
     filter on them (queries have a handful of terms, so the expression
-    count stays small), corpus stats and per-term document frequencies
-    reduce to ONE scalar row broadcast back over the scan, and the result
-    is a TakeOrderedAndProject. Cost is one corpus scan per call — this
-    is the batch/offline scorer; interactive serving stays on the posting
-    index."""
+    count stays small). Corpus stats and per-term document frequencies
+    reduce to ONE row collected to the driver and re-embedded as
+    literals, so the scoring pass is a single scan -> project -> filter ->
+    TakeOrderedAndProject with no join at all. Two corpus scans total
+    (stats, then scoring) — this is the batch/offline scorer; interactive
+    serving stays on the posting index."""
     from collections import Counter
 
+    from google_spark.operators.dedup import tokens_col
     from google_spark.operators.docstore import title_col
 
     spark = docs.sparkSession
@@ -363,16 +365,10 @@ def bm25f_topk(
     qf = Counter(terms)
     uniq = sorted(qf)
 
-    def toks_of(col: F.Column) -> F.Column:
-        return F.filter(
-            F.split(F.lower(col), "[^a-z0-9]+"),
-            lambda t: (F.length(t) >= 2) & (F.length(t) <= 40),
-        )
-
     fields = docs.select(
         F.col(id_col),
-        toks_of(title_col(text_col)).alias("tt"),
-        toks_of(F.col(text_col)).alias("tb"),
+        tokens_col(title_col(text_col)).alias("tt"),
+        tokens_col(F.col(text_col)).alias("tb"),
     )
     def eq(t: str):
         # NB: a `lambda x, t=t:` default-arg closure would LOOK unary but
@@ -392,7 +388,9 @@ def bm25f_topk(
             for i, t in enumerate(uniq)
         ],
     )
-    stats = per_doc.agg(
+    import math
+
+    st = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl_t").alias("avgdl_t"),
         F.avg("dl_b").alias("avgdl_b"),
@@ -402,27 +400,27 @@ def bm25f_topk(
             ).alias(f"df_{i}")
             for i in range(len(uniq))
         ],
-    )
-    joined = per_doc.crossJoin(F.broadcast(stats))
+    ).collect()[0]
+    n_docs = int(st["n_docs"])
+    avgdl_t = float(st["avgdl_t"] or 0.0)
+    avgdl_b = float(st["avgdl_b"] or 0.0)
     score = F.lit(0.0)
     for i, t in enumerate(uniq):
-        bt = F.lit(1.0 - b_title) + F.lit(b_title) * F.col("dl_t") / F.col("avgdl_t")
-        bb = F.lit(1.0 - b_body) + F.lit(b_body) * F.col("dl_b") / F.col("avgdl_b")
-        # an all-empty field has avgdl 0 -> dl/avgdl is NaN (not NULL, so
-        # coalesce can't catch it); gate on avgdl > 0 = field absent -> 0
-        tfw = F.when(
-            F.col("avgdl_t") > 0, F.lit(w_title) * F.col(f"tft_{i}") / bt
-        ).otherwise(F.lit(0.0)) + F.when(
-            F.col("avgdl_b") > 0, F.lit(w_body) * F.col(f"tfb_{i}") / bb
-        ).otherwise(F.lit(0.0))
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}") + F.lit(0.5))
-            + F.lit(1.0)
-        )
-        score = score + F.lit(float(qf[t])) * idf * tfw / (F.lit(k1) + tfw)
+        # an all-empty field has avgdl 0 -> dl/avgdl would be NaN (not
+        # NULL, so coalesce can't catch it); field absent -> contributes 0
+        # float op order mirrors the oracle exactly: b * dl / avgdl
+        tfw = F.lit(0.0)
+        if avgdl_t > 0:
+            bt = F.lit(1.0 - b_title) + F.lit(b_title) * F.col("dl_t") / F.lit(avgdl_t)
+            tfw = tfw + F.lit(w_title) * F.col(f"tft_{i}") / bt
+        if avgdl_b > 0:
+            bb = F.lit(1.0 - b_body) + F.lit(b_body) * F.col("dl_b") / F.lit(avgdl_b)
+            tfw = tfw + F.lit(w_body) * F.col(f"tfb_{i}") / bb
+        df_i = int(st[f"df_{i}"])
+        idf = math.log((n_docs - df_i + 0.5) / (df_i + 0.5) + 1.0)
+        score = score + F.lit(float(qf[t]) * idf) * tfw / (F.lit(k1) + tfw)
     return (
-        joined.select(F.col(id_col), F.round(score, 4).alias("score"))
+        per_doc.select(F.col(id_col), F.round(score, 4).alias("score"))
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)

@@ -41,6 +41,13 @@ def sample_stratified(
     if isinstance(n_per_stratum, dict):
         if not n_per_stratum:
             return df.limit(0)
+        # the rank-pushdown rewrite (WindowGroupLimit) only fires on a
+        # FOLDABLE limit, so filter by the max quota first — each task
+        # then keeps at most max(quota) rows per stratum before the
+        # exchange — and apply the exact per-stratum quota after
+        ranked = ranked.filter(
+            F.col("_rk") <= int(max(n_per_stratum.values()))
+        )
         quota = F.lit(None).cast("int")
         for value, n in sorted(n_per_stratum.items()):
             quota = F.when(

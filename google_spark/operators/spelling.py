@@ -2,9 +2,9 @@
 
 The reference has no spelling surface (its SearchApi passes typos straight
 to ranking and returns nothing); this is the query-assist extension every
-serving stack needs once real users type queries. Two paths, agreeing on
-semantics (candidates = vocabulary terms within edit distance ``max_dist``,
-ranked by (distance asc, df desc, term asc)):
+serving stack needs once real users type queries. Two paths sharing one
+ranking contract (candidates = vocabulary terms within edit distance
+``max_dist``, ranked by (distance asc, df desc, term asc)):
 
 - :func:`suggest_distributed` — exact: JVM ``levenshtein(term, q,
   threshold)`` over the index's terms table (vocabulary-sized, NOT
@@ -16,6 +16,17 @@ ranked by (distance asc, df desc, term asc)):
   trie — bounded memory at web scale). Shared-bigram counting shortlists
   ~O(100) candidates, exact DP distance re-ranks the shortlist. Zero Spark
   jobs per call.
+
+The serving path is a deliberate APPROXIMATION of the exact one, in three
+documented ways: (a) a candidate sharing zero padded bigrams with the
+query is invisible to the shortlist — possible only for terms of ~3 chars
+or less (e.g. 'yx' vs 'xy'), since a single edit on a longer term always
+leaves a common bigram; (b) an exact vocabulary hit returns itself alone
+(did-you-mean semantics: a known word needs no corrections), where the
+distributed path also lists its neighbors; (c) the ``shortlist`` cut
+bounds DP work, so a pathological prefix flood can evict a true
+candidate. The pytest parity suite pins the paths equal on typo classes
+of real vocabulary terms (drop/swap/append, length >= 4).
 """
 
 from __future__ import annotations

@@ -149,7 +149,10 @@ def repetition_scores(
         F.size(lines) > 0,
         1.0 - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
     ).otherwise(F.lit(0.0))
-    run_re = f"(.)\\1{{{char_run_len - 1},}}"
+    # (?s) dotall: without it Java's `.` excludes line terminators, so a
+    # run of 20+ blank lines (common in scraped text) would escape the
+    # detector — and diverge from the oracle's raw-substring comparison
+    run_re = f"(?s)(.)\\1{{{char_run_len - 1},}}"
     base = docs.select(
         F.col(id_col),
         F.round(dup_line, 4).alias("dup_line_frac"),

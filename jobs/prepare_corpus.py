@@ -52,8 +52,9 @@ def prepare_corpus(
     min_logprob: float | None = None,
     mix: dict[str, int] | None = None,
 ):
-    """Run stages 1-5; returns (prepared DataFrame, accounting dict).
-    Importable so tests drive it without spark-submit."""
+    """Run stages 1-7 (everything except the index build); returns
+    (prepared DataFrame, accounting dict). Importable so tests drive it
+    without spark-submit."""
     from pyspark.sql import functions as F
 
     from google_spark.operators.dedup import exact_dedup, minhash_near_dups
@@ -126,11 +127,23 @@ def prepare_corpus(
         from google_spark.operators.text_analysis import unigram_logprob
 
         # scored against the surviving corpus's own distribution — the
-        # filter adapts to the domain instead of needing a shipped model
+        # filter adapts to the domain instead of needing a shipped model.
+        # Zero-token docs carry the operator's 0.0 sentinel (the BEST
+        # possible score), so they must be dropped explicitly or the
+        # floor would keep exactly the docs it exists to remove
         lp = unigram_logprob(docs, id_col=id_col, text_col=text_col).select(
-            id_col, "mean_logprob"
+            id_col,
+            F.col("mean_logprob"),
+            F.col("n_tokens").alias("_lm_n_tokens"),
         )
-        docs = docs.join(lp, id_col).filter(F.col("mean_logprob") >= min_logprob)
+        docs = (
+            docs.join(lp, id_col)
+            .filter(
+                (F.col("mean_logprob") >= min_logprob)
+                & (F.col("_lm_n_tokens") > 0)
+            )
+            .drop("_lm_n_tokens")
+        )
         acct["after_logprob_filter"] = docs.count()
 
     if mix:

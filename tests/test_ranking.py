@@ -124,8 +124,9 @@ def test_bm25f_title_weight_outranks_body_only(spark):
 
 
 def test_bm25f_plan_has_no_data_shuffle(spark):
-    """The only exchange is the broadcast of the one-row stats aggregate;
-    the corpus relation itself is never hash-exchanged."""
+    """Stats are collected once and re-embedded as literals, so the
+    scoring pass is scan -> project -> filter -> TakeOrderedAndProject
+    with no exchange and no join of any kind."""
     from google_spark.operators.ranking import bm25f_topk
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
@@ -135,8 +136,9 @@ def test_bm25f_plan_has_no_data_shuffle(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_more_like_this_finds_near_twin(spark):

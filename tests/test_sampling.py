@@ -64,10 +64,14 @@ def test_sample_is_partitioning_invariant(spark):
 def test_rank_pushdown_in_plan(spark):
     from google_spark.operators.sampling import sample_stratified
 
-    plan = (
-        sample_stratified(_mk_docs(spark), "lang", 5)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "WindowGroupLimit" in plan
+    def plan_of(quota):
+        return (
+            sample_stratified(_mk_docs(spark), "lang", quota)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "WindowGroupLimit" in plan_of(5)
+    # dict quotas: the literal max-quota pre-filter keeps the pushdown
+    assert "WindowGroupLimit" in plan_of({"en": 5, "de": 2})

@@ -38,6 +38,7 @@ def test_repetition_scores(spark):
             (5, "one"),  # single token -> no bigrams
             (6, ""),  # empty text
             (7, None),  # null text
+            (8, "start" + "\n" * 25 + "end"),  # newline run IS a char run
         ],
         "doc_id long, text string",
     )
@@ -49,7 +50,7 @@ def test_repetition_scores(spark):
         )
         for r in repetition_scores(docs).collect()
     }
-    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 8}
     # doc 1: lines [spam..., spam..., ham eggs, ham eggs] -> 2/4 dups;
     # bigrams: "spam spam" x4, "spam ham"? no — per-line text is one token
     # stream: spam spam spam spam spam spam ham eggs ham eggs ->
@@ -61,6 +62,7 @@ def test_repetition_scores(spark):
     assert got[5] == (0.0, 0.0, False)
     assert got[6] == (0.0, 0.0, False)
     assert got[7] == (0.0, 0.0, False)
+    assert got[8][2] is True  # dotall: newline runs are detected
 
 
 def test_unigram_logprob_ranks_garbage_low(spark):
