@@ -189,6 +189,20 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.ranking import bm25f_topk
+
+    sections.append(
+        (
+            "BM25F field-weighted scoring",
+            "Corpus stats and per-term dfs are collected once (one tiny "
+            "row) and re-embedded as literals, so the scoring pass is a "
+            "single scan -> whole-stage-codegen project/filter -> "
+            "TakeOrderedAndProject: no exchange, no join, no explode "
+            "anywhere in the plan.",
+            fmt(bm25f_topk(docs, "hash join")),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
