@@ -188,6 +188,7 @@ class SearchEngine:
         self._trie_complete = False
         self._vocab: list[tuple[str, int]] | None = None
         self._suggester = None  # lazy NgramSuggester over the capped vocab
+        self._idf_cache: dict[str, float] = {}  # related(): terms seen so far
         self._scan_cache: dict[tuple, list[str]] = {}  # autocomplete memo
         self._history: dict[str, float] = {}  # query -> last access time
         # term -> DECODED posting entries, with a running byte counter
@@ -428,6 +429,54 @@ class SearchEngine:
             self._syn = load_word_vectors(self.word_vectors)
         terms = list(dict.fromkeys(normalize_query(query, mode=self.mode)))
         return expand_query(terms, self._syn[0], self._syn[1], topn=topn)
+
+    def related(
+        self, doc_id: int, k: int = 10, n_query_terms: int = 5
+    ) -> list[SearchResult]:
+        """The k documents most similar to ``doc_id`` (the "related pages"
+        feature; same semantics as index_query.more_like_this but through
+        the serving path): the doc's ``n_query_terms`` most salient terms
+        by tf * idf become an ordinary facade query, self excluded — so
+        results carry repo/path/title/priority, the result cache applies,
+        and on a published bundle the text fetch is a pyarrow point read.
+        Unknown or empty docs return []."""
+        from collections import Counter
+
+        from google_spark.functions.tokenizer import tokenize
+
+        if self.docs is None:
+            return []
+        if self._docs_path is not None:
+            rows = self._point_read(self._docs_path, "_docs_ds", [doc_id])
+        else:
+            rows = [
+                r.asDict()
+                for r in self.docs.filter(F.col("doc_id") == doc_id)
+                .limit(1)
+                .collect()
+            ]
+        if not rows or not rows[0].get("content"):
+            return []
+        tf = Counter(t for t, _ in tokenize(rows[0]["content"], mode=self.mode))
+        idf = self._idf_for(list(tf))
+        salient = sorted(tf, key=lambda t: (-tf[t] * idf.get(t, 0.0), t))[
+            :n_query_terms
+        ]
+        if not salient:
+            return []
+        hits = self.search(" ".join(salient), k=k + 1)
+        return [r for r in hits if r.doc_id != doc_id][:k]
+
+    def _idf_for(self, terms: list[str]) -> dict[str, float]:
+        """idf for the given terms via a driver-side cache (bounded by the
+        vocabulary ever requested); misses fetch in one pruned scan of the
+        vocabulary-sized terms table. Absent terms cache as 0.0."""
+        missing = [t for t in terms if t not in self._idf_cache]
+        if missing:
+            for t in missing:
+                self._idf_cache[t] = 0.0
+            self._idf_cache.update(self.index.idf_map(missing))
+        return self._idf_cache
 
     def _search_uncached(
         self, query: str, k: int, proximity: bool = False, synonyms: bool = False

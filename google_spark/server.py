@@ -98,6 +98,15 @@ def make_handler(engine):
                     with lock:
                         comps = engine.autocomplete(q, limit=limit)
                     return self._json(200, {"completions": comps})
+                if u.path == "/related":
+                    did = int((qs.get("doc_id") or ["-1"])[0])
+                    limit = int((qs.get("limit") or ["10"])[0])
+                    with lock:
+                        rel = engine.related(did, k=limit)
+                    return self._json(
+                        200,
+                        {"doc_id": did, "results": [_result_json(r) for r in rel]},
+                    )
                 if u.path == "/suggest":
                     limit = int((qs.get("limit") or ["5"])[0])
                     with lock:

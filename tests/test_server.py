@@ -123,3 +123,18 @@ def test_synonym_route(spark):
         ]
     finally:
         srv.shutdown()
+
+
+def test_related_route(served):
+    eng, base = served
+    # pick a doc we know exists via a search hit
+    seed = eng.search("data partition", k=1)[0].doc_id
+    status, body = _get(base, f"/related?doc_id={seed}&limit=5")
+    assert status == 200 and body["doc_id"] == seed
+    ids = [r["doc_id"] for r in body["results"]]
+    assert seed not in ids and len(ids) <= 5
+    direct = eng.related(seed, k=5)
+    assert ids == [r.doc_id for r in direct]
+
+    status, body = _get(base, "/related?doc_id=99999999")
+    assert status == 200 and body["results"] == []
