@@ -202,6 +202,14 @@ def main() -> None:
     )
     timings["join_agg"] = round(time.perf_counter() - t0, 4)
 
+    # round-3 additions, placed AFTER all shared lines so their JVM
+    # side-effects cannot shift the round-over-round comparable sequence
+    from google_spark.operators.ranking import bm25f_topk
+
+    t0 = time.perf_counter()
+    bm25f_topk(docs, "hash join", k=10).collect()
+    timings["bm25f_q1"] = round(time.perf_counter() - t0, 4)
+
     # second scale point: replicated corpus, so round-over-round deltas in
     # build throughput aren't masked by fixed job overhead (~2-3s) that
     # dominates the raw 5k-doc sf0.1 figure
