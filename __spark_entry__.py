@@ -697,6 +697,17 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile quartile binning of documents by n_chars through
+    ENGINE code (sampling.quality_bins); DuckDB recomputes thresholds
+    with quantile_cont (same linear interpolation as Spark percentile)."""
+    from google_spark.operators.sampling import quality_bins
+
+    return quality_bins(_docs(spark, sf_dir), "n_chars", n_bins=4).select(
+        "doc_id", "bin"
+    )
+
+
 def q_dedup_shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicated-shingle fraction through ENGINE code
     (dedup.cross_doc_shingle_frac) — the exact-substring-dedup signal."""
@@ -1333,6 +1344,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "dedup_shared_shingles": q_dedup_shared_shingles,
         "bm25f_topk": q_bm25f_topk,
+        "quality_bins": q_quality_bins,
         "dedup_components": q_dedup_components,
         "index_stats": q_index_stats,
         "more_like_this": q_more_like_this,
@@ -2365,6 +2377,19 @@ SELECT d.doc_id,
        coalesce(a.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
        coalesce(a.shared_shingle_frac, 0.0) AS shared_shingle_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "quality_bins": """
+WITH t AS (
+  SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS q FROM documents
+)
+SELECT doc_id,
+       CAST(CASE
+         WHEN n_chars IS NULL THEN NULL
+         WHEN n_chars <= q[1] THEN 1
+         WHEN n_chars <= q[2] THEN 2
+         WHEN n_chars <= q[3] THEN 3
+         ELSE 4 END AS INT) AS bin
+FROM documents, t
 """,
         "sample_stratified": """
 SELECT doc_id, lang FROM (

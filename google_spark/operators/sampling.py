@@ -57,3 +57,43 @@ def sample_stratified(
     else:
         keep = F.col("_rk") <= int(n_per_stratum)
     return ranked.filter(keep).drop("_rk")
+
+
+def quality_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign each row a quality bin 1..n_bins by exact percentile
+    thresholds of ``score_col`` (bin 1 = lowest scores). The standard
+    prelude to quality-aware data mixing: bin, then sample_stratified
+    over the bin column.
+
+    NOT ntile(): a global ntile window sorts the whole corpus into ONE
+    partition. Instead the n_bins-1 thresholds come from Spark's exact
+    distributed ``percentile`` aggregate (one pass, map-side partial
+    digests), are collected as a single tiny row, and binning is a
+    scan-side when-chain — no sort, no shuffle beyond the aggregate.
+    Rows with NULL scores get NULL bins. Ties at a threshold all fall in
+    the lower bin (<= comparisons), so equal scores always share a bin.
+    """
+    if n_bins < 2:
+        return df.withColumn(bin_col, F.lit(1))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    row = df.agg(
+        F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs])).alias(
+            "t"
+        )
+    ).collect()[0]["t"]
+    if row is None:  # empty input or all-NULL scores
+        return df.withColumn(bin_col, F.lit(None).cast("int"))
+    expr = F.lit(n_bins)
+    for b in range(n_bins - 1, 0, -1):
+        expr = F.when(
+            F.col(score_col) <= F.lit(float(row[b - 1])), F.lit(b)
+        ).otherwise(expr)
+    expr = F.when(F.col(score_col).isNull(), F.lit(None).cast("int")).otherwise(
+        expr
+    )
+    return df.withColumn(bin_col, expr.cast("int"))

@@ -75,3 +75,56 @@ def test_rank_pushdown_in_plan(spark):
     assert "WindowGroupLimit" in plan_of(5)
     # dict quotas: the literal max-quota pre-filter keeps the pushdown
     assert "WindowGroupLimit" in plan_of({"en": 5, "de": 2})
+
+
+def test_quality_bins_quartiles(spark):
+    from google_spark.operators.sampling import quality_bins
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(101, None)],
+        "doc_id long, score double",
+    )
+    got = {r["doc_id"]: r["bin"] for r in quality_bins(docs, "score", 4).collect()}
+    # exact quartiles of 1..100: thresholds 25.75, 50.5, 75.25
+    assert got[1] == 1 and got[25] == 1
+    assert got[26] == 2 and got[50] == 2
+    assert got[51] == 3 and got[75] == 3
+    assert got[76] == 4 and got[100] == 4
+    assert got[101] is None  # NULL score -> NULL bin
+    # each quartile holds exactly 25 of the 100 scored rows
+    from collections import Counter
+
+    counts = Counter(v for k, v in got.items() if v is not None)
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+
+
+def test_quality_bins_plan_has_no_sort(spark):
+    """The binning pass must be a scan-side projection — no global sort,
+    no window, no exchange (the thresholds were collected separately)."""
+    from google_spark.operators.sampling import quality_bins
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        quality_bins(docs, "n_chars", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort" not in plan and "Window" not in plan
+    assert "Exchange" not in plan
+
+
+def test_quality_bins_compose_with_stratified_mix(spark):
+    """The quality-aware mixing recipe: bin by score, then exact
+    per-bin quotas."""
+    from google_spark.operators.sampling import quality_bins, sample_stratified
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 50)) for i in range(200)], "doc_id long, score double"
+    )
+    binned = quality_bins(docs, "score", 4)
+    mixed = sample_stratified(binned, "bin", {3: 10, 4: 20}, id_col="doc_id")
+    from collections import Counter
+
+    counts = Counter(r["bin"] for r in mixed.collect())
+    assert counts == {3: 10, 4: 20}  # low-quality bins dropped entirely
