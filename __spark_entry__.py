@@ -697,6 +697,29 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup of a new batch against a persisted signature
+    store through ENGINE code (write_signature_store +
+    incremental_near_dups): the batch is docs 0..49 re-ingested under new
+    ids, so every new doc must match its stored original at estimate 1.0
+    plus whatever true near-dups band-collide. The oracle recomputes
+    signatures for the union corpus and the cross-side estimate in SQL."""
+    import tempfile
+
+    from google_spark.operators.dedup import (
+        incremental_near_dups,
+        write_signature_store,
+    )
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="sigstore_")
+    write_signature_store(docs, store)
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return incremental_near_dups(new, store, threshold=0.5)
+
+
 def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-percentile quartile binning of documents by n_chars through
     ENGINE code (sampling.quality_bins); DuckDB recomputes thresholds
@@ -1345,6 +1368,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shared_shingles": q_dedup_shared_shingles,
         "bm25f_topk": q_bm25f_topk,
         "quality_bins": q_quality_bins,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_components": q_dedup_components,
         "index_stats": q_index_stats,
         "more_like_this": q_more_like_this,
@@ -2377,6 +2401,34 @@ SELECT d.doc_id,
        coalesce(a.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
        coalesce(a.shared_shingle_frac, 0.0) AS shared_shingle_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "dedup_incremental": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+{_HH_CTE.replace("FROM documents", "FROM corpus")},
+sigl AS (SELECT doc_id, {_MINHASH16} AS g FROM hh),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(g[b.band*4+1 : b.band*4+4], '|')) AS key
+  FROM sigl, (VALUES (0), (1), (2), (3)) b(band)
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS stored_id
+  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+  WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000
+),
+est AS (
+  SELECT c.new_id, c.stored_id,
+         len(list_filter(range(1, 17), i -> x.g[i] = y.g[i])) / 16.0 AS raw
+  FROM cands c
+  JOIN sigl x ON c.new_id = x.doc_id
+  JOIN sigl y ON c.stored_id = y.doc_id
+)
+SELECT new_id, stored_id, round(raw, 4) AS est_jaccard
+FROM est WHERE raw >= 0.5
 """,
         "quality_bins": """
 WITH t AS (

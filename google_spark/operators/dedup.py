@@ -201,21 +201,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    n_bands: int = DEFAULT_N_BANDS,
-    max_bucket: int = 1000,
+def _band_rows(
+    signatures: DataFrame, id_col: str = "doc_id", n_bands: int = DEFAULT_N_BANDS
 ) -> DataFrame:
-    """Band the signatures and emit distinct candidate pairs (a < b).
-
-    ``max_bucket`` drops pathological buckets (a bucket of size m emits
-    m(m-1)/2 pairs; at web scale one boilerplate bucket would dominate the
-    job) — the documented skew guard.
-    """
+    """(id, band, key) rows: the signature split into ``n_bands`` bands,
+    each hashed to one md5 key — the LSH bucketing shared by batch
+    candidate generation and the incremental signature store."""
     sig = signatures.select(F.col(id_col).alias("id"), "sig")
     rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
-    bands = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -235,6 +229,21 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = DEFAULT_N_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signatures and emit distinct candidate pairs (a < b).
+
+    ``max_bucket`` drops pathological buckets (a bucket of size m emits
+    m(m-1)/2 pairs; at web scale one boilerplate bucket would dominate the
+    job) — the documented skew guard.
+    """
+    bands = _band_rows(signatures, id_col=id_col, n_bands=n_bands)
     counts = bands.groupBy("band", "key").agg(F.count("*").alias("n"))
     bands = bands.join(
         counts.filter(F.col("n") <= max_bucket).select("band", "key"),
@@ -551,4 +560,98 @@ def cross_doc_shingle_frac(
                 "shared_shingle_frac"
             ),
         )
+    )
+
+
+def write_signature_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    n_bands: int = DEFAULT_N_BANDS,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's MinHash signatures for INCREMENTAL dedup:
+    ``{path}/sigs.parquet`` (doc_id, sig) and ``{path}/bands.parquet``
+    (doc_id, band, key) partitioned by band. A growing corpus never
+    re-reads or re-shingles old text — each new batch probes these
+    fixed-width tables (``incremental_near_dups``) and appends its own
+    rows (``mode="append"``)."""
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes
+    )
+    sigs.write.mode(mode).parquet(f"{path}/sigs.parquet")
+    # bands derive from THIS batch's sigs only; append mode just adds rows
+    _band_rows(sigs, id_col="doc_id", n_bands=n_bands).withColumnRenamed(
+        "id", "doc_id"
+    ).write.mode(mode).partitionBy("band").parquet(f"{path}/bands.parquet")
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    store_path: str,
+    threshold: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    n_bands: int = DEFAULT_N_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """DataFrame[new_id, stored_id, est_jaccard] — near-dups of an
+    incoming batch AGAINST the persisted signature store, without
+    touching any stored text. Candidates come from a (band, key)
+    equi-join of the batch's bands against the store (Exchange carries
+    fixed-width keys; ``max_bucket`` caps viral store buckets exactly as
+    in :func:`lsh_candidate_pairs`); verification is the MinHash
+    ESTIMATE — the fraction of agreeing signature positions, an unbiased
+    Jaccard estimator with std ~= sqrt(j(1-j)/n_hashes) (~0.09 at 16
+    hashes around j=0.5) — because exact Jaccard would need the stored
+    shingles. Callers needing exact verification join the returned pairs
+    back to their text archive; the batch pipeline (minhash_near_dups)
+    stays the exact path."""
+    spark = new_docs.sparkSession
+    new_sigs = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes
+    ).select(F.col("doc_id").alias("new_id"), F.col("sig").alias("nsig"))
+    nb = _band_rows(
+        new_sigs.select(F.col("new_id").alias("doc_id"), F.col("nsig").alias("sig")),
+        n_bands=n_bands,
+    ).select(F.col("id").alias("new_id"), "band", "key")
+    stored_bands = spark.read.parquet(f"{store_path}/bands.parquet")
+    counts = stored_bands.groupBy("band", "key").agg(F.count("*").alias("n"))
+    stored_bands = stored_bands.join(
+        counts.filter(F.col("n") <= max_bucket).select("band", "key"),
+        ["band", "key"],
+        "left_semi",
+    )
+    cands = (
+        nb.join(stored_bands, ["band", "key"])
+        .select("new_id", F.col("doc_id").alias("stored_id"))
+        .distinct()
+    )
+    stored_sigs = (
+        spark.read.parquet(f"{store_path}/sigs.parquet")
+        .join(
+            cands.select(F.col("stored_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("stored_id"), F.col("sig").alias("osig"))
+    )
+    agree = F.aggregate(
+        F.zip_with("nsig", "osig", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(new_sigs, "new_id")
+        .join(stored_sigs, "stored_id")
+        .select(
+            "new_id",
+            "stored_id",
+            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "stored_id", F.round("est_jaccard", 4).alias("est_jaccard"))
     )

@@ -183,3 +183,43 @@ def test_cross_doc_shingle_frac(spark):
     assert got[2] == (10, round(6 / 10, 4))
     assert got[3] == (6, 0.0)  # 10 tokens, all original
     assert got[4] == (0, 0.0)
+
+
+def test_incremental_signature_store(spark, tmp_path):
+    from google_spark.operators.dedup import (
+        incremental_near_dups,
+        write_signature_store,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    batch_a = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated words about cooking pasta dishes "
+                        "with garlic olive oil and fresh basil leaves")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "sigstore")
+    write_signature_store(batch_a, store)
+
+    # batch B: a near-copy of doc 1 -> must match it, and nothing else
+    batch_b = spark.createDataFrame(
+        [(10, base + " extra tail"), (11, "entirely novel content on star "
+                                          "formation in dense molecular clouds")],
+        "doc_id long, text string",
+    )
+    hits = incremental_near_dups(batch_b, store, threshold=0.5).collect()
+    assert {(r["new_id"], r["stored_id"]) for r in hits} == {(10, 1)}
+    assert all(0.5 <= r["est_jaccard"] <= 1.0 for r in hits)
+
+    # append batch B, then a copy of doc 11 must match the APPENDED rows
+    write_signature_store(batch_b, store, mode="append")
+    batch_c = spark.createDataFrame(
+        [(20, "entirely novel content on star formation in dense "
+              "molecular clouds")],
+        "doc_id long, text string",
+    )
+    hits_c = incremental_near_dups(batch_c, store, threshold=0.9).collect()
+    assert {(r["new_id"], r["stored_id"]) for r in hits_c} == {(20, 11)}
+    assert hits_c[0]["est_jaccard"] == 1.0  # identical text -> estimate 1
