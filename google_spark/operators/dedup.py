@@ -638,6 +638,10 @@ def incremental_near_dups(
             "left_semi",
         )
         .select(F.col("doc_id").alias("stored_id"), F.col("sig").alias("osig"))
+        # an at-least-once appender (streaming restarts) may have written a
+        # doc's signature twice; identical rows, but without the distinct
+        # the estimate join would emit duplicate output pairs
+        .distinct()
     )
     agree = F.aggregate(
         F.zip_with("nsig", "osig", lambda a, b: (a == b).cast("int")),

@@ -326,3 +326,72 @@ def streaming_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_sha", "_rn")
     )
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    store_path: str,
+    out_dir: str,
+    threshold: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch NEAR-dedup for an ingest stream: each micro-batch is
+    (a) near-deduped within itself (MinHash+LSH, exact-Jaccard verified,
+    larger id dropped), (b) probed against the persisted signature store
+    (``operators.dedup.incremental_near_dups`` — stored text never
+    re-read) and matching docs dropped, then (c) survivors are written to
+    ``{out_dir}/epoch=N`` and their signatures appended to the store, so
+    later epochs dedup against everything that survived before them.
+
+    Restart semantics: per-epoch output paths are overwritten, so a
+    replayed epoch rewrites the same files; signature appends are
+    at-least-once (duplicate rows are harmless — the probe distincts),
+    and self-matches from a replayed epoch's own earlier append are
+    excluded by id, so a replay cannot drop its own documents. The
+    sha256 exact guard (:func:`streaming_dedup`) can run upstream of
+    this; MinHash state lives in parquet, not in streaming state, which
+    is what lets the dedup horizon be the WHOLE corpus rather than a
+    watermark window.
+
+    Returns the DataStreamWriter (caller picks trigger/checkpoint)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_near_dups,
+        write_signature_store,
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.persist()
+        pairs = minhash_near_dups(
+            batch, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        batch = batch.join(losers, id_col, "left_anti")
+        store_exists = _os.path.isdir(f"{store_path}/sigs.parquet")
+        if store_exists:
+            hits = incremental_near_dups(
+                batch, store_path, threshold=threshold,
+                id_col=id_col, text_col=text_col,
+            ).filter(F.col("new_id") != F.col("stored_id"))
+            batch = batch.join(
+                hits.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+        batch = batch.persist()
+        batch.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        write_signature_store(
+            batch, store_path, id_col=id_col, text_col=text_col,
+            mode="append" if store_exists else "overwrite",
+        )
+        batch.unpersist()
+        batch_df.unpersist()
+
+    return stream.writeStream.foreachBatch(handle_batch)

@@ -305,3 +305,50 @@ def test_streaming_dedup_stream_and_batch(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dd_out").collect()}
     # first arrival of the dup content wins; 2 and 5 dropped
     assert got == {1, 3, 4}
+
+
+def test_streaming_near_dedup(spark, tmp_path):
+    """Cross-epoch NEAR dedup against the parquet signature store: a
+    near-copy arriving epochs later is dropped even though streaming
+    state holds nothing; the dedup horizon is the whole corpus."""
+    from google_spark.streaming.ingest import streaming_near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill nearby today"
+    )
+    other = (
+        "completely different text about building inverted indexes with "
+        "posting lists compressed by delta gap varint encoding schemes"
+    )
+    files = [
+        [(1, base), (2, other)],                      # epoch 0
+        [(3, base + " tiny tail")],                   # epoch 1: near-dup of 1
+        [(4, "novel third document about streaming watermarks and state "
+             "eviction policies in micro batch engines today")],
+        [(5, other + " extra")],                      # epoch 3: near-dup of 2
+    ]
+    in_dir = str(tmp_path / "nd_in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/f{i}.parquet")
+    store = str(tmp_path / "nd_store")
+    out = str(tmp_path / "nd_out")
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", 1).parquet(f"{in_dir}/*")
+    q = (
+        streaming_near_dedup(stream, store, out, threshold=0.5)
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/epoch=*").collect()
+    }
+    assert kept == {1, 2, 4}  # 3 and 5 near-dup earlier epochs' docs
+    # the store grew to exactly the survivors
+    sigs = spark.read.parquet(f"{store}/sigs.parquet")
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 2, 4}
