@@ -8,6 +8,24 @@ engines' summation orders can't flip a hash.
 
 Operator keys map to SURVEY.md §2 (Flame ops ``op_*``, domain ops ``d*_*``,
 training-data-pipeline ops ``dedup_*``/``text_*``/``sim_*``).
+
+ROUND-4 ROTATION of the driver's 50-row budget (the driver records only the
+first 50 ``queries()`` rows; ``extra_queries()`` rows run in the local gate
+via tools/check_contract.py with the same oracles). Round 3 demonstrated 50
+rows driver-green (CORRECTNESS_r03.json); round 4 swaps in the 23 rows that
+had only local coverage — the whole round-3 operator wave (text_repetition,
+text_unigram_logprob, sample_stratified, quality_bins, bm25f_topk,
+more_like_this, spell_suggest, dedup_components, dedup_incremental,
+dedup_shared_shingles, index_stats, phrase_filter_topk, field_search_topk,
+op_count/except/cogroup/percentiles/topk_per_group/intersect/sample,
+tpch_partagg, text_token_estimate) plus the new bm25f_index_topk — and
+demotes 23 rows that are green in CORRECTNESS_r03.json (bm25_topk_code,
+bm25_topk_stemmed, tokenize_code_tf, term_df_idf, prox_bonus,
+op_filter_project, op_foldbykey, op_fold_global, op_join, op_distinct,
+op_take_ordered, tpch_q3, tpch_q5, op_rollup, doc_sha, dedup_jaccard_pairs,
+dedup_simhash_pairs, text_fingerprint, sim_ann_topk, sim_ivf_topk,
+sim_near_dup_pairs, media_resize, media_frames). Union coverage
+r03 ∪ r04 = all 73 rows. Round 5: swap back (or re-rotate) as needed.
 """
 
 from __future__ import annotations
@@ -639,6 +657,20 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25f_topk(_docs(spark, sf_dir), "hash join", k=10)
 
 
+def q_bm25f_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F served from FIELDED POSTINGS (operators.fielded): per-field
+    indexes with the main codec/sharding, per-term pruned decode, field
+    components combined before k1 saturation — must be score-identical to
+    the two-scan batch path, so it shares bm25f_topk's oracle verbatim."""
+    from google_spark.operators.fielded import (
+        bm25f_index_topk,
+        build_fielded_index,
+    )
+
+    findex = build_fielded_index(spark, _docs(spark, sf_dir))
+    return bm25f_index_topk(findex, "hash join", k=10)
+
+
 # the docstore title expression (doc_titles oracle) reused as a token source
 _TITLE_SQL = (
     "substr(trim(regexp_replace(COALESCE(list_filter(str_split(text, "
@@ -702,8 +734,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store through ENGINE code (write_signature_store +
     incremental_near_dups): the batch is docs 0..49 re-ingested under new
     ids, so every new doc must match its stored original at estimate 1.0
-    plus whatever true near-dups band-collide. The oracle recomputes
-    signatures for the union corpus and the cross-side estimate in SQL."""
+    plus whatever true near-dups band-collide. Round-4 store contract:
+    candidates from 64-hash/16-band LSH, verification by the bottom-128
+    shingle sketch (exact Jaccard when the union fits the sketch); the
+    oracle replays signatures, bands, sketches, and the sketch estimate
+    for the union corpus in SQL."""
     import tempfile
 
     from google_spark.operators.dedup import (
@@ -944,61 +979,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROUND-4 ROTATION (see module docstring): 27 retained flagships +
+    # the 23 rows that were local-gate-only in round 3 (incl. the new
+    # bm25f_index_topk). Exactly 50 rows — the driver's budget.
     return {
+        # -- retained flagships (driver-green in CORRECTNESS_r03) ----------
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_wand": q_bm25_topk_wand,
-        "bm25_topk_code": q_bm25_topk_code,
-        "bm25_topk_stemmed": q_bm25_topk_stemmed,
+        "pagerank_fixed3": q_pagerank_fixed3,
+        "tpch_q1": q_tpch_q1,
         "tokenize_tf": q_tokenize_tf,
-        "tokenize_code_tf": q_tokenize_code_tf,
-        "term_df_idf": q_term_df_idf,
         "corpus_stats": q_corpus_stats,
         "phrase_positions": q_phrase_positions,
-        "prox_bonus": q_prox_bonus,
-        "pagerank_fixed3": q_pagerank_fixed3,
-        "op_filter_project": q_op_filter_project,
-        "op_foldbykey": q_op_foldbykey,
-        "op_fold_global": q_op_fold_global,
-        "op_join": q_op_join,
-        "op_distinct": q_op_distinct,
-        "op_take_ordered": q_op_take_ordered,
-        # round-3 serving/catalog rows promoted into the driver's 50-row
-        # budget; the demoted extension rows (percentiles, topk-per-group,
-        # partagg, intersect, sample, cogroup) stay oracle-checked in
-        # extra_queries() via tools/check_contract.py
         "serve_priority_topk": q_serve_priority_topk,
         "autocomplete_topdf": q_autocomplete_topdf,
         "tfidf_ref_topk": q_tfidf_ref_topk,
         "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
         "catalog_upsert_compact_topk": q_catalog_upsert_compact_topk,
         "batch_bm25_topk": q_batch_bm25_topk,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "op_rollup": q_op_rollup,
         "op_window_agg": q_op_window_agg,
         "op_sessionize": q_op_sessionize,
-        "doc_sha": q_doc_sha,
         "doc_titles": q_doc_titles,
         "doc_snippets": q_doc_snippets,
         "synonym_topk": q_synonym_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_ann_topk": q_sim_ann_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_refined": q_sim_ivf_refined,
-        "sim_near_dup_pairs": q_sim_near_dup_pairs,
         "media_meta": q_media_meta,
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
-        "text_token_count": q_text_token_count,
+        "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        # -- promoted: round-3 operator wave + round-4 additions -----------
+        "text_repetition": q_text_repetition,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "text_token_estimate": q_text_token_estimate,
+        "sample_stratified": q_sample_stratified,
+        "quality_bins": q_quality_bins,
+        "bm25f_topk": q_bm25f_topk,
+        "bm25f_index_topk": q_bm25f_index_topk,
+        "more_like_this": q_more_like_this,
+        "spell_suggest": q_spell_suggest,
+        "phrase_filter_topk": q_phrase_filter_topk,
+        "field_search_topk": q_field_search_topk,
+        "index_stats": q_index_stats,
+        "dedup_components": q_dedup_components,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_shared_shingles": q_dedup_shared_shingles,
+        "op_count": q_op_count,
+        "op_except": q_op_except,
+        "op_cogroup": q_op_cogroup,
+        "op_percentiles": q_op_percentiles,
+        "op_topk_per_group": q_op_topk_per_group,
+        "op_intersect": q_op_intersect,
+        "op_sample": q_op_sample,
+        "tpch_partagg": q_tpch_partagg,
     }
 
 
@@ -1345,36 +1381,34 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
     output). These run in the LOCAL contract gate (tools/check_contract.py
-    merges them) with the same oracles; each was demoted because it is
-    near-redundant with a retained row (op_count ~ op_fold_global/
-    corpus_stats, op_except ~ op_intersect, text_token_estimate ~
-    text_token_count, percentiles/topk_per_group/partagg ~ the retained
-    TPC-H + rollup aggregates, intersect/sample/cogroup ~ ref-unimplemented
-    bonus ops with pytest coverage) so the round-3 serving/catalog rows fit
-    the driver budget."""
+    merges them) with the same oracles. ROUND-4 ROTATION: every row here is
+    driver-green in CORRECTNESS_r03.json — demoted this round so the 23
+    rows that only had local coverage earn driver rows (see the module
+    docstring); union coverage r03 ∪ r04 = all 73."""
     return {
-        "op_count": q_op_count,
-        "op_except": q_op_except,
-        "op_cogroup": q_op_cogroup,
-        "op_percentiles": q_op_percentiles,
-        "op_topk_per_group": q_op_topk_per_group,
-        "op_intersect": q_op_intersect,
-        "op_sample": q_op_sample,
-        "tpch_partagg": q_tpch_partagg,
-        "text_token_estimate": q_text_token_estimate,
-        "text_repetition": q_text_repetition,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        "sample_stratified": q_sample_stratified,
-        "dedup_shared_shingles": q_dedup_shared_shingles,
-        "bm25f_topk": q_bm25f_topk,
-        "quality_bins": q_quality_bins,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_components": q_dedup_components,
-        "index_stats": q_index_stats,
-        "more_like_this": q_more_like_this,
-        "phrase_filter_topk": q_phrase_filter_topk,
-        "field_search_topk": q_field_search_topk,
-        "spell_suggest": q_spell_suggest,
+        "bm25_topk_code": q_bm25_topk_code,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
+        "tokenize_code_tf": q_tokenize_code_tf,
+        "term_df_idf": q_term_df_idf,
+        "prox_bonus": q_prox_bonus,
+        "op_filter_project": q_op_filter_project,
+        "op_foldbykey": q_op_foldbykey,
+        "op_fold_global": q_op_fold_global,
+        "op_join": q_op_join,
+        "op_distinct": q_op_distinct,
+        "op_take_ordered": q_op_take_ordered,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "op_rollup": q_op_rollup,
+        "doc_sha": q_doc_sha,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_ann_topk": q_sim_ann_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_near_dup_pairs": q_sim_near_dup_pairs,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1586,15 +1620,21 @@ hh AS (
 )
 """
 
-_MINHASH16 = (
-    "["
-    + ", ".join(
-        f"list_min(list_transform(h, x -> ({MINHASH_A[j]} * x + {MINHASH_B[j]}) "
-        f"% {MINHASH_P}))"
-        for j in range(16)
+def _minhash_sql(n_hashes: int) -> str:
+    """DuckDB expression for the first ``n_hashes`` CW-family minima over
+    the per-doc base-hash list ``h`` (the engine's frozen constants)."""
+    return (
+        "["
+        + ", ".join(
+            f"list_min(list_transform(h, x -> ({MINHASH_A[j]} * x + {MINHASH_B[j]}) "
+            f"% {MINHASH_P}))"
+            for j in range(n_hashes)
+        )
+        + "]"
     )
-    + "]"
-)
+
+
+_MINHASH16 = _minhash_sql(16)
 
 _LSH_CTES = f"""
 {_HH_CTE},
@@ -2330,8 +2370,10 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
         "text_quality": f"""
             SELECT doc_id,
                    CAST(len(text) AS INT) AS n_chars,
-                   round(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-                         / len(text), 4) AS alpha_ratio,
+                   CASE WHEN len(text) > 0 THEN
+                     round(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                           / len(text), 4)
+                   ELSE 0.0 END AS alpha_ratio,
                    round(CASE WHEN len({_TOK_SQL}) > 0 THEN
                      list_aggregate(list_transform({_TOK_SQL}, t -> len(t)), 'sum') * 1.0
                        / len({_TOK_SQL})
@@ -2339,6 +2381,7 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
             FROM documents
         """,
         "bm25f_topk": _bm25f_oracle(["hash", "join"]),
+        "bm25f_index_topk": _bm25f_oracle(["hash", "join"]),
         "more_like_this": _bm25_sql(
             """q AS (
   SELECT term, 1.0 AS w FROM (
@@ -2402,6 +2445,10 @@ SELECT d.doc_id,
        coalesce(a.shared_shingle_frac, 0.0) AS shared_shingle_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
+        # Store contract (round-4 widths): 64-hash signatures banded 16x4
+        # for candidates; verification by the bottom-128 shingle sketch —
+        # exact Jaccard whenever |A u B| <= 128 distinct shingles, the
+        # bottom-k estimator above. The oracle replays all three tables.
         "dedup_incremental": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -2409,11 +2456,12 @@ WITH corpus AS (
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
 ),
 {_HH_CTE.replace("FROM documents", "FROM corpus")},
-sigl AS (SELECT doc_id, {_MINHASH16} AS g FROM hh),
+sigl AS (SELECT doc_id, {_minhash_sql(64)} AS g FROM hh),
+sk AS (SELECT doc_id, (list_sort(list_distinct(h)))[1:128] AS sk FROM hh),
 bands AS (
   SELECT doc_id, b.band,
          md5(array_to_string(g[b.band*4+1 : b.band*4+4], '|')) AS key
-  FROM sigl, (VALUES (0), (1), (2), (3)) b(band)
+  FROM sigl, (SELECT unnest(range(0, 16)) AS band) b
 ),
 cands AS (
   SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS stored_id
@@ -2421,11 +2469,18 @@ cands AS (
   WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000
 ),
 est AS (
-  SELECT c.new_id, c.stored_id,
-         len(list_filter(range(1, 17), i -> x.g[i] = y.g[i])) / 16.0 AS raw
-  FROM cands c
-  JOIN sigl x ON c.new_id = x.doc_id
-  JOIN sigl y ON c.stored_id = y.doc_id
+  SELECT new_id, stored_id,
+         CASE WHEN len(m) > 0 THEN
+           len(list_filter(m, v -> list_contains(ask, v)
+                                   AND list_contains(bsk, v))) * 1.0 / len(m)
+         ELSE 0.0 END AS raw
+  FROM (
+    SELECT c.new_id, c.stored_id, x.sk AS ask, y.sk AS bsk,
+           (list_sort(list_distinct(x.sk || y.sk)))[1:128] AS m
+    FROM cands c
+    JOIN sk x ON c.new_id = x.doc_id
+    JOIN sk y ON c.stored_id = y.doc_id
+  )
 )
 SELECT new_id, stored_id, round(raw, 4) AS est_jaccard
 FROM est WHERE raw >= 0.5

@@ -35,17 +35,28 @@ published index gets Iceberg's reader/writer isolation instead:
   ``expire(keep_last=k)`` drops old manifests and any data no surviving
   manifest references.
 
-Single-writer, like Iceberg without a catalog service: concurrent
-committers need an external CAS on HEAD. Readers need no coordination at
-any point.
+Concurrency: readers need no coordination at any point (they resolve a
+manifest once and every data file it references is immutable). Writers
+serialize the COMMIT step through a lock file (``{root}/COMMIT_LOCK``,
+O_CREAT|O_EXCL — the filesystem stand-in for Iceberg's catalog CAS) and
+re-derive their metadata against the freshest parent manifest inside the
+critical section (:meth:`SnapshotCatalog._commit_apply`), so a concurrent
+append + delete both land — neither loses the other's segments or delete
+files. Data files get a per-attempt unique suffix so two writers can
+never collide on a path. Operations whose PLAN depends on snapshot state
+(``upsert_files``, ``compact``) cannot be transparently re-derived — they
+raise :class:`ConcurrentCommitError` when the head moved under them and
+the caller retries the whole operation.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -65,6 +76,12 @@ from google_spark.operators.index_build import (
 )
 
 DELETES_SCHEMA = "doc_id long"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """The head snapshot moved between planning and committing an
+    operation whose plan depends on snapshot state (upsert/compact).
+    Retry the whole operation against the new head."""
 
 
 @dataclass
@@ -167,6 +184,71 @@ class SnapshotCatalog:
         """Snapshot history, oldest first (Iceberg ``history()``)."""
         return [self.manifest(v).to_json() for v in self.versions()]
 
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout: float = 300.0, stale_after: float = 3600.0):
+        """Writer mutual exclusion for the commit critical section: an
+        O_CREAT|O_EXCL lock file — the filesystem analog of Iceberg's
+        catalog compare-and-swap. Committing is pure metadata (the heavy
+        Spark work happens BEFORE the lock), so the section is
+        milliseconds. A lock older than ``stale_after`` is presumed
+        orphaned by a crashed holder and broken."""
+        os.makedirs(self.root, exist_ok=True)
+        lock = os.path.join(self.root, "COMMIT_LOCK")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                with contextlib.suppress(FileNotFoundError):
+                    if time.time() - os.path.getmtime(lock) > stale_after:
+                        os.remove(lock)  # crashed holder
+                        continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire {lock} within {timeout}s"
+                    )
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lock)
+
+    def _commit_apply(self, operation: str, apply_fn) -> int:
+        """Commit with writer isolation: under the commit lock, re-read
+        the freshest parent manifest and let ``apply_fn(parent) ->
+        (segments, deletes, summary)`` re-derive the new snapshot's
+        metadata against it — so a concurrent append and delete compose
+        instead of the later commit silently dropping the earlier one's
+        segments/delete files."""
+        with self._commit_lock():
+            os.makedirs(self.meta_dir, exist_ok=True)
+            parent_v = self.head()
+            parent = self.manifest(parent_v) if parent_v is not None else None
+            segments, deletes, summary = apply_fn(parent)
+            v = (max(self.versions()) + 1) if self.versions() else 1
+            m = Manifest(
+                version=v,
+                parent=parent_v,
+                operation=operation,
+                committed_at=time.time(),
+                segments=segments,
+                deletes=deletes,
+                summary=summary,
+            )
+            # manifest first, HEAD flip last: a crash in between leaves an
+            # unreferenced manifest that the next commit supersedes (version
+            # numbers advance past it) and expire() garbage-collects
+            _atomic_write(
+                os.path.join(self.meta_dir, f"v{v:05d}.json"),
+                json.dumps(m.to_json(), indent=1),
+            )
+            _atomic_write(self.head_path, f"v{v:05d}\n")
+            return v
+
     def _commit(
         self,
         operation: str,
@@ -174,31 +256,21 @@ class SnapshotCatalog:
         deletes: list[str],
         summary: dict,
     ) -> int:
-        os.makedirs(self.meta_dir, exist_ok=True)
-        parent = self.head()
-        v = (max(self.versions()) + 1) if self.versions() else 1
-        m = Manifest(
-            version=v,
-            parent=parent,
-            operation=operation,
-            committed_at=time.time(),
-            segments=segments,
-            deletes=deletes,
-            summary=summary,
+        """Parent-independent commit (overwrite/rollback, and ops that
+        already verified the head under their own apply closure)."""
+        return self._commit_apply(
+            operation, lambda parent: (segments, deletes, summary)
         )
-        # manifest first, HEAD flip last: a crash in between leaves an
-        # unreferenced manifest that the next commit supersedes (version
-        # numbers advance past it) and expire() garbage-collects
-        _atomic_write(
-            os.path.join(self.meta_dir, f"v{v:05d}.json"),
-            json.dumps(m.to_json(), indent=1),
-        )
-        _atomic_write(self.head_path, f"v{v:05d}\n")
-        return v
 
     def _new_data_path(self, prefix: str, version: int, suffix: str = "") -> str:
+        """A fresh data path. The version number is a readability hint;
+        the uuid token is the uniqueness guarantee — two concurrent
+        writers (or a crashed attempt and its retry) can never collide on
+        a path, so no writer ever renames onto another's directory."""
         os.makedirs(self.data_dir, exist_ok=True)
-        return os.path.join(self.data_dir, f"{prefix}{version:05d}{suffix}")
+        return os.path.join(
+            self.data_dir, f"{prefix}{version:05d}-{uuid.uuid4().hex[:6]}{suffix}"
+        )
 
     def _write_segment(
         self,
@@ -227,6 +299,14 @@ class SnapshotCatalog:
             keys.select("doc_id", "repo", "path").write.mode("overwrite").parquet(
                 os.path.join(tmp, "keys.parquet")
             )
+        # a crash after a previous attempt's rename but before its manifest
+        # write leaves an orphan dir at this version number; it cannot be
+        # referenced by any manifest (manifests are written only after the
+        # rename succeeds), so clear it — otherwise os.replace onto a
+        # non-empty directory raises ENOTEMPTY and blocks all commits until
+        # expire() runs
+        if os.path.isdir(seg):
+            shutil.rmtree(seg)
         os.replace(tmp, seg)
         return seg
 
@@ -335,22 +415,32 @@ class SnapshotCatalog:
         seg, n_new, new_dl = self._build_segment(
             m, docs, id_col, text_col, mode, stem, n_shards
         )
-        n_docs = int(m.summary["n_docs"]) + n_new
-        total_dl = float(m.summary["total_dl"]) + new_dl
-        summary = {
-            "n_docs": n_docs,
-            "avgdl": (total_dl / n_docs if n_docs else 0.0),
-            "total_dl": total_dl,
-            "n_buckets": int(m.summary["n_buckets"]),
-            "n_deletes": int(m.summary.get("n_deletes", 0)),
-            "n_pending": int(m.summary.get("n_pending", 0)),
-        }
-        return self._commit(
-            "append",
-            m.segments + [os.path.relpath(seg, self.root)],
-            m.deletes,
-            summary,
-        )
+        rel = os.path.relpath(seg, self.root)
+
+        def apply(parent: Manifest | None):
+            # re-derived against the freshest parent under the commit lock:
+            # a concurrent delete's files/counters ride along untouched
+            if parent is None:
+                raise FileNotFoundError(
+                    f"no committed snapshot under {self.root}"
+                )
+            if int(parent.summary["n_buckets"]) != int(m.summary["n_buckets"]):
+                raise ConcurrentCommitError(
+                    "n_buckets changed under this append; retry"
+                )
+            n_docs = int(parent.summary["n_docs"]) + n_new
+            total_dl = float(parent.summary["total_dl"]) + new_dl
+            summary = {
+                "n_docs": n_docs,
+                "avgdl": (total_dl / n_docs if n_docs else 0.0),
+                "total_dl": total_dl,
+                "n_buckets": int(parent.summary["n_buckets"]),
+                "n_deletes": int(parent.summary.get("n_deletes", 0)),
+                "n_pending": int(parent.summary.get("n_pending", 0)),
+            }
+            return parent.segments + [rel], parent.deletes, summary
+
+        return self._commit_apply("append", apply)
 
     def _build_segment(
         self,
@@ -494,12 +584,16 @@ class SnapshotCatalog:
             # bookkeeping), so compaction must not subtract them again
             "n_pending": int(m.summary.get("n_pending", 0)),
         }
-        return self._commit(
-            "upsert",
-            m.segments + [os.path.relpath(seg, self.root)],
-            deletes,
-            summary,
-        )
+        def apply(parent: Manifest | None):
+            # the replaced-set plan was computed against snapshot m; a
+            # head that moved since cannot be transparently re-planned
+            if parent is None or parent.version != m.version:
+                raise ConcurrentCommitError(
+                    "head moved during upsert_files; retry the operation"
+                )
+            return m.segments + [os.path.relpath(seg, self.root)], deletes, summary
+
+        return self._commit_apply("upsert", apply)
 
     def delete_docs(self, doc_ids) -> int:
         """Merge-on-read delete: writes ONE doc_id parquet file and a new
@@ -508,36 +602,45 @@ class SnapshotCatalog:
         of ints or a 1-column DataFrame. Ids must reference live docs (the
         n_docs bookkeeping trusts this, like Iceberg trusts delete files
         to point at real rows)."""
-        m = self.manifest()
         if isinstance(doc_ids, DataFrame):
-            ids = np.array(
+            ids0 = np.array(
                 [r[0] for r in doc_ids.select(doc_ids.columns[0]).collect()],
                 dtype=np.int64,
             )
         else:
-            ids = np.asarray(sorted(doc_ids), dtype=np.int64)
-        ids = np.unique(ids)
-        # already-tombstoned ids are no-ops: keeping them out of the new
-        # file keeps the n_deletes/n_pending counters exact (compaction
-        # subtracts n_pending from n_docs)
-        existing = self.load_deletes()
-        if existing is not None and len(existing):
-            ids = np.setdiff1d(ids, existing)
-        v = (max(self.versions()) + 1) if self.versions() else 1
-        path = self._new_data_path("d", v, ".parquet")
-        _write_delete_file(path, ids)
-        summary = dict(m.summary)
-        summary["n_deletes"] = int(summary.get("n_deletes", 0)) + int(len(ids))
-        # a plain delete leaves n_docs/avgdl frozen (scores of survivors
-        # must not move until compact); n_pending records how many
-        # tombstones compaction still has to subtract from n_docs
-        summary["n_pending"] = int(summary.get("n_pending", 0)) + int(len(ids))
-        return self._commit(
-            "delete",
-            m.segments,
-            m.deletes + [os.path.relpath(path, self.root)],
-            summary,
-        )
+            ids0 = np.asarray(sorted(doc_ids), dtype=np.int64)
+        ids0 = np.unique(ids0)
+
+        def apply(parent: Manifest | None):
+            # re-derived under the commit lock: the already-tombstoned set
+            # comes from the FRESHEST parent (a concurrent delete's ids are
+            # excluded exactly once), and a concurrent append's segments
+            # ride along untouched. Keeping retombstoned ids out of the new
+            # file keeps n_deletes/n_pending exact (compaction subtracts
+            # n_pending from n_docs).
+            if parent is None:
+                raise FileNotFoundError(
+                    f"no committed snapshot under {self.root}"
+                )
+            ids = ids0
+            existing = self.load_deletes(version=parent.version)
+            if existing is not None and len(existing):
+                ids = np.setdiff1d(ids, existing)
+            path = self._new_data_path("d", parent.version + 1, ".parquet")
+            _write_delete_file(path, ids)
+            summary = dict(parent.summary)
+            summary["n_deletes"] = int(summary.get("n_deletes", 0)) + int(len(ids))
+            # a plain delete leaves n_docs/avgdl frozen (scores of survivors
+            # must not move until compact); n_pending records how many
+            # tombstones compaction still has to subtract from n_docs
+            summary["n_pending"] = int(summary.get("n_pending", 0)) + int(len(ids))
+            return (
+                parent.segments,
+                parent.deletes + [os.path.relpath(path, self.root)],
+                summary,
+            )
+
+        return self._commit_apply("delete", apply)
 
     def rollback(self, version: int) -> int:
         """Restore a previous snapshot's state as a NEW head version (the
@@ -661,9 +764,16 @@ class SnapshotCatalog:
             "n_deletes": 0,
             "n_pending": 0,
         }
-        return self._commit(
-            "compact", [os.path.relpath(seg, self.root)], [], summary
-        )
+        def apply(parent: Manifest | None):
+            # the rewrite applied snapshot m's delete files; a head that
+            # moved since (new deletes/segments) needs a fresh compaction
+            if parent is None or parent.version != m.version:
+                raise ConcurrentCommitError(
+                    "head moved during compact; retry the operation"
+                )
+            return [os.path.relpath(seg, self.root)], [], summary
+
+        return self._commit_apply("compact", apply)
 
     def expire(self, keep_last: int = 2) -> list[str]:
         """Drop all but the newest ``keep_last`` manifests, then delete

@@ -22,8 +22,16 @@ plans are cut with localCheckpoint like the PageRank loop
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ComponentsNotConverged(UserWarning):
+    """min-label propagation exhausted max_iter before the checksum
+    fixpoint: some component spans more than max_iter hops and its labels
+    are still split across several values."""
 
 
 def connected_components(
@@ -36,7 +44,15 @@ def connected_components(
     """DataFrame[id, component] for every node appearing in ``edges``
     (undirected; direction of the input pairs is ignored). ``component``
     is the smallest node id in the component — stable across runs,
-    partitionings, and cluster sizes."""
+    partitionings, and cluster sizes.
+
+    Convergence is detected by the label-sum fixpoint; if ``max_iter``
+    rounds exhaust first (a component with diameter > max_iter — e.g. an
+    incrementally drifting boilerplate chain), a
+    :class:`ComponentsNotConverged` warning is emitted and the returned
+    frame carries ``_gs_converged = False``, so callers (cluster_dedup)
+    can raise/retry with a higher budget instead of silently keeping
+    several "canonical" docs from one cluster."""
     sym = edges.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
@@ -54,6 +70,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum: int | None = None
+    converged = False
     for it in range(max_iter):
         nb = (
             sym.join(labels, sym.dst == labels.id)
@@ -74,8 +91,18 @@ def connected_components(
         s = new.agg(F.sum("comp").alias("s")).collect()[0]["s"]
         labels = new
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before the "
+            "label-sum fixpoint; some component's labels are still split "
+            "(raise max_iter — rounds needed = component diameter)",
+            ComponentsNotConverged,
+            stacklevel=2,
+        )
+    labels._gs_converged = converged
     return labels
 
 
@@ -84,14 +111,28 @@ def near_dup_components(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.85,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """DataFrame[doc_id, component] over the MinHash-LSH + exact-Jaccard
     verified near-dup graph. Docs with no near-dup partner do not appear
-    (their implicit component is themselves)."""
-    from google_spark.operators.dedup import minhash_near_dups
+    (their implicit component is themselves). ``n_hashes``/``n_bands``
+    tune LSH candidate recall: the defaults (16/4 = 4 rows per band) suit
+    threshold >= ~0.8; a LOW threshold needs more, narrower bands (recall
+    at Jaccard j is 1-(1-j^(n_hashes/n_bands))^n_bands)."""
+    from google_spark.operators.dedup import (
+        DEFAULT_N_BANDS,
+        DEFAULT_N_HASHES,
+        minhash_near_dups,
+    )
 
     pairs = minhash_near_dups(
-        docs, id_col=id_col, text_col=text_col, threshold=threshold
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        n_hashes=n_hashes or DEFAULT_N_HASHES,
+        n_bands=n_bands or DEFAULT_N_BANDS,
     )
     return connected_components(pairs).select(
         F.col("id").alias(id_col), "comp"
@@ -103,6 +144,8 @@ def cluster_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.85,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Keep ONE canonical doc (the minimum id) per near-dup cluster —
     the transitive-closure-correct alternative to pairwise loser
@@ -110,7 +153,12 @@ def cluster_dedup(
     set (non-canonical members) is fixed-width ids, tiny next to the
     corpus."""
     comp = near_dup_components(
-        docs, id_col=id_col, text_col=text_col, threshold=threshold
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
     )
     losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return docs.join(losers, id_col, "left_anti")

@@ -40,16 +40,35 @@ DEFAULT_SHINGLE_K = 3
 
 # Carter-Wegman family constants (fixed; generated once from a seeded PRNG
 # and frozen as literals so every engine — and the DuckDB oracle — agrees).
+# Entries 0-15 are the original batch-path family; 16-63 extend it for the
+# 64-hash signature STORE (prefix-compatible: a 16-hash signature is the
+# first 16 positions of the 64-hash one).
 MINHASH_P = 2_147_483_647  # 2^31 - 1
 MINHASH_A = (
     2029167940, 1342382292, 1469265226, 1926751965, 1241873584, 1665772334,
     1790251936, 483628758, 119253155, 644602188, 612176794, 1875941738,
     1959843383, 11307155, 1073283950, 1763574598,
+    717395972, 227487307, 1317400627, 962475872, 1929947870, 490618752,
+    462240092, 1284645891, 1090413249, 1431529136, 654862387, 1421535056,
+    1312774056, 1680807097, 1057614984, 1817001456, 1535836188, 1646208547,
+    744079161, 1331840080, 1668092632, 501261842, 1205741253, 593391867,
+    536835373, 1333968182, 223266993, 1939989308, 16884942, 1507214982,
+    572961412, 952484497, 2018947291, 238894631, 1519938847, 214853841,
+    1735374080, 359876977, 2066700138, 924564047, 1616274143, 2039551487,
+    447338296, 1521965085, 1294810733, 1003592888, 1976015157, 1381757533,
 )
 MINHASH_B = (
     282266798, 1711693563, 255728784, 1004882659, 1753345571, 650757180,
     733587778, 597914448, 1545052023, 547328271, 2126996168, 955794088,
     1026816910, 1083509134, 1251001413, 1188626511,
+    456734524, 1316604184, 887045627, 1017798507, 1439752871, 13403355,
+    494141924, 1415383313, 456018594, 59986148, 489290040, 402463332,
+    881224030, 1727121847, 50436714, 1971699572, 1913778878, 708684055,
+    494048335, 992615489, 640597677, 1110656760, 1543693693, 1136739902,
+    69115120, 2085371932, 1258455019, 1341578368, 202912568, 1449657543,
+    1583937632, 1647552084, 496155237, 255442418, 1019696100, 1835276603,
+    1797244302, 2051270255, 996033225, 1788833758, 486240459, 1494685296,
+    1973106612, 429694467, 1671185418, 1640861949, 814800048, 1303717211,
 )
 
 
@@ -563,21 +582,107 @@ def cross_doc_shingle_frac(
     )
 
 
+# Signature-store defaults. 64 hashes (vs the batch path's 16) bring the
+# MinHash estimate's quantization step to 1/64 and its std near j=0.85 to
+# ~0.045; 16 bands x 4 rows keep per-band collision probability j^4 (same
+# row width as the batch LSH), so candidate recall at j=0.85 is
+# 1-(1-0.85^4)^16 ~= 0.999999. The bottom-k shingle sketch is the
+# VERIFICATION table: for a pair whose union of distinct shingles fits in
+# k (|A u B| <= k) the sketch estimate IS exact Jaccard; above that it is
+# the standard bottom-k estimator with std ~= sqrt(j(1-j)/k) (~0.03 at
+# k=128 near j=0.85).
+STORE_N_HASHES = 64
+STORE_N_BANDS = 16
+STORE_SKETCH_K = 128
+
+
+def bottomk_sketches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = STORE_SKETCH_K,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """DataFrame[doc_id, sketch: array<bigint>] — the ``k`` smallest
+    distinct shingle base-hash values per doc (ascending). Computed
+    entirely SCAN-SIDE (tokens -> shingles -> md5 base hashes -> sort ->
+    slice are all per-row JVM expressions), so unlike a
+    collect_set-per-doc aggregation this shuffles nothing: the exchange
+    downstream of it (if any) carries at most k int64s per doc. Docs with
+    no shingles get an empty sketch (they can't near-duplicate anything at
+    this shingle size and never band-collide either)."""
+    tk = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk"))
+    sh = shingles_col(F.col("tk"), k=shingle_k)
+    xs = F.transform(
+        F.array_distinct(sh),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+    return tk.select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(xs)), 1, k).alias("sketch"),
+    )
+
+
+def sketch_jaccard_col(a, b, k: int = STORE_SKETCH_K):
+    """Bottom-k Jaccard estimate between two ascending sketch arrays:
+    ``|S_k(A u B) ∩ A ∩ B| / |S_k(A u B)|`` — exact when ``|A u B| <= k``
+    (both sketches then hold their doc's FULL distinct-shingle-hash set)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    m = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    inter = F.array_intersect(F.array_intersect(m, a), b)
+    return F.when(
+        F.size(m) > 0, F.size(inter).cast("double") / F.size(m)
+    ).otherwise(F.lit(0.0))
+
+
+def _store_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_store_meta.json")
+
+
+def _read_store_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    p = _store_meta_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def write_signature_store(
     docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = DEFAULT_N_HASHES,
-    n_bands: int = DEFAULT_N_BANDS,
+    n_hashes: int = STORE_N_HASHES,
+    n_bands: int = STORE_N_BANDS,
+    sketch_k: int = STORE_SKETCH_K,
     mode: str = "overwrite",
 ) -> None:
-    """Persist the corpus's MinHash signatures for INCREMENTAL dedup:
-    ``{path}/sigs.parquet`` (doc_id, sig) and ``{path}/bands.parquet``
-    (doc_id, band, key) partitioned by band. A growing corpus never
-    re-reads or re-shingles old text — each new batch probes these
-    fixed-width tables (``incremental_near_dups``) and appends its own
-    rows (``mode="append"``)."""
+    """Persist the corpus's near-dup state for INCREMENTAL dedup:
+    ``{path}/sigs.parquet`` (doc_id, sig), ``{path}/bands.parquet``
+    (doc_id, band, key) partitioned by band, and ``{path}/sketches.parquet``
+    (doc_id, bottom-``sketch_k`` shingle sketch — the verification table).
+    A growing corpus never re-reads or re-shingles old text — each new
+    batch probes these fixed-width tables (``incremental_near_dups``) and
+    appends its own rows (``mode="append"``). The store's widths are
+    pinned in ``_store_meta.json`` at creation; appends with mismatched
+    widths raise (mixed-width signatures would silently corrupt every
+    downstream estimate)."""
+    import json
+
+    meta = _read_store_meta(path)
+    want = {"n_hashes": n_hashes, "n_bands": n_bands, "sketch_k": sketch_k}
+    if mode == "append" and meta is not None and meta != want:
+        raise ValueError(
+            f"signature store at {path} was created with {meta}; "
+            f"appending with {want} would mix incompatible widths"
+        )
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes
     )
@@ -586,6 +691,17 @@ def write_signature_store(
     _band_rows(sigs, id_col="doc_id", n_bands=n_bands).withColumnRenamed(
         "id", "doc_id"
     ).write.mode(mode).partitionBy("band").parquet(f"{path}/bands.parquet")
+    # a doc has a signature iff it has >= 1 shingle iff its sketch is
+    # non-empty: the size filter keeps the tables doc-aligned without a join
+    bottomk_sketches(docs, id_col=id_col, text_col=text_col, k=sketch_k).filter(
+        F.size("sketch") > 0
+    ).write.mode(mode).parquet(f"{path}/sketches.parquet")
+    import os
+
+    tmp = _store_meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, _store_meta_path(path))
 
 
 def incremental_near_dups(
@@ -594,8 +710,8 @@ def incremental_near_dups(
     threshold: float = 0.85,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = DEFAULT_N_HASHES,
-    n_bands: int = DEFAULT_N_BANDS,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """DataFrame[new_id, stored_id, est_jaccard] — near-dups of an
@@ -603,14 +719,26 @@ def incremental_near_dups(
     touching any stored text. Candidates come from a (band, key)
     equi-join of the batch's bands against the store (Exchange carries
     fixed-width keys; ``max_bucket`` caps viral store buckets exactly as
-    in :func:`lsh_candidate_pairs`); verification is the MinHash
-    ESTIMATE — the fraction of agreeing signature positions, an unbiased
-    Jaccard estimator with std ~= sqrt(j(1-j)/n_hashes) (~0.09 at 16
-    hashes around j=0.5) — because exact Jaccard would need the stored
-    shingles. Callers needing exact verification join the returned pairs
-    back to their text archive; the batch pipeline (minhash_near_dups)
-    stays the exact path."""
+    in :func:`lsh_candidate_pairs`).
+
+    Verification semantics: when the store carries the bottom-k shingle
+    sketch table (every store written by the current
+    :func:`write_signature_store` does), ``est_jaccard`` is the bottom-k
+    estimate — EXACT Jaccard whenever the pair's union of distinct
+    shingles fits in ``sketch_k`` (typical documents at the default
+    k=128), and a sqrt(j(1-j)/k)-std estimate above that — so
+    ``>= threshold`` means what it says instead of the old 16-hash
+    estimate's k/16 quantization (where 0.85 silently meant 14/16 =
+    0.875). Legacy sketch-less stores fall back to the signature-agreement
+    estimate with its documented quantization (step 1/n_hashes). The
+    batch pipeline (minhash_near_dups) remains the exact-Jaccard path."""
+    import os
+
     spark = new_docs.sparkSession
+    meta = _read_store_meta(store_path) or {}
+    n_hashes = n_hashes or int(meta.get("n_hashes", DEFAULT_N_HASHES))
+    n_bands = n_bands or int(meta.get("n_bands", DEFAULT_N_BANDS))
+    sketch_k = int(meta.get("sketch_k", STORE_SKETCH_K))
     new_sigs = minhash_signatures(
         new_docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes
     ).select(F.col("doc_id").alias("new_id"), F.col("sig").alias("nsig"))
@@ -630,32 +758,87 @@ def incremental_near_dups(
         .select("new_id", F.col("doc_id").alias("stored_id"))
         .distinct()
     )
-    stored_sigs = (
-        spark.read.parquet(f"{store_path}/sigs.parquet")
-        .join(
-            cands.select(F.col("stored_id").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_semi",
+    use_sketches = os.path.isdir(f"{store_path}/sketches.parquet")
+    if use_sketches:
+        new_side = bottomk_sketches(
+            new_docs, id_col=id_col, text_col=text_col, k=sketch_k
+        ).select(F.col("doc_id").alias("new_id"), F.col("sketch").alias("nsk"))
+        stored_side = (
+            spark.read.parquet(f"{store_path}/sketches.parquet")
+            .join(
+                cands.select(F.col("stored_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            .select(F.col("doc_id").alias("stored_id"), F.col("sketch").alias("osk"))
+            # an at-least-once appender (streaming restarts) may have
+            # written a doc's rows twice; identical rows, but without the
+            # distinct the verify join would emit duplicate output pairs
+            .distinct()
         )
-        .select(F.col("doc_id").alias("stored_id"), F.col("sig").alias("osig"))
-        # an at-least-once appender (streaming restarts) may have written a
-        # doc's signature twice; identical rows, but without the distinct
-        # the estimate join would emit duplicate output pairs
-        .distinct()
-    )
-    agree = F.aggregate(
-        F.zip_with("nsig", "osig", lambda a, b: (a == b).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+        est = sketch_jaccard_col("nsk", "osk", k=sketch_k)
+    else:
+        new_side = new_sigs
+        stored_side = (
+            spark.read.parquet(f"{store_path}/sigs.parquet")
+            .join(
+                cands.select(F.col("stored_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            .select(F.col("doc_id").alias("stored_id"), F.col("sig").alias("osig"))
+            .distinct()
+        )
+        agree = F.aggregate(
+            F.zip_with("nsig", "osig", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        est = agree / F.lit(float(n_hashes))
     return (
-        cands.join(new_sigs, "new_id")
-        .join(stored_sigs, "stored_id")
-        .select(
-            "new_id",
-            "stored_id",
-            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
-        )
+        cands.join(new_side, "new_id")
+        .join(stored_side, "stored_id")
+        .select("new_id", "stored_id", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "stored_id", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
+
+
+def compact_signature_store(spark: SparkSession, path: str) -> dict:
+    """Rewrite the signature store dropping duplicate rows — the
+    ``rewrite_data_files`` analog for the store. An at-least-once appender
+    (streaming restarts) re-writes identical (doc_id, ...) rows; they are
+    semantically harmless (every probe distincts) but the store grows
+    without bound and every epoch's bucket-count aggregate re-scans the
+    duplicates. Compaction rewrites each table to its distinct rows (one
+    shuffle per table over fixed-width rows), preserving the bands
+    table's ``band`` partitioning, via write-to-tmp + atomic directory
+    swap so a concurrent reader resolves either the old or the new layout
+    wholesale. Returns {"docs": n, "band_rows": n, "sketch_rows": n}."""
+    import os
+    import shutil
+
+    stats = {"docs": 0, "band_rows": 0, "sketch_rows": 0}
+    for name, part_by, out_key in (
+        ("sigs", None, "docs"),
+        ("bands", "band", "band_rows"),
+        ("sketches", None, "sketch_rows"),
+    ):
+        src = os.path.join(path, f"{name}.parquet")
+        if not os.path.isdir(src):
+            continue
+        tmp = src + ".compact_tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        w = spark.read.parquet(src).distinct().write.mode("overwrite")
+        if part_by:
+            w = w.partitionBy(part_by)
+        w.parquet(tmp)
+        stats[out_key] = spark.read.parquet(tmp).count()
+        old = src + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.replace(src, old)
+        os.replace(tmp, src)
+        shutil.rmtree(old)
+    return stats

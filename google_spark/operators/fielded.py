@@ -1,0 +1,243 @@
+"""Fielded postings: per-field inverted indexes + index-served BM25F.
+
+``ranking.bm25f_topk`` is the batch/offline BM25F scorer — two full corpus
+scans per query. That is the wrong cost model for interactive field-weighted
+search at 10^12 files, so this module builds PER-FIELD posting lists with
+the same codec, sharding, and bucket layout as the main index
+(operators/index_build.py) and answers BM25F queries on the PRUNED index
+path: per query term, decode that term's postings from each field's index
+(tb-bucket partition pruning applies per field exactly as for plain BM25),
+combine the per-field weighted tf contributions BEFORE the k1 saturation
+(Robertson/Zaragoza BM25F — the principled generalization of the
+reference's flat additive title boost, ref:
+src/cis5550/jobs/RankScore.java:51-60), and top-k.
+
+Plan shape of :func:`bm25f_index_topk`:
+
+    per field: pruned postings scan -> mapInPandas decode
+        -> (term, doc_id, weighted per-field tf component)   [no shuffle]
+    union -> groupBy(doc_id, term) sum -> tfw                [1 exchange,
+                                       rows bounded by candidate postings]
+    -> per-term (qf * idf) literal map -> groupBy(doc_id) sum
+    -> TakeOrderedAndProject
+
+Cost is proportional to the query terms' posting lists — the same scale
+contract as wand/exhaustive — instead of the corpus. Parity with the scan
+path is pytest-pinned (test_ranking) and oracle-checked (bm25f_index_topk
+gate row reuses the bm25f_topk DuckDB oracle verbatim).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_spark.operators.index_build import (
+    IndexTables,
+    build_index,
+    read_index,
+    write_index,
+)
+
+BM25F_W_TITLE = 2.0
+BM25F_W_BODY = 1.0
+BM25F_K1 = 1.2
+BM25F_B = 0.75
+
+
+@dataclass
+class FieldedIndex:
+    """Per-field IndexTables over one document universe. ``n_docs`` is the
+    shared corpus size (every field index was finalized against it, so a
+    doc with an empty field still counts toward that field's avgdl
+    denominator — matching ranking.bm25f_topk's corpus-wide averages)."""
+
+    fields: dict[str, IndexTables]
+    n_docs: int
+
+
+def build_fielded_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    n_shards: int = 8,
+) -> FieldedIndex:
+    """Build (title, body) field indexes in two build passes. The title is
+    the docstore first-non-empty-line heuristic (D1); the body is the full
+    text (the title line is part of the document, exactly as in
+    ranking.bm25f_topk). The title pass tokenizes ~one line per doc, so
+    its cost is a small fraction of the body pass."""
+    from google_spark.operators.docstore import title_col
+
+    total = docs.count()
+    body = build_index(
+        spark, docs, id_col=id_col, text_col=text_col, mode=mode,
+        n_shards=n_shards, total_docs=total,
+    )
+    title_docs = docs.select(
+        F.col(id_col), title_col(text_col).alias("_title_text")
+    )
+    title = build_index(
+        spark, title_docs, id_col=id_col, text_col="_title_text", mode=mode,
+        n_shards=n_shards, total_docs=total,
+    )
+    return FieldedIndex(fields={"title": title, "body": body}, n_docs=total)
+
+
+def write_fielded_index(findex: FieldedIndex, out_dir: str) -> None:
+    """Persist every field under ``{out_dir}/field={name}`` with the same
+    bucket-partitioned layout as write_index, so per-field point reads and
+    tb pruning work unchanged."""
+    for name, idx in findex.fields.items():
+        write_index(idx, f"{out_dir}/field={name}")
+
+
+def read_fielded_index(spark: SparkSession, out_dir: str) -> FieldedIndex:
+    import os
+
+    fields = {}
+    for entry in sorted(os.scandir(out_dir), key=lambda e: e.name):
+        if entry.is_dir() and entry.name.startswith("field="):
+            fields[entry.name.split("=", 1)[1]] = read_index(spark, entry.path)
+    if not fields:
+        raise FileNotFoundError(f"no field=* index dirs under {out_dir}")
+    n_docs = next(iter(fields.values())).n_docs
+    return FieldedIndex(fields=fields, n_docs=n_docs)
+
+
+def _field_component_rows(
+    idx: IndexTables, terms: list[str], w_f: float, b_f: float
+) -> DataFrame:
+    """(term, doc_id, comp) rows for one field: comp is the field's
+    weighted, length-normalized tf contribution
+    ``w_f * tf / ((1-b_f) + b_f * dl / avgdl_f)`` — decoded straight off
+    the pruned postings scan, no shuffle (float op order mirrors
+    ranking.bm25f_topk / the DuckDB oracle exactly)."""
+    from google_spark.functions.codec import (
+        decode_postings_arrays,
+        not_deleted_mask,
+    )
+
+    avgdl = idx.avgdl
+    deletes = idx.deletes
+    matching = idx.matching(terms).select("term", "postings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t_out, d_out, c_out = [], [], []
+            for term, blob in zip(pdf["term"].values, pdf["postings"].values):
+                docs, tfs, dls = decode_postings_arrays(bytes(blob))
+                if deletes is not None and len(deletes):
+                    keep = not_deleted_mask(docs, deletes)
+                    docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                if not len(docs):
+                    continue
+                comp = (
+                    w_f
+                    * tfs.astype(np.float64)
+                    / ((1.0 - b_f) + b_f * dls.astype(np.float64) / avgdl)
+                )
+                t_out.append(np.full(len(docs), term, dtype=object))
+                d_out.append(docs)
+                c_out.append(comp)
+            if d_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(t_out),
+                        "doc_id": pd.Series(
+                            np.concatenate(d_out), dtype="int64"
+                        ),
+                        "comp": pd.Series(
+                            np.concatenate(c_out), dtype="float64"
+                        ),
+                    }
+                )
+
+    return matching.mapInPandas(gen, schema="term string, doc_id long, comp double")
+
+
+def bm25f_index_topk(
+    findex: FieldedIndex,
+    query: str,
+    k: int = 10,
+    w_title: float = BM25F_W_TITLE,
+    w_body: float = BM25F_W_BODY,
+    k1: float = BM25F_K1,
+    b_title: float = BM25F_B,
+    b_body: float = BM25F_B,
+) -> DataFrame:
+    """DataFrame[doc_id, score] — BM25F top-k from the FIELDED INDEX,
+    rank- and score-identical to ranking.bm25f_topk over the same corpus
+    (same field weights, same float op order; per-term idf uses the exact
+    document frequency of "term appears in ANY field", computed from the
+    decoded candidate relation)."""
+    import math
+    from collections import Counter
+
+    from google_spark.operators.ranking import normalize_query
+
+    some_idx = next(iter(findex.fields.values()))
+    spark = some_idx.postings.sparkSession
+    terms = normalize_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qf = Counter(terms)
+    uniq = sorted(qf)
+
+    weights = {"title": (w_title, b_title), "body": (w_body, b_body)}
+    parts = []
+    for name, idx in findex.fields.items():
+        w_f, b_f = weights.get(name, (1.0, 0.75))
+        if idx.avgdl <= 0:
+            continue  # all-empty field contributes 0 (matches the scan path)
+        parts.append(_field_component_rows(idx, uniq, w_f, b_f))
+    if not parts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    decoded = parts[0]
+    for p in parts[1:]:
+        decoded = decoded.unionByName(p)
+
+    # pre-saturation field combination: one exchange keyed (doc_id, term),
+    # rows bounded by the query terms' candidate postings
+    tfw_rel = (
+        decoded.groupBy("doc_id", "term")
+        .agg(F.sum("comp").alias("tfw"))
+        .persist()
+    )
+    # exact fielded df: docs where the term appears in ANY field — the
+    # (doc, term) relation above is already distinct by construction
+    df_rows = tfw_rel.groupBy("term").agg(F.count("*").alias("df")).collect()
+    n = findex.n_docs
+    widf = {
+        r["term"]: float(qf[r["term"]])
+        * math.log((n - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5) + 1.0)
+        for r in df_rows
+    }
+    wmap = F.create_map(
+        *[x for t in sorted(widf) for x in (F.lit(t), F.lit(widf[t]))]
+    )
+    scored = tfw_rel.select(
+        "doc_id",
+        (wmap[F.col("term")] * F.col("tfw") / (F.lit(k1) + F.col("tfw"))).alias(
+            "s"
+        ),
+    )
+    out = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    rows = out.collect()
+    tfw_rel.unpersist()
+    return spark.createDataFrame(
+        rows or [], "doc_id long, score double"
+    )

@@ -322,7 +322,14 @@ def write_index(
     query-time term filters prune directories (Iceberg-style bucket
     partitioning without a catalog). The atomic-publish analog of the
     reference's index2->index rename (ref: src/cis5550/jobs/
-    Indexer.java:245-246) is parquet's atomic directory commit."""
+    Indexer.java:245-246) is parquet's atomic directory commit.
+
+    Merge-on-read deletes travel with the bundle: a snapshot read from the
+    catalog (operators.catalog) may carry tombstoned doc_ids whose postings
+    are still in the blobs — those are persisted as ``deletes.parquet`` and
+    restored by :func:`read_index`, so a published bundle can never
+    resurrect deleted documents (compact() first if you want a
+    tombstone-free bundle)."""
     (
         # repartition on (tb, term), not tb alone: directories still split
         # by bucket, but write parallelism is the shuffle-partition count
@@ -334,15 +341,37 @@ def write_index(
         .parquet(f"{out_dir}/postings.parquet")
     )
     index.terms.write.mode("overwrite").parquet(f"{out_dir}/terms.parquet")
-    index.postings.sparkSession.createDataFrame(
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
         [(index.n_docs, index.avgdl, n_buckets)],
         "n_docs long, avgdl double, n_buckets int",
     ).write.mode("overwrite").parquet(f"{out_dir}/stats.parquet")
+    if index.deletes is not None and len(index.deletes):
+        spark.createDataFrame(
+            [(int(x),) for x in index.deletes], "doc_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/deletes.parquet"
+        )
 
 
 def read_index(spark: SparkSession, out_dir: str) -> IndexTables:
+    import os
+
+    import numpy as np
+
     stats = spark.read.parquet(f"{out_dir}/stats.parquet").collect()[0]
     row = stats.asDict()
+    deletes = None
+    del_p = f"{out_dir}/deletes.parquet"
+    if os.path.isdir(del_p):
+        import pyarrow.parquet as pq
+
+        deletes = np.unique(
+            pq.read_table(del_p, columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+            .astype(np.int64)
+        )
     return IndexTables(
         postings=spark.read.parquet(f"{out_dir}/postings.parquet"),
         terms=spark.read.parquet(f"{out_dir}/terms.parquet"),
@@ -350,6 +379,7 @@ def read_index(spark: SparkSession, out_dir: str) -> IndexTables:
         avgdl=float(row["avgdl"]),
         n_buckets=int(row.get("n_buckets") or 0) or None,
         disk_path=out_dir,
+        deletes=deletes,
     )
 
 

@@ -98,10 +98,16 @@ def quality_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, n_chars, alpha_ratio, mean_token_len) — the length/charset
-    heuristics a pretraining filter runs before anything expensive."""
+    heuristics a pretraining filter runs before anything expensive.
+    alpha_ratio is 0.0 (not NULL) for empty/NULL documents, so a
+    ``>= min_quality`` gate drops them explicitly rather than silently via
+    NULL-comparison semantics."""
     toks = tokens_col(text_col)
     n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
     n_chars = F.length(text_col)
+    alpha = F.when(
+        n_chars > 0, F.round(n_alpha.cast("double") / n_chars, 4)
+    ).otherwise(F.lit(0.0))
     mean_tok = F.when(
         F.size(toks) > 0,
         F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
@@ -110,7 +116,7 @@ def quality_scores(
     return docs.select(
         id_col,
         n_chars.alias("n_chars"),
-        F.round(n_alpha.cast("double") / n_chars, 4).alias("alpha_ratio"),
+        alpha.alias("alpha_ratio"),
         F.round(mean_tok, 4).alias("mean_token_len"),
     )
 

@@ -198,6 +198,10 @@ class SearchEngine:
         self._docs_path: str | None = None
         self._meta_ds = None  # memoized pyarrow datasets
         self._docs_ds = None
+        # set by from_catalog(): snapshot source for staleness checks
+        self._catalog = None
+        self._catalog_spark: SparkSession | None = None
+        self._catalog_version: int | None = None
 
     # -- construction -----------------------------------------------------
 
@@ -247,6 +251,58 @@ class SearchEngine:
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")
         )
         return cls(index, ranks, doc_meta, docs, mode=mode)
+
+    @classmethod
+    def from_catalog(
+        cls,
+        spark: SparkSession,
+        catalog,
+        ranks: DataFrame | dict[str, float] | None = None,
+        doc_meta: DataFrame | None = None,
+        docs: DataFrame | None = None,
+        mode: str = "simple",
+        word_vectors: DataFrame | None = None,
+    ) -> "SearchEngine":
+        """Serve the HEAD snapshot of a SnapshotCatalog, tracking its
+        version: every public query entry point first stats the catalog's
+        HEAD (one tiny file read — the Iceberg refresh()-on-access analog)
+        and, when a writer has committed since this engine resolved its
+        snapshot, re-resolves the index and drops every derived cache
+        (trie/vocab/suggester/result/postings) — so autocomplete and
+        suggest can never silently miss terms an append just indexed."""
+        eng = cls(
+            catalog.read(spark), ranks, doc_meta, docs,
+            mode=mode, word_vectors=word_vectors,
+        )
+        eng._catalog = catalog
+        eng._catalog_spark = spark
+        eng._catalog_version = catalog.head()
+        return eng
+
+    def refresh(self) -> None:
+        """Drop every derived cache (results, decoded postings, vocab,
+        trie, suggester, synonym table, autocomplete memos); catalog-backed
+        engines also re-resolve the HEAD snapshot. Call after the
+        underlying index/meta tables changed out from under the engine."""
+        if self._catalog is not None:
+            self.index = self._catalog.read(self._catalog_spark)
+            self._catalog_version = self._catalog.head()
+        self._cache.clear()
+        self._postings_cache.clear()
+        self._trie = None
+        self._trie_complete = False
+        self._vocab = None
+        self._suggester = None
+        self._syn = None
+        self._idf_cache.clear()
+        self._scan_cache.clear()
+
+    def _maybe_refresh(self) -> None:
+        if (
+            self._catalog is not None
+            and self._catalog.head() != self._catalog_version
+        ):
+            self.refresh()
 
     def save(self, out_dir: str) -> None:
         """Publish the full serving bundle: bucket-partitioned postings
@@ -385,6 +441,7 @@ class SearchEngine:
         window (>= 10*k results) is servable — not just page 1. Snippets
         are attached lazily per page and stick to the cached rows, so a
         cache hit with snippets stays a pure driver-memory operation."""
+        self._maybe_refresh()
         page_size = page_size or k
         # snippets deliberately NOT part of the identity: the ranked list
         # is the same either way, and snippets attach to the cached rows on
@@ -440,6 +497,7 @@ class SearchEngine:
         results carry repo/path/title/priority, the result cache applies,
         and on a published bundle the text fetch is a pyarrow point read.
         Unknown or empty docs return []."""
+        self._maybe_refresh()
         from collections import Counter
 
         from google_spark.functions.tokenizer import tokenize
@@ -657,6 +715,7 @@ class SearchEngine:
         Spark jobs per call (see operators/spelling.py; the distributed
         exact path is :func:`suggest_distributed`). Known terms produce
         no entry, so an empty dict means the query is spelled fine."""
+        self._maybe_refresh()
         from google_spark.operators.spelling import NgramSuggester
 
         if self._suggester is None:
@@ -680,6 +739,7 @@ class SearchEngine:
         10^9 docs would not fit); high-df terms are also the completions a
         user actually wants. Prefixes the capped trie can't serve fall back
         to :meth:`autocomplete_scan`."""
+        self._maybe_refresh()
         if self._trie is None:
             self._trie = _Trie()
             top = self._top_vocab()

@@ -335,14 +335,20 @@ def streaming_near_dedup(
     threshold: float = 0.85,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lsh_hashes: int | None = None,
+    lsh_bands: int | None = None,
 ):
     """foreachBatch NEAR-dedup for an ingest stream: each micro-batch is
-    (a) near-deduped within itself (MinHash+LSH, exact-Jaccard verified,
-    larger id dropped), (b) probed against the persisted signature store
-    (``operators.dedup.incremental_near_dups`` — stored text never
-    re-read) and matching docs dropped, then (c) survivors are written to
-    ``{out_dir}/epoch=N`` and their signatures appended to the store, so
-    later epochs dedup against everything that survived before them.
+    (a) near-deduped within itself CLUSTER-CANONICALLY (MinHash+LSH,
+    exact-Jaccard verified, connected components over the verified pair
+    graph, keep the minimum id per component — so a chain A~B~C keeps
+    exactly A, where pairwise larger-id dropping would also lose C whose
+    only match was the already-dropped B), (b) probed against the
+    persisted signature store (``operators.dedup.incremental_near_dups``
+    — stored text never re-read; bottom-k-sketch verified) and matching
+    docs dropped, then (c) survivors are written to ``{out_dir}/epoch=N``
+    and their signatures appended to the store, so later epochs dedup
+    against everything that survived before them.
 
     Restart semantics: per-epoch output paths are overwritten, so a
     replayed epoch rewrites the same files; signature appends are
@@ -359,9 +365,9 @@ def streaming_near_dedup(
 
     from pyspark.sql import functions as F
 
+    from google_spark.operators.components import cluster_dedup
     from google_spark.operators.dedup import (
         incremental_near_dups,
-        minhash_near_dups,
         write_signature_store,
     )
 
@@ -369,11 +375,17 @@ def streaming_near_dedup(
         if batch_df.isEmpty():
             return
         batch = batch_df.persist()
-        pairs = minhash_near_dups(
-            batch, id_col=id_col, text_col=text_col, threshold=threshold
+        # within-batch: one canonical survivor (min id) per near-dup
+        # CLUSTER — the same components.cluster_dedup the batch pipeline's
+        # --cluster-dedup flag uses, so streaming and batch agree on chains
+        batch = cluster_dedup(
+            batch,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            n_hashes=lsh_hashes,
+            n_bands=lsh_bands,
         )
-        losers = pairs.select(F.col("b").alias(id_col)).distinct()
-        batch = batch.join(losers, id_col, "left_anti")
         store_exists = _os.path.isdir(f"{store_path}/sigs.parquet")
         if store_exists:
             hits = incremental_near_dups(

@@ -206,9 +206,10 @@ def test_expire_keeps_head_and_gcs_data(spark, identified, tmp_path):
     assert cat.head() == 3 and cat.versions() == [3]
     assert any(p.startswith("meta/") for p in removed)
     assert any("b99999.tmp" in p for p in removed)
-    # v1's segment is gone (only v3's compacted segment survives)
+    # v1's segment is gone (only v3's compacted segment survives; data
+    # paths carry a per-attempt uniquifying suffix after the prefix)
     live = {e.name for e in os.scandir(cat.data_dir)}
-    assert live == {f"b{3:05d}"}
+    assert len(live) == 1 and next(iter(live)).startswith(f"b{3:05d}")
     with pytest.raises(FileNotFoundError):
         cat.manifest(1)
     # head still serves, deletions still applied
@@ -381,3 +382,137 @@ def test_search_engine_over_catalog_snapshot(spark, identified, tmp_path):
     assert [(r.doc_id, r.priority) for r in again] == [
         (r.doc_id, r.priority) for r in got
     ]
+
+
+def test_write_index_preserves_mor_deletes(spark, identified, tmp_path):
+    """ADVICE r3: publishing a bundle from a snapshot that carries
+    merge-on-read delete files must NOT resurrect the tombstoned docs —
+    write_index persists deletes.parquet and read_index restores it, so
+    the loaded engine masks them on every path (including the pyarrow
+    point-read serving tier)."""
+    from google_spark.operators.index_build import read_index, write_index
+
+    cat = _mk_catalog(tmp_path, spark, identified)
+    before = wand_topk(cat.read(spark), QUERY, k=10).collect()
+    victims = [r["doc_id"] for r in before[:3]]
+    cat.delete_docs(victims)
+
+    out = str(tmp_path / "bundle")
+    snap = cat.read(spark)
+    write_index(snap, out)
+    loaded = read_index(spark, out)
+    assert loaded.deletes is not None
+    assert sorted(loaded.deletes.tolist()) == sorted(victims)
+    for ids in (
+        [r["doc_id"] for r in wand_topk(loaded, QUERY, k=10).collect()],
+        _local_ids(loaded),  # pyarrow point-read path
+    ):
+        assert ids and not set(ids) & set(victims)
+
+    # a compacted snapshot publishes a tombstone-free bundle (no sidecar)
+    cat.compact(spark)
+    out2 = str(tmp_path / "bundle2")
+    write_index(cat.read(spark), out2)
+    assert not os.path.isdir(os.path.join(out2, "deletes.parquet"))
+    assert read_index(spark, out2).deletes is None
+
+
+def test_search_engine_save_load_preserves_deletes(spark, identified, tmp_path):
+    """SearchEngine.save on a MOR snapshot round-trips the delete mask."""
+    from google_spark.search import SearchEngine
+
+    cat = _mk_catalog(tmp_path, spark, identified)
+    eng0 = SearchEngine(cat.read(spark))
+    victims = [r.doc_id for r in eng0.search(QUERY, k=5)[:2]]
+    cat.delete_docs(victims)
+
+    out = str(tmp_path / "engine_bundle")
+    SearchEngine(cat.read(spark)).save(out)
+    eng = SearchEngine.load(spark, out)
+    got = eng.search(QUERY, k=10)
+    assert got and not {r.doc_id for r in got} & set(victims)
+
+
+def test_orphan_segment_dir_does_not_block_commit(spark, identified, tmp_path):
+    """ADVICE r3: a crash after a segment's os.replace but before its
+    manifest write leaves an orphan dir; per-attempt unique data-path
+    names mean a retried (or concurrent) commit can never rename onto it,
+    and expire() garbage-collects it as an unreferenced path."""
+    cat = _mk_catalog(tmp_path, spark, identified)
+    orphan = os.path.join(cat.data_dir, "b00002-dead01")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "stale.bin"), "w") as f:
+        f.write("leftover from a crashed commit")
+
+    extra = identified.limit(5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.col("content").alias("content"),
+    )
+    v = cat.append_docs(spark, extra, id_col="doc_id", text_col="content")
+    assert v == 2
+    assert wand_topk(cat.read(spark), QUERY, k=5).count() == 5
+    removed = cat.expire(keep_last=2)
+    assert "data/b00002-dead01" in removed
+    assert not os.path.exists(orphan)
+
+
+def test_two_writer_append_and_delete_both_land(spark, identified, tmp_path):
+    """VERDICT r3 #9: two writers racing an append and a delete from the
+    same base snapshot must BOTH commit — the commit lock serializes the
+    metadata flip and each commit re-derives against the freshest parent,
+    so neither loses the other's segments or delete files."""
+    import threading
+
+    cat = _mk_catalog(tmp_path, spark, identified)
+    victims = [
+        r["doc_id"] for r in wand_topk(cat.read(spark), QUERY, k=3).collect()
+    ]
+    n0 = int(cat.manifest().summary["n_docs"])
+
+    writer_a = SnapshotCatalog(cat.root)
+    writer_b = SnapshotCatalog(cat.root)
+    extra = identified.limit(5).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.col("content").alias("content"),
+    ).persist()
+    extra_ids = {int(r["doc_id"]) for r in extra.select("doc_id").collect()}
+    errs = []
+
+    def do_append():
+        try:
+            writer_a.append_docs(spark, extra, id_col="doc_id", text_col="content")
+        except Exception as e:  # noqa: BLE001 — surfaced in the assert
+            errs.append(e)
+
+    def do_delete():
+        try:
+            writer_b.delete_docs(victims)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=do_append), threading.Thread(target=do_delete)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    m = cat.manifest()
+    assert cat.head() == 3  # both commits landed
+    assert len(m.segments) == 2 and len(m.deletes) == 1
+    assert int(m.summary["n_docs"]) == n0 + 5
+    assert int(m.summary["n_deletes"]) == len(victims)
+    assert int(m.summary["n_pending"]) == len(victims)
+
+    idx = cat.read(spark)
+    got = {r["doc_id"] for r in wand_topk(idx, QUERY, k=20).collect()}
+    assert not got & set(victims)  # the delete is live
+    # the appended docs are live in the snapshot (doclens sidecar covers
+    # every segment)
+    live_ids = {
+        int(r["doc_id"])
+        for r in spark.read.parquet(
+            *[f"{cat.root}/{s}/doclens.parquet" for s in m.segments]
+        ).collect()
+    }
+    assert extra_ids <= live_ids
+    extra.unpersist()

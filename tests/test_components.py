@@ -72,3 +72,33 @@ def test_cluster_dedup_keeps_one_canonical_per_cluster(spark):
     assert 4 in kept and 1 in kept
     # exactly one survivor per cluster: dropped ids are the non-minimums
     assert kept == {1, 4} or comp == {}
+
+
+def test_non_convergence_warns(spark):
+    """ADVICE r3: exhausting max_iter without the checksum fixpoint must be
+    VISIBLE (warning + _gs_converged=False), not silently-split labels."""
+    import warnings as _w
+
+    import pytest
+
+    from google_spark.operators.components import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+
+    # path 0-1-...-12: diameter 12 needs ~12 rounds; cap at 3
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with pytest.warns(ComponentsNotConverged):
+        labels = connected_components(edges, max_iter=3)
+    assert labels._gs_converged is False
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert len(set(got.values())) > 1  # genuinely still split
+
+    # and a converged run is flagged True with no warning
+    with _w.catch_warnings():
+        _w.simplefilter("error", ComponentsNotConverged)
+        ok = connected_components(edges, max_iter=30)
+    assert ok._gs_converged is True
+    assert {r["comp"] for r in ok.collect()} == {0}

@@ -223,3 +223,149 @@ def test_incremental_signature_store(spark, tmp_path):
     hits_c = incremental_near_dups(batch_c, store, threshold=0.9).collect()
     assert {(r["new_id"], r["stored_id"]) for r in hits_c} == {(20, 11)}
     assert hits_c[0]["est_jaccard"] == 1.0  # identical text -> estimate 1
+
+
+def test_incremental_store_recall_at_threshold_margin(spark, tmp_path):
+    """VERDICT r3 #2: verification through the store must not quantize the
+    threshold. Pairs with TRUE Jaccard = threshold + 0.02 (0.87 vs 0.85)
+    must be recalled >= 0.95; at the default sketch width their union fits
+    the sketch, so the estimate is EXACT and recall is deterministic. A
+    J ~= 0.75 control pair must NOT pass (the old 16-hash estimate could
+    quantize 0.75 up past 14/16)."""
+    from google_spark.operators.dedup import (
+        incremental_near_dups,
+        write_signature_store,
+    )
+
+    n_pairs = 20
+    stored, probes = [], []
+    for p in range(n_pairs):
+        toks = [f"w{p}q{i}" for i in range(100)]  # 98 shingles, all distinct
+        stored.append((p, " ".join(toks)))
+        # 14 extra tokens -> 112 union shingles -> J = 98/112 = 0.875
+        probes.append((1000 + p, " ".join(toks + [f"x{p}e{j}" for j in range(14)])))
+    # control: 33 extra tokens -> J = 98/131 ~= 0.748 < 0.85
+    ctrl = [f"c{i}" for i in range(100)]
+    stored.append((900, " ".join(ctrl)))
+    probes.append((1900, " ".join(ctrl + [f"ce{j}" for j in range(33)])))
+
+    store = str(tmp_path / "recall_store")
+    write_signature_store(
+        spark.createDataFrame(stored, "doc_id long, text string"), store
+    )
+    hits = incremental_near_dups(
+        spark.createDataFrame(probes, "doc_id long, text string"),
+        store,
+        threshold=0.85,
+    ).collect()
+    got = {(r["new_id"], r["stored_id"]): r["est_jaccard"] for r in hits}
+    recalled = sum((1000 + p, p) in got for p in range(n_pairs))
+    assert recalled / n_pairs >= 0.95
+    # exact verification: est equals true Jaccard, not a k/16 grid point
+    for p in range(n_pairs):
+        if (1000 + p, p) in got:
+            assert got[(1000 + p, p)] == round(98 / 112, 4)
+    assert (1900, 900) not in got  # sub-threshold control stays out
+
+
+def test_compact_signature_store(spark, tmp_path):
+    """VERDICT r3 #4: N at-least-once appends then compact -> row counts
+    equal distinct docs and probe results are unchanged."""
+    from google_spark.operators.dedup import (
+        STORE_N_BANDS,
+        compact_signature_store,
+        incremental_near_dups,
+        write_signature_store,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "unrelated cooking text with garlic olive oil and "
+                        "fresh basil leaves over pasta tonight")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "compact_store")
+    write_signature_store(docs, store)
+    # simulate streaming-restart at-least-once duplicates
+    write_signature_store(docs, store, mode="append")
+    write_signature_store(docs, store, mode="append")
+    assert spark.read.parquet(f"{store}/sigs.parquet").count() == 6
+
+    probe = spark.createDataFrame(
+        [(10, base + " extra tail")], "doc_id long, text string"
+    )
+    before = sorted(
+        (r["new_id"], r["stored_id"], r["est_jaccard"])
+        for r in incremental_near_dups(probe, store, threshold=0.5).collect()
+    )
+    stats = compact_signature_store(spark, store)
+    assert stats["docs"] == 2
+    assert stats["sketch_rows"] == 2
+    assert stats["band_rows"] == 2 * STORE_N_BANDS
+    assert spark.read.parquet(f"{store}/sigs.parquet").count() == 2
+    # band partitioning survives the rewrite (directory layout preserved)
+    import os
+
+    assert any(
+        e.name.startswith("band=")
+        for e in os.scandir(f"{store}/bands.parquet")
+        if e.is_dir()
+    )
+    after = sorted(
+        (r["new_id"], r["stored_id"], r["est_jaccard"])
+        for r in incremental_near_dups(probe, store, threshold=0.5).collect()
+    )
+    assert before == after and before
+
+
+def test_store_width_mismatch_raises(spark, tmp_path):
+    """Appending with different signature widths must raise, not silently
+    mix incompatible estimates."""
+    import pytest
+
+    from google_spark.operators.dedup import write_signature_store
+
+    docs = spark.createDataFrame(
+        [(1, "some words that produce a couple of shingles here today")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "width_store")
+    write_signature_store(docs, store)
+    with pytest.raises(ValueError, match="incompatible widths"):
+        write_signature_store(docs, store, n_hashes=16, n_bands=4, mode="append")
+
+
+def test_incremental_store_legacy_sig_estimate_fallback(spark, tmp_path):
+    """A sketch-less (pre-round-4) store still verifies via the signature
+    agreement estimate — with its documented 1/n_hashes quantization."""
+    import shutil
+
+    from google_spark.operators.dedup import (
+        incremental_near_dups,
+        write_signature_store,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    store = str(tmp_path / "legacy_store")
+    write_signature_store(docs, store)
+    shutil.rmtree(f"{store}/sketches.parquet")  # simulate a legacy layout
+    import os
+
+    os.remove(f"{store}/_store_meta.json")
+
+    probe = spark.createDataFrame(
+        [(10, base + " extra tail")], "doc_id long, text string"
+    )
+    hits = incremental_near_dups(
+        probe, store, threshold=0.5, n_hashes=64, n_bands=16
+    ).collect()
+    assert {(r["new_id"], r["stored_id"]) for r in hits} == {(10, 1)}
+    est = hits[0]["est_jaccard"]
+    assert abs(est * 64 - round(est * 64)) < 1e-9  # k/64 grid point

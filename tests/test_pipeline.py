@@ -74,3 +74,28 @@ def test_prepare_corpus_quality_and_mix_stages(spark):
     assert {"dup_line_frac", "top_bigram_frac", "mean_logprob"} <= set(
         prepared.columns
     )
+
+
+def test_quality_scores_empty_doc_is_zero_not_null(spark):
+    """ADVICE r3: alpha_ratio must be 0.0 (not NULL) for empty docs, so the
+    default min_quality=0.0 gate keeps them (no silent NULL-filter drop)."""
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.text_analysis import quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "some alpha text"), (3, "12345")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert rows[1]["alpha_ratio"] == 0.0  # empty: explicit 0.0, not NULL
+    assert rows[3]["alpha_ratio"] == 0.0  # all-digit: genuinely 0
+    assert rows[2]["alpha_ratio"] > 0.8
+
+    # the pipeline gate at min_quality=0.0 therefore keeps the empty doc
+    kept = docs.join(
+        quality_scores(docs).filter(F.col("alpha_ratio") >= 0.0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    assert kept.count() == 3

@@ -352,3 +352,42 @@ def test_streaming_near_dedup(spark, tmp_path):
     # the store grew to exactly the survivors
     sigs = spark.read.parquet(f"{store}/sigs.parquet")
     assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 2, 4}
+
+
+def test_streaming_near_dedup_cluster_canonical(spark, tmp_path):
+    """VERDICT r3 #3: within-batch near-dedup is CLUSTER-canonical — for a
+    V-shaped near-dup graph X~Z, Y~Z (X and Y unrelated) all three docs
+    form ONE component and exactly the minimum id survives; the old
+    pairwise larger-id dropping kept {X, Y}, two 'canonicals' from one
+    cluster."""
+    from google_spark.streaming.ingest import streaming_near_dedup
+
+    half_a = ["qa%d" % i for i in range(40)]
+    half_b = ["qb%d" % i for i in range(40)]
+    x = " ".join(half_a)
+    y = " ".join(half_b)
+    z = " ".join(half_a + half_b)  # J(Z,X) ~= J(Z,Y) ~= 0.47, J(X,Y) = 0
+    in_dir = str(tmp_path / "cc_in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [(1, x), (2, y), (3, z)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{in_dir}/f0.parquet")
+
+    store = str(tmp_path / "cc_store")
+    out = str(tmp_path / "cc_out")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{in_dir}/*"
+    )
+    q = (
+        # 16 bands x 1 row: LSH recall at J ~= 0.47 is 1-(1-0.47)^16 ~= 1,
+        # so the candidate generation is deterministic at this low threshold
+        streaming_near_dedup(
+            stream, store, out, threshold=0.4, lsh_hashes=16, lsh_bands=16
+        )
+        .option("checkpointLocation", str(tmp_path / "cc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=*").collect()}
+    assert kept == {1}  # one canonical per component, not {1, 2}
