@@ -657,6 +657,21 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25f_topk(_docs(spark, sf_dir), "hash join", k=10)
 
 
+def q_bm25f_local_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F through the INTERACTIVE serving path (operators.fielded.
+    bm25f_local_topk): per-term point reads from both field indexes +
+    NumPy scoring in the driver — must be score-identical to the scan
+    path, so it shares bm25f_topk's oracle verbatim."""
+    from google_spark.operators.fielded import (
+        bm25f_local_topk,
+        build_fielded_index,
+    )
+
+    findex = build_fielded_index(spark, _docs(spark, sf_dir))
+    hits = bm25f_local_topk(findex, "hash join", k=10)
+    return spark.createDataFrame(hits or [], "doc_id long, score double")
+
+
 def q_bm25f_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F served from FIELDED POSTINGS (operators.fielded): per-field
     indexes with the main codec/sharding, per-term pruned decode, field
@@ -1409,6 +1424,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        "bm25f_local_topk": q_bm25f_local_topk,
     }
 
 
@@ -2382,6 +2398,7 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
         """,
         "bm25f_topk": _bm25f_oracle(["hash", "join"]),
         "bm25f_index_topk": _bm25f_oracle(["hash", "join"]),
+        "bm25f_local_topk": _bm25f_oracle(["hash", "join"]),
         "more_like_this": _bm25_sql(
             """q AS (
   SELECT term, 1.0 AS w FROM (

@@ -221,6 +221,25 @@ def main() -> None:
     t0 = time.perf_counter()
     bm25f_index_topk(findex, "hash join", k=10).collect()
     timings["bm25f_index_q1"] = round(time.perf_counter() - t0, 4)
+    # interactive fielded serving: published fielded bundle, point reads +
+    # NumPy in the driver (the wand_topk_local twin) — the path a serving
+    # tier actually runs per query
+    from google_spark.operators.fielded import (
+        bm25f_local_topk,
+        read_fielded_index,
+        write_fielded_index,
+    )
+
+    fdir = tempfile.mkdtemp(prefix="bench_fielded_")
+    write_fielded_index(findex, fdir)
+    floaded = read_fielded_index(spark, fdir)
+    fcaches: dict = {}
+    flat_ms = []
+    for q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        bm25f_local_topk(floaded, q, k=10, row_caches=fcaches)
+        flat_ms.append((time.perf_counter() - t0) * 1000)
+    timings["bm25f_local_5q"] = round(sum(flat_ms) / 1000, 4)
 
     # second scale point: replicated corpus, so round-over-round deltas in
     # build throughput aren't masked by fixed job overhead (~2-3s) that
@@ -268,6 +287,7 @@ def main() -> None:
         "query_p50_warm_ms": round(statistics.median(warm_ms), 2),
         "query_p50_sparkjob_ms": round(statistics.median(sparkjob_ms), 2),
         "facade_p50_ms": round(statistics.median(facade_ms), 2),
+        "bm25f_local_p50_ms": round(statistics.median(flat_ms), 2),
         "serving": "published disk index, bucket-pruned pyarrow point reads",
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "scaling": scaling,  # measured local[2]-vs-local[8]; see BENCH/BASELINE.md

@@ -163,6 +163,82 @@ def _field_component_rows(
     return matching.mapInPandas(gen, schema="term string, doc_id long, comp double")
 
 
+def bm25f_local_topk(
+    findex: FieldedIndex,
+    query: str,
+    k: int = 10,
+    w_title: float = BM25F_W_TITLE,
+    w_body: float = BM25F_W_BODY,
+    k1: float = BM25F_K1,
+    b_title: float = BM25F_B,
+    b_body: float = BM25F_B,
+    row_caches: dict[str, dict] | None = None,
+) -> list[tuple[int, float]]:
+    """Interactive BM25F serving path: fetch ONLY the query terms' posting
+    rows from each field's index through the point-read tier
+    (bucket-pruned pyarrow reads on a published fielded bundle — zero
+    Spark jobs; pruned collect on an in-memory index), then score in pure
+    NumPy in the driver — the fielded twin of wand_topk_local. Returns
+    [(doc_id, score)] with scores rounded to 4 decimals, rank- and
+    score-identical to bm25f_topk / bm25f_index_topk. ``row_caches`` maps
+    field name -> a decoded-row cache dict (e.g. search.PostingsCache) for
+    hot-term reuse across queries."""
+    import math
+    from collections import Counter
+
+    from google_spark.operators.index_query import _entries_for
+    from google_spark.operators.ranking import normalize_query
+
+    terms = normalize_query(query)
+    if not terms:
+        return []
+    qf = Counter(terms)
+    uniq = sorted(qf)
+    weights = {"title": (w_title, b_title), "body": (w_body, b_body)}
+
+    # per term: (docs, comp) arrays from every field, same float op order
+    # as the distributed kernels
+    per_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {
+        t: [] for t in uniq
+    }
+    for name, idx in findex.fields.items():
+        if idx.avgdl <= 0:
+            continue
+        w_f, b_f = weights.get(name, (1.0, 0.75))
+        cache = row_caches.get(name) if row_caches is not None else None
+        if row_caches is not None and cache is None:
+            cache = row_caches.setdefault(name, {})
+        for e in _entries_for(idx, uniq, cache):
+            comp = w_f * e["tf"] / ((1.0 - b_f) + b_f * e["dl"] / idx.avgdl)
+            per_term[e["term"]].append((e["docs"], comp))
+
+    n = findex.n_docs
+    d_parts: list[np.ndarray] = []
+    s_parts: list[np.ndarray] = []
+    for t in uniq:  # sorted order keeps float accumulation deterministic
+        parts = per_term[t]
+        if not parts:
+            continue
+        docs = np.concatenate([d for d, _ in parts])
+        comps = np.concatenate([c for _, c in parts])
+        u, inv = np.unique(docs, return_inverse=True)
+        tfw = np.bincount(inv, weights=comps)  # field combination pre-k1
+        df = len(u)
+        widf = float(qf[t]) * math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        d_parts.append(u)
+        s_parts.append(widf * tfw / (k1 + tfw))
+    if not d_parts:
+        return []
+    all_docs = np.concatenate(d_parts)
+    all_scores = np.concatenate(s_parts)
+    u, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.round(np.bincount(inv, weights=all_scores), 4)
+    keep = sums > 0
+    u, sums = u[keep], sums[keep]
+    order = np.lexsort((u, -sums))[:k]
+    return [(int(u[i]), float(sums[i])) for i in order]
+
+
 def bm25f_index_topk(
     findex: FieldedIndex,
     query: str,
@@ -206,14 +282,15 @@ def bm25f_index_topk(
 
     # pre-saturation field combination: one exchange keyed (doc_id, term),
     # rows bounded by the query terms' candidate postings
-    tfw_rel = (
-        decoded.groupBy("doc_id", "term")
-        .agg(F.sum("comp").alias("tfw"))
-        .persist()
+    tfw_rel = decoded.groupBy("doc_id", "term").agg(F.sum("comp").alias("tfw"))
+    # exact fielded df (docs where the term appears in ANY field) from one
+    # driver-side aggregate over the same pruned decode — a second decode
+    # pass over |query terms| posting rows, cheaper than persisting the
+    # candidate relation across the query (and the returned plan stays
+    # fully lazy/distributed)
+    df_rows = (
+        tfw_rel.groupBy("term").agg(F.count("*").alias("df")).collect()
     )
-    # exact fielded df: docs where the term appears in ANY field — the
-    # (doc, term) relation above is already distinct by construction
-    df_rows = tfw_rel.groupBy("term").agg(F.count("*").alias("df")).collect()
     n = findex.n_docs
     widf = {
         r["term"]: float(qf[r["term"]])
@@ -229,15 +306,10 @@ def bm25f_index_topk(
             "s"
         ),
     )
-    out = (
+    return (
         scored.groupBy("doc_id")
         .agg(F.round(F.sum("s"), 4).alias("score"))
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
-    )
-    rows = out.collect()
-    tfw_rel.unpersist()
-    return spark.createDataFrame(
-        rows or [], "doc_id long, score double"
     )

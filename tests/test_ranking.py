@@ -210,3 +210,40 @@ def test_bm25f_index_topk_parity_with_scan_path(spark, corpus_df):
         (r["doc_id"], r["score"]) for r in bm25f_topk(docs, "def hash", k=10).collect()
     ]
     assert got == want
+
+
+def test_bm25f_local_topk_parity_and_latency_path(spark, corpus_df):
+    """The driver-side fielded serving path (point reads + NumPy) is
+    score-identical to the scan and distributed index paths, both on the
+    in-memory build and on a published fielded bundle through the
+    bucket-pruned pyarrow tier (with a hot row cache on repeat)."""
+    import tempfile
+
+    from google_spark.operators.fielded import (
+        bm25f_local_topk,
+        build_fielded_index,
+        read_fielded_index,
+        write_fielded_index,
+    )
+    from google_spark.operators.ranking import bm25f_topk
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    findex = build_fielded_index(spark, docs)
+    out = tempfile.mkdtemp(prefix="fielded_local_")
+    write_fielded_index(findex, out)
+    loaded = read_fielded_index(spark, out)
+
+    caches: dict = {}
+    for q in ("def hash", "hash join index", "index index"):
+        want = [
+            (r["doc_id"], r["score"]) for r in bm25f_topk(docs, q, k=10).collect()
+        ]
+        assert bm25f_local_topk(findex, q, k=10) == want
+        assert bm25f_local_topk(loaded, q, k=10, row_caches=caches) == want
+        # repeat hit: served from the decoded-row caches, identical
+        assert bm25f_local_topk(loaded, q, k=10, row_caches=caches) == want
+    assert bm25f_local_topk(findex, "", k=10) == []
+    assert bm25f_local_topk(findex, "zzqqabsent", k=10) == []

@@ -203,6 +203,31 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.fielded import (
+        bm25f_index_topk,
+        build_fielded_index,
+    )
+
+    findex = build_fielded_index(spark, docs)
+    sections.append(
+        (
+            "BM25F from fielded postings (index-served path)",
+            "Round 4: interactive BM25F runs on per-field posting indexes "
+            "instead of bm25f_topk's two corpus scans. Per field: pruned "
+            "postings scan -> mapInPandas decode emitting (term, doc_id, "
+            "weighted per-field tf component) with NO shuffle; the union "
+            "is exchanged ONCE on (doc_id, term) to combine field "
+            "components before the k1 saturation, per-term (qf x idf) "
+            "ride in as a literal map, and the final per-doc sum feeds "
+            "TakeOrderedAndProject. Cost scales with the query terms' "
+            "posting lists, not the corpus — the same contract as "
+            "wand/exhaustive. (The plan below shows the in-memory build; "
+            "on a published fielded bundle each scan becomes a tb-pruned "
+            "parquet scan exactly as in the disk-index lookup section.)",
+            fmt(bm25f_index_topk(findex, "hash join")),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
