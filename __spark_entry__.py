@@ -693,6 +693,29 @@ _TITLE_SQL = (
 )
 
 
+def _scrub_pii_oracle() -> str:
+    """text_scrub_pii contract: the SAME pattern chain as the engine
+    (text_analysis.PII_PATTERNS is the single source of truth — imported,
+    not copied), counts measured on each stage's pre-replacement text,
+    scrubbed output value-hashed with sha256."""
+    from google_spark.operators.text_analysis import PII_PATTERNS
+
+    expr = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{p}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, sha256({expr}) AS clean_sha,\n       "
+        + ",\n       ".join(counts)
+        + "\nFROM documents"
+    )
+
+
 def _bm25f_oracle(terms: list[str], k: int = 10) -> str:
     """BM25F oracle: mirrors ranking.bm25f_topk term-for-term (sorted term
     order keeps float summation order identical)."""
@@ -768,6 +791,49 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     return incremental_near_dups(new, store, threshold=0.5)
+
+
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scrub through ENGINE code (text_analysis.scrub_pii):
+    email/AWS-key/hex-secret/IPv4 -> typed sentinels, counts per pattern.
+    Both engines run the SAME pattern chain (PII_PATTERNS is the shared
+    source of truth); the scrubbed text is value-hashed via sha256 so any
+    single-byte divergence between Java regex and RE2 fails the row."""
+    from google_spark.operators.text_analysis import scrub_pii
+
+    out = scrub_pii(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.sha2("text_clean", 256).alias("clean_sha"),
+        "n_email",
+        "n_aws_key",
+        "n_hex_secret",
+        "n_ipv4",
+    )
+
+
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination flags through ENGINE code
+    (dedup.contamination_flags): eval set = every doc with
+    doc_id % 53 == 7; each training doc reports how many of its distinct
+    3-shingles appear anywhere in the eval set. Eval members flag
+    themselves (self-overlap), near-copies flag transitively; the oracle
+    replays the distinct-shingle semi-join in SQL."""
+    from google_spark.operators.dedup import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 53 == 7)
+    return contamination_flags(docs, ev)
+
+
+def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing through ENGINE code
+    (sampling.pack_sequences): concatenate each language's stream in
+    doc_id order and cut every 500 tokens; a doc belongs to the pack where
+    it starts. The oracle replays the running-sum window in SQL."""
+    from google_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=500, by="lang")
 
 
 def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1425,6 +1491,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "bm25f_local_topk": q_bm25f_local_topk,
+        "text_scrub_pii": q_text_scrub_pii,
+        "dedup_contamination": q_dedup_contamination,
+        "sample_pack": q_sample_pack,
     }
 
 
@@ -2399,6 +2468,36 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
         "bm25f_topk": _bm25f_oracle(["hash", "join"]),
         "bm25f_index_topk": _bm25f_oracle(["hash", "join"]),
         "bm25f_local_topk": _bm25f_oracle(["hash", "join"]),
+        "text_scrub_pii": _scrub_pii_oracle(),
+        # k=3 shingles (DEFAULT_SHINGLE_K): t[i:i+2] is a 3-element
+        # inclusive slice; eval set = doc_id % 53 == 7
+        "dedup_contamination": f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, md5(s) AS h FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM tok)
+),
+ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 53 = 7),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM sh JOIN ev USING (h) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n, CAST(0 AS BIGINT)) AS n_shared_shingles,
+       coalesce(a.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "sample_pack": f"""
+SELECT doc_id, lang,
+       CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
+       CAST(floor(coalesce(sum(len({_TOK_SQL})) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 500) AS BIGINT) AS pack_id
+FROM documents
+""",
         "more_like_this": _bm25_sql(
             """q AS (
   SELECT term, 1.0 AS w FROM (

@@ -842,3 +842,50 @@ def compact_signature_store(spark: SparkSession, path: str) -> dict:
         os.replace(tmp, src)
         shutil.rmtree(old)
     return stats
+
+
+def contamination_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Benchmark-contamination check: flag every training doc sharing at
+    least one ``shingle_k``-token shingle with the evaluation set
+    (the n-gram-overlap decontamination rule LLM pipelines apply before
+    training). Returns (doc_id, n_shared_shingles, contaminated) for EVERY
+    training doc, where n_shared_shingles counts the doc's DISTINCT
+    shingles that appear anywhere in the eval set.
+
+    Scale shape: the eval set is benchmark-sized (thousands of docs), so
+    its distinct shingle-hash set is broadcast and the check is a
+    broadcast semi-join against the scan-side training shingles — the
+    100 TB side is never shuffled, and the md5 keys keep the broadcast
+    fixed-width regardless of shingle text."""
+    ev = (
+        _shingle_rows(eval_docs, eval_id_col, eval_text_col, shingle_k)
+        .select(F.md5("s").alias("h"))
+        .distinct()
+    )
+    tr = _shingle_rows(docs, id_col, text_col, shingle_k).select(
+        F.col(id_col), F.md5("s").alias("h")
+    ).distinct()
+    shared = (
+        tr.join(F.broadcast(ev), "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    return (
+        docs.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_shingles", F.lit(0)).cast("long").alias(
+                "n_shared_shingles"
+            ),
+            (F.coalesce("n_shared_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

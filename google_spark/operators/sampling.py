@@ -97,3 +97,55 @@ def quality_bins(
         expr
     )
     return df.withColumn(bin_col, expr.cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    by: str | None = "lang",
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training pack:
+    concatenate the stream (ordered by ``id_col`` within each ``by``
+    group) and cut every ``budget`` tokens — a doc belongs to the pack
+    where it STARTS. Returns (id, by?, n_tokens, pack_id).
+
+    This is the deterministic sequence-packing contract an LLM
+    pretraining pipeline needs (fill 4k/8k-token contexts from documents):
+    ``pack_id = floor(tokens_before_me / budget)`` over a stable order, so
+    any engine replays the identical assignment (the DuckDB oracle does).
+    Token counts use the engine-wide token contract unless the caller
+    passes a precomputed ``n_tokens_col``.
+
+    Scale shape: ONE window aggregate per ``by`` group (running sum over
+    the group exchange) — groups pack in parallel, so partition the stream
+    by language/source/shard as a real pipeline does; ``by=None`` is a
+    single global running sum (fine for bounded streams, a deliberate
+    global order otherwise). No doc is split: a doc straddling a boundary
+    stays in the pack it starts in, matching packing-with-document-
+    boundaries (the common no-cross-document-attention setup)."""
+    from google_spark.operators.dedup import tokens_col
+
+    nt = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else F.size(tokens_col(text_col))
+    )
+    part = [by] if by else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    cols = [F.col(id_col)] + ([F.col(by)] if by else [])
+    return (
+        df.select(*cols, nt.cast("long").alias("n_tokens"))
+        .select(
+            *[c for c in ([id_col] + ([by] if by else []))],
+            "n_tokens",
+            F.floor(cum_before / budget).cast("long").alias("pack_id"),
+        )
+    )

@@ -278,3 +278,42 @@ def doc_fingerprint(
         F.col(id_col),
         F.when(F.size(sh) > 0, fp).otherwise(F.lit("")).alias("fingerprint"),
     )
+
+
+# PII / secret patterns, shared verbatim by the Spark expressions and the
+# DuckDB oracle. Deliberately restricted to syntax both Java regex and RE2
+# accept identically (character classes, bounded quantifiers, \b, (?:...)):
+# no backreferences, no lookaround.
+PII_PATTERNS = (
+    # (name, pattern, replacement) — applied in this order
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<KEY>"),
+    ("hex_secret", r"\b[A-Fa-f0-9]{32,}\b", "<KEY>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_clean, n_email, n_aws_key, n_hex_secret, n_ipv4) —
+    the regex-based PII/secret scrub a pretraining pipeline runs before
+    anything ships (emails, AWS-style access-key ids, >=32-hex-char
+    secrets, IPv4 addresses -> typed sentinels). Pure JVM regexp
+    expressions (whole-stage codegen, no Python); the pattern list is
+    shared with the DuckDB oracle so both engines scrub byte-identically.
+    Counts are measured on the ORIGINAL text per pattern, in application
+    order (an email's host is already <EMAIL> by the time the IP pattern
+    runs, exactly as in the replacement chain)."""
+    counts = []
+    cleaned = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        # count occurrences surviving the PREVIOUS replacements: mirror the
+        # chain so counts always equal the number of substitutions made
+        counts.append(
+            F.size(F.regexp_extract_all(cleaned, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return docs.select(F.col(id_col), cleaned.alias("text_clean"), *counts)

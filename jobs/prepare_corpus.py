@@ -8,6 +8,9 @@ Stages (each a first-class operator, composed declaratively so Catalyst
 optimizes across them; anti-joins carry only doc_id — fixed-width keys at
 any scale):
 
+  0. PII scrub          — email/key/secret/IPv4 -> typed sentinels
+                          (--scrub-pii; runs FIRST so sentinel-normalized
+                          near-copies dedup together)
   1. exact dedup        — sha256 hash-aggregate keep-smallest-id
   2. near dedup         — MinHash+LSH candidates, exact-Jaccard verified;
                           drop the larger id of each verified pair, or one
@@ -17,9 +20,13 @@ any scale):
   5. repetition filter  — Gopher-style dup-line / top-bigram / char-run
                           gates (opt-in via --max-dup-line-frac etc.)
   6. LM-quality floor   — self-corpus unigram mean logprob >= --min-logprob
+  6b. decontamination   — drop docs sharing any 3-shingle with the eval
+                          set (--decontaminate EVAL.parquet), applied
+                          before the mix so quotas fill with clean docs
   7. data mix           — exact per-language quotas (--mix en=1000 de=500),
                           deterministic md5-order stratified sample
   8. token accounting   — per-doc token counts + corpus totals
+                          (+ pack_id sequence packing with --pack-budget)
   9. index build        — the surviving corpus, published atomically
 
 Writes ``{out}/corpus.parquet`` (surviving docs + lang/quality/token
@@ -51,10 +58,15 @@ def prepare_corpus(
     drop_char_runs: bool = False,
     min_logprob: float | None = None,
     mix: dict[str, int] | None = None,
+    scrub: bool = False,
+    decontaminate=None,
+    pack_budget: int | None = None,
 ):
-    """Run stages 1-7 (everything except the index build); returns
+    """Run stages 0-8 (everything except the index build); returns
     (prepared DataFrame, accounting dict). Importable so tests drive it
-    without spark-submit."""
+    without spark-submit. ``decontaminate`` is a DataFrame of eval docs
+    (same id/text columns); ``pack_budget`` adds a ``pack_id`` column
+    (per-language sequence packing) without changing row counts."""
     from pyspark.sql import functions as F
 
     from google_spark.operators.dedup import exact_dedup, minhash_near_dups
@@ -65,6 +77,24 @@ def prepare_corpus(
     )
 
     acct = {"input": docs.count()}
+
+    if scrub:
+        from google_spark.operators.text_analysis import scrub_pii
+
+        scrubbed = scrub_pii(docs, id_col=id_col, text_col=text_col)
+        hit = (
+            (F.col("n_email") > 0)
+            | (F.col("n_aws_key") > 0)
+            | (F.col("n_hex_secret") > 0)
+            | (F.col("n_ipv4") > 0)
+        ).cast("long")
+        acct["docs_with_pii"] = int(
+            scrubbed.agg(F.sum(hit).alias("n")).collect()[0]["n"] or 0
+        )
+        docs = docs.drop(text_col).join(
+            scrubbed.select(id_col, F.col("text_clean").alias(text_col)),
+            id_col,
+        )
 
     keep_exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
     docs = docs.join(keep_exact, id_col, "left_semi")
@@ -146,6 +176,20 @@ def prepare_corpus(
         )
         acct["after_logprob_filter"] = docs.count()
 
+    if decontaminate is not None:
+        from google_spark.operators.dedup import contamination_flags
+
+        flags = contamination_flags(
+            docs, decontaminate, id_col=id_col, text_col=text_col,
+            eval_id_col=id_col, eval_text_col=text_col,
+        )
+        docs = docs.join(
+            flags.filter(~F.col("contaminated")).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        acct["after_decontamination"] = docs.count()
+
     if mix:
         from google_spark.operators.sampling import sample_stratified
 
@@ -155,6 +199,20 @@ def prepare_corpus(
     docs = docs.join(token_count(docs, id_col=id_col, text_col=text_col), id_col)
     total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
     acct["total_tokens"] = int(total)
+
+    if pack_budget:
+        from google_spark.operators.sampling import pack_sequences
+
+        packs = pack_sequences(
+            docs, budget=pack_budget, by="lang_pred", id_col=id_col,
+            n_tokens_col="n_tokens",
+        ).select(id_col, "pack_id")
+        docs = docs.join(packs, id_col)
+        acct["n_packs"] = int(
+            docs.agg(
+                F.count_distinct("lang_pred", "pack_id").alias("n")
+            ).collect()[0]["n"]
+        )
     return docs, acct
 
 
@@ -184,6 +242,26 @@ def main() -> None:
         metavar="LANG=N",
         help="per-language quota, e.g. --mix en=1000 --mix de=500; "
         "unlisted languages are dropped",
+    )
+    ap.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="replace emails/keys/secrets/IPv4 with typed sentinels "
+        "before any other stage",
+    )
+    ap.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="EVAL_PATH",
+        help="drop docs sharing any 3-shingle with this eval corpus "
+        "(same id/text columns)",
+    )
+    ap.add_argument(
+        "--pack-budget",
+        type=int,
+        default=None,
+        help="add a pack_id column: per-language sequence packing at this "
+        "token budget",
     )
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -216,6 +294,13 @@ def main() -> None:
         drop_char_runs=args.drop_char_runs,
         min_logprob=args.min_logprob,
         mix=mix,
+        scrub=args.scrub_pii,
+        decontaminate=(
+            read_corpus(spark, args.decontaminate)
+            if args.decontaminate
+            else None
+        ),
+        pack_budget=args.pack_budget,
     )
     prepared.write.mode("overwrite").parquet(f"{args.out}/corpus.parquet")
     prepared_back = spark.read.parquet(f"{args.out}/corpus.parquet")
