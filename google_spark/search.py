@@ -141,8 +141,15 @@ class SearchEngine:
         docs: DataFrame | None = None,
         mode: str = "simple",
         word_vectors: DataFrame | None = None,
+        fielded_index=None,
     ):
         self.index = index
+        # optional operators.fielded.FieldedIndex: search(fielded=True)
+        # then scores with BM25F from per-field postings (title weight in
+        # the SCORE, not a flat boost) through the same serving point-read
+        # tier; saved/loaded with the bundle
+        self.fielded_index = fielded_index
+        self._fielded_caches: dict[str, PostingsCache] = {}
         # (word, vector) table for query-time synonym expansion (D17/D20;
         # the reference ships GloVe, ref: SearchApi.java:147-160 — any
         # table of that shape works). Collected lazily on first synonym
@@ -217,11 +224,20 @@ class SearchEngine:
         mode: str = "simple",
         with_pagerank: bool = True,
         n_shards: int = 8,
+        fielded: bool = False,
     ) -> "SearchEngine":
         index = build_index(
             spark, source_files, id_col=id_col, text_col=text_col,
             mode=mode, n_shards=n_shards,
         )
+        findex = None
+        if fielded:
+            from google_spark.operators.fielded import build_fielded_index
+
+            findex = build_fielded_index(
+                spark, source_files, id_col=id_col, text_col=text_col,
+                mode=mode, n_shards=n_shards,
+            )
         ranks: DataFrame | None = None
         cols = source_files.columns
         doc_meta = None
@@ -250,7 +266,7 @@ class SearchEngine:
         docs = source_files.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")
         )
-        return cls(index, ranks, doc_meta, docs, mode=mode)
+        return cls(index, ranks, doc_meta, docs, mode=mode, fielded_index=findex)
 
     @classmethod
     def from_catalog(
@@ -296,6 +312,7 @@ class SearchEngine:
         self._syn = None
         self._idf_cache.clear()
         self._scan_cache.clear()
+        self._fielded_caches.clear()
 
     def _maybe_refresh(self) -> None:
         if (
@@ -317,6 +334,10 @@ class SearchEngine:
         from google_spark.operators.index_build import write_index
 
         write_index(self.index, out_dir)
+        if self.fielded_index is not None:
+            from google_spark.operators.fielded import write_fielded_index
+
+            write_fielded_index(self.fielded_index, f"{out_dir}/fields")
         if self.doc_meta is not None:
             self.doc_meta.sort("doc_id").write.mode("overwrite").parquet(
                 f"{out_dir}/doc_meta.parquet"
@@ -356,7 +377,15 @@ class SearchEngine:
         meta = spark.read.parquet(meta_p) if os.path.isdir(meta_p) else None
         docs = spark.read.parquet(docs_p) if os.path.isdir(docs_p) else None
         wv = spark.read.parquet(wv_p) if os.path.isdir(wv_p) else None
-        eng = cls(index, ranks, meta, docs, mode=mode, word_vectors=wv)
+        findex = None
+        if os.path.isdir(os.path.join(index_dir, "fields")):
+            from google_spark.operators.fielded import read_fielded_index
+
+            findex = read_fielded_index(spark, os.path.join(index_dir, "fields"))
+        eng = cls(
+            index, ranks, meta, docs, mode=mode, word_vectors=wv,
+            fielded_index=findex,
+        )
         if meta is not None:
             eng._meta_path = meta_p
         if docs is not None:
@@ -433,6 +462,7 @@ class SearchEngine:
         snippets: bool = False,
         proximity: bool = False,
         synonyms: bool = False,
+        fielded: bool = False,
     ) -> list[SearchResult]:
         """Top-k by priority = W_RANK*pagerank + W_TEXT*bm25
         (+ W_PROX*proximity when ``proximity``) (+ path/title boost),
@@ -440,13 +470,25 @@ class SearchEngine:
         full over-fetched candidate list, so any page within the over-fetch
         window (>= 10*k results) is servable — not just page 1. Snippets
         are attached lazily per page and stick to the cached rows, so a
-        cache hit with snippets stays a pure driver-memory operation."""
+        cache hit with snippets stays a pure driver-memory operation.
+
+        ``fielded=True`` (requires a fielded_index) scores with BM25F from
+        per-field postings instead of plain BM25 — the title's weight is
+        then part of the SCORE (per-field length-normalized), so the flat
+        title boost is skipped to avoid double-counting; rank blend, path
+        boost, filters, pagination, and caching behave identically."""
         self._maybe_refresh()
+        if fielded and self.fielded_index is None:
+            raise ValueError(
+                "search(fielded=True) needs a fielded_index (build with "
+                "operators.fielded.build_fielded_index, or load a bundle "
+                "saved from an engine that had one)"
+            )
         page_size = page_size or k
         # snippets deliberately NOT part of the identity: the ranked list
         # is the same either way, and snippets attach to the cached rows on
         # demand. synonyms IS part of it — expansion changes the ranking.
-        key = (query, k, synonyms, proximity)
+        key = (query, k, synonyms, proximity, fielded)
         now = time.time()
         self._history[query] = now
         if len(self._history) > HISTORY_MAX:
@@ -463,7 +505,9 @@ class SearchEngine:
         if hit and now - hit[0] < CACHE_TTL_S:
             results = hit[1]
         else:
-            results = self._search_uncached(query, k, proximity, synonyms)
+            results = self._search_uncached(
+                query, k, proximity, synonyms, fielded
+            )
             if len(self._cache) >= CACHE_MAX:
                 self._cache.clear()  # reference GC: drop-all past the cap
             self._cache[key] = (now, results)
@@ -537,7 +581,12 @@ class SearchEngine:
         return self._idf_cache
 
     def _search_uncached(
-        self, query: str, k: int, proximity: bool = False, synonyms: bool = False
+        self,
+        query: str,
+        k: int,
+        proximity: bool = False,
+        synonyms: bool = False,
+        fielded: bool = False,
     ) -> list[SearchResult]:
         spec = parse_query_ext(query, mode=self.mode)
         terms, phrases = spec.terms, spec.phrases
@@ -552,7 +601,16 @@ class SearchEngine:
         # WITHIN this window — a doc whose BM25 rank falls outside it
         # cannot surface)
         fetch = max(k * 10, 100) * (5 if spec.has_constraints else 1)
-        if synonyms and self.word_vectors is not None:
+        if fielded:
+            from google_spark.operators.fielded import bm25f_local_topk
+
+            scored = bm25f_local_topk(
+                self.fielded_index,
+                " ".join(terms),
+                k=fetch,
+                row_caches=self._fielded_caches,
+            )
+        elif synonyms and self.word_vectors is not None:
             # D17/D20 in the serving path: original terms at query
             # multiplicity plus synonyms at decayed weights, through the
             # SAME scoring core as the plain path (so the two cannot drift)
@@ -649,7 +707,10 @@ class SearchEngine:
                 priority += W_PROX * proximity_bonus_py(prox_pos, terms, doc_id)
             if path and boost_re.search(path):
                 priority += W_PATH_BOOST
-            if title and boost_re.search(title):
+            # fielded scoring already weights title hits inside the BM25F
+            # score (per-field length-normalized) — a flat boost on top
+            # would double-count the title signal
+            if not fielded and title and boost_re.search(title):
                 priority += W_TITLE_BOOST
             out.append(SearchResult(doc_id, score, priority, rank, path, title=title))
         out.sort(key=lambda r: (-r.priority, r.doc_id))

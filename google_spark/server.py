@@ -61,11 +61,17 @@ def make_handler(engine):
                     snippets = (qs.get("snippets") or ["true"])[0] != "false"
                     proximity = (qs.get("proximity") or ["false"])[0] == "true"
                     synonyms = (qs.get("synonyms") or ["false"])[0] == "true"
+                    # fielded=true -> BM25F from the bundle's per-field
+                    # postings (only if the bundle shipped one)
+                    fielded = (
+                        (qs.get("fielded") or ["false"])[0] == "true"
+                        and engine.fielded_index is not None
+                    )
                     with lock:
                         res = engine.search(
                             q, k=size, page=page, page_size=size,
                             snippets=snippets, proximity=proximity,
-                            synonyms=synonyms,
+                            synonyms=synonyms, fielded=fielded,
                         )
                     payload = {
                         "query": q,

@@ -194,3 +194,65 @@ def test_null_text_avgdl_matches_tokenizer_semantics(spark):
     idx = build_index(spark, docs)
     assert idx.n_docs == 3
     assert idx.avgdl == pytest.approx((3 + 0 + 2) / 3)
+
+
+def test_scrub_pii_plan_is_pure_scan(spark):
+    """The PII scrub is a single codegen'd projection over the scan — no
+    exchange, no join, no Python anywhere."""
+    from google_spark.operators.text_analysis import scrub_pii
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(scrub_pii(docs))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval shingle set broadcasts; the training side is never
+    shuffled before its per-doc aggregate (100 TB stays local)."""
+    from google_spark.operators.dedup import contamination_flags
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 53 == 7)
+    plan = _plan(contamination_flags(docs, ev))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pack_sequences_single_window_per_group(spark):
+    """Packing is ONE running-sum window over the group exchange — no
+    second shuffle, no global sort when a group column is given."""
+    from google_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(pack_sequences(docs, budget=500, by="lang"))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1  # the lang hash-partitioning only
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_bm25f_local_zero_spark_jobs_when_cached(spark, corpus_df, tmp_path):
+    """On a published fielded bundle with a warm row cache, a repeat BM25F
+    query schedules ZERO Spark jobs (pyarrow point reads + NumPy only)."""
+    from google_spark.operators.fielded import (
+        bm25f_local_topk,
+        build_fielded_index,
+        read_fielded_index,
+        write_fielded_index,
+    )
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    out = str(tmp_path / "fx")
+    write_fielded_index(build_fielded_index(spark, docs), out)
+    loaded = read_fielded_index(spark, out)
+    caches: dict = {}
+    first = bm25f_local_topk(loaded, "def hash", k=10, row_caches=caches)
+    assert first
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    again = bm25f_local_topk(loaded, "def hash", k=10, row_caches=caches)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert again == first
+    assert after == before  # no job scheduled on the warm path

