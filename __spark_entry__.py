@@ -836,6 +836,16 @@ def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), budget=500, by="lang")
 
 
+def q_sample_pack_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training packs through ENGINE code
+    (sampling.pack_corpus): one row per (lang, pack) with the members
+    concatenated in doc_id order — the oracle replays the window + ordered
+    string_agg in SQL, so the pack text must match byte-for-byte."""
+    from google_spark.operators.sampling import pack_corpus
+
+    return pack_corpus(_docs(spark, sf_dir), budget=500, by="lang")
+
+
 def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-percentile quartile binning of documents by n_chars through
     ENGINE code (sampling.quality_bins); DuckDB recomputes thresholds
@@ -1494,6 +1504,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": q_text_scrub_pii,
         "dedup_contamination": q_dedup_contamination,
         "sample_pack": q_sample_pack,
+        "sample_pack_corpus": q_sample_pack_corpus,
     }
 
 
@@ -2497,6 +2508,22 @@ SELECT doc_id, lang,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / 500) AS BIGINT) AS pack_id
 FROM documents
+""",
+        "sample_pack_corpus": f"""
+WITH assigned AS (
+  SELECT doc_id, lang, text,
+         CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
+         CAST(floor(coalesce(sum(len({_TOK_SQL})) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / 500) AS BIGINT) AS pack_id
+  FROM documents
+)
+SELECT lang, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(text, e'\n\n' ORDER BY doc_id) AS text
+FROM assigned GROUP BY 1, 2
 """,
         "more_like_this": _bm25_sql(
             """q AS (

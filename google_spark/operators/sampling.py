@@ -149,3 +149,47 @@ def pack_sequences(
             F.floor(cum_before / budget).cast("long").alias("pack_id"),
         )
     )
+
+
+def pack_corpus(
+    df: DataFrame,
+    budget: int,
+    by: str | None = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize the packs :func:`pack_sequences` assigns: one row per
+    (group, pack_id) with the member documents concatenated in ``id_col``
+    order (``sep``-joined), plus doc/token counts — the
+    ready-to-tokenize training-shard table. Deterministic by construction
+    (same order contract as pack_sequences), so any engine replays the
+    identical pack text byte-for-byte.
+
+    Plan shape: the pack assignment's window, then ONE aggregation keyed
+    (group, pack_id). Each pack's text is ~``budget`` tokens by
+    definition, so group state is bounded by the budget — pack rows can't
+    blow up an executor no matter how large the corpus, and packs build in
+    parallel across groups and pack ids."""
+    assigned = pack_sequences(
+        df, budget=budget, by=by, id_col=id_col, text_col=text_col
+    ).join(df.select(id_col, text_col), id_col)
+    keys = ([by] if by else []) + ["pack_id"]
+    # sort_array over (doc_id, text) structs pins member order inside the
+    # aggregated array regardless of partitioning
+    return (
+        assigned.groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+            ).alias("text"),
+        )
+    )

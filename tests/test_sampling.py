@@ -128,3 +128,27 @@ def test_quality_bins_compose_with_stratified_mix(spark):
 
     counts = Counter(r["bin"] for r in mixed.collect())
     assert counts == {3: 10, 4: 20}  # low-quality bins dropped entirely
+
+
+def test_pack_corpus_materializes_ordered_packs(spark):
+    from google_spark.operators.sampling import pack_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"w{i}a w{i}b w{i}c") for i in range(4)]
+        + [(9, "de", "xx yy")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        (r["lang"], r["pack_id"]): r
+        for r in pack_corpus(docs, budget=5, by="lang").collect()
+    }
+    assert rows[("en", 0)]["text"] == "w0a w0b w0c\n\nw1a w1b w1c"
+    assert rows[("en", 1)]["text"] == "w2a w2b w2c\n\nw3a w3b w3c"
+    assert rows[("de", 0)]["text"] == "xx yy"
+    assert rows[("en", 0)]["n_docs"] == 2 and rows[("en", 0)]["n_tokens"] == 6
+    # member order inside a pack is doc_id order regardless of partitioning
+    again = {
+        (r["lang"], r["pack_id"]): r["text"]
+        for r in pack_corpus(docs.repartition(7), budget=5, by="lang").collect()
+    }
+    assert again == {k: v["text"] for k, v in rows.items()}
