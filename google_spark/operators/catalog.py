@@ -404,13 +404,19 @@ class SnapshotCatalog:
         mode: str = "simple",
         stem: bool = False,
         n_shards: int = 8,
+        tags: dict | None = None,
     ) -> int:
         """Append a segment of NEW docs (doc_ids disjoint from every live
         segment — the caller's contract, e.g. ids that hash a fresh commit).
         Cost is proportional to the appended docs only: no existing posting
         row is read or rewritten. n_docs/avgdl are advanced exactly from the
         segment's own doc lengths; per-term df (hence idf) is re-finalized
-        lazily at read time by summing segment dfs."""
+        lazily at read time by summing segment dfs.
+
+        ``tags`` (JSON-serializable) are merged into the manifest summary —
+        the idempotence hook for at-least-once writers (a streaming epoch
+        records ``stream_epoch``; a replay finds it via :meth:`log` and
+        skips the duplicate append)."""
         m = self.manifest()
         seg, n_new, new_dl = self._build_segment(
             m, docs, id_col, text_col, mode, stem, n_shards
@@ -438,6 +444,8 @@ class SnapshotCatalog:
                 "n_deletes": int(parent.summary.get("n_deletes", 0)),
                 "n_pending": int(parent.summary.get("n_pending", 0)),
             }
+            if tags:
+                summary.update(tags)
             return parent.segments + [rel], parent.deletes, summary
 
         return self._commit_apply("append", apply)

@@ -407,3 +407,91 @@ def streaming_near_dedup(
         batch_df.unpersist()
 
     return stream.writeStream.foreachBatch(handle_batch)
+
+
+def _catalog_epoch_done(catalog, stream_id: str, epoch_id: int) -> bool:
+    """True when a live manifest already records this (stream, epoch) —
+    the exactly-once guard for at-least-once foreachBatch replays. Scans
+    the manifest log (metadata-only, O(versions))."""
+    for m in catalog.log():
+        s = m.get("summary", {})
+        if (
+            s.get("stream_id") == stream_id
+            and s.get("stream_epoch") == epoch_id
+        ):
+            return True
+    return False
+
+
+def append_epoch_to_catalog(
+    catalog,
+    batch_df: DataFrame,
+    epoch_id: int,
+    stream_id: str = "stream",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> int | None:
+    """One micro-batch -> one catalog append, EXACTLY ONCE: the commit's
+    manifest is tagged (stream_id, stream_epoch), so a replayed epoch
+    (stream restart re-delivers the last uncommitted batch) finds its tag
+    in the log and becomes a no-op instead of double-indexing. Returns the
+    committed version, or None for a skipped replay / empty batch."""
+    spark = batch_df.sparkSession
+    if _catalog_epoch_done(catalog, stream_id, epoch_id):
+        return None
+    if batch_df.isEmpty():
+        return None
+    return catalog.append_docs(
+        spark,
+        batch_df,
+        id_col=id_col,
+        text_col=text_col,
+        n_shards=n_shards,
+        tags={"stream_id": stream_id, "stream_epoch": int(epoch_id)},
+    )
+
+
+def stream_to_catalog(
+    spark: SparkSession,
+    input_dir: str,
+    catalog,
+    schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Continuous ingestion INTO the snapshot catalog: each micro-batch of
+    new parquet files becomes one tagged catalog append (see
+    :func:`append_epoch_to_catalog`), so readers get snapshot isolation
+    per epoch, time travel across epochs, and a catalog-backed
+    SearchEngine (SearchEngine.from_catalog) picks up every landed epoch
+    on its next query via the HEAD-version check — streaming ingest to
+    live serving with no coordination beyond the catalog itself.
+
+    The catalog must already hold a base snapshot (commit_build an empty
+    or seed corpus first); epoch doc_ids must be disjoint from live docs
+    (append_docs' standard contract — content-hash ids satisfy it)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        catalog.root, "_stream_checkpoint"
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        append_epoch_to_catalog(
+            catalog, batch_df, epoch_id,
+            id_col=id_col, text_col=text_col, n_shards=n_shards,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -391,3 +391,73 @@ def test_streaming_near_dedup_cluster_canonical(spark, tmp_path):
     q.awaitTermination(240)
     kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=*").collect()}
     assert kept == {1}  # one canonical per component, not {1, 2}
+
+
+def test_stream_to_catalog_appends_and_serves(spark, corpus_df, tmp_path):
+    """Streaming ingest INTO the snapshot catalog: each epoch lands as one
+    tagged append (exactly-once on replay), time travel sees each epoch,
+    and a catalog-backed SearchEngine picks up streamed docs on its next
+    query with no restart."""
+    from google_spark.operators.catalog import SnapshotCatalog
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+    from google_spark.streaming.ingest import (
+        append_epoch_to_catalog,
+        stream_to_catalog,
+    )
+
+    seed = with_doc_identity(corpus_df).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    cat = SnapshotCatalog(str(tmp_path / "stream_cat"))
+    cat.commit_build(spark, seed, id_col="doc_id", text_col="text")
+    base_v = cat.head()
+    eng = SearchEngine.from_catalog(spark, cat)
+    assert eng.search("zzstreamterm", k=3) == []
+
+    in_dir = str(tmp_path / "stream_in")
+    os.makedirs(in_dir)
+    epochs = [
+        [(900000001, "zzstreamterm appears in the first streamed epoch "
+                     "zzstreamterm again for weight")],
+        [(900000002, "second epoch document about watermark state "
+                     "eviction and zzstreamterm too")],
+    ]
+    for i, rows in enumerate(epochs):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(f"{in_dir}/f{i}.parquet")
+    q = stream_to_catalog(
+        spark, f"{in_dir}/*", cat,
+        checkpoint_dir=str(tmp_path / "sc_ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+
+    # both epochs landed as tagged appends
+    tagged = [
+        m for m in cat.log() if m["summary"].get("stream_id") == "stream"
+    ]
+    assert {m["summary"]["stream_epoch"] for m in tagged} == {0, 1}
+    assert cat.head() == base_v + 2
+    # the engine sees the streamed docs without being rebuilt
+    got = {r.doc_id for r in eng.search("zzstreamterm", k=5)}
+    assert got == {900000001, 900000002}
+    # time travel: the first epoch's snapshot has only the first doc
+    v1 = tagged[0]["version"]
+    from google_spark.operators.index_query import wand_topk
+
+    ids_v1 = {
+        r["doc_id"]
+        for r in wand_topk(cat.read(spark, version=v1), "zzstreamterm", k=5).collect()
+    }
+    assert ids_v1 == {900000001}
+
+    # replayed epoch = no-op (the manifest tag makes the append idempotent)
+    replay = spark.createDataFrame(epochs[0], "doc_id long, text string")
+    assert append_epoch_to_catalog(cat, replay, 0) is None
+    assert cat.head() == base_v + 2
+    # a NEW epoch through the same helper still commits
+    extra = spark.createDataFrame(
+        [(900000003, "third epoch fresh content")], "doc_id long, text string"
+    )
+    assert append_epoch_to_catalog(cat, extra, 2) == base_v + 3
