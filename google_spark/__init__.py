@@ -52,6 +52,20 @@ def __getattr__(name):
         "SnapshotCatalog": ("google_spark.operators.catalog", "SnapshotCatalog"),
         "serve": ("google_spark.server", "serve"),
         "start_server": ("google_spark.server", "start_server"),
+        "build_fielded_index": ("google_spark.operators.fielded", "build_fielded_index"),
+        "bm25f_index_topk": ("google_spark.operators.fielded", "bm25f_index_topk"),
+        "bm25f_local_topk": ("google_spark.operators.fielded", "bm25f_local_topk"),
+        "cluster_dedup": ("google_spark.operators.components", "cluster_dedup"),
+        "contamination_flags": ("google_spark.operators.dedup", "contamination_flags"),
+        "incremental_near_dups": ("google_spark.operators.dedup", "incremental_near_dups"),
+        "write_signature_store": ("google_spark.operators.dedup", "write_signature_store"),
+        "compact_signature_store": ("google_spark.operators.dedup", "compact_signature_store"),
+        "scrub_pii": ("google_spark.operators.text_analysis", "scrub_pii"),
+        "pack_sequences": ("google_spark.operators.sampling", "pack_sequences"),
+        "pack_corpus": ("google_spark.operators.sampling", "pack_corpus"),
+        "sample_stratified": ("google_spark.operators.sampling", "sample_stratified"),
+        "stream_to_catalog": ("google_spark.streaming.ingest", "stream_to_catalog"),
+        "streaming_near_dedup": ("google_spark.streaming.ingest", "streaming_near_dedup"),
     }
     if name in lazy:
         import importlib

@@ -228,6 +228,45 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.dedup import contamination_flags
+    from google_spark.operators.sampling import pack_sequences
+    from google_spark.operators.text_analysis import scrub_pii
+
+    sections.append(
+        (
+            "PII scrub",
+            "A single codegen'd projection over the scan — the regexp "
+            "chain (emails -> keys -> secrets -> IPv4) evaluates inline, "
+            "no exchange, no join, no Python (asserted in "
+            "tests/test_plans_and_scale.py).",
+            fmt(scrub_pii(docs)),
+        )
+    )
+    sections.append(
+        (
+            "Benchmark decontamination (n-gram overlap vs an eval set)",
+            "The eval side's distinct shingle hashes BROADCAST into a "
+            "left-semi join against the scan-side training shingles; the "
+            "training corpus (the 100 TB side) is never shuffled before "
+            "its per-doc aggregate.",
+            fmt(
+                contamination_flags(
+                    docs, docs.filter(F.col("doc_id") % 53 == 7)
+                )
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Sequence packing (fixed-token-budget training packs)",
+            "ONE running-sum window per group (hash exchange on the group "
+            "column only — no global sort, no second shuffle): pack_id = "
+            "floor(tokens_before_me / budget) over the group's doc_id "
+            "order, replayed identically by the DuckDB oracle.",
+            fmt(pack_sequences(docs, budget=500, by="lang")),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
