@@ -204,7 +204,14 @@ class SnapshotCatalog:
             except FileExistsError:
                 with contextlib.suppress(FileNotFoundError):
                     if time.time() - os.path.getmtime(lock) > stale_after:
-                        os.remove(lock)  # crashed holder
+                        # break via rename-to-unique: only ONE waiter's
+                        # rename succeeds, so two waiters that both saw
+                        # the stale mtime can't each remove a lock (the
+                        # loser would be deleting the winner's FRESH lock
+                        # and let two writers into the critical section)
+                        stale = f"{lock}.stale-{uuid.uuid4().hex[:6]}"
+                        os.rename(lock, stale)  # crashed holder
+                        os.remove(stale)
                         continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -229,6 +236,22 @@ class SnapshotCatalog:
             parent_v = self.head()
             parent = self.manifest(parent_v) if parent_v is not None else None
             segments, deletes, summary = apply_fn(parent)
+            # stream high-water marks ride EVERY commit (delete, compact,
+            # upsert, ...), so the exactly-once epoch guard survives
+            # expire() dropping the manifest that first carried a tag —
+            # HEAD's summary always holds the freshest mark per stream.
+            # A summary that already carries the map wins wholesale:
+            # rollback restores the TARGET's marks so the rolled-back
+            # epochs (whose data the rollback removed) can re-append.
+            if "stream_epochs" not in summary:
+                hwm = dict((parent.summary or {}).get("stream_epochs", {})) \
+                    if parent is not None else {}
+                sid = summary.get("stream_id")
+                sep = summary.get("stream_epoch")
+                if sid is not None and sep is not None:
+                    hwm[str(sid)] = max(int(sep), int(hwm.get(str(sid), -1)))
+                if hwm:
+                    summary["stream_epochs"] = hwm
             v = (max(self.versions()) + 1) if self.versions() else 1
             m = Manifest(
                 version=v,
@@ -299,14 +322,9 @@ class SnapshotCatalog:
             keys.select("doc_id", "repo", "path").write.mode("overwrite").parquet(
                 os.path.join(tmp, "keys.parquet")
             )
-        # a crash after a previous attempt's rename but before its manifest
-        # write leaves an orphan dir at this version number; it cannot be
-        # referenced by any manifest (manifests are written only after the
-        # rename succeeds), so clear it — otherwise os.replace onto a
-        # non-empty directory raises ENOTEMPTY and blocks all commits until
-        # expire() runs
-        if os.path.isdir(seg):
-            shutil.rmtree(seg)
+        # seg carries a fresh per-attempt uuid suffix (_new_data_path), so
+        # no previous attempt's orphan can exist at this path — a crashed
+        # attempt's dir is unreferenced garbage that expire() GCs
         os.replace(tmp, seg)
         return seg
 
@@ -783,37 +801,52 @@ class SnapshotCatalog:
 
         return self._commit_apply("compact", apply)
 
-    def expire(self, keep_last: int = 2) -> list[str]:
+    def expire(
+        self, keep_last: int = 2, orphan_grace_s: float = 3600.0
+    ) -> list[str]:
         """Drop all but the newest ``keep_last`` manifests, then delete
         every data path no surviving manifest references (plus orphaned
         ``*.tmp`` from crashed commits). Time travel to expired versions
         stops working; readers that already resolved a surviving snapshot
-        are unaffected. Returns removed paths."""
-        versions = self.versions()
-        keep = set(versions[-max(keep_last, 1):])
-        head = self.head()
-        if head is not None:
-            keep.add(head)
+        are unaffected. Returns removed paths.
+
+        Runs under the commit lock, and unreferenced paths younger than
+        ``orphan_grace_s`` survive: an in-flight writer builds its segment
+        dir BEFORE taking the lock to commit (the heavy Spark work happens
+        outside the critical section), so a fresh unreferenced dir is more
+        likely a commit-in-progress than garbage — GC'ing it would let the
+        writer commit a manifest pointing at a deleted directory. This is
+        Iceberg's ``remove_orphan_files`` ``older_than`` defense."""
         removed = []
-        for v in versions:
-            if v not in keep:
-                os.remove(os.path.join(self.meta_dir, f"v{v:05d}.json"))
-                removed.append(f"meta/v{v:05d}.json")
-        referenced = set()
-        for v in self.versions():
-            m = self.manifest(v)
-            referenced.update(m.segments)
-            referenced.update(m.deletes)
-        if os.path.isdir(self.data_dir):
-            for entry in os.scandir(self.data_dir):
-                rel = os.path.relpath(entry.path, self.root)
-                if rel in referenced:
-                    continue
-                if entry.is_dir():
-                    shutil.rmtree(entry.path)
-                else:
-                    os.remove(entry.path)
-                removed.append(rel)
+        with self._commit_lock():
+            versions = self.versions()
+            keep = set(versions[-max(keep_last, 1):])
+            head = self.head()
+            if head is not None:
+                keep.add(head)
+            for v in versions:
+                if v not in keep:
+                    os.remove(os.path.join(self.meta_dir, f"v{v:05d}.json"))
+                    removed.append(f"meta/v{v:05d}.json")
+            referenced = set()
+            for v in self.versions():
+                m = self.manifest(v)
+                referenced.update(m.segments)
+                referenced.update(m.deletes)
+            now = time.time()
+            if os.path.isdir(self.data_dir):
+                for entry in os.scandir(self.data_dir):
+                    rel = os.path.relpath(entry.path, self.root)
+                    if rel in referenced:
+                        continue
+                    with contextlib.suppress(FileNotFoundError):
+                        if now - entry.stat().st_mtime < orphan_grace_s:
+                            continue  # possible commit-in-progress
+                        if entry.is_dir():
+                            shutil.rmtree(entry.path)
+                        else:
+                            os.remove(entry.path)
+                        removed.append(rel)
         return removed
 
 

@@ -34,12 +34,17 @@ class ComponentsNotConverged(UserWarning):
     are still split across several values."""
 
 
+class ComponentsNotConvergedError(RuntimeError):
+    """strict-mode counterpart of :class:`ComponentsNotConverged`."""
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
     checkpoint_every: int = 4,
+    strict: bool = False,
 ) -> DataFrame:
     """DataFrame[id, component] for every node appearing in ``edges``
     (undirected; direction of the input pairs is ignored). ``component``
@@ -48,11 +53,13 @@ def connected_components(
 
     Convergence is detected by the label-sum fixpoint; if ``max_iter``
     rounds exhaust first (a component with diameter > max_iter — e.g. an
-    incrementally drifting boilerplate chain), a
-    :class:`ComponentsNotConverged` warning is emitted and the returned
-    frame carries ``_gs_converged = False``, so callers (cluster_dedup)
-    can raise/retry with a higher budget instead of silently keeping
-    several "canonical" docs from one cluster."""
+    incrementally drifting boilerplate chain), labels are still split
+    across several values. ``strict=True`` raises
+    :class:`ComponentsNotConvergedError` in that case — the mode for
+    callers who must not silently keep several "canonical" docs from one
+    cluster; the default emits a :class:`ComponentsNotConverged` warning
+    (and the returned frame carries ``_gs_converged = False`` for
+    introspection)."""
     sym = edges.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
@@ -95,13 +102,14 @@ def connected_components(
             break
         prev_sum = s
     if not converged:
-        warnings.warn(
+        msg = (
             f"connected_components hit max_iter={max_iter} before the "
             "label-sum fixpoint; some component's labels are still split "
-            "(raise max_iter — rounds needed = component diameter)",
-            ComponentsNotConverged,
-            stacklevel=2,
+            "(raise max_iter — rounds needed = component diameter)"
         )
+        if strict:
+            raise ComponentsNotConvergedError(msg)
+        warnings.warn(msg, ComponentsNotConverged, stacklevel=2)
     labels._gs_converged = converged
     return labels
 
@@ -113,6 +121,8 @@ def near_dup_components(
     threshold: float = 0.85,
     n_hashes: int | None = None,
     n_bands: int | None = None,
+    max_iter: int = 50,
+    strict: bool = False,
 ) -> DataFrame:
     """DataFrame[doc_id, component] over the MinHash-LSH + exact-Jaccard
     verified near-dup graph. Docs with no near-dup partner do not appear
@@ -134,9 +144,13 @@ def near_dup_components(
         n_hashes=n_hashes or DEFAULT_N_HASHES,
         n_bands=n_bands or DEFAULT_N_BANDS,
     )
-    return connected_components(pairs).select(
-        F.col("id").alias(id_col), "comp"
-    ).withColumnRenamed("comp", "component")
+    labels = connected_components(pairs, max_iter=max_iter, strict=strict)
+    out = labels.select(F.col("id").alias(id_col), "comp").withColumnRenamed(
+        "comp", "component"
+    )
+    # .select() returns a NEW DataFrame — re-attach the introspection flag
+    out._gs_converged = labels._gs_converged
+    return out
 
 
 def cluster_dedup(
@@ -146,12 +160,20 @@ def cluster_dedup(
     threshold: float = 0.85,
     n_hashes: int | None = None,
     n_bands: int | None = None,
+    max_iter: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """Keep ONE canonical doc (the minimum id) per near-dup cluster —
     the transitive-closure-correct alternative to pairwise loser
     dropping. Returns the surviving rows of ``docs``. The anti-join key
     set (non-canonical members) is fixed-width ids, tiny next to the
-    corpus."""
+    corpus.
+
+    ``strict`` defaults to True HERE (unlike the lower-level entry
+    points): unconverged labels would silently keep several "canonical"
+    docs from one cluster — exactly the contract this op exists to
+    enforce — so exhausting ``max_iter`` raises
+    :class:`ComponentsNotConvergedError` instead of warning."""
     comp = near_dup_components(
         docs,
         id_col=id_col,
@@ -159,6 +181,8 @@ def cluster_dedup(
         threshold=threshold,
         n_hashes=n_hashes,
         n_bands=n_bands,
+        max_iter=max_iter,
+        strict=strict,
     )
     losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return docs.join(losers, id_col, "left_anti")

@@ -654,6 +654,23 @@ def _read_store_meta(path: str) -> dict | None:
         return json.load(f)
 
 
+def _recover_store_swap(path: str) -> None:
+    """Roll back a compaction swap that crashed mid-window: for each store
+    table, if ``{name}.parquet`` is missing but ``{name}.parquet.old``
+    survives, rename the old layout back in. Compaction is idempotent
+    (distinct of distinct), so recovering the pre-compaction table is
+    always safe; without this, a crash between the two renames in
+    :func:`compact_signature_store` makes the store look absent and the
+    next streaming epoch would silently overwrite the whole history."""
+    import os
+
+    for name in ("sigs", "bands", "sketches"):
+        src = os.path.join(path, f"{name}.parquet")
+        old = src + ".old"
+        if not os.path.isdir(src) and os.path.isdir(old):
+            os.replace(old, src)
+
+
 def write_signature_store(
     docs: DataFrame,
     path: str,
@@ -675,13 +692,26 @@ def write_signature_store(
     widths raise (mixed-width signatures would silently corrupt every
     downstream estimate)."""
     import json
+    import os
 
+    _recover_store_swap(path)
     meta = _read_store_meta(path)
     want = {"n_hashes": n_hashes, "n_bands": n_bands, "sketch_k": sketch_k}
     if mode == "append" and meta is not None and meta != want:
         raise ValueError(
             f"signature store at {path} was created with {meta}; "
             f"appending with {want} would mix incompatible widths"
+        )
+    if mode == "append" and meta is None and os.path.isdir(f"{path}/sigs.parquet"):
+        # a pre-meta (legacy-width) store: its widths are unknown, so an
+        # append would mix signature widths and create a sketches table
+        # covering only the new rows — every pre-upgrade doc would then
+        # silently stop matching in incremental_near_dups' sketch join
+        raise ValueError(
+            f"signature store at {path} predates _store_meta.json; "
+            "rebuild it (mode='overwrite') before appending — appending "
+            "unknown-width signatures would silently corrupt every "
+            "downstream estimate"
         )
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes
@@ -696,7 +726,6 @@ def write_signature_store(
     bottomk_sketches(docs, id_col=id_col, text_col=text_col, k=sketch_k).filter(
         F.size("sketch") > 0
     ).write.mode(mode).parquet(f"{path}/sketches.parquet")
-    import os
 
     tmp = _store_meta_path(path) + ".tmp"
     with open(tmp, "w") as f:
@@ -735,6 +764,7 @@ def incremental_near_dups(
     import os
 
     spark = new_docs.sparkSession
+    _recover_store_swap(store_path)
     meta = _read_store_meta(store_path) or {}
     n_hashes = n_hashes or int(meta.get("n_hashes", DEFAULT_N_HASHES))
     n_bands = n_bands or int(meta.get("n_bands", DEFAULT_N_BANDS))
@@ -812,12 +842,19 @@ def compact_signature_store(spark: SparkSession, path: str) -> dict:
     without bound and every epoch's bucket-count aggregate re-scans the
     duplicates. Compaction rewrites each table to its distinct rows (one
     shuffle per table over fixed-width rows), preserving the bands
-    table's ``band`` partitioning, via write-to-tmp + atomic directory
-    swap so a concurrent reader resolves either the old or the new layout
-    wholesale. Returns {"docs": n, "band_rows": n, "sketch_rows": n}."""
+    table's ``band`` partitioning, via write-to-tmp + rename-aside +
+    rename-in. POSIX has no atomic directory exchange, so there is a
+    crash window between the two renames; every store entry point calls
+    :func:`_recover_store_swap` first, which rolls a stranded ``.old``
+    back in — so a crash mid-swap self-heals on the next touch instead
+    of making the store look absent (which would let a streaming epoch
+    overwrite the whole history). Run compaction from the single
+    maintainer, not concurrently with probes. Returns
+    {"docs": n, "band_rows": n, "sketch_rows": n}."""
     import os
     import shutil
 
+    _recover_store_swap(path)
     stats = {"docs": 0, "band_rows": 0, "sketch_rows": 0}
     for name, part_by, out_key in (
         ("sigs", None, "docs"),

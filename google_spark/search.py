@@ -149,7 +149,9 @@ class SearchEngine:
         # the SCORE, not a flat boost) through the same serving point-read
         # tier; saved/loaded with the bundle
         self.fielded_index = fielded_index
-        self._fielded_caches: dict[str, PostingsCache] = {}
+        # field name -> {term -> decoded posting rows} (plain dicts filled
+        # by bm25f_local_topk; capped with drop-all GC in search())
+        self._fielded_caches: dict[str, dict] = {}
         # (word, vector) table for query-time synonym expansion (D17/D20;
         # the reference ships GloVe, ref: SearchApi.java:147-160 — any
         # table of that shape works). Collected lazily on first synonym
@@ -286,13 +288,18 @@ class SearchEngine:
         snapshot, re-resolves the index and drops every derived cache
         (trie/vocab/suggester/result/postings) — so autocomplete and
         suggest can never silently miss terms an append just indexed."""
+        # capture the version BEFORE resolving: a commit landing between
+        # read() and head() would otherwise mark the engine current while
+        # it serves the older snapshot — permanently stale if that commit
+        # was the stream's last epoch
+        v = catalog.head()
         eng = cls(
-            catalog.read(spark), ranks, doc_meta, docs,
+            catalog.read(spark, version=v), ranks, doc_meta, docs,
             mode=mode, word_vectors=word_vectors,
         )
         eng._catalog = catalog
         eng._catalog_spark = spark
-        eng._catalog_version = catalog.head()
+        eng._catalog_version = v
         return eng
 
     def refresh(self) -> None:
@@ -301,8 +308,10 @@ class SearchEngine:
         engines also re-resolve the HEAD snapshot. Call after the
         underlying index/meta tables changed out from under the engine."""
         if self._catalog is not None:
-            self.index = self._catalog.read(self._catalog_spark)
-            self._catalog_version = self._catalog.head()
+            # version first, then resolve THAT version (see from_catalog)
+            v = self._catalog.head()
+            self.index = self._catalog.read(self._catalog_spark, version=v)
+            self._catalog_version = v
         self._cache.clear()
         self._postings_cache.clear()
         self._trie = None
@@ -501,6 +510,12 @@ class SearchEngine:
             or self._postings_cache.nbytes > POSTINGS_CACHE_MAX_BYTES
         ):
             self._postings_cache.clear()
+        # the per-field posting-row caches get the same drop-all GC — a
+        # long-running server answering diverse fielded queries would
+        # otherwise grow decoded numpy rows without bound
+        for fc in self._fielded_caches.values():
+            if len(fc) > POSTINGS_CACHE_MAX_TERMS:
+                fc.clear()
         hit = self._cache.get(key)
         if hit and now - hit[0] < CACHE_TTL_S:
             results = hit[1]

@@ -367,6 +367,7 @@ def streaming_near_dedup(
 
     from google_spark.operators.components import cluster_dedup
     from google_spark.operators.dedup import (
+        _recover_store_swap,
         incremental_near_dups,
         write_signature_store,
     )
@@ -386,6 +387,10 @@ def streaming_near_dedup(
             n_hashes=lsh_hashes,
             n_bands=lsh_bands,
         )
+        # roll back a compaction swap that crashed mid-window first —
+        # otherwise the store looks absent and this epoch would
+        # mode="overwrite" away the whole dedup history
+        _recover_store_swap(store_path)
         store_exists = _os.path.isdir(f"{store_path}/sigs.parquet")
         if store_exists:
             hits = incremental_near_dups(
@@ -410,9 +415,20 @@ def streaming_near_dedup(
 
 
 def _catalog_epoch_done(catalog, stream_id: str, epoch_id: int) -> bool:
-    """True when a live manifest already records this (stream, epoch) —
-    the exactly-once guard for at-least-once foreachBatch replays. Scans
-    the manifest log (metadata-only, O(versions))."""
+    """True when the catalog already recorded this (stream, epoch) — the
+    exactly-once guard for at-least-once foreachBatch replays. The HEAD
+    manifest's ``stream_epochs`` high-water marks are authoritative: every
+    commit carries them forward, so the guard survives ``expire()``
+    dropping the manifest that first carried the epoch's tag (a log-only
+    scan would see no tag after retention and re-append the docs). The
+    per-manifest tag scan remains as the legacy-catalog fallback."""
+    head = catalog.head()
+    if head is not None:
+        hwm = catalog.manifest(head).summary.get("stream_epochs") or {}
+        if int(epoch_id) <= int(hwm.get(str(stream_id), -1)):
+            return True
+        # fall through: a pre-upgrade append may exist only as a
+        # per-manifest tag that never entered the carried-forward map
     for m in catalog.log():
         s = m.get("summary", {})
         if (

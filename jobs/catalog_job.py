@@ -56,6 +56,11 @@ def main() -> None:
 
     p_exp = sub.add_parser("expire", help="drop old snapshots + unreferenced data")
     p_exp.add_argument("--keep", type=int, default=2)
+    p_exp.add_argument(
+        "--orphan-grace-s", type=float, default=3600.0,
+        help="unreferenced data paths younger than this survive GC "
+        "(in-flight-writer defense); 0 when no writer can be running",
+    )
 
     sub.add_parser("log", help="print the snapshot history")
 
@@ -104,7 +109,9 @@ def main() -> None:
     elif args.op == "compact":
         out["version"] = cat.compact(spark)
     elif args.op == "expire":
-        out["removed"] = cat.expire(keep_last=args.keep)
+        out["removed"] = cat.expire(
+            keep_last=args.keep, orphan_grace_s=args.orphan_grace_s
+        )
         out["version"] = cat.head()
     out["wall_s"] = round(time.perf_counter() - t0, 3)
     out["head_summary"] = cat.manifest().summary

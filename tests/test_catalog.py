@@ -202,7 +202,8 @@ def test_expire_keeps_head_and_gcs_data(spark, identified, tmp_path):
     # orphan tmp dir from a "crashed" commit
     os.makedirs(os.path.join(cat.data_dir, "b99999.tmp"), exist_ok=True)
 
-    removed = cat.expire(keep_last=1)
+    # grace 0: this test's "crash leftovers" were created milliseconds ago
+    removed = cat.expire(keep_last=1, orphan_grace_s=0.0)
     assert cat.head() == 3 and cat.versions() == [3]
     assert any(p.startswith("meta/") for p in removed)
     assert any("b99999.tmp" in p for p in removed)
@@ -451,7 +452,12 @@ def test_orphan_segment_dir_does_not_block_commit(spark, identified, tmp_path):
     v = cat.append_docs(spark, extra, id_col="doc_id", text_col="content")
     assert v == 2
     assert wand_topk(cat.read(spark), QUERY, k=5).count() == 5
-    removed = cat.expire(keep_last=2)
+    # the default orphan grace treats the fresh dir as a possible
+    # commit-in-progress and leaves it alone...
+    assert "data/b00002-dead01" not in cat.expire(keep_last=2)
+    assert os.path.exists(orphan)
+    # ...grace 0 (an operator who KNOWS no writer is in flight) GCs it
+    removed = cat.expire(keep_last=2, orphan_grace_s=0.0)
     assert "data/b00002-dead01" in removed
     assert not os.path.exists(orphan)
 

@@ -102,3 +102,39 @@ def test_non_convergence_warns(spark):
         ok = connected_components(edges, max_iter=30)
     assert ok._gs_converged is True
     assert {r["comp"] for r in ok.collect()} == {0}
+
+
+def test_non_convergence_strict_raises_and_flag_propagates(spark):
+    """Review r4: the convergence signal must be REACHABLE — strict mode
+    raises instead of warning, and near_dup_components re-attaches
+    _gs_converged to the frame it derives (a bare .select() drops it)."""
+    import pytest
+
+    from google_spark.operators.components import (
+        ComponentsNotConverged,
+        ComponentsNotConvergedError,
+        connected_components,
+        near_dup_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with pytest.raises(ComponentsNotConvergedError):
+        connected_components(edges, max_iter=3, strict=True)
+
+    # two exact-duplicate docs: one edge, converges in one round; the
+    # derived frame still exposes the flag
+    docs = spark.createDataFrame(
+        [(1, "identical twin text body"), (2, "identical twin text body")],
+        "doc_id long, text string",
+    )
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", ComponentsNotConverged)
+        comp = near_dup_components(docs, threshold=0.5)
+    assert comp._gs_converged is True
+    assert {(r["doc_id"], r["component"]) for r in comp.collect()} == {
+        (1, 1), (2, 1),
+    }

@@ -369,3 +369,55 @@ def test_incremental_store_legacy_sig_estimate_fallback(spark, tmp_path):
     assert {(r["new_id"], r["stored_id"]) for r in hits} == {(10, 1)}
     est = hits[0]["est_jaccard"]
     assert abs(est * 64 - round(est * 64)) < 1e-9  # k/64 grid point
+
+
+def test_append_to_legacy_meta_less_store_raises(spark, tmp_path):
+    """Review r4: appending to a pre-meta store would mix unknown-width
+    signatures AND create a sketches table covering only the new rows —
+    every pre-upgrade doc would silently stop matching. Must raise."""
+    import os
+
+    from google_spark.operators.dedup import write_signature_store
+
+    docs = spark.createDataFrame(
+        [(1, "some words that produce a couple of shingles here today")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "legacy_append_store")
+    write_signature_store(docs, store)
+    os.remove(f"{store}/_store_meta.json")  # simulate a pre-meta store
+    with pytest.raises(ValueError, match="predates _store_meta.json"):
+        write_signature_store(docs, store, mode="append")
+
+
+def test_store_compaction_crash_window_self_heals(spark, tmp_path):
+    """Review r4: a crash between compact's two renames leaves
+    {table}.parquet missing with the data stranded in {table}.parquet.old;
+    every store entry point must roll it back instead of treating the
+    store as absent (a streaming epoch would then overwrite the whole
+    dedup history)."""
+    import os
+
+    from google_spark.operators.dedup import (
+        incremental_near_dups,
+        write_signature_store,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    store = str(tmp_path / "crash_store")
+    write_signature_store(docs, store)
+    # simulate the crash window: sigs renamed aside, new layout never landed
+    os.replace(f"{store}/sigs.parquet", f"{store}/sigs.parquet.old")
+    assert not os.path.isdir(f"{store}/sigs.parquet")
+
+    probe = spark.createDataFrame(
+        [(10, base + " extra tail")], "doc_id long, text string"
+    )
+    hits = incremental_near_dups(probe, store, threshold=0.5).collect()
+    assert {(r["new_id"], r["stored_id"]) for r in hits} == {(10, 1)}
+    assert os.path.isdir(f"{store}/sigs.parquet")  # healed on first touch
+    assert not os.path.isdir(f"{store}/sigs.parquet.old")

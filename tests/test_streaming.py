@@ -461,3 +461,58 @@ def test_stream_to_catalog_appends_and_serves(spark, corpus_df, tmp_path):
         [(900000003, "third epoch fresh content")], "doc_id long, text string"
     )
     assert append_epoch_to_catalog(cat, extra, 2) == base_v + 3
+
+
+def test_epoch_guard_survives_manifest_expiry(spark, corpus_df, tmp_path):
+    """Review r4: the exactly-once guard must not depend on manifest
+    retention. After maintenance (delete/compact/expire) drops the
+    manifest that carried an epoch's tag, the HEAD summary's carried-
+    forward stream_epochs high-water mark still marks the epoch done, so
+    a replay stays a no-op instead of double-indexing its docs."""
+    from google_spark.operators.catalog import SnapshotCatalog
+    from google_spark.sources.tables import with_doc_identity
+    from google_spark.streaming.ingest import append_epoch_to_catalog
+
+    seed = with_doc_identity(corpus_df).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    cat = SnapshotCatalog(str(tmp_path / "hwm_cat"))
+    cat.commit_build(spark, seed, id_col="doc_id", text_col="text")
+
+    batch = spark.createDataFrame(
+        [(900000001, "zzhwmterm exactly once even after expiry")],
+        "doc_id long, text string",
+    )
+    v_epoch = append_epoch_to_catalog(cat, batch, 0, stream_id="s1")
+    assert v_epoch is not None
+    n_after_epoch = int(cat.manifest().summary["n_docs"])
+
+    # maintenance: a compact commit supersedes the tagged manifest, then
+    # expire drops it entirely
+    cat.compact(spark)
+    cat.expire(keep_last=1, orphan_grace_s=0.0)
+    assert all(
+        m["summary"].get("stream_epoch") != 0
+        or m["summary"].get("stream_id") != "s1"
+        for m in cat.log()
+    ), "precondition: the tagged manifest is really gone"
+    # ...but the HWM rode the compact commit
+    assert cat.manifest().summary["stream_epochs"] == {"s1": 0}
+
+    # replay of epoch 0 is STILL a no-op
+    head_before = cat.head()
+    assert append_epoch_to_catalog(cat, batch, 0, stream_id="s1") is None
+    assert cat.head() == head_before
+    assert int(cat.manifest().summary["n_docs"]) == n_after_epoch
+
+    # a fresh epoch (and an unrelated stream) still commit
+    nxt = spark.createDataFrame(
+        [(900000002, "zzhwmterm second epoch")], "doc_id long, text string"
+    )
+    assert append_epoch_to_catalog(cat, nxt, 1, stream_id="s1") is not None
+    assert cat.manifest().summary["stream_epochs"] == {"s1": 1}
+    other = spark.createDataFrame(
+        [(900000003, "other stream doc")], "doc_id long, text string"
+    )
+    assert append_epoch_to_catalog(cat, other, 0, stream_id="s2") is not None
+    assert cat.manifest().summary["stream_epochs"] == {"s1": 1, "s2": 0}
