@@ -110,7 +110,6 @@ def exhaustive_topk(
     one scan of the pruned per-shard df column) — the decode emits scored
     rows directly and the plan is scan -> kernel -> partial/final sum ->
     TakeOrderedAndProject, with no joins."""
-    import numpy as np
 
     spark = index.postings.sparkSession
     terms = query_terms(query, mode=mode, stem=stem)
@@ -471,6 +470,19 @@ def batch_topk(
     n = index.n_docs
     avgdl = index.avgdl
 
+    # query ids keep their source type (eval-set logs often use string ids
+    # like 'q_0017'); integral types all ride as long, strings as object
+    qid_spark_type = queries.schema[query_id_col].dataType.simpleString()
+    if qid_spark_type in ("tinyint", "smallint", "int", "bigint"):
+        qid_out_type, qid_pd_dtype = "long", "int64"
+    elif qid_spark_type == "string":
+        qid_out_type, qid_pd_dtype = "string", "object"
+    else:
+        raise TypeError(
+            f"unsupported {query_id_col} type {qid_spark_type!r}: "
+            "use an integral or string query id"
+        )
+
     def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             q_out, t_out, w_out = [], [], []
@@ -483,14 +495,14 @@ def batch_topk(
                     w_out.append(float(cnt))
             yield pd.DataFrame(
                 {
-                    "query_id": pd.Series(q_out, dtype="int64"),
+                    "query_id": pd.Series(q_out, dtype=qid_pd_dtype),
                     "term": pd.Series(t_out, dtype="object"),
                     "w": pd.Series(w_out, dtype="float64"),
                 }
             )
 
     qt = queries.select(query_id_col, query_col).mapInPandas(
-        tok, schema="query_id long, term string, w double"
+        tok, schema=f"query_id {qid_out_type}, term string, w double"
     )
     hint = F.broadcast if broadcast_queries else (lambda df: df)
 
@@ -645,7 +657,6 @@ def wand_topk_local(
 
     Use for interactive queries; use :func:`wand_topk` when k or the
     candidate set is too large for one machine."""
-    import pandas as pd
 
     terms = query_terms(query, mode=mode, stem=stem)
     if not terms:
@@ -737,11 +748,17 @@ def more_like_this(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "simple",
+    stem: bool = False,
 ) -> DataFrame:
     """DataFrame[doc_id, score] — the k documents most similar to
     ``doc_id`` (the "related pages" feature): the source document's
     ``n_query_terms`` most salient terms (tf * idf, ties by term) become
     a BM25 query against the index, the source itself excluded.
+
+    ``mode``/``stem`` MUST match how the index was built (as with every
+    query entry point) — on a stem-built index an unstemmed tokenization
+    would miss the whole vocabulary, degrade the salience ranking to an
+    arbitrary pick, and return empty results.
 
     Driver work is bounded by ONE document: a point lookup of its text
     (partition-pruned under the disk/docstore layout), its own term
@@ -757,7 +774,7 @@ def more_like_this(
     row = docs.filter(F.col(id_col) == doc_id).select(text_col).take(1)
     if not row or row[0][0] is None:
         return spark.createDataFrame([], f"{id_col} long, score double")
-    tf = _Counter(t for t, _ in tokenize(row[0][0], mode=mode))
+    tf = _Counter(t for t, _ in tokenize(row[0][0], mode=mode, stem=stem))
     idf = index.idf_map(list(tf))
     salient = sorted(
         tf,
@@ -765,6 +782,8 @@ def more_like_this(
     )[:n_query_terms]
     if not salient:
         return spark.createDataFrame([], f"{id_col} long, score double")
+    # salient terms are already in index vocabulary form; stem=False here
+    # would double-stem nothing (terms are post-stem), so pass them raw
     hits = wand_topk(index, " ".join(salient), k=k + 1, mode=mode)
     # wand_topk's output column is always doc_id; rename so both return
     # paths of this function use the caller's id_col

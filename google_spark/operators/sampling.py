@@ -79,7 +79,14 @@ def quality_bins(
     the lower bin (<= comparisons), so equal scores always share a bin.
     """
     if n_bins < 2:
-        return df.withColumn(bin_col, F.lit(1))
+        # single bin — but NULL scores still get NULL bins, same as the
+        # main path (they must stay distinguishable from scored rows)
+        return df.withColumn(
+            bin_col,
+            F.when(F.col(score_col).isNull(), F.lit(None).cast("int"))
+            .otherwise(F.lit(1))
+            .cast("int"),
+        )
     qs = [i / n_bins for i in range(1, n_bins)]
     row = df.agg(
         F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs])).alias(

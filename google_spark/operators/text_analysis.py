@@ -54,8 +54,15 @@ def language_id(
 def token_count(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
+    # NULL text counts as 0 tokens — size(null) is NULL (or -1 under
+    # legacy sizeOfNull), which would propagate into pack_id/total_tokens
+    # downstream; same guard build_index applies to doc lengths
     return docs.select(
-        F.col(id_col), F.size(tokens_col(text_col)).alias("n_tokens")
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens_col(text_col)))
+        .cast("int")
+        .alias("n_tokens"),
     )
 
 
@@ -302,9 +309,10 @@ def scrub_pii(
     secrets, IPv4 addresses -> typed sentinels). Pure JVM regexp
     expressions (whole-stage codegen, no Python); the pattern list is
     shared with the DuckDB oracle so both engines scrub byte-identically.
-    Counts are measured on the ORIGINAL text per pattern, in application
-    order (an email's host is already <EMAIL> by the time the IP pattern
-    runs, exactly as in the replacement chain)."""
+    Each count equals the number of substitutions that pattern MADE, i.e.
+    it is measured on the text as already rewritten by the previous
+    patterns in the chain — an email's host is inside <EMAIL> by the time
+    the IP pattern runs, so 'user@10.1.2.3' yields n_email=1, n_ipv4=0."""
     counts = []
     cleaned = F.col(text_col)
     for name, pat, repl in PII_PATTERNS:

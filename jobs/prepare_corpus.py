@@ -76,6 +76,19 @@ def prepare_corpus(
         token_count,
     )
 
+    # provenance columns this job ADDS — drop any that already exist on
+    # the input (e.g. re-running on a previously prepared corpus.parquet),
+    # otherwise the metric joins below produce duplicate column names and
+    # every later F.col reference dies with AMBIGUOUS_REFERENCE; the
+    # re-run recomputes them against the current corpus state
+    provenance = [
+        "lang_pred", "lang_score", "dup_line_frac", "top_bigram_frac",
+        "has_char_run", "mean_logprob", "n_tokens", "pack_id",
+    ]
+    stale = [c for c in docs.columns if c in provenance or c.startswith("q_")]
+    if stale:
+        docs = docs.drop(*stale)
+
     acct = {"input": docs.count()}
 
     if scrub:
@@ -116,7 +129,13 @@ def prepare_corpus(
         )
         losers = pairs.select(F.col("b").alias(id_col)).distinct()
         docs = docs.join(losers, id_col, "left_anti")
+    # barrier: the dedup lineage (sha256 aggregate + MinHash signatures +
+    # Jaccard verification) is by far the most expensive prefix, and every
+    # later stage's accounting count plus the final write would re-execute
+    # it from scratch — O(stages) repetitions of the dedup pipeline
+    docs = docs.persist()
     acct["after_near_dedup"] = docs.count()
+    _dedup_barrier = docs
 
     # metric operators emit (doc_id, metrics...) projections; join them on
     # so the prepared corpus carries its provenance columns
@@ -196,9 +215,15 @@ def prepare_corpus(
         docs = sample_stratified(docs, "lang_pred", mix, id_col=id_col)
         acct["after_mix"] = docs.count()
 
-    docs = docs.join(token_count(docs, id_col=id_col, text_col=text_col), id_col)
+    # second barrier: all gates are applied; the token accounting, the
+    # optional packing window, and the caller's write reuse this state
+    # instead of replaying the filter stack off the dedup barrier
+    docs = docs.join(
+        token_count(docs, id_col=id_col, text_col=text_col), id_col
+    ).persist()
     total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
     acct["total_tokens"] = int(total)
+    _dedup_barrier.unpersist()
 
     if pack_budget:
         from google_spark.operators.sampling import pack_sequences

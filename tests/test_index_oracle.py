@@ -174,3 +174,39 @@ def test_ref_tfidf_mode_matches_hand_computation(spark):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], abs=1e-12), d
+
+
+def test_batch_topk_string_query_ids(built, spark):
+    """Review r4: eval-set logs (MS-MARCO style) use string query ids —
+    the batch kernel must preserve the id type instead of forcing int64."""
+    from google_spark.operators.index_query import batch_topk
+
+    index, _ = built
+    qdf = spark.createDataFrame(
+        [("q_0017", "hash join"), ("q_0042", "merge merge sort")],
+        "query_id string, query string",
+    )
+    rows = batch_topk(index, qdf, k=5, mode=MODE).collect()
+    assert rows and {r["query_id"] for r in rows} <= {"q_0017", "q_0042"}
+    # parity with the integer-id run on the same queries
+    qdf_int = spark.createDataFrame(
+        [(17, "hash join"), (42, "merge merge sort")],
+        "query_id long, query string",
+    )
+    by_str = {
+        (int(r["query_id"][2:]), r["doc_id"], round(r["score"], 9))
+        for r in rows
+    }
+    by_int = {
+        (r["query_id"], r["doc_id"], round(r["score"], 9))
+        for r in batch_topk(index, qdf_int, k=5, mode=MODE).collect()
+    }
+    assert by_str == by_int
+
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [(1.5, "hash join")], "query_id double, query string"
+    )
+    with _pt.raises(TypeError, match="unsupported query_id type"):
+        batch_topk(index, bad, k=5, mode=MODE)

@@ -247,3 +247,29 @@ def test_bm25f_local_topk_parity_and_latency_path(spark, corpus_df):
         assert bm25f_local_topk(loaded, q, k=10, row_caches=caches) == want
     assert bm25f_local_topk(findex, "", k=10) == []
     assert bm25f_local_topk(findex, "zzqqabsent", k=10) == []
+
+
+def test_more_like_this_on_stemmed_index(spark):
+    """Review r4: on a stem-built index, more_like_this must tokenize the
+    source doc with the SAME stem setting — unstemmed terms would miss
+    the entire vocabulary and return empty 'related pages'."""
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import more_like_this
+
+    base = (
+        "running processes connected distributed partitioned executors "
+        "shuffling exchanging columnar batches repeatedly"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with one added trailing clause"),
+            (3, "gardening tomatoes balconies sunlight containers herbs "
+                "watering mulching pruning harvesting"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs, id_col="doc_id", text_col="text", stem=True)
+    hits = more_like_this(idx, docs, doc_id=1, k=2, stem=True).collect()
+    ids = [r["doc_id"] for r in hits]
+    assert ids and ids[0] == 2 and 1 not in ids
