@@ -1468,14 +1468,93 @@ def q_batch_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(df, "score")
 
 
+def q_boolean_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-BooleanQuery semantics over the index: '+hash join -merge' —
+    candidates must contain 'hash' (MUST), must not contain 'merge'
+    (MUST_NOT), and 'join' contributes score when present (SHOULD). One
+    pruned index scan scores must+should; the exclusion is a left-anti join
+    against the must_not posting doc ids."""
+    from google_spark.operators.index_query import boolean_topk
+
+    df = boolean_topk(_index(spark, sf_dir), query="+hash join -merge", k=10)
+    return _round4(df, "score")
+
+
+def q_prefix_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query 's*': dictionary expansion capped at the 4 highest-df
+    matches (df desc, term asc — the Lucene MultiTermQuery rewrite-cap
+    analog; the corpus has 6 's' terms, so the cap is exercised), scored as
+    an OR query with weight 1 per expanded term."""
+    from google_spark.operators.index_query import prefix_topk
+
+    df = prefix_topk(_index(spark, sf_dir), "s", k=10, max_expand=4)
+    return _round4(df, "score")
+
+
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by tf*ln(N/df); rank window collapses to
+    WindowGroupLimit (per-partition top-k heap), ties term-asc on the
+    ROUNDED score so both engines rank identically."""
+    from google_spark.operators.text_analysis import keywords_tfidf
+
+    return keywords_tfidf(_docs(spark, sf_dir), k=3)
+
+
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI with a min-count-5 support floor; ordered
+    on the rounded PMI (ties bigram-asc) for cross-engine determinism."""
+    from google_spark.operators.text_analysis import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), min_count=5, topn=20)
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (the second-order upgrade of
+    text_unigram_logprob): mean ln(0.7*P_bigram + 0.3*P_unigram) per doc,
+    self-trained on the corpus."""
+    from google_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def _emb_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + planted exact copies (vec_id+100000 for vec_id%50==0):
+    the synthetic vectors have no cosine>=0.46 pairs, so the copies give
+    semantic dedup unambiguous duplicates to drop while threshold 0.4 also
+    catches a few natural near-pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(copies)
+
+
+def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-partition the embedding space
+    (deterministic seed centroids, n_iters=0 — the engine-portable config
+    the SQL oracle reproduces), cosine>=0.4 pairs WITHIN clusters only,
+    connected components, keep = lowest id per component."""
+    from google_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb_with_copies(spark, sf_dir), threshold=0.4, n_centroids=8, n_iters=0
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
     output). These run in the LOCAL contract gate (tools/check_contract.py
-    merges them) with the same oracles. ROUND-4 ROTATION: every row here is
-    driver-green in CORRECTNESS_r03.json — demoted this round so the 23
-    rows that only had local coverage earn driver rows (see the module
-    docstring); union coverage r03 ∪ r04 = all 73."""
+    merges them) with the same oracles. ROUND-4 ROTATION: the first 28 rows
+    here are driver-green in CORRECTNESS_r03.json — demoted this round so
+    the 23 rows that only had local coverage earn driver rows (see the
+    module docstring); union coverage r03 ∪ r04 = all 73. The last 6 rows
+    (boolean_search_topk … sim_semantic_dedup) are NEW round-4 operators —
+    rotate them into queries() in round 5 alongside the five early-round-4
+    extras (bm25f_local_topk, text_scrub_pii, dedup_contamination,
+    sample_pack, sample_pack_corpus)."""
     return {
         "bm25_topk_code": q_bm25_topk_code,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
@@ -1505,6 +1584,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination": q_dedup_contamination,
         "sample_pack": q_sample_pack,
         "sample_pack_corpus": q_sample_pack_corpus,
+        "boolean_search_topk": q_boolean_search_topk,
+        "prefix_search_topk": q_prefix_search_topk,
+        "text_keywords": q_text_keywords,
+        "text_pmi_bigrams": q_text_pmi_bigrams,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
     }
 
 
@@ -1516,6 +1601,21 @@ _TOK_CODE_SQL = (
     "'([a-z0-9])([A-Z])', '\\1 \\2', 'g')), "
     "'[a-z0-9]+'), t -> len(t) BETWEEN 2 AND 40)"
 )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine similarity between two DOUBLE[] expressions — the same
+    expression shape the sim_ivf/sim_cosine oracles use."""
+    return (
+        f"(list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"z -> z[1] * z[2]), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum'))))"
+    )
+
+
+_COS_SQL_EV_C = _cos_sql("e.v", "cents.c")
+_COS_SQL_XY = _cos_sql("x.v", "y.v")
 
 
 def _bm25_sql(
@@ -2743,4 +2843,181 @@ LEFT JOIN runs r ON lf.doc_id = r.doc_id
             SELECT vec_id, cos_sim FROM sims
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
+        # Boolean retrieval: BM25 over must+should, AND-gated on the must
+        # count, NOT-gated via the excluded term's doc set
+        "boolean_search_topk": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term, w, m) AS (VALUES ('hash', 1.0, 1), ('join', 1.0, 0)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+            ) AS score,
+         sum(q.m) AS n_must
+  FROM tf JOIN q ON tf.term = q.term JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE n_must = 1
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # Wildcard 's*': df-ranked dictionary expansion capped at 4, then
+        # plain weighted BM25 (the q CTE reads dft, which _bm25_sql places
+        # before it)
+        "prefix_search_topk": _bm25_sql(
+            "q AS (SELECT term, 1.0 AS w FROM dft WHERE term LIKE 's%' "
+            "ORDER BY df DESC, term ASC LIMIT 4)"
+        ),
+        "text_keywords": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs * 1.0 / dft.df), 4) AS kw_score
+  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
+)
+SELECT doc_id, term, kw_score, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY kw_score DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+        "text_pmi_bigrams": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+),
+bg_rows AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM toks
+),
+bg AS (
+  SELECT bigram, count(*) AS n FROM bg_rows
+  GROUP BY bigram HAVING count(*) >= 5
+),
+uni AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term
+),
+tot AS (SELECT (SELECT sum(c) * 1.0 FROM uni) AS t_uni,
+               (SELECT count(*) * 1.0 FROM bg_rows) AS t_bg)
+SELECT bigram, CAST(n AS BIGINT) AS n,
+       round(ln((n / t.t_bg)
+                / ((cx.c / t.t_uni) * (cy.c / t.t_uni))), 4) AS pmi
+FROM bg
+JOIN uni cx ON split_part(bigram, ' ', 1) = cx.term
+JOIN uni cy ON split_part(bigram, ' ', 2) = cy.term
+CROSS JOIN tot t
+ORDER BY pmi DESC, bigram ASC LIMIT 20
+""",
+        # interpolation constants must match the engine's BIT-FOR-BIT:
+        # F.lit(1.0 - 0.7) is 0.30000000000000004, so the oracle inlines
+        # the same Python double via repr
+        "text_bigram_logprob": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+),
+pairs AS (
+  SELECT doc_id, split_part(bigram, ' ', 1) AS x,
+         split_part(bigram, ' ', 2) AS y
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts)),
+                                 i -> ts[i] || ' ' || ts[i+1])) AS bigram
+    FROM toks
+  )
+),
+tf AS (SELECT doc_id, x, y, count(*) AS tf FROM pairs GROUP BY doc_id, x, y),
+cxy AS (SELECT x, y, sum(tf) AS cxy FROM tf GROUP BY x, y),
+cxs AS (SELECT x, sum(cxy) AS cxs FROM cxy GROUP BY x),
+uni AS (
+  SELECT term AS y, count(*) AS cy
+  FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term
+),
+tot AS (SELECT sum(cy) * 1.0 AS t_uni FROM uni),
+scored AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+         round(sum(tf.tf * ln({0.7!r} * cxy.cxy / cxs.cxs
+                              + {1.0 - 0.7!r} * uni.cy / t.t_uni))
+               / sum(tf.tf), 4) AS mean_logprob
+  FROM tf
+  JOIN cxy ON tf.x = cxy.x AND tf.y = cxy.y
+  JOIN cxs ON tf.x = cxs.x
+  JOIN uni ON tf.y = uni.y
+  CROSS JOIN tot t
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       coalesce(s.mean_logprob, 0.0) AS mean_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""",
+        # SemDeDup: seed-centroid assignment (same CTEs as sim_ivf_topk),
+        # within-cluster cosine>=0.4 edges, recursive min-label components
+        # (same reach pattern as dedup_components), keep = component min
+        "sim_semantic_dedup": f"""
+WITH RECURSIVE
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+sim_vc AS (
+  SELECT e.vec_id, cents.cid, {_COS_SQL_EV_C} AS sim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM sim_vc
+  ) WHERE rn = 1
+),
+prs AS (
+  SELECT ax.vec_id AS a, ay.vec_id AS b
+  FROM assigned ax
+  JOIN assigned ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+  JOIN e x ON ax.vec_id = x.vec_id
+  JOIN e y ON ay.vec_id = y.vec_id
+  WHERE {_COS_SQL_XY} >= 0.4
+),
+ed AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+nodes AS (SELECT DISTINCT a AS id FROM ed),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT a2.vec_id, CAST(a2.cid AS INT) AS cluster,
+       coalesce(c.id = c.component, TRUE) AS keep
+FROM assigned a2 LEFT JOIN comp c ON a2.vec_id = c.id
+""",
     }

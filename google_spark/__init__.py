@@ -66,6 +66,13 @@ def __getattr__(name):
         "sample_stratified": ("google_spark.operators.sampling", "sample_stratified"),
         "stream_to_catalog": ("google_spark.streaming.ingest", "stream_to_catalog"),
         "streaming_near_dedup": ("google_spark.streaming.ingest", "streaming_near_dedup"),
+        "boolean_topk": ("google_spark.operators.index_query", "boolean_topk"),
+        "prefix_topk": ("google_spark.operators.index_query", "prefix_topk"),
+        "weighted_topk": ("google_spark.operators.index_query", "weighted_topk"),
+        "keywords_tfidf": ("google_spark.operators.text_analysis", "keywords_tfidf"),
+        "pmi_bigrams": ("google_spark.operators.text_analysis", "pmi_bigrams"),
+        "bigram_logprob": ("google_spark.operators.text_analysis", "bigram_logprob"),
+        "semantic_dedup": ("google_spark.operators.similarity", "semantic_dedup"),
     }
     if name in lazy:
         import importlib

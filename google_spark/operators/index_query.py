@@ -103,7 +103,23 @@ def exhaustive_topk(
     ln(N/df) * 10 — normalized tf from Indexer.java:181-187
     (``wordCountInverse``), idf = ln(pageCount/df) from
     Indexer.java:238-242, and the queryFreq * tf * idf * 10 blend from
-    RankScore.java:171-178 (singleSearch).
+    RankScore.java:171-178 (singleSearch)."""
+
+    terms = query_terms(query, mode=mode, stem=stem)
+    return weighted_topk(
+        index, dict(Counter(terms)), k=k, scoring=scoring
+    )
+
+
+def weighted_topk(
+    index: IndexTables,
+    weights: dict[str, float],
+    k: int = 10,
+    scoring: str = "bm25",
+) -> DataFrame:
+    """Top-k over an explicit {term: weight} map — the shared scoring core
+    behind :func:`exhaustive_topk` (multiplicity weights), :func:`prefix_topk`
+    (dictionary-expanded terms) and the synonym path (decayed weights).
 
     The per-term weight and idf are tiny query-side constants, so they ride
     into the decode kernel as closures (idf needs global df, fetched with
@@ -112,10 +128,9 @@ def exhaustive_topk(
     TakeOrderedAndProject, with no joins."""
 
     spark = index.postings.sparkSession
-    terms = query_terms(query, mode=mode, stem=stem)
-    if not terms:
+    qf = {t: float(w) for t, w in weights.items() if w}
+    if not qf:
         return spark.createDataFrame([], "doc_id long, score double")
-    qf = Counter(terms)
     matching = index.matching(list(qf))
     df_rows = matching.groupBy("term").agg(F.sum("df").alias("df")).collect()
     import math
@@ -176,6 +191,152 @@ def exhaustive_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def parse_boolean_query(
+    query: str, mode: str = "simple", stem: bool = False
+) -> tuple[list[str], list[str], list[str]]:
+    """Split ``"+hash join -merge"`` into (must, should, must_not) term
+    lists, each run through the document tokenizer for parity. ``+`` marks a
+    required term, ``-`` an excluded one, bare words are optional scorers —
+    the Lucene BooleanQuery MUST/SHOULD/MUST_NOT surface the reference's
+    AND-ish singleSearch (ref: src/cis5550/jobs/RankScore.java:147-185)
+    never grew."""
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    for raw in query.split():
+        bucket = should
+        if raw.startswith("+"):
+            bucket, raw = must, raw[1:]
+        elif raw.startswith("-"):
+            bucket, raw = must_not, raw[1:]
+        bucket.extend(query_terms(raw, mode=mode, stem=stem))
+    return must, should, must_not
+
+
+def boolean_topk(
+    index: IndexTables,
+    query: str | None = None,
+    k: int = 10,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    mode: str = "simple",
+    stem: bool = False,
+) -> DataFrame:
+    """Boolean-filtered BM25 top-k: candidates must contain EVERY ``must``
+    term and NO ``must_not`` term; the score sums BM25 over must+should
+    terms present (multiplicity = weight, like plain queries).
+
+    Scale shape: ONE pruned index scan decodes must+should postings and
+    scores them in the kernel (idf/weight ride in as closures), emitting
+    (doc_id, score, is_must) rows; a hash aggregate per doc_id counts
+    distinct must terms (each (term, doc) posting appears exactly once
+    across shards, so ``sum(is_must) == |must|`` is the AND test). The
+    must_not exclusion is a second pruned scan reduced to a distinct doc_id
+    relation and applied as a left-anti join — cost proportional to the
+    excluded terms' posting lists, never the corpus. No collects."""
+    spark = index.postings.sparkSession
+    if query is not None:
+        must, should, must_not = parse_boolean_query(query, mode=mode, stem=stem)
+    must = list(must or [])
+    should = list(should or [])
+    must_not = list(must_not or [])
+    pos_terms = must + should
+    if not pos_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qf = Counter(pos_terms)
+    must_set = set(must)
+    matching = index.matching(list(qf))
+    df_rows = matching.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    import math
+
+    n = index.n_docs
+    widf = {
+        r["term"]: float(qf[r["term"]])
+        * math.log((n - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5) + 1.0)
+        for r in df_rows
+    }
+    avgdl = index.avgdl
+    deletes = index.deletes
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d_out, s_out, m_out = [], [], []
+            for term, blob in zip(pdf["term"].values, pdf["postings"].values):
+                doc_ids, tfs, dls = decode_postings_arrays(bytes(blob))
+                if deletes is not None and len(deletes):
+                    keep = not_deleted_mask(doc_ids, deletes)
+                    doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                w = widf[term]
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                scores = (
+                    w
+                    * tf
+                    * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+                )
+                d_out.append(doc_ids)
+                s_out.append(scores)
+                m_out.append(
+                    np.full(len(doc_ids), 1 if term in must_set else 0, dtype=np.int32)
+                )
+            if d_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(np.concatenate(d_out), dtype="int64"),
+                        "score": pd.Series(np.concatenate(s_out), dtype="float64"),
+                        "is_must": pd.Series(np.concatenate(m_out), dtype="int32"),
+                    }
+                )
+
+    scored = matching.select("term", "postings").mapInPandas(
+        gen, schema="doc_id long, score double, is_must int"
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("score").alias("score"), F.sum("is_must").alias("n_must")
+    )
+    cand = agg.filter(F.col("n_must") == len(must_set)) if must_set else agg
+    if must_not:
+        excl = _decode_matching(
+            index.matching(sorted(set(must_not))), sorted(set(must_not))
+        ).select("doc_id").distinct()
+        cand = cand.join(excl, "doc_id", "left_anti")
+    return (
+        cand.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def prefix_topk(
+    index: IndexTables,
+    prefix: str,
+    k: int = 10,
+    max_expand: int = 32,
+) -> DataFrame:
+    """Wildcard query ``prefix*``: expand against the term dictionary,
+    keeping the ``max_expand`` highest-df matches (ties by term asc) — the
+    Lucene MultiTermQuery rewrite-cap analog, so a one-letter prefix over a
+    10^9-term dictionary stays bounded — then score the expansion as an OR
+    query (weight 1.0 per term) through :func:`weighted_topk`.
+
+    The dictionary probe is a scan of the (term, df) relation with the
+    prefix pushed down as a StartsWith filter; the collect is capped at
+    ``max_expand`` rows."""
+    spark = index.postings.sparkSession
+    rows = (
+        index.terms.filter(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expand)
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return weighted_topk(index, {r["term"]: 1.0 for r in rows}, k=k)
 
 
 def _topk_from_arrays(

@@ -323,6 +323,64 @@ def ivf_index_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, keep) — SemDeDup-style semantic deduplication
+    (Abbas et al. 2023): k-means-partition the embedding space, find
+    cosine >= threshold pairs WITHIN each cluster only, resolve the pair
+    graph to connected components, and keep exactly the lowest-id member of
+    each component (singletons keep themselves). ``n_iters=0`` uses the
+    deterministic seed centroids (the n_centroids lowest-id vectors), the
+    engine-portable configuration the SQL oracle reproduces bit-for-bit.
+
+    Scale shape: the O(N^2) pair problem is partitioned by the coarse
+    quantizer — pair generation is a self-join ON CLUSTER, so cost is
+    sum(cluster_size^2), bounded by choosing n_centroids ~ N/target_size
+    (SemDeDup's own design); assignment is one Arrow matmul kernel per
+    batch; component resolution reuses the min-label propagation of
+    operators.components (O(diameter) rounds); nothing collects vectors to
+    the driver."""
+    from google_spark.operators.components import connected_components
+
+    _, assigned = ivf_assignments(
+        emb, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    base = emb.join(assigned, id_col).select(id_col, vec_col, "cluster")
+    lhs = base.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "cluster"
+    )
+    rhs = base.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "cluster"
+    )
+    pairs = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_sim_col("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b")
+    )
+    comp = connected_components(pairs, a_col="a", b_col="b")  # (id, comp)
+    keep = comp.select(
+        F.col("id").alias(id_col),
+        (F.col("id") == F.col("comp")).alias("keep"),
+    )
+    return (
+        base.select(id_col, "cluster")
+        .join(keep, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -267,6 +267,210 @@ def unigram_logprob(
     )
 
 
+def _bigram_rows(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, bigram "x y") — one row per bigram OCCURRENCE, the shared
+    extraction behind :func:`repetition_scores`, :func:`pmi_bigrams` and
+    :func:`bigram_logprob`. Same sharp edges as repetition_scores: tokens
+    materialized in their own projection, element_at probes, and a
+    when-guard because sequence(1, n-1) DESCENDS when n == 0."""
+    tk = docs.select(F.col(id_col), tokens_col(text_col).alias("tk"))
+    toks = F.col("tk")
+    n = F.size(toks)
+    return tk.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+
+
+def keywords_tfidf(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, kw_score, rank) — each document's top-k terms by
+    classic tf·ln(N/df) (the per-doc keyword / tag extraction a corpus
+    browser or data-mixing report runs). Ties break term-asc.
+
+    Scale shape: per-doc (term, tf) hash agg -> global df hash agg -> one
+    term-keyed join (both sides already reduced to distinct (doc, term) /
+    term grain) -> per-doc rank window. The ``rank <= k`` predicate
+    collapses the window into WindowGroupLimit (a per-partition top-k
+    heap), so no per-doc group ever materializes fully."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            # rank on the ROUNDED score: raw tf*ln(N/df) can differ between
+            # engines in the last ulp (Java Math.log vs libm), which would
+            # flip row_number on near-ties; 4 decimals + term-asc is a
+            # total order both engines compute identically
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("kw_score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("kw_score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "kw_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    topn: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(bigram, n, pmi) — the corpus's ``topn`` strongest collocations by
+    pointwise mutual information, ``pmi = ln((c_xy/B) / ((c_x/T)(c_y/T)))``
+    with B = total bigram occurrences, T = total token occurrences, and a
+    ``c_xy >= min_count`` support floor (rare pairs otherwise dominate PMI).
+    Ties break bigram-asc.
+
+    Scale shape: bigram and unigram relations are both aggregated scan-side
+    to their key grain before anything joins (map-side combine); the two
+    scalar totals ride in as broadcast literals; the two count joins are
+    fixed-width-keyed and linear in the distinct-bigram count. The final
+    top-n is TakeOrderedAndProject, never a global sort."""
+    bg = (
+        _bigram_rows(docs, id_col, text_col)
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("t_uni")
+    ).crossJoin(
+        _bigram_rows(docs, id_col, text_col).agg(
+            F.count("*").cast("double").alias("t_bg")
+        )
+    )
+    split = bg.select(
+        "bigram",
+        "n",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("x"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("y"),
+    )
+    cx = uni.select(F.col("term").alias("x"), F.col("c").alias("cx"))
+    cy = uni.select(F.col("term").alias("y"), F.col("c").alias("cy"))
+    return (
+        split.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("n") / F.col("t_bg"))
+                    / ((F.col("cx") / F.col("t_uni")) * (F.col("cy") / F.col("t_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(topn)
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, mean_logprob) — mean bigram log-probability under
+    an interpolated corpus LM: ``P(y|x) = lam * c_xy/c_x· + (1-lam) * c_y/T``
+    where ``c_x·`` counts bigrams STARTING with x and T is total tokens. The
+    second-order upgrade of :func:`unigram_logprob` (Gopher/CCNet-style LM
+    quality floor, self-trained on the corpus, no external model); repeated
+    boilerplate scores high, token salad scores low, and the unigram
+    interpolation floor keeps unseen-bigram docs finite.
+
+    Scale shape mirrors unigram_logprob: per-doc (x, y, tf) hash agg FIRST,
+    then three count joins at distinct-bigram/unigram grain, a broadcast
+    scalar total, one final per-doc agg. Linear shuffles only."""
+    pairs = _bigram_rows(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("x"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("y"),
+    )
+    tf = pairs.groupBy(id_col, "x", "y").agg(F.count("*").alias("tf"))
+    c_xy = tf.groupBy("x", "y").agg(F.sum("tf").alias("cxy"))
+    c_xs = c_xy.groupBy("x").agg(F.sum("cxy").alias("cxs"))
+    uni = (
+        docs.select(F.explode(tokens_col(text_col)).alias("y"))
+        .groupBy("y")
+        .agg(F.count("*").alias("cy"))
+    )
+    total = uni.agg(F.sum("cy").cast("double").alias("t_uni"))
+    logp = F.log(
+        F.lit(lam) * F.col("cxy") / F.col("cxs")
+        + F.lit(1.0 - lam) * F.col("cy") / F.col("t_uni")
+    )
+    scored = (
+        tf.join(c_xy, ["x", "y"])
+        .join(c_xs, "x")
+        .join(uni, "y")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 4).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+        )
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,252 @@
+"""Round-4 second-wave operators: boolean retrieval, prefix/wildcard
+expansion, per-doc keyword extraction, PMI collocations, interpolated
+bigram-LM scoring, SemDeDup-style semantic dedup."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "hash join hash join fast scan"),
+    (2, "hash table lookup with merge sort"),
+    (3, "join order and join keys"),
+    (4, "scan filter scan filter scan"),
+    (5, "hash join merge pipeline"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs):
+    from google_spark.operators.index_build import build_index
+
+    return build_index(spark, docs, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------- boolean
+
+
+def test_parse_boolean_query():
+    from google_spark.operators.index_query import parse_boolean_query
+
+    must, should, must_not = parse_boolean_query("+hash join -merge scan")
+    assert must == ["hash"]
+    assert should == ["join", "scan"]
+    assert must_not == ["merge"]
+
+
+def test_boolean_must_and_must_not(index):
+    from google_spark.operators.index_query import boolean_topk
+
+    rows = boolean_topk(index, query="+hash join -merge", k=10).collect()
+    got = {r["doc_id"] for r in rows}
+    # docs with 'hash': 1, 2, 5; with 'merge': 2, 5 -> only doc 1 survives
+    assert got == {1}
+
+
+def test_boolean_no_must_equals_exhaustive(index):
+    from google_spark.operators.index_query import boolean_topk, exhaustive_topk
+
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         boolean_topk(index, should=["hash", "join"], k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         exhaustive_topk(index, "hash join", k=10).collect()]
+    assert a == b
+
+
+def test_boolean_all_must(index):
+    from google_spark.operators.index_query import boolean_topk
+
+    rows = boolean_topk(index, must=["hash", "join"], k=10).collect()
+    assert {r["doc_id"] for r in rows} == {1, 5}
+
+
+def test_boolean_empty_positive_terms(index):
+    from google_spark.operators.index_query import boolean_topk
+
+    assert boolean_topk(index, must_not=["hash"], k=10).count() == 0
+
+
+# ----------------------------------------------------------------- prefix
+
+
+def test_prefix_expansion_scores_like_weighted_or(index):
+    from google_spark.operators.index_query import prefix_topk, weighted_topk
+
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         prefix_topk(index, "sc", k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         weighted_topk(index, {"scan": 1.0}, k=10).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_prefix_cap_keeps_highest_df(index):
+    from google_spark.operators.index_query import prefix_topk, weighted_topk
+
+    # 's' terms: scan(df 2: docs 1,4), sort(df 1: doc 2) -> cap 1 keeps scan
+    a = {r["doc_id"] for r in prefix_topk(index, "s", k=10, max_expand=1).collect()}
+    b = {r["doc_id"] for r in weighted_topk(index, {"scan": 1.0}, k=10).collect()}
+    assert a == b == {1, 4}
+
+
+def test_prefix_no_match_is_empty(index):
+    from google_spark.operators.index_query import prefix_topk
+
+    assert prefix_topk(index, "zzz", k=10).count() == 0
+
+
+# --------------------------------------------------------------- keywords
+
+
+def test_keywords_rank_and_score(spark, docs):
+    from google_spark.operators.text_analysis import keywords_tfidf
+
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["kw_score"])
+        for r in keywords_tfidf(docs, k=2).collect()
+    }
+    # doc 4: filter tf=2 df=1 -> 2*ln(6)=3.5835 beats scan tf=3 df=2 ->
+    # 3*ln(3)=3.2958 over N=6 docs
+    n = 6
+    scan = round(3 * math.log(n / 2), 4)
+    filt = round(2 * math.log(n / 1), 4)
+    assert filt > scan
+    assert got[(4, 1)] == ("filter", filt)
+    assert got[(4, 2)] == ("scan", scan)
+    # the empty doc contributes no rows
+    assert not any(d == 6 for d, _ in got)
+
+
+# -------------------------------------------------------------------- PMI
+
+
+def test_pmi_planted_collocation_ranks_top(spark):
+    from google_spark.operators.text_analysis import pmi_bigrams
+
+    # "alpha beta" always adjacent (perfect collocation); "noise" words mix
+    rows = [(i, "alpha beta " + ("noise%d common " % (i % 3)) * 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_bigrams(df, min_count=5, topn=3).collect()
+    assert got[0]["bigram"] == "alpha beta"
+    assert got[0]["n"] == 10
+    # PMI of a perfect pair: ln((c/B) / ((c/T)^2)) > 0
+    assert got[0]["pmi"] > 0
+
+
+def test_pmi_min_count_floor(spark):
+    from google_spark.operators.text_analysis import pmi_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "rare pair common common common common")],
+        "doc_id long, text string",
+    )
+    assert pmi_bigrams(df, min_count=2, topn=10).filter(
+        F.col("bigram") == "rare pair"
+    ).count() == 0
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_logprob_repetition_scores_higher(spark):
+    from google_spark.operators.text_analysis import bigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)]
+    rows.append((100, "mat the on sat cat the"))  # token salad, same unigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(df).collect()}
+    assert got[0] > got[100]
+
+
+def test_bigram_logprob_short_docs_zero(spark):
+    from google_spark.operators.text_analysis import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+           for r in bigram_logprob(df).collect()}
+    assert got == {1: (0, 0.0), 2: (0, 0.0), 3: (0, 0.0)}
+
+
+# -------------------------------------------------------- semantic dedup
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semantic_dedup_drops_exact_copy_keeps_min_id(spark):
+    from google_spark.operators.similarity import semantic_dedup
+
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),   # copy of 0
+        (11, [0.99, 0.14, 0.0, 0.0]), # near 0 (cos ~0.99)
+    ]
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            _emb_df(spark, base), threshold=0.9, n_centroids=4, n_iters=0
+        ).collect()
+    }
+    assert got[0] is True and got[10] is False and got[11] is False
+    assert got[1] and got[2] and got[3]
+
+
+def test_semantic_dedup_chain_keeps_one_canonical(spark):
+    import numpy as np
+
+    from google_spark.operators.similarity import semantic_dedup
+
+    # A~B and B~C above threshold, A~C below: components semantics must
+    # keep exactly A (the pairwise-drop bug the streaming path used to have)
+    a = np.array([1.0, 0.0])
+    b = np.array([np.cos(0.4), np.sin(0.4)])
+    c = np.array([np.cos(0.8), np.sin(0.8)])
+    thr = 0.95  # cos(0.4)=0.921... -> need pairs: cos 0.4 apart = 0.921
+    thr = 0.9
+    assert a @ b > thr and b @ c > thr and a @ c < thr
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            _emb_df(spark, [(5, a), (6, b), (7, c)]),
+            threshold=thr,
+            n_centroids=1,
+            n_iters=0,
+        ).collect()
+    }
+    assert got == {5: True, 6: False, 7: False}
+
+
+def test_semantic_dedup_cluster_partition_blocks_cross_pairs(spark):
+    from google_spark.operators.similarity import semantic_dedup
+
+    # two identical vectors that land in DIFFERENT clusters are both kept:
+    # the quantizer bounds the pair search (SemDeDup's approximation,
+    # documented) — seed centroids are vec 0 and vec 1, which ARE the pair
+    vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.0001])]
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(
+            _emb_df(spark, vecs), threshold=0.99, n_centroids=2, n_iters=0
+        ).collect()
+    }
+    # assignment: each seed maps to its own centroid (cos=1 with itself
+    # beats the near-tie only by the tie-break; both orderings are valid
+    # one-per-cluster outcomes) — the invariant is that nothing is dropped
+    assert got[0][1] is True and got[1][1] is True
