@@ -1543,6 +1543,47 @@ def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-50 for 'hash join' fused
+    with cosine top-50 against stored vector 7 by reciprocal rank fusion
+    (1/(60+rank), ranks on the round-4 score with id-asc ties — the
+    SQL-reproducible total order)."""
+    from google_spark.operators.fusion import hybrid_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return hybrid_topk(
+        _index(spark, sf_dir), emb, "hash join", probe_vec_id=7,
+        k=10, n_candidates=50,
+    )
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over the docs matching ANY of 'hash join': one pruned
+    index scan -> distinct candidates -> metadata join -> per-facet hash
+    aggregates (lang, source), unioned after aggregation."""
+    from google_spark.operators.index_query import facet_counts
+
+    return facet_counts(
+        _index(spark, sf_dir), _docs(spark, sf_dir), "hash join"
+    )
+
+
+def q_fuzzy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant BM25: 'joinn tabl' (distance-1 typos of join/table)
+    expands against the vocabulary at max_dist=1, weight 0.5^dist, max per
+    dictionary term across query terms; the 16-per-term rewrite cap is not
+    binding on this corpus so the oracle expands uncapped."""
+    from google_spark.operators.spelling import fuzzy_topk
+
+    df = fuzzy_topk(
+        _index(spark, sf_dir), "joinn tabl", k=10,
+        max_dist=1, decay=0.5, max_expand=16,
+    )
+    return _round4(df, "score")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1550,8 +1591,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merges them) with the same oracles. ROUND-4 ROTATION: the first 28 rows
     here are driver-green in CORRECTNESS_r03.json — demoted this round so
     the 23 rows that only had local coverage earn driver rows (see the
-    module docstring); union coverage r03 ∪ r04 = all 73. The last 6 rows
-    (boolean_search_topk … sim_semantic_dedup) are NEW round-4 operators —
+    module docstring); union coverage r03 ∪ r04 = all 73. The last 9 rows
+    (boolean_search_topk … fuzzy_search_topk) are NEW round-4 operators —
     rotate them into queries() in round 5 alongside the five early-round-4
     extras (bm25f_local_topk, text_scrub_pii, dedup_contamination,
     sample_pack, sample_pack_corpus)."""
@@ -1590,6 +1631,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_bigrams": q_text_pmi_bigrams,
         "text_bigram_logprob": q_text_bigram_logprob,
         "sim_semantic_dedup": q_sim_semantic_dedup,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "facet_counts": q_facet_counts,
+        "fuzzy_search_topk": q_fuzzy_search_topk,
     }
 
 
@@ -3020,4 +3064,69 @@ SELECT a2.vec_id, CAST(a2.cid AS INT) AS cluster,
        coalesce(c.id = c.component, TRUE) AS keep
 FROM assigned a2 LEFT JOIN comp c ON a2.vec_id = c.id
 """,
+        # Hybrid RRF: BM25 top-50 (the _bm25_sql block as a derived table)
+        # and cosine top-50 vs stored vector 7, ranks on the rounded-4
+        # scores with id-asc ties, fused as sum(1/(60+rank))
+        "hybrid_rrf_topk": f"""
+WITH lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM ({_bm25_sql("q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0))",
+                   limit=50)})
+),
+el AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+probe AS (SELECT v AS p FROM el WHERE vec_id = 7),
+sem_s AS (
+  SELECT vec_id AS doc_id, round({_cos_sql("el.v", "probe.p")}, 4) AS cs
+  FROM el CROSS JOIN probe WHERE vec_id <> 7
+  ORDER BY cs DESC, doc_id ASC LIMIT 50
+),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS r
+  FROM sem_s
+),
+u AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) FROM sem
+)
+SELECT doc_id, round(sum(c), 6) AS rrf_score FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+""",
+        # Facets over docs containing ANY query term; per-facet counts
+        # unioned after aggregation, (facet, value) ordered
+        "facet_counts": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+),
+cand AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) WHERE t IN ('hash', 'join')
+),
+m AS (SELECT d.* FROM documents d JOIN cand USING (doc_id))
+SELECT * FROM (
+  SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs
+  FROM m GROUP BY lang
+  UNION ALL
+  SELECT 'source' AS facet, source AS value, count(*) AS n_docs
+  FROM m GROUP BY source
+) ORDER BY facet ASC, value ASC
+""",
+        # Fuzzy BM25: expansion = vocabulary terms within levenshtein 1 of
+        # a query term (the |len| band is a pure prune), weight 0.5^dist,
+        # MAX across query terms; the 16-per-term engine cap is not binding
+        # on this vocabulary so the oracle expands uncapped
+        "fuzzy_search_topk": _bm25_sql(
+            """q AS (
+  SELECT term, max(power(0.5, dist)) AS w FROM (
+    SELECT dft.term, levenshtein(dft.term, qt.t) AS dist
+    FROM dft CROSS JOIN (VALUES ('joinn'), ('tabl')) qt(t)
+    WHERE abs(length(dft.term) - length(qt.t)) <= 1
+  ) WHERE dist <= 1 GROUP BY term
+)"""
+        ),
     }

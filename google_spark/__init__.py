@@ -73,6 +73,10 @@ def __getattr__(name):
         "pmi_bigrams": ("google_spark.operators.text_analysis", "pmi_bigrams"),
         "bigram_logprob": ("google_spark.operators.text_analysis", "bigram_logprob"),
         "semantic_dedup": ("google_spark.operators.similarity", "semantic_dedup"),
+        "rrf_fuse": ("google_spark.operators.fusion", "rrf_fuse"),
+        "hybrid_topk": ("google_spark.operators.fusion", "hybrid_topk"),
+        "facet_counts": ("google_spark.operators.index_query", "facet_counts"),
+        "fuzzy_topk": ("google_spark.operators.spelling", "fuzzy_topk"),
     }
     if name in lazy:
         import importlib

@@ -1,0 +1,102 @@
+"""Rank fusion: combine independently-produced top-k rankings into one.
+
+The reference engine ranks with a single lexical blend
+(ref: src/cis5550/jobs/RankScore.java:147-185 folds tf-idf, PageRank and
+boosts into one score before sorting); this module adds the standard
+multi-retriever upgrade — reciprocal rank fusion (Cormack, Clarke &
+Buettcher, SIGIR 2009) — so a lexical BM25 ranking and an embedding
+cosine ranking (or any number of rankings) merge without score
+calibration. RRF is the default fusion in hybrid-search engines
+(Elasticsearch/OpenSearch/Vespa) because it only consumes RANKS:
+``rrf(d) = sum_r 1/(k0 + rank_r(d))`` over the rankings that contain d.
+
+Scale shape: every input ranking is already top-n bounded (the output of
+a top-k operator), so the rank windows here run over <= n rows per
+ranking — the unpartitioned window is a deliberate single-task sort of a
+driver-bounded relation, not a corpus-wide one. The fusion itself is one
+hash aggregate over <= sum(n_i) rows followed by TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from google_spark.operators.index_build import IndexTables
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, rrf_score) — reciprocal-rank fusion of the given rankings.
+
+    ``rankings`` is a list of (frame, score_col) pairs; each frame must be
+    a BOUNDED ranking (a top-n result, not a corpus). Ranks are assigned
+    on the 4-decimal-rounded score (desc) with id-asc tiebreak — the same
+    total order a SQL oracle computes, immune to last-ulp engine
+    differences — and the fused score is rounded to 6 decimals for the
+    same reason. Missing docs simply contribute nothing (standard RRF).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = []
+    for frame, score_col in rankings:
+        w = Window.orderBy(
+            F.desc(F.round(F.col(score_col), 4)), F.asc(F.col(id_col))
+        )
+        parts.append(
+            frame.select(
+                F.col(id_col),
+                (
+                    F.lit(1.0) / (F.lit(float(k0)) + F.row_number().over(w))
+                ).alias("contrib"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return (
+        allc.groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_topk(
+    index: IndexTables,
+    emb: DataFrame,
+    query: str,
+    probe_vec_id: int,
+    k: int = 10,
+    n_candidates: int = 50,
+    k0: int = 60,
+    mode: str = "simple",
+    stem: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, rrf_score) — hybrid lexical+semantic retrieval: BM25 top-n
+    over the inverted index fused (RRF) with cosine top-n against a stored
+    probe vector, under the convention that ``vec_id`` aligns with
+    ``doc_id`` (one embedding per document).
+
+    Scale shape: both legs are existing top-k operators (pruned index scan
+    for BM25; brute-force or ANN for cosine — swap in :func:`ann_ivf_topk`
+    for the large-corpus path, the fusion is leg-agnostic), so fusion cost
+    is bounded by ``2 * n_candidates`` rows regardless of corpus size.
+    """
+    from google_spark.operators.index_query import exhaustive_topk
+    from google_spark.operators.similarity import cosine_topk
+
+    lex = exhaustive_topk(index, query, k=n_candidates, mode=mode, stem=stem)
+    sem = cosine_topk(
+        emb, probe_vec_id, k=n_candidates, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("doc_id"), F.col("cos_sim"))
+    return rrf_fuse(
+        [(lex, "score"), (sem, "cos_sim")], k=k, k0=k0, id_col="doc_id"
+    )

@@ -339,6 +339,60 @@ def prefix_topk(
     return weighted_topk(index, {r["term"]: 1.0 for r in rows}, k=k)
 
 
+def facet_counts(
+    index: IndexTables,
+    meta: DataFrame,
+    query: str,
+    facet_cols: list[str] | None = None,
+    mode: str = "simple",
+    stem: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, value, n_docs) — facet counts over the documents matching
+    ANY query term (the search-results sidebar: "lang: en (37) · de (4)"),
+    one row per (facet column, distinct value). Output ordered
+    (facet asc, value asc) for determinism. NULL facet values count under
+    value NULL, like SQL GROUP BY.
+
+    Scale shape: candidates come from ONE pruned index scan (term filter
+    pushed to the parquet scan + bucket partition pruning) reduced to a
+    distinct doc_id relation — cost proportional to the query terms'
+    posting lists, never the corpus; merge-on-read deletes are removed
+    with a left-anti join against the (driver-resident) delete vector.
+    The metadata join is doc_id-keyed, and each facet is a hash aggregate
+    over the candidate rows; the per-facet frames union AFTER aggregation,
+    so the union carries |distinct values| rows, not candidates."""
+    spark = index.postings.sparkSession
+    if facet_cols is None:
+        facet_cols = ["lang", "source"]
+    out_schema = "facet string, value string, n_docs long"
+    terms = sorted(set(query_terms(query, mode=mode, stem=stem)))
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    cand = (
+        _decode_matching(index.matching(terms), terms)
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    deletes = index.deletes
+    if deletes is not None and len(deletes):
+        del_df = spark.createDataFrame(
+            [(int(x),) for x in deletes], f"{id_col} long"
+        )
+        cand = cand.join(F.broadcast(del_df), id_col, "left_anti")
+    matched = meta.join(cand, id_col)
+    parts = [
+        matched.groupBy(F.col(c).cast("string").alias("value")).agg(
+            F.count("*").alias("n_docs")
+        ).select(F.lit(c).alias("facet"), "value", "n_docs")
+        for c in facet_cols
+    ]
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    return allf.orderBy(F.asc("facet"), F.asc_nulls_first("value"))
+
+
 def _topk_from_arrays(
     d_parts: list[np.ndarray], s_parts: list[np.ndarray], k: int
 ) -> pd.DataFrame:

@@ -58,6 +58,64 @@ def suggest_distributed(
     )
 
 
+def fuzzy_topk(
+    index: IndexTables,
+    query: str,
+    k: int = 10,
+    max_dist: int = 1,
+    decay: float = 0.5,
+    max_expand: int = 16,
+    mode: str = "simple",
+    stem: bool = False,
+) -> DataFrame:
+    """(doc_id, score) — typo-tolerant BM25 top-k (the Lucene FuzzyQuery
+    analog): each query term expands against the index vocabulary to terms
+    within edit distance ``max_dist`` (capped at ``max_expand`` expansions
+    per query term, kept by dist asc / df desc / term asc — the rewrite
+    cap that bounds a short term's explosion), each expansion weighted
+    ``decay ** dist`` (exact hit = 1.0), a dictionary term reached from
+    several query terms keeps its MAX weight, and the weighted expansion
+    scores through the same pruned-index core as every other query
+    (:func:`~google_spark.operators.index_query.weighted_topk`).
+
+    Scale shape: expansion is ONE vocabulary-sized scan (terms table, not
+    corpus) against a broadcast relation of <= |query| distinct terms,
+    with the |len| band prune and the thresholded JVM levenshtein; the
+    per-query-term cap is a WindowGroupLimit top-k heap; the collect is
+    bounded at |query terms| * max_expand rows."""
+    from pyspark.sql.window import Window
+
+    from google_spark.operators.index_query import query_terms, weighted_topk
+
+    spark = index.postings.sparkSession
+    qts = sorted(set(query_terms(query, mode=mode, stem=stem)))
+    if not qts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qdf = spark.createDataFrame([(t,) for t in qts], "qt string")
+    lev = F.levenshtein(F.col("term"), F.col("qt"), max_dist)
+    cand = (
+        index.terms.join(
+            F.broadcast(qdf),
+            F.abs(F.length("term") - F.length("qt")) <= max_dist,
+        )
+        .select("term", "df", "qt", lev.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+    w = Window.partitionBy("qt").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    rows = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expand)
+        .groupBy("term")
+        .agg(F.max(F.pow(F.lit(decay), F.col("dist"))).alias("w"))
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return weighted_topk(index, {r["term"]: float(r["w"]) for r in rows}, k=k)
+
+
 def _edit_distance(a: str, b: str, cap: int) -> int:
     """Banded Wagner-Fischer with early abandon; returns cap+1 when the
     true distance exceeds ``cap``."""

@@ -267,6 +267,71 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.index_query import facet_counts
+    from google_spark.operators.text_analysis import keywords_tfidf
+
+    sections.append(
+        (
+            "Faceted search counts",
+            "Candidates come from ONE bucket-pruned posting scan reduced to "
+            "a distinct doc_id relation (cost ~ the query terms' posting "
+            "lists, never the corpus); the metadata join is doc_id-keyed; "
+            "each facet is its own hash aggregate and the per-facet frames "
+            "union AFTER aggregation, so the union carries |distinct "
+            "values| rows.",
+            fmt(facet_counts(loaded, docs, "data merge")),
+        )
+    )
+
+    sections.append(
+        (
+            "Per-doc keyword extraction (tf-idf top-k)",
+            "Per-doc (term, tf) and global df are both hash-aggregated at "
+            "their key grain before the one term-keyed join; the rank <= k "
+            "predicate collapses the window into WindowGroupLimit (a "
+            "per-partition top-k heap), so no per-doc group materializes "
+            "fully.",
+            fmt(keywords_tfidf(docs, k=3)),
+        )
+    )
+
+    from google_spark.operators.fusion import rrf_fuse
+    from google_spark.operators.index_query import exhaustive_topk
+    from google_spark.operators.spelling import fuzzy_topk
+
+    sections.append(
+        (
+            "Hybrid RRF fusion (lexical x semantic)",
+            "Both legs are already top-n bounded, so the rank windows are "
+            "deliberate single-task sorts over <= n rows each; the fusion "
+            "itself is one hash aggregate over <= 2n rows followed by "
+            "TakeOrderedAndProject. Corpus size never enters the fused "
+            "stage — swap either leg for its ANN/WAND variant freely.",
+            fmt(
+                rrf_fuse(
+                    [
+                        (exhaustive_topk(loaded, "data merge", k=50), "score"),
+                        (exhaustive_topk(loaded, "big scan", k=50), "score"),
+                    ],
+                    k=10,
+                )
+            ),
+        )
+    )
+
+    sections.append(
+        (
+            "Fuzzy (typo-tolerant) retrieval",
+            "The dictionary expansion is a vocabulary-sized scan (terms "
+            "table, NOT the corpus) joined to a broadcast relation of the "
+            "distinct query terms under the |len| band prune, with the "
+            "thresholded JVM levenshtein and a per-query-term "
+            "WindowGroupLimit rewrite cap; scoring then reuses the pruned "
+            "weighted_topk index path.",
+            fmt(fuzzy_topk(loaded, "dataa mergee", k=10)),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
