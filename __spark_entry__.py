@@ -1584,6 +1584,54 @@ def q_fuzzy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(df, "score")
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 fixed iterations, L1-normalized each
+    half-step) over the same deterministic synthetic doc graph as
+    pagerank_fixed3; the oracle unrolls the identical rounds."""
+    from google_spark.operators.pagerank import hits, synthetic_doc_graph
+
+    g = synthetic_doc_graph(_docs(spark, sf_dir))
+    return _round4(hits(g, n_iter=2), "authority", "hub")
+
+
+def q_rank_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-eval (the Elasticsearch _rank_eval / trec_eval analog):
+    precision@5, recall@5, MRR and nDCG@5 per batch query, judged against
+    graded qrels derived from the corpus itself (rel = number of distinct
+    query terms a doc contains, so both engines can rebuild the judgments
+    exactly)."""
+    from google_spark.operators.dedup import tokens_col
+    from google_spark.operators.evaluation import rank_eval
+    from google_spark.operators.index_query import batch_topk
+
+    qdf = spark.createDataFrame(BATCH_EVAL_QUERIES, "query_id long, query string")
+    results = batch_topk(_index(spark, sf_dir), qdf, k=5)
+    qt = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "data"), (2, "pipeline"),
+         (3, "join"), (3, "merge")],
+        "query_id long, term string",
+    )
+    tk = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("term")
+    )
+    qrels = (
+        tk.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("int").alias("rel"))
+    )
+    return rank_eval(results, qrels, k=5)
+
+
+def q_sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over the embeddings table:
+    per-label mean vectors, cosine argmax on round-4 sims with label-asc
+    ties (the label-noise probe over an embedded corpus)."""
+    from google_spark.operators.similarity import centroid_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return centroid_classify(emb)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1591,8 +1639,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merges them) with the same oracles. ROUND-4 ROTATION: the first 28 rows
     here are driver-green in CORRECTNESS_r03.json — demoted this round so
     the 23 rows that only had local coverage earn driver rows (see the
-    module docstring); union coverage r03 ∪ r04 = all 73. The last 9 rows
-    (boolean_search_topk … fuzzy_search_topk) are NEW round-4 operators —
+    module docstring); union coverage r03 ∪ r04 = all 73. The last 12 rows
+    (boolean_search_topk … sim_centroid_classify) are NEW round-4 operators —
     rotate them into queries() in round 5 alongside the five early-round-4
     extras (bm25f_local_topk, text_scrub_pii, dedup_contamination,
     sample_pack, sample_pack_corpus)."""
@@ -1634,6 +1682,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "facet_counts": q_facet_counts,
         "fuzzy_search_topk": q_fuzzy_search_topk,
+        "graph_hits": q_graph_hits,
+        "rank_eval_metrics": q_rank_eval_metrics,
+        "sim_centroid_classify": q_sim_centroid_classify,
     }
 
 
@@ -3129,4 +3180,151 @@ SELECT * FROM (
   ) WHERE dist <= 1 GROUP BY term
 )"""
         ),
+        # HITS, 2 iterations unrolled, L1-normalized after each half-step;
+        # same synthetic doc graph as pagerank_fixed3
+        "graph_hits": """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 17 + k.k) % nn.c AS dst
+  FROM documents d CROSS JOIN nn
+  CROSS JOIN (VALUES (1), (5), (11)) k(k)
+  WHERE (d.doc_id * 17 + k.k) % nn.c <> d.doc_id
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS v FROM nodes),
+a1r AS (SELECT e.dst AS node, sum(h.v) AS v
+        FROM edges e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+a1n AS (SELECT n.node, coalesce(a.v, 0.0) AS v
+        FROM nodes n LEFT JOIN a1r a ON n.node = a.node),
+a1 AS (SELECT node, v / (SELECT sum(v) FROM a1n) AS v FROM a1n),
+h1r AS (SELECT e.src AS node, sum(a.v) AS v
+        FROM edges e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+h1n AS (SELECT n.node, coalesce(h.v, 0.0) AS v
+        FROM nodes n LEFT JOIN h1r h ON n.node = h.node),
+h1 AS (SELECT node, v / (SELECT sum(v) FROM h1n) AS v FROM h1n),
+a2r AS (SELECT e.dst AS node, sum(h.v) AS v
+        FROM edges e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+a2n AS (SELECT n.node, coalesce(a.v, 0.0) AS v
+        FROM nodes n LEFT JOIN a2r a ON n.node = a.node),
+a2 AS (SELECT node, v / (SELECT sum(v) FROM a2n) AS v FROM a2n),
+h2r AS (SELECT e.src AS node, sum(a.v) AS v
+        FROM edges e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+h2n AS (SELECT n.node, coalesce(h.v, 0.0) AS v
+        FROM nodes n LEFT JOIN h2r h ON n.node = h.node),
+h2 AS (SELECT node, v / (SELECT sum(v) FROM h2n) AS v FROM h2n)
+SELECT a2.node, round(a2.v, 4) AS authority, round(h2.v, 4) AS hub
+FROM a2 JOIN h2 ON a2.node = h2.node
+ORDER BY a2.node
+""",
+        # Rank-eval over the batch_bm25_topk result set (the _bm25 batch
+        # block as a derived table), qrels = distinct query terms per doc
+        "rank_eval_metrics": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, w) AS (VALUES
+  (1, 'hash', 1.0), (1, 'join', 1.0),
+  (2, 'data', 1.0), (2, 'pipeline', 1.0),
+  (3, 'join', 2.0), (3, 'merge', 1.0)),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN q ON tf.term = q.term JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+res AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+),
+qt(query_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'data'),
+                              (2, 'pipeline'), (3, 'join'), (3, 'merge')),
+qrels AS (
+  SELECT qt.query_id, t.doc_id, count(*) AS rel
+  FROM (SELECT DISTINCT doc_id, unnest(ts) AS term FROM toks) t
+  JOIN qt ON t.term = qt.term
+  GROUP BY qt.query_id, t.doc_id
+),
+hit AS (
+  SELECT r.query_id,
+         sum(CASE WHEN q.rel > 0 THEN 1 ELSE 0 END) AS n_rel_ret,
+         min(CASE WHEN q.rel > 0 THEN r.rank END) AS first_rel,
+         sum(CASE WHEN q.rel > 0
+                  THEN (power(2, q.rel) - 1.0) / log2(r.rank + 1)
+                  ELSE 0.0 END) AS dcg
+  FROM res r
+  LEFT JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+  GROUP BY r.query_id
+),
+ideal AS (
+  SELECT query_id, count(*) AS n_rel,
+         sum(CASE WHEN irank <= 5
+                  THEN (power(2, rel) - 1.0) / log2(irank + 1)
+                  ELSE 0.0 END) AS idcg
+  FROM (
+    SELECT query_id, doc_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM qrels WHERE rel > 0
+  ) GROUP BY query_id
+)
+SELECT CAST(h.query_id AS BIGINT) AS query_id,
+       CAST(coalesce(i.n_rel, 0) AS BIGINT) AS n_rel,
+       round(CAST(h.n_rel_ret AS DOUBLE) / 5, 6) AS precision_k,
+       round(CASE WHEN i.n_rel > 0
+                  THEN CAST(h.n_rel_ret AS DOUBLE) / i.n_rel
+                  ELSE 0.0 END, 6) AS recall_k,
+       round(coalesce(CAST(1.0 AS DOUBLE) / h.first_rel, 0.0), 6) AS mrr,
+       round(CASE WHEN i.idcg > 0 THEN h.dcg / i.idcg ELSE 0.0 END, 6)
+         AS ndcg_k
+FROM hit h LEFT JOIN ideal i ON h.query_id = i.query_id
+ORDER BY h.query_id
+""",
+        # Nearest-centroid classification: per-label mean vectors, cosine
+        # argmax on round-4 sims with label-asc ties
+        "sim_centroid_classify": f"""
+WITH el AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, avg(x) AS m FROM (
+    SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+    FROM el
+  ) GROUP BY label, pos
+),
+cvec AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label),
+sims AS (
+  SELECT e.vec_id, e.label, cv.label AS clabel,
+         round({_cos_sql("e.v", "cv.c")}, 4) AS s
+  FROM el e CROSS JOIN cvec cv
+),
+best AS (
+  SELECT vec_id, label, clabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, clabel ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(label AS INT) AS label, CAST(clabel AS INT) AS pred,
+       label = clabel AS correct
+FROM best
+""",
     }

@@ -77,6 +77,12 @@ def __getattr__(name):
         "hybrid_topk": ("google_spark.operators.fusion", "hybrid_topk"),
         "facet_counts": ("google_spark.operators.index_query", "facet_counts"),
         "fuzzy_topk": ("google_spark.operators.spelling", "fuzzy_topk"),
+        "rank_eval": ("google_spark.operators.evaluation", "rank_eval"),
+        "hits": ("google_spark.operators.pagerank", "hits"),
+        "centroid_classify": (
+            "google_spark.operators.similarity",
+            "centroid_classify",
+        ),
     }
     if name in lazy:
         import importlib

@@ -1,0 +1,107 @@
+"""Retrieval quality evaluation: per-query rank metrics over a results
+table and a relevance-judgments (qrels) table.
+
+The reference ranks but never measures itself; any serious engine ships a
+rank-eval surface (Lucene/Elasticsearch ``_rank_eval``, TREC ``trec_eval``)
+so ranking changes are regression-tested against judgments. Metrics follow
+the standard definitions: precision@k, recall@k, MRR (reciprocal rank of
+the first relevant hit), and nDCG@k with exponential gain
+``(2^rel - 1) / log2(rank + 1)`` (Järvelin & Kekäläinen 2002).
+
+Scale shape: ONE rank window partitioned by query over the results table
+(bounded at k rows per query by construction when fed from a top-k
+operator), one query+doc-keyed join against qrels, one ideal-rank window
+over the (much smaller) relevant-judgments side, and two per-query hash
+aggregates. Nothing is ever corpus-sized; cost is |results| + |qrels|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def rank_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """(query_id, n_rel, precision_k, recall_k, mrr, ndcg_k) per query.
+
+    ``results`` carries (query, doc, score) rows — ranks are assigned per
+    query on the 4-decimal-rounded score (desc) with id-asc ties (the
+    SQL-reproducible total order used across the package) and cut at
+    ``k``. ``qrels`` carries graded judgments; ``rel > 0`` means relevant.
+    Queries with no relevant judgments score 0 on recall/MRR/nDCG (never
+    NULL), and metrics are rounded to 6 decimals.
+    """
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(F.round(F.col(score_col), 4)), F.asc(F.col(id_col))
+    )
+    ranked = (
+        results.select(query_col, id_col, score_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    rel = F.coalesce(F.col(rel_col), F.lit(0)).cast("double")
+    gain = F.pow(F.lit(2.0), rel) - F.lit(1.0)
+    hits = (
+        ranked.join(qrels, [query_col, id_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.sum((rel > 0).cast("long")).alias("n_rel_ret"),
+            F.min(F.when(rel > 0, F.col("rank"))).alias("first_rel"),
+            F.sum(
+                F.when(rel > 0, gain / F.log2(F.col("rank") + 1)).otherwise(0.0)
+            ).alias("dcg"),
+        )
+    )
+    iw = Window.partitionBy(query_col).orderBy(
+        F.desc(rel_col), F.asc(id_col)
+    )
+    igain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)
+    ideal = (
+        qrels.filter(F.col(rel_col) > 0)
+        .withColumn("irank", F.row_number().over(iw))
+        .groupBy(query_col)
+        .agg(
+            F.count("*").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("irank") <= k, igain / F.log2(F.col("irank") + 1)
+                ).otherwise(0.0)
+            ).alias("idcg"),
+        )
+    )
+    zero = F.lit(0.0)
+    return (
+        hits.join(ideal, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.round(F.col("n_rel_ret") / F.lit(float(k)), 6).alias(
+                "precision_k"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0, F.col("n_rel_ret") / F.col("n_rel")
+                ).otherwise(zero),
+                6,
+            ).alias("recall_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), zero), 6
+            ).alias("mrr"),
+            F.round(
+                F.when(
+                    F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+                ).otherwise(zero),
+                6,
+            ).alias("ndcg_k"),
+        )
+        .orderBy(query_col)
+    )

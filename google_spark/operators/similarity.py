@@ -381,6 +381,64 @@ def semantic_dedup(
     )
 
 
+def centroid_classify(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, label, pred, correct) — nearest-centroid (Rocchio)
+    classification: per-label mean vector, then each vector is assigned
+    the label of its most-cosine-similar centroid. The standard cheap
+    label-quality / label-noise probe over an embedded corpus (a vector
+    whose own centroid is not its nearest is a mislabel candidate).
+
+    Determinism: similarities are rounded to 4 decimals before the argmax
+    and ties break label-asc — the (rounded_sim desc, label asc) total
+    order the SQL oracle reproduces. Implemented as max over an array of
+    (sim, -label) structs, so the argmax is a single codegen'd expression.
+
+    Scale shape: centroids come from one posexplode + (label, pos) hash
+    aggregate (the only shuffle, at |labels| * dim grain); the resulting
+    |labels| * dim floats are driver-tiny and ride into the assignment
+    scan as literals — the assignment itself is a pure map with NO join,
+    NO second shuffle, exactly like the IVF assignment kernel."""
+    spark = emb.sparkSession
+    ex = emb.select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    rows = (
+        ex.groupBy("_lbl", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_label.setdefault(int(r["_lbl"]), {})[int(r["pos"])] = float(r["m"])
+    if not by_label:
+        return spark.createDataFrame(
+            [], f"{id_col} long, {label_col} int, pred int, correct boolean"
+        )
+    cands = []
+    for lbl in sorted(by_label):
+        cvec = by_label[lbl]
+        arr = F.array(*[F.lit(cvec[p]) for p in sorted(cvec)])
+        cands.append(
+            F.struct(
+                F.round(cosine_sim_col(F.col(vec_col), arr), 4).alias("s"),
+                F.lit(-lbl).alias("nl"),
+            )
+        )
+    best = F.array_max(F.array(*cands))
+    return emb.select(
+        id_col,
+        F.col(label_col).cast("int").alias(label_col),
+        (-best["nl"]).cast("int").alias("pred"),
+        (F.col(label_col) == -best["nl"]).alias("correct"),
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,156 @@
+"""Round-4 fourth-wave operators: rank-eval metrics, HITS
+hubs/authorities, nearest-centroid classification."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- rank_eval
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    rows = [
+        (1, 10, 5.0), (1, 20, 4.0), (1, 30, 3.0),
+        (2, 10, 9.0), (2, 40, 8.0),
+        (3, 50, 1.0),
+    ]
+    return spark.createDataFrame(rows, "query_id long, doc_id long, score double")
+
+
+@pytest.fixture(scope="module")
+def qrels(spark):
+    rows = [
+        (1, 20, 2), (1, 99, 1),   # q1: one retrieved (rank 2), one missed
+        (2, 10, 1), (2, 40, 3),   # q2: both retrieved
+        (3, 77, 1),               # q3: nothing relevant retrieved
+    ]
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rel int")
+
+
+def test_rank_eval_hand_computed(spark, results, qrels):
+    from google_spark.operators.evaluation import rank_eval
+
+    got = {r["query_id"]: r.asDict() for r in rank_eval(results, qrels, k=3).collect()}
+
+    # q1: retrieved [10, 20, 30]; rel doc 20 at rank 2 with rel=2
+    dcg1 = (2**2 - 1) / math.log2(3)
+    idcg1 = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+    assert got[1]["n_rel"] == 2
+    assert got[1]["precision_k"] == round(1 / 3, 6)
+    assert got[1]["recall_k"] == 0.5
+    assert got[1]["mrr"] == 0.5
+    assert got[1]["ndcg_k"] == round(dcg1 / idcg1, 6)
+
+    # q2: retrieved [10, 40]; rel 10@1 (rel 1), 40@2 (rel 3) — ideal flips
+    dcg2 = (2**1 - 1) / math.log2(2) + (2**3 - 1) / math.log2(3)
+    idcg2 = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+    assert got[2]["n_rel"] == 2
+    assert got[2]["precision_k"] == round(2 / 3, 6)
+    assert got[2]["recall_k"] == 1.0
+    assert got[2]["mrr"] == 1.0
+    assert got[2]["ndcg_k"] == round(dcg2 / idcg2, 6)
+
+    # q3: nothing relevant retrieved -> all zero, never NULL
+    assert got[3]["n_rel"] == 1
+    assert (got[3]["precision_k"], got[3]["recall_k"], got[3]["mrr"],
+            got[3]["ndcg_k"]) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_rank_eval_query_without_any_qrels(spark, results):
+    from google_spark.operators.evaluation import rank_eval
+
+    empty = spark.createDataFrame([], "query_id long, doc_id long, rel int")
+    got = {r["query_id"]: r.asDict() for r in rank_eval(results, empty, k=3).collect()}
+    assert set(got) == {1, 2, 3}
+    for m in got.values():
+        assert (m["n_rel"], m["precision_k"], m["recall_k"], m["mrr"],
+                m["ndcg_k"]) == (0, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_rank_eval_k_cuts_results(spark, qrels):
+    from google_spark.operators.evaluation import rank_eval
+
+    # doc 20 (the only relevant) sits at rank 2 -> k=1 must miss it
+    res = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, 4.0)], "query_id long, doc_id long, score double"
+    )
+    got = rank_eval(res, qrels, k=1).collect()[0]
+    assert got["precision_k"] == 0.0 and got["mrr"] == 0.0
+
+
+# --------------------------------------------------------------------- HITS
+
+
+def test_hits_hand_computed(spark):
+    from google_spark.operators.pagerank import hits
+
+    e = spark.createDataFrame([(1, 2), (1, 3), (4, 2)], "src long, dst long")
+    got = {
+        r["node"]: (round(r["authority"], 4), round(r["hub"], 4))
+        for r in hits(e, n_iter=2).collect()
+    }
+    # a1 = {2: 2/3, 3: 1/3}; h1 = {1: 0.6, 4: 0.4}
+    # a2 raw = {2: 1.0, 3: 0.6} -> {2: 0.625, 3: 0.375}
+    # h2 raw = {1: 1.0, 4: 0.625} -> {1: 0.6154, 4: 0.3846}
+    assert got == {
+        1: (0.0, 0.6154),
+        2: (0.625, 0.0),
+        3: (0.375, 0.0),
+        4: (0.0, 0.3846),
+    }
+
+
+def test_hits_l1_normalized(spark):
+    from google_spark.operators.pagerank import hits
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    row = (
+        hits(e, n_iter=3)
+        .agg(F.sum("authority").alias("a"), F.sum("hub").alias("h"))
+        .collect()[0]
+    )
+    assert abs(row["a"] - 1.0) < 1e-9 and abs(row["h"] - 1.0) < 1e-9
+
+
+# ------------------------------------------------------- centroid_classify
+
+
+def test_centroid_classify_separable(spark):
+    from google_spark.operators.similarity import centroid_classify
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        (5, [1.0, 0.05], 1),  # mislabeled: points at label-0 centroid
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"]: (r["pred"], r["correct"]) for r in centroid_classify(emb).collect()}
+    assert got[1] == (0, True) and got[2] == (0, True)
+    assert got[3] == (1, True) and got[4] == (1, True)
+    assert got[5][1] is False  # the label-noise probe flags the mislabel
+
+
+def test_centroid_classify_tie_breaks_label_asc(spark):
+    from google_spark.operators.similarity import centroid_classify
+
+    # two labels with IDENTICAL centroids -> every sim ties -> pred = min label
+    rows = [
+        (1, [1.0, 0.0], 7), (2, [1.0, 0.0], 3),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"]: r["pred"] for r in centroid_classify(emb).collect()}
+    assert got == {1: 3, 2: 3}
+
+
+def test_centroid_classify_empty(spark):
+    from google_spark.operators.similarity import centroid_classify
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert centroid_classify(emb).count() == 0
