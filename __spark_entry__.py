@@ -1632,6 +1632,22 @@ def q_sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_classify(emb)
 
 
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the cosine top-20 vs stored vector 0:
+    5 greedy picks at lam=0.7, rel/cos snapped to 4 decimals before
+    scoring, scores to 6 before the argmax, id-asc ties — the oracle
+    unrolls the identical 5 steps."""
+    from google_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cand = cosine_topk(emb, 0, k=20).select(
+        "vec_id", F.col("cos_sim").alias("rel")
+    )
+    return mmr_rerank(cand, emb, k=5, lam=0.7)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1639,8 +1655,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merges them) with the same oracles. ROUND-4 ROTATION: the first 28 rows
     here are driver-green in CORRECTNESS_r03.json — demoted this round so
     the 23 rows that only had local coverage earn driver rows (see the
-    module docstring); union coverage r03 ∪ r04 = all 73. The last 12 rows
-    (boolean_search_topk … sim_centroid_classify) are NEW round-4 operators —
+    module docstring); union coverage r03 ∪ r04 = all 73. The last 13 rows
+    (boolean_search_topk … sim_mmr_rerank) are NEW round-4 operators —
     rotate them into queries() in round 5 alongside the five early-round-4
     extras (bm25f_local_topk, text_scrub_pii, dedup_contamination,
     sample_pack, sample_pack_corpus)."""
@@ -1685,6 +1701,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "rank_eval_metrics": q_rank_eval_metrics,
         "sim_centroid_classify": q_sim_centroid_classify,
+        "sim_mmr_rerank": q_sim_mmr_rerank,
     }
 
 
@@ -1711,6 +1728,56 @@ def _cos_sql(a: str, b: str) -> str:
 
 _COS_SQL_EV_C = _cos_sql("e.v", "cents.c")
 _COS_SQL_XY = _cos_sql("x.v", "y.v")
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.7, probe: int = 0, n_cand: int = 20) -> str:
+    """Unrolled MMR greedy (k steps) over the cosine top-n_cand candidate
+    set vs a stored probe vector — each step is one CTE that cross-joins
+    the already-picked rows, applies the NOT IN exclusion, and takes the
+    (score desc, id asc) argmax; constants are inlined via repr so the
+    doubles match the engine bit-for-bit (lam=0.7 -> 1-lam is
+    0.30000000000000004 in both)."""
+    one_minus = 1.0 - lam
+    ctes = [
+        f"""el AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+probe AS (SELECT v AS p FROM el WHERE vec_id = {probe}),
+cand AS (
+  SELECT vec_id, round({_cos_sql("el.v", "probe.p")}, 4) AS rel, v
+  FROM el CROSS JOIN probe WHERE vec_id <> {probe}
+  ORDER BY rel DESC, vec_id ASC LIMIT {n_cand}
+)""",
+        f"""s1 AS (
+  SELECT vec_id, v, round({lam!r} * rel, 6) AS sc FROM cand
+  ORDER BY sc DESC, vec_id ASC LIMIT 1
+)""",
+    ]
+    for i in range(2, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        cos_terms = [
+            f"round({_cos_sql('c.v', f'{p}.v')}, 4)" for p in prev
+        ]
+        div = cos_terms[0] if len(cos_terms) == 1 else (
+            "greatest(" + ", ".join(cos_terms) + ")"
+        )
+        joins = " CROSS JOIN ".join(prev)
+        excl = ", ".join(f"{p}.vec_id" for p in prev)
+        ctes.append(
+            f"""s{i} AS (
+  SELECT c.vec_id, c.v,
+         round({lam!r} * c.rel - {one_minus!r} * {div}, 6) AS sc
+  FROM cand c CROSS JOIN {joins}
+  WHERE c.vec_id NOT IN ({excl})
+  ORDER BY sc DESC, c.vec_id ASC LIMIT 1
+)"""
+        )
+    selects = [
+        f"SELECT vec_id, CAST({i} AS INT) AS mmr_rank, sc AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _bm25_sql(
@@ -3298,6 +3365,7 @@ ORDER BY h.query_id
 """,
         # Nearest-centroid classification: per-label mean vectors, cosine
         # argmax on round-4 sims with label-asc ties
+        "sim_mmr_rerank": _mmr_oracle(k=5, lam=0.7, probe=0, n_cand=20),
         "sim_centroid_classify": f"""
 WITH el AS (
   SELECT vec_id, label,

@@ -83,6 +83,7 @@ def __getattr__(name):
             "google_spark.operators.similarity",
             "centroid_classify",
         ),
+        "mmr_rerank": ("google_spark.operators.similarity", "mmr_rerank"),
     }
     if name in lazy:
         import importlib

@@ -439,6 +439,74 @@ def centroid_classify(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    emb: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """(vec_id, mmr_rank, mmr_score) — maximal marginal relevance
+    (Carbonell & Goldstein 1998) re-ranking of a BOUNDED candidate set:
+    greedily pick ``argmax lam * rel(c) - (1 - lam) * max_{s in selected}
+    cos(c, s)`` so near-duplicate results don't crowd the top of the page.
+
+    Engine-portable determinism: relevances and pairwise cosines are
+    snapped to 4 decimals BEFORE they enter a score, scores to 6 before
+    the argmax, ties break id-asc — the SQL oracle unrolls the identical
+    greedy steps. The first pick's score is ``lam * rel`` (empty selected
+    set contributes no diversity penalty).
+
+    Scale shape: this is a SERVING-TIER operator over an already-top-n
+    candidate frame (the bounded-driver-work contract of more_like_this /
+    prefix expansion): one candidate-keyed join against the embeddings
+    (pruned to |candidates| rows), ONE bounded collect, then O(k * n)
+    numpy on the driver. Corpus size never enters; candidate generation
+    is the distributed part (cosine_topk / ann_ivf_topk / wand_topk)."""
+    spark = candidates.sparkSession
+    rows = (
+        candidates.select(id_col, rel_col)
+        .join(emb.select(id_col, vec_col), id_col)
+        .collect()
+    )
+    out_schema = f"{id_col} long, mmr_rank int, mmr_score double"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
+    rels = np.round(
+        np.array([float(r[rel_col]) for r in rows], dtype=np.float64), 4
+    )
+    vecs = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    # -inf start, NOT zero: a candidate pointing AWAY from everything
+    # selected has a NEGATIVE max-cosine, which must not be clamped to 0
+    # (it is a diversity BONUS under the MMR formula)
+    max_div = np.full(len(ids), -np.inf, dtype=np.float64)
+    picked: list[tuple[int, int, float]] = []
+    remaining = np.ones(len(ids), dtype=bool)
+    for rank in range(1, min(k, len(ids)) + 1):
+        if rank == 1:
+            scores = np.round(lam * rels, 6)
+        else:
+            scores = np.round(lam * rels - (1.0 - lam) * max_div, 6)
+        # argmax with id-asc ties, restricted to remaining candidates
+        best, best_key = -1, None
+        for i in np.flatnonzero(remaining):
+            key = (-scores[i], ids[i])
+            if best_key is None or key < best_key:
+                best, best_key = int(i), key
+        picked.append((int(ids[best]), rank, float(scores[best])))
+        remaining[best] = False
+        div = np.round(
+            (vecs @ vecs[best]) / (norms * norms[best]), 4
+        )
+        max_div = np.maximum(max_div, div)
+    return spark.createDataFrame(picked, out_schema)
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -154,3 +154,62 @@ def test_centroid_classify_empty(spark):
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
     assert centroid_classify(emb).count() == 0
+
+
+# ------------------------------------------------------------- mmr_rerank
+
+
+def test_mmr_hand_computed(spark):
+    from google_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.99, 0.14]),   # near-clone of 1
+            (3, [0.0, 1.0]),     # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cand = spark.createDataFrame(
+        [(1, 0.9), (2, 0.89), (3, 0.5)], "vec_id long, rel double"
+    )
+    got = [
+        (r["vec_id"], r["mmr_rank"], r["mmr_score"])
+        for r in mmr_rerank(cand, emb, k=3, lam=0.7).collect()
+    ]
+    # pick 1: rel 0.9 -> 0.63. Then 2 is a clone (cos ~0.99) so 3 wins:
+    # sc(2) = .7*.89 - .3*cos(1,2); sc(3) = .7*.5 - .3*0 = 0.35
+    assert [g[0] for g in got] == [1, 3, 2]
+    assert got[0][2] == round(0.7 * 0.9, 6)
+    assert got[1][2] == 0.35
+
+
+def test_mmr_negative_cosine_is_a_bonus(spark):
+    from google_spark.operators.similarity import mmr_rerank
+
+    # candidate 3 points AWAY from the first pick (cos = -1): its diversity
+    # term must stay negative (a bonus), not be clamped to zero
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cand = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.4)], "vec_id long, rel double"
+    )
+    got = {
+        r["vec_id"]: r["mmr_score"] for r in mmr_rerank(cand, emb, k=3).collect()
+    }
+    # sc(3) at step 2 = 0.7*0.4 - 0.3*(-1.0) = 0.58 > sc(2) = 0.35
+    assert got[3] == round(0.7 * 0.4 + 0.3, 6)
+
+
+def test_mmr_k_exceeds_candidates_and_empty(spark):
+    from google_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cand = spark.createDataFrame([(1, 0.9)], "vec_id long, rel double")
+    assert mmr_rerank(cand, emb, k=5).count() == 1
+    empty = spark.createDataFrame([], "vec_id long, rel double")
+    assert mmr_rerank(empty, emb, k=5).count() == 0
