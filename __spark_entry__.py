@@ -1648,6 +1648,35 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cand, emb, k=5, lam=0.7)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-containment near-dup over the corpus plus planted quotes
+    (doc_id+200000 carries the first 200 chars of every doc_id%50==0 doc):
+    candidates from a shared-shingle equi-join (>=2 distinct shared
+    shingles; MinHash-LSH would miss small-inside-large inclusions), exact
+    |S(a)∩S(b)|/|S(side)| verification, keep pairs with either direction
+    >= 0.6."""
+    from google_spark.operators.dedup import containment_near_dups
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    df = containment_near_dups(
+        docs.unionByName(quotes), threshold=0.6, min_shared=2
+    )
+    return _round4(df, "cont_ab", "cont_ba")
+
+
+def q_catalog_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot changelog (the Iceberg CDC analog) across the shared
+    catalog lineage, v1 -> HEAD: the %17==3 deletes and the %23==5 upserts
+    (old id deleted, id+1e9 added) — computed from live SETS via the
+    doclens sidecars, so the interleaved compaction contributes nothing."""
+    cat, _v_del, head = _catalog_for(spark, sf_dir)
+    return cat.changelog(spark, 1, head)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1655,8 +1684,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merges them) with the same oracles. ROUND-4 ROTATION: the first 28 rows
     here are driver-green in CORRECTNESS_r03.json — demoted this round so
     the 23 rows that only had local coverage earn driver rows (see the
-    module docstring); union coverage r03 ∪ r04 = all 73. The last 13 rows
-    (boolean_search_topk … sim_mmr_rerank) are NEW round-4 operators —
+    module docstring); union coverage r03 ∪ r04 = all 73. The last 15 rows
+    (boolean_search_topk … catalog_changelog) are NEW round-4 operators —
     rotate them into queries() in round 5 alongside the five early-round-4
     extras (bm25f_local_topk, text_scrub_pii, dedup_contamination,
     sample_pack, sample_pack_corpus)."""
@@ -1702,6 +1731,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval_metrics": q_rank_eval_metrics,
         "sim_centroid_classify": q_sim_centroid_classify,
         "sim_mmr_rerank": q_sim_mmr_rerank,
+        "dedup_containment": q_dedup_containment,
+        "catalog_changelog": q_catalog_changelog,
     }
 
 
@@ -3366,6 +3397,46 @@ ORDER BY h.query_id
         # Nearest-centroid classification: per-label mean vectors, cosine
         # argmax on round-4 sims with label-asc ties
         "sim_mmr_rerank": _mmr_oracle(k=5, lam=0.7, probe=0, n_cand=20),
+        # Containment near-dup over corpus + planted 200-char quote docs:
+        # distinct 3-shingle sets, >=2 shared shingles as the candidate
+        # gate, exact |inter|/|side| with either direction >= 0.6
+        "dedup_containment": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, substr(text, 1, 200) AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+toks AS (SELECT doc_id, {_TOK_SQL} AS ts FROM corpus),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ts) - 1),
+           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM toks WHERE len(ts) >= 3
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS inter,
+         len(x.s) AS na, len(y.s) AS nb
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.s, y.s)) >= 2
+)
+SELECT a, b, round(inter / na, 4) AS cont_ab, round(inter / nb, 4) AS cont_ba
+FROM pairs
+WHERE greatest(inter / na, inter / nb) >= 0.6
+""",
+        # Changelog v1 -> HEAD over the shared catalog lineage: upserted
+        # copies appear as added (old key deleted), %17==3 docs deleted;
+        # the interleaved compaction contributes nothing (set semantics)
+        "catalog_changelog": """
+SELECT * FROM (
+  SELECT 'added' AS change, doc_id + 1000000000 AS doc_id
+  FROM documents WHERE doc_id % 23 = 5 AND doc_id % 17 <> 3
+  UNION ALL
+  SELECT 'deleted' AS change, doc_id
+  FROM documents WHERE doc_id % 17 = 3 OR (doc_id % 23 = 5 AND doc_id % 17 <> 3)
+) ORDER BY change, doc_id
+""",
         "sim_centroid_classify": f"""
 WITH el AS (
   SELECT vec_id, label,

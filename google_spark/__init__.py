@@ -84,6 +84,11 @@ def __getattr__(name):
             "centroid_classify",
         ),
         "mmr_rerank": ("google_spark.operators.similarity", "mmr_rerank"),
+        "containment_pairs": ("google_spark.operators.dedup", "containment_pairs"),
+        "containment_near_dups": (
+            "google_spark.operators.dedup",
+            "containment_near_dups",
+        ),
     }
     if name in lazy:
         import importlib

@@ -699,6 +699,55 @@ class SnapshotCatalog:
         ]
         return np.unique(np.concatenate(parts).astype(np.int64))
 
+    def live_doc_ids(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """(doc_id) — the docs LIVE in a snapshot: union of the segments'
+        doclens sidecars minus the snapshot's delete vector. Sidecar-only
+        (never decodes postings); both commit paths always write doclens,
+        so this raises (rather than silently under-counting) on a snapshot
+        missing them. Note the doclens contract: one row per doc that
+        produced at least one token, so a fully-empty doc is not listed.
+        """
+        m = self.manifest(version)
+        dl = self._sidecar(spark, m, "doclens")
+        if dl is None:
+            raise FileNotFoundError(
+                f"snapshot v{m.version} under {self.root} has segments "
+                "without a doclens sidecar; live_doc_ids/changelog need it"
+            )
+        ids = dl.select("doc_id").distinct()
+        dels = self.load_deletes(m.version)
+        if dels is not None and len(dels):
+            del_df = ids.sparkSession.createDataFrame(
+                [(int(x),) for x in dels], "doc_id long"
+            )
+            ids = ids.join(F.broadcast(del_df), "doc_id", "left_anti")
+        return ids
+
+    def changelog(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """(change, doc_id) — the SEMANTIC diff between two snapshots (the
+        Iceberg changelog / CDC analog): 'added' = live in v_to but not
+        v_from, 'deleted' = live in v_from but not v_to. Computed on live
+        SETS, so a compaction (which rewrites every segment file without
+        changing contents) produces an empty changelog, and an upsert
+        surfaces as delete+add of the affected doc ids.
+
+        Scale shape: two sidecar scans (doc_id grain, never postings), two
+        anti-joins on the fixed-width doc_id key, deletes applied as
+        broadcast anti-joins. Ordered (change, doc_id) for determinism."""
+        a = self.live_doc_ids(spark, v_to)
+        b = self.live_doc_ids(spark, v_from)
+        added = a.join(b, "doc_id", "left_anti").select(
+            F.lit("added").alias("change"), "doc_id"
+        )
+        deleted = b.join(a, "doc_id", "left_anti").select(
+            F.lit("deleted").alias("change"), "doc_id"
+        )
+        return added.unionByName(deleted).orderBy("change", "doc_id")
+
     def read(self, spark: SparkSession, version: int | None = None) -> IndexTables:
         """Resolve a snapshot into IndexTables. Postings are the union of
         the snapshot's segment scans (tb partition pruning pushes into

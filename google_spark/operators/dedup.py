@@ -314,6 +314,97 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT for candidate pairs ->
+    (a, b, cont_ab, cont_ba): cont_ab = |S(a) ∩ S(b)| / |S(a)| — the
+    asymmetric overlap that catches a short doc quoted inside a long one,
+    which symmetric Jaccard dilutes below any usable threshold (the
+    RefinedWeb/CCNet-style inclusion signal alongside near-dup Jaccard).
+    Same verification contract as :func:`jaccard_pairs`: shingle sets are
+    built ONLY for docs appearing in a candidate pair (semi-join first),
+    so cost scales with |candidates|, not |corpus|. A side with an empty
+    shingle set scores 0.0 in that direction."""
+    ids = pairs.select(F.col("a").alias("id")).union(
+        pairs.select(F.col("b").alias("id"))
+    ).distinct()
+    needed = docs.join(ids, docs[id_col] == ids["id"], "left_semi")
+    sets_df = needed.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(tokens_col(text_col), k=shingle_k)).alias("s"),
+    )
+    j = pairs.join(
+        sets_df.select(F.col("id").alias("a"), F.col("s").alias("sa")), "a"
+    ).join(sets_df.select(F.col("id").alias("b"), F.col("s").alias("sb")), "b")
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    na = F.size("sa")
+    nb = F.size("sb")
+    return j.select(
+        "a",
+        "b",
+        F.when(na > 0, inter / na).otherwise(F.lit(0.0)).alias("cont_ab"),
+        F.when(nb > 0, inter / nb).otherwise(F.lit(0.0)).alias("cont_ba"),
+    )
+
+
+def containment_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    max_doc_freq: int = 10_000,
+) -> DataFrame:
+    """Containment near-dup pipeline -> (a, b, cont_ab, cont_ba) for pairs
+    where EITHER direction's containment >= threshold. Candidate
+    generation is a shared-shingle equi-join — NOT MinHash-LSH, which is
+    tuned for symmetric Jaccard and reliably MISSES a small doc contained
+    in a much larger one (the pair's Jaccard is tiny even when containment
+    is 1.0).
+
+    Scale shape: shingles travel as md5 hashes (fixed-width exchange, the
+    cross_doc_shingle_frac pattern); per-doc distinct BEFORE the self-join
+    so multiplicity can't blow up buckets; shingles in more than
+    ``max_doc_freq`` docs are dropped from candidate generation (the
+    boilerplate/skew cap — a shingle shared by everything pairs
+    everything); candidates need ``min_shared`` distinct shared shingles;
+    exact verification then touches only candidate docs."""
+    sh = (
+        _shingle_rows(docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+        .select(F.col(id_col).alias("id"), F.md5("s").alias("h"))
+        .distinct()
+    )
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= max_doc_freq)
+        .select("h")
+    )
+    sh = sh.join(hot, "h", "left_semi")
+    a = sh.select("h", F.col("id").alias("a"))
+    b = sh.select("h", F.col("id").alias("b"))
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("a", "b")
+    )
+    out = containment_pairs(
+        docs, cand, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+    )
+    return out.filter(
+        F.greatest("cont_ab", "cont_ba") >= threshold
+    )
+
+
 def minhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",

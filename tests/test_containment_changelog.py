@@ -1,0 +1,113 @@
+"""Round-4 fifth-wave operators: asymmetric containment dedup and the
+snapshot-catalog changelog."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+BIG = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+QUOTE = "alpha beta gamma delta epsilon zeta"  # strict prefix of BIG
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BIG),
+        (2, QUOTE),
+        (3, "totally different words entirely here now"),
+        (4, "alpha beta unrelated tail content follows yes"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_catches_quote_jaccard_misses(spark, docs):
+    from google_spark.operators.dedup import (
+        containment_near_dups,
+        jaccard_pairs,
+    )
+
+    got = {
+        (r["a"], r["b"]): (round(r["cont_ab"], 4), round(r["cont_ba"], 4))
+        for r in containment_near_dups(docs, threshold=0.9).collect()
+    }
+    # QUOTE's 4 3-shingles are all in BIG (18 shingles): cont_ba = 1.0
+    assert got[(1, 2)][1] == 1.0
+    assert got[(1, 2)][0] == round(4 / 18, 4)
+    # while the symmetric Jaccard of the same pair is tiny
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    j = jaccard_pairs(docs, pairs).collect()[0]["jaccard"]
+    assert j < 0.25
+
+
+def test_containment_min_shared_gate(spark, docs):
+    from google_spark.operators.dedup import containment_near_dups
+
+    # docs 1 and 4 share exactly one 3-shingle ('alpha beta ...'? no —
+    # 'alpha beta unrelated' != 'alpha beta gamma', so zero shared) ->
+    # never a candidate even at threshold 0
+    got = {
+        (r["a"], r["b"])
+        for r in containment_near_dups(docs, threshold=0.0).collect()
+    }
+    assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_containment_hot_shingle_cap(spark):
+    from google_spark.operators.dedup import containment_near_dups
+
+    # every doc is identical -> the shared shingles sit in all 3 docs;
+    # max_doc_freq=2 drops them all from candidate generation
+    rows = [(i, BIG) for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert containment_near_dups(d, threshold=0.5, max_doc_freq=2).count() == 0
+    assert containment_near_dups(d, threshold=0.5).count() == 3
+
+
+# ------------------------------------------------------------- changelog
+
+
+@pytest.fixture(scope="module")
+def lineage(spark, tmp_path_factory):
+    from google_spark.operators.catalog import SnapshotCatalog
+
+    root = str(tmp_path_factory.mktemp("cat"))
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} talks about topic {i % 3}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    cat = SnapshotCatalog(root)
+    v1 = cat.commit_build(spark, docs.filter(F.col("doc_id") % 2 == 0))
+    v2 = cat.append_docs(spark, docs.filter(F.col("doc_id") % 2 == 1))
+    v3 = cat.delete_docs([0, 4, 5])
+    v4 = cat.compact(spark)
+    return cat, v1, v2, v3, v4
+
+
+def test_live_doc_ids(spark, lineage):
+    cat, v1, v2, v3, v4 = lineage
+    live = lambda v: {r["doc_id"] for r in cat.live_doc_ids(spark, v).collect()}
+    assert live(v1) == {0, 2, 4, 6, 8}
+    assert live(v2) == set(range(10))
+    assert live(v3) == {1, 2, 3, 6, 7, 8, 9}
+    assert live(v4) == live(v3)  # compaction rewrites files, not contents
+
+
+def test_changelog_semantic_diff(spark, lineage):
+    cat, v1, v2, v3, v4 = lineage
+    got = [
+        (r["change"], r["doc_id"])
+        for r in cat.changelog(spark, v1, v4).collect()
+    ]
+    assert got == [
+        ("added", 1), ("added", 3), ("added", 7), ("added", 9),
+        ("deleted", 0), ("deleted", 4),
+    ]
+    # compaction alone is invisible to the changelog
+    assert cat.changelog(spark, v3, v4).count() == 0
+    # reverse direction flips the labels
+    rev = {(r["change"], r["doc_id"]) for r in cat.changelog(spark, v4, v1).collect()}
+    assert ("added", 0) in rev and ("deleted", 1) in rev
