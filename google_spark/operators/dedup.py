@@ -397,6 +397,12 @@ def containment_near_dups(
         .filter(F.col("n_shared") >= min_shared)
         .select("a", "b")
     )
+    # Materialize the (small) candidate set once: verification references
+    # it from three branches (both semi-join sides + the pair join), which
+    # would otherwise re-run the shared-shingle self-join per branch —
+    # the same persist-and-count pattern as minhash_near_dups.
+    cand = cand.persist()
+    cand.count()
     out = containment_pairs(
         docs, cand, id_col=id_col, text_col=text_col, shingle_k=shingle_k
     )

@@ -332,6 +332,34 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.dedup import containment_near_dups
+    from google_spark.operators.pagerank import hits, synthetic_doc_graph
+
+    sections.append(
+        (
+            "Containment near-dup (candidates + exact verification)",
+            "Shingles travel as md5 hashes (fixed-width exchange), per-doc "
+            "distinct BEFORE the self-join, the hot-shingle cap is a "
+            "left-semi against bucket counts, candidates need min_shared "
+            "distinct shared keys, and the exact intersect-over-side "
+            "verification (array_intersect on real strings) touches only "
+            "docs that appear in a candidate pair (two left-semi joins).",
+            fmt(containment_near_dups(docs, threshold=0.6)),
+        )
+    )
+
+    sections.append(
+        (
+            "HITS hubs/authorities (one normalized round)",
+            "Each half-step is one edge-keyed join plus a node-grain hash "
+            "aggregate; the L1 normalizer rides in as a broadcast scalar "
+            "(BroadcastNestedLoopJoin of a 1-row aggregate) — no collect, "
+            "no global sort. Fixed-iteration mode; lineage truncated by "
+            "localCheckpoint on the pagerank cadence.",
+            fmt(hits(synthetic_doc_graph(docs), n_iter=1)),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
