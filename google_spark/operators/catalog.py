@@ -113,6 +113,21 @@ def _atomic_write(path: str, text: str) -> None:
     os.replace(tmp, path)
 
 
+def _exclusive_write(path: str, text: str) -> None:
+    """Atomic create-if-absent: raises FileExistsError when ``path`` is
+    already taken. The manifest-file claim is the catalog's true
+    compare-and-swap — two writers that both slipped into the critical
+    section (a stale-lock break gone wrong) can never overwrite each
+    other's manifest; the loser re-derives against the winner's commit."""
+    tmp = f"{path}.claim-{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    try:
+        os.link(tmp, path)  # atomic exclusive create (POSIX)
+    finally:
+        os.remove(tmp)
+
+
 def _write_delete_file(path: str, ids: np.ndarray) -> None:
     """One sorted doc_id parquet, written atomically — no Spark job (the
     serving tier can tombstone without scheduling anything)."""
@@ -187,31 +202,56 @@ class SnapshotCatalog:
     @contextlib.contextmanager
     def _commit_lock(self, timeout: float = 300.0, stale_after: float = 3600.0):
         """Writer mutual exclusion for the commit critical section: an
-        O_CREAT|O_EXCL lock file — the filesystem analog of Iceberg's
-        catalog compare-and-swap. Committing is pure metadata (the heavy
-        Spark work happens BEFORE the lock), so the section is
-        milliseconds. A lock older than ``stale_after`` is presumed
-        orphaned by a crashed holder and broken."""
+        O_CREAT|O_EXCL lock file carrying a per-acquisition token.
+        Committing is pure metadata (the heavy Spark work happens BEFORE
+        the lock), so the section is milliseconds. A lock older than
+        ``stale_after`` is presumed orphaned by a crashed holder and
+        broken.
+
+        The lock is the FAST PATH, not the correctness guarantee: the
+        stale-break below is inherently check-then-act, so two writers
+        can (rarely) both enter the critical section. Lost updates are
+        prevented one layer down — _commit_apply claims each manifest
+        file with an atomic exclusive create (_exclusive_write) and
+        retries against the winner's commit on collision. The token
+        closes the remaining sharp edges: a holder stalled past
+        ``stale_after`` whose lock was broken must not delete its
+        successor's lock at release, and a breaker that renamed away a
+        FRESH lock (mtime raced) detects the foreign token and restores
+        it."""
         os.makedirs(self.root, exist_ok=True)
         lock = os.path.join(self.root, "COMMIT_LOCK")
+        token = uuid.uuid4().hex
         deadline = time.monotonic() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.write(fd, f"{token} {os.getpid()} {time.time()}\n".encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 with contextlib.suppress(FileNotFoundError):
                     if time.time() - os.path.getmtime(lock) > stale_after:
-                        # break via rename-to-unique: only ONE waiter's
-                        # rename succeeds, so two waiters that both saw
-                        # the stale mtime can't each remove a lock (the
-                        # loser would be deleting the winner's FRESH lock
-                        # and let two writers into the critical section)
+                        # sample the holder's token, THEN break via
+                        # rename-to-unique (only one waiter's rename
+                        # succeeds), THEN re-check: if the renamed file
+                        # carries a different token than sampled, the
+                        # stale holder was replaced between check and
+                        # rename and we stole a FRESH lock — restore it
+                        with open(lock) as f:
+                            seen = f.read()
                         stale = f"{lock}.stale-{uuid.uuid4().hex[:6]}"
-                        os.rename(lock, stale)  # crashed holder
-                        os.remove(stale)
+                        os.rename(lock, stale)
+                        with open(stale) as f:
+                            got = f.read()
+                        if got == seen:
+                            os.remove(stale)  # genuinely orphaned
+                        elif not os.path.exists(lock):
+                            os.rename(stale, lock)  # give it back
+                        else:
+                            # a third waiter already locked; the displaced
+                            # holder is covered by the CAS manifest claim
+                            os.remove(stale)
                         continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -221,8 +261,12 @@ class SnapshotCatalog:
         try:
             yield
         finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(lock)
+            # token-checked release: only remove the lock if it is still
+            # OURS (a breaker may have replaced it while we were stalled)
+            with contextlib.suppress(FileNotFoundError, OSError):
+                with open(lock) as f:
+                    if f.read().split(" ", 1)[0] == token:
+                        os.remove(lock)
 
     def _commit_apply(self, operation: str, apply_fn) -> int:
         """Commit with writer isolation: under the commit lock, re-read
@@ -233,44 +277,60 @@ class SnapshotCatalog:
         segments/delete files."""
         with self._commit_lock():
             os.makedirs(self.meta_dir, exist_ok=True)
-            parent_v = self.head()
-            parent = self.manifest(parent_v) if parent_v is not None else None
-            segments, deletes, summary = apply_fn(parent)
-            # stream high-water marks ride EVERY commit (delete, compact,
-            # upsert, ...), so the exactly-once epoch guard survives
-            # expire() dropping the manifest that first carried a tag —
-            # HEAD's summary always holds the freshest mark per stream.
-            # A summary that already carries the map wins wholesale:
-            # rollback restores the TARGET's marks so the rolled-back
-            # epochs (whose data the rollback removed) can re-append.
-            if "stream_epochs" not in summary:
-                hwm = dict((parent.summary or {}).get("stream_epochs", {})) \
-                    if parent is not None else {}
-                sid = summary.get("stream_id")
-                sep = summary.get("stream_epoch")
-                if sid is not None and sep is not None:
-                    hwm[str(sid)] = max(int(sep), int(hwm.get(str(sid), -1)))
-                if hwm:
-                    summary["stream_epochs"] = hwm
-            v = (max(self.versions()) + 1) if self.versions() else 1
-            m = Manifest(
-                version=v,
-                parent=parent_v,
-                operation=operation,
-                committed_at=time.time(),
-                segments=segments,
-                deletes=deletes,
-                summary=summary,
-            )
-            # manifest first, HEAD flip last: a crash in between leaves an
-            # unreferenced manifest that the next commit supersedes (version
-            # numbers advance past it) and expire() garbage-collects
-            _atomic_write(
-                os.path.join(self.meta_dir, f"v{v:05d}.json"),
-                json.dumps(m.to_json(), indent=1),
-            )
-            _atomic_write(self.head_path, f"v{v:05d}\n")
-            return v
+            while True:
+                parent_v = self.head()
+                parent = (
+                    self.manifest(parent_v) if parent_v is not None else None
+                )
+                segments, deletes, summary = apply_fn(parent)
+                # stream high-water marks ride EVERY commit (delete,
+                # compact, upsert, ...), so the exactly-once epoch guard
+                # survives expire() dropping the manifest that first
+                # carried a tag — HEAD's summary always holds the
+                # freshest mark per stream. A summary that already
+                # carries the map wins wholesale: rollback restores the
+                # TARGET's marks so the rolled-back epochs (whose data
+                # the rollback removed) can re-append.
+                if "stream_epochs" not in summary:
+                    hwm = dict((parent.summary or {}).get("stream_epochs", {})) \
+                        if parent is not None else {}
+                    sid = summary.get("stream_id")
+                    sep = summary.get("stream_epoch")
+                    if sid is not None and sep is not None:
+                        hwm[str(sid)] = max(int(sep), int(hwm.get(str(sid), -1)))
+                    if hwm:
+                        summary["stream_epochs"] = hwm
+                v = (max(self.versions()) + 1) if self.versions() else 1
+                m = Manifest(
+                    version=v,
+                    parent=parent_v,
+                    operation=operation,
+                    committed_at=time.time(),
+                    segments=segments,
+                    deletes=deletes,
+                    summary=summary,
+                )
+                # manifest first, HEAD flip last: a crash in between
+                # leaves an unreferenced manifest that the next commit
+                # supersedes (version numbers advance past it) and
+                # expire() garbage-collects
+                try:
+                    _exclusive_write(
+                        os.path.join(self.meta_dir, f"v{v:05d}.json"),
+                        json.dumps(m.to_json(), indent=1),
+                    )
+                except FileExistsError:
+                    # CAS lost: a concurrent writer (two-in-section via a
+                    # raced stale-lock break) claimed this version number
+                    # first. Nothing was damaged — re-derive the commit
+                    # against the winner's manifest as the new parent.
+                    continue
+                # monotonic HEAD flip: never move HEAD backwards if the
+                # CAS loser's retry commits before the winner flips
+                cur = self.head()
+                if cur is None or v > cur:
+                    _atomic_write(self.head_path, f"v{v:05d}\n")
+                return v
 
     def _commit(
         self,
@@ -679,6 +739,16 @@ class SnapshotCatalog:
         m = self.manifest(version)
         summary = dict(m.summary)
         summary["rolled_back_to"] = int(version)
+        # Pin the TARGET's stream high-water marks explicitly (an empty map
+        # when the target predates streaming). Without the key present,
+        # _commit_apply would inherit the rolled-back head's marks, and the
+        # discarded epochs could never re-append — the exactly-once guard
+        # would treat the lost data as already committed forever.
+        summary["stream_epochs"] = dict(m.summary.get("stream_epochs", {}))
+        # a rollback is not itself a stream append: drop any tag the target
+        # carried so _commit_apply doesn't re-fold it into the marks
+        summary.pop("stream_id", None)
+        summary.pop("stream_epoch", None)
         return self._commit("rollback", m.segments, m.deletes, summary)
 
     # -- reads ------------------------------------------------------------

@@ -300,11 +300,21 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_col(tokens_col(text_col), k=shingle_k)).alias("s"),
     )
+    # LEFT joins, same contract as containment_pairs: a pair whose doc id
+    # is absent from ``docs`` surfaces as a 0.0-scored row instead of
+    # silently vanishing from the verification output
     j = pairs.join(
-        sets_df.select(F.col("id").alias("a"), F.col("s").alias("sa")), "a"
-    ).join(sets_df.select(F.col("id").alias("b"), F.col("s").alias("sb")), "b")
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_union("sa", "sb"))
+        sets_df.select(F.col("id").alias("a"), F.col("s").alias("sa")), "a", "left"
+    ).join(
+        sets_df.select(F.col("id").alias("b"), F.col("s").alias("sb")), "b", "left"
+    )
+    missing = F.col("sa").isNull() | F.col("sb").isNull()
+    inter = F.when(missing, F.lit(0)).otherwise(
+        F.size(F.array_intersect("sa", "sb"))
+    )
+    union = F.when(missing, F.lit(0)).otherwise(
+        F.size(F.array_union("sa", "sb"))
+    )
     return j.select(
         "a",
         "b",
@@ -338,12 +348,20 @@ def containment_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_col(tokens_col(text_col), k=shingle_k)).alias("s"),
     )
+    # LEFT joins: a pair whose doc id is absent from ``docs`` (e.g.
+    # candidates generated before a filter stage removed the doc) must
+    # surface as a 0.0-scored row, not silently vanish from the output
     j = pairs.join(
-        sets_df.select(F.col("id").alias("a"), F.col("s").alias("sa")), "a"
-    ).join(sets_df.select(F.col("id").alias("b"), F.col("s").alias("sb")), "b")
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    na = F.size("sa")
-    nb = F.size("sb")
+        sets_df.select(F.col("id").alias("a"), F.col("s").alias("sa")), "a", "left"
+    ).join(
+        sets_df.select(F.col("id").alias("b"), F.col("s").alias("sb")), "b", "left"
+    )
+    missing = F.col("sa").isNull() | F.col("sb").isNull()
+    inter = F.when(missing, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+    )
+    na = F.when(F.col("sa").isNull(), F.lit(0)).otherwise(F.size("sa"))
+    nb = F.when(F.col("sb").isNull(), F.lit(0)).otherwise(F.size("sb"))
     return j.select(
         "a",
         "b",
@@ -768,6 +786,29 @@ def _recover_store_swap(path: str) -> None:
             os.replace(old, src)
 
 
+def _store_begin_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_store_begin.json")
+
+
+def signature_store_committed(path: str) -> bool:
+    """True when ``path`` holds a COMMITTED signature store: the meta file
+    is the commit marker (written last), so a first write that crashed
+    between the data tables and the meta is reported absent and the next
+    write self-heals by redoing the overwrite. A legacy pre-meta store
+    (data present, no meta, no begin marker) still counts as existing —
+    appends to it keep raising the explicit rebuild error rather than
+    silently clobbering unknown-width history."""
+    import os
+
+    if _read_store_meta(path) is not None:
+        return True
+    return os.path.isdir(os.path.join(path, "sigs.parquet")) and not os.path.exists(
+        _store_begin_path(path)
+    )
+
+
 def write_signature_store(
     docs: DataFrame,
     path: str,
@@ -788,12 +829,22 @@ def write_signature_store(
     pinned in ``_store_meta.json`` at creation; appends with mismatched
     widths raise (mixed-width signatures would silently corrupt every
     downstream estimate)."""
+    import contextlib
     import json
     import os
 
     _recover_store_swap(path)
     meta = _read_store_meta(path)
     want = {"n_hashes": n_hashes, "n_bands": n_bands, "sketch_k": sketch_k}
+    if mode == "append" and meta is None and os.path.exists(
+        _store_begin_path(path)
+    ):
+        # a FIRST write (or rebuild) crashed between the data tables and
+        # the meta commit marker: nothing was ever committed, so the
+        # retried epoch self-heals by redoing the overwrite wholesale
+        # (without this, every replay would brick on the legacy error
+        # below and the stream could never make progress again)
+        mode = "overwrite"
     if mode == "append" and meta is not None and meta != want:
         raise ValueError(
             f"signature store at {path} was created with {meta}; "
@@ -810,6 +861,18 @@ def write_signature_store(
             "unknown-width signatures would silently corrupt every "
             "downstream estimate"
         )
+    if mode == "overwrite":
+        # begin marker first, then drop the old commit marker: a crash
+        # anywhere before the final meta write leaves (begin, no meta) =
+        # visibly uncommitted, and signature_store_committed() reports the
+        # store absent so the retry redoes the overwrite
+        os.makedirs(path, exist_ok=True)
+        tmp = _store_begin_path(path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(want, f)
+        os.replace(tmp, _store_begin_path(path))
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(_store_meta_path(path))
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes
     )
@@ -828,6 +891,9 @@ def write_signature_store(
     with open(tmp, "w") as f:
         json.dump(want, f)
     os.replace(tmp, _store_meta_path(path))
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_store_begin_path(path))
+
 
 
 def incremental_near_dups(

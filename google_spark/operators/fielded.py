@@ -67,18 +67,22 @@ def build_fielded_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "simple",
+    stem: bool = False,
     n_shards: int = 8,
 ) -> FieldedIndex:
     """Build (title, body) field indexes in two build passes. The title is
     the docstore first-non-empty-line heuristic (D1); the body is the full
     text (the title line is part of the document, exactly as in
     ranking.bm25f_topk). The title pass tokenizes ~one line per doc, so
-    its cost is a small fraction of the body pass."""
+    its cost is a small fraction of the body pass. Pass the SAME
+    ``mode``/``stem`` to the query functions (bm25f_index_topk /
+    bm25f_local_topk) — a code-mode index queried with simple-mode
+    tokenization silently misses the vocabulary."""
     from google_spark.operators.docstore import title_col
 
     total = docs.count()
     body = build_index(
-        spark, docs, id_col=id_col, text_col=text_col, mode=mode,
+        spark, docs, id_col=id_col, text_col=text_col, mode=mode, stem=stem,
         n_shards=n_shards, total_docs=total,
     )
     title_docs = docs.select(
@@ -86,7 +90,7 @@ def build_fielded_index(
     )
     title = build_index(
         spark, title_docs, id_col=id_col, text_col="_title_text", mode=mode,
-        n_shards=n_shards, total_docs=total,
+        stem=stem, n_shards=n_shards, total_docs=total,
     )
     return FieldedIndex(fields={"title": title, "body": body}, n_docs=total)
 
@@ -172,6 +176,8 @@ def bm25f_local_topk(
     k1: float = BM25F_K1,
     b_title: float = BM25F_B,
     b_body: float = BM25F_B,
+    mode: str = "simple",
+    stem: bool = False,
     row_caches: dict[str, dict] | None = None,
 ) -> list[tuple[int, float]]:
     """Interactive BM25F serving path: fetch ONLY the query terms' posting
@@ -189,7 +195,9 @@ def bm25f_local_topk(
     from google_spark.operators.index_query import _entries_for
     from google_spark.operators.ranking import normalize_query
 
-    terms = normalize_query(query)
+    # mode/stem must match build_fielded_index's — same contract as every
+    # other query entry point (wand_topk, exhaustive_topk, boolean_topk)
+    terms = normalize_query(query, mode=mode, stem=stem)
     if not terms:
         return []
     qf = Counter(terms)
@@ -248,6 +256,8 @@ def bm25f_index_topk(
     k1: float = BM25F_K1,
     b_title: float = BM25F_B,
     b_body: float = BM25F_B,
+    mode: str = "simple",
+    stem: bool = False,
 ) -> DataFrame:
     """DataFrame[doc_id, score] — BM25F top-k from the FIELDED INDEX,
     rank- and score-identical to ranking.bm25f_topk over the same corpus
@@ -261,7 +271,8 @@ def bm25f_index_topk(
 
     some_idx = next(iter(findex.fields.values()))
     spark = some_idx.postings.sparkSession
-    terms = normalize_query(query)
+    # mode/stem must match build_fielded_index's (see bm25f_local_topk)
+    terms = normalize_query(query, mode=mode, stem=stem)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     qf = Counter(terms)
@@ -297,6 +308,10 @@ def bm25f_index_topk(
         * math.log((n - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5) + 1.0)
         for r in df_rows
     }
+    if not widf:
+        # no query term matched any field's vocabulary — an empty
+        # F.create_map() would be void-typed and fail analysis
+        return spark.createDataFrame([], "doc_id long, score double")
     wmap = F.create_map(
         *[x for t in sorted(widf) for x in (F.lit(t), F.lit(widf[t]))]
     )

@@ -623,6 +623,7 @@ class SearchEngine:
                 self.fielded_index,
                 " ".join(terms),
                 k=fetch,
+                mode=self.mode,
                 row_caches=self._fielded_caches,
             )
         elif synonyms and self.word_vectors is not None:

@@ -369,6 +369,7 @@ def streaming_near_dedup(
     from google_spark.operators.dedup import (
         _recover_store_swap,
         incremental_near_dups,
+        signature_store_committed,
         write_signature_store,
     )
 
@@ -391,7 +392,11 @@ def streaming_near_dedup(
         # otherwise the store looks absent and this epoch would
         # mode="overwrite" away the whole dedup history
         _recover_store_swap(store_path)
-        store_exists = _os.path.isdir(f"{store_path}/sigs.parquet")
+        # committed = meta marker present (or a legacy pre-meta store); a
+        # FIRST write that crashed before its meta reports absent here, so
+        # the replayed epoch redoes the overwrite instead of bricking on
+        # the append path's width checks
+        store_exists = signature_store_committed(store_path)
         if store_exists:
             hits = incremental_near_dups(
                 batch, store_path, threshold=threshold,
@@ -420,22 +425,43 @@ def _catalog_epoch_done(catalog, stream_id: str, epoch_id: int) -> bool:
     manifest's ``stream_epochs`` high-water marks are authoritative: every
     commit carries them forward, so the guard survives ``expire()``
     dropping the manifest that first carried the epoch's tag (a log-only
-    scan would see no tag after retention and re-append the docs). The
-    per-manifest tag scan remains as the legacy-catalog fallback."""
-    head = catalog.head()
-    if head is not None:
-        hwm = catalog.manifest(head).summary.get("stream_epochs") or {}
-        if int(epoch_id) <= int(hwm.get(str(stream_id), -1)):
-            return True
-        # fall through: a pre-upgrade append may exist only as a
-        # per-manifest tag that never entered the carried-forward map
-    for m in catalog.log():
-        s = m.get("summary", {})
+    scan would see no tag after retention and re-append the docs).
+
+    The legacy fallback (pre-upgrade appends that exist only as
+    per-manifest tags) walks the CONTENT LINEAGE of head, never the whole
+    version log: after a ``rollback``, the discarded branch's tagged
+    manifests are still on disk for time travel, and a full-log scan
+    would see them and wrongly skip re-appending the rolled-back epochs.
+    A rollback manifest's ``parent`` is its commit-order predecessor (the
+    discarded head), so the walk jumps to ``rolled_back_to`` instead —
+    the snapshot whose content the head actually serves. The walk stops
+    at the first manifest whose summary carries a ``stream_epochs`` entry
+    for this stream — epochs only grow, so that mark subsumes every older
+    tag of the stream — which makes the guard O(1) on any post-upgrade
+    catalog instead of O(versions) manifest reads per micro-batch."""
+    v = catalog.head()
+    while v is not None:
+        try:
+            m = catalog.manifest(v)
+        except FileNotFoundError:
+            # expire() pruned the rest of the chain; the carried-forward
+            # marks above already covered everything older
+            return False
+        s = m.summary or {}
+        hwm = s.get("stream_epochs") or {}
+        if str(stream_id) in hwm:
+            return int(epoch_id) <= int(hwm[str(stream_id)])
         if (
             s.get("stream_id") == stream_id
             and s.get("stream_epoch") == epoch_id
         ):
             return True
+        if m.operation == "rollback" and "rolled_back_to" in s:
+            # content lineage, not commit order: the discarded branch's
+            # tags must not mark its (removed) epochs as committed
+            v = int(s["rolled_back_to"])
+        else:
+            v = m.parent
     return False
 
 

@@ -522,3 +522,69 @@ def test_two_writer_append_and_delete_both_land(spark, identified, tmp_path):
     }
     assert extra_ids <= live_ids
     extra.unpersist()
+
+
+def test_commit_cas_collision_retries_not_clobbers(spark, identified, tmp_path):
+    """Review r4: the manifest write is an atomic exclusive create — if a
+    concurrent writer already claimed the version number this commit
+    computed (two writers slipped past a raced stale-lock break), the
+    commit must NOT overwrite the foreign manifest; it re-derives against
+    the winner's commit and lands on the next version."""
+    import json
+
+    cat = _mk_catalog(tmp_path, spark, identified)
+    v1 = cat.head()
+    # plant a foreign manifest at the version the next commit will claim
+    # (as if another writer won the CAS but hasn't flipped HEAD yet)
+    planted = os.path.join(cat.meta_dir, f"v{v1 + 1:05d}.json")
+    with open(os.path.join(cat.meta_dir, f"v{v1:05d}.json")) as f:
+        twin = json.load(f)
+    twin["version"] = v1 + 1
+    with open(planted, "w") as f:
+        json.dump(twin, f)
+    with open(planted) as f:
+        planted_before = f.read()
+
+    # a stale versions() view on the FIRST derive makes the commit compute
+    # the already-claimed v1+1 — exactly the two-writers race window
+    real_versions = cat.versions
+    calls = {"n": 0}
+
+    def stale_versions():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return [x for x in real_versions() if x != v1 + 1]
+        return real_versions()
+
+    cat.versions = stale_versions
+    try:
+        v = cat.rollback(v1)  # any metadata commit exercises _commit_apply
+    finally:
+        del cat.versions
+    assert calls["n"] >= 2, "CAS collision must trigger a re-derive"
+    assert v == v1 + 2, "commit must skip the claimed version"
+    with open(planted) as f:
+        assert f.read() == planted_before, "foreign manifest clobbered"
+    assert cat.head() == v
+    assert [m["version"] for m in cat.log()] == [v1, v1 + 1, v]
+
+
+def test_commit_lock_release_is_token_checked(tmp_path):
+    """A holder stalled past stale_after whose lock was broken must not
+    delete its successor's lock at release."""
+    cat = SnapshotCatalog(str(tmp_path / "cat_lock"))
+    lock = os.path.join(cat.root, "COMMIT_LOCK")
+    with cat._commit_lock():
+        # a breaker replaces our lock while we are "stalled"
+        os.remove(lock)
+        with open(lock, "w") as f:
+            f.write("foreigntoken 123 0.0\n")
+    with open(lock) as f:
+        assert f.read().startswith("foreigntoken"), (
+            "stalled holder removed its successor's lock"
+        )
+    os.remove(lock)
+    # and a normal acquire/release still cleans up after itself
+    with cat._commit_lock():
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)

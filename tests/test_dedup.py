@@ -421,3 +421,84 @@ def test_store_compaction_crash_window_self_heals(spark, tmp_path):
     assert {(r["new_id"], r["stored_id"]) for r in hits} == {(10, 1)}
     assert os.path.isdir(f"{store}/sigs.parquet")  # healed on first touch
     assert not os.path.isdir(f"{store}/sigs.parquet.old")
+
+
+def test_store_first_write_crash_self_heals(spark, tmp_path):
+    """Review r4: a crash during the store's FIRST write (data tables on
+    disk, _store_meta.json never written) must not brick the store. The
+    begin marker left behind makes signature_store_committed() report the
+    store absent, and the replayed epoch's append self-heals by redoing
+    the overwrite instead of raising the legacy-store error forever."""
+    import json
+    import os
+
+    from google_spark.operators.dedup import (
+        incremental_near_dups,
+        signature_store_committed,
+        write_signature_store,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    store = str(tmp_path / "crashed_store")
+    write_signature_store(docs, store)
+    assert signature_store_committed(store)
+
+    # simulate the crash window: begin marker present, meta never written
+    with open(f"{store}/_store_begin.json", "w") as f:
+        json.dump({"n_hashes": 64, "n_bands": 16, "sketch_k": 128}, f)
+    os.remove(f"{store}/_store_meta.json")
+    assert not signature_store_committed(store)
+
+    # the replayed first epoch uses mode="append" (store LOOKED existing
+    # to a pre-fix caller) and must self-heal, not raise
+    write_signature_store(docs, store, mode="append")
+    assert signature_store_committed(store)
+    assert not os.path.exists(f"{store}/_store_begin.json")
+
+    probe = spark.createDataFrame(
+        [(10, base + " extra tail")], "doc_id long, text string"
+    )
+    hits = incremental_near_dups(probe, store, threshold=0.5).collect()
+    assert {(r["new_id"], r["stored_id"]) for r in hits} == {(10, 1)}
+
+    # a legacy pre-meta store (no begin marker) still counts committed,
+    # so appends to unknown-width history keep raising the explicit error
+    import shutil
+
+    legacy = str(tmp_path / "legacy_committed")
+    write_signature_store(docs, legacy)
+    os.remove(f"{legacy}/_store_meta.json")
+    shutil.rmtree(f"{legacy}/sketches.parquet")
+    assert signature_store_committed(legacy)
+
+
+def test_pair_verification_surfaces_missing_docs_as_zero(spark):
+    """Review r4: jaccard_pairs / containment_pairs must not silently drop
+    a candidate pair whose doc id is absent from the docs frame (e.g.
+    candidates generated before a filter stage removed the doc) — the
+    pair surfaces as a 0.0-scored row instead."""
+    from google_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 99), (99, 1), (98, 99)], "a long, b long"
+    )
+    jac = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(docs, pairs).collect()}
+    assert jac == {(1, 99): 0.0, (99, 1): 0.0, (98, 99): 0.0}
+
+    cont = {
+        (r["a"], r["b"]): (r["cont_ab"], r["cont_ba"])
+        for r in containment_pairs(docs, pairs).collect()
+    }
+    assert cont == {
+        (1, 99): (0.0, 0.0),
+        (99, 1): (0.0, 0.0),
+        (98, 99): (0.0, 0.0),
+    }

@@ -273,3 +273,35 @@ def test_more_like_this_on_stemmed_index(spark):
     hits = more_like_this(idx, docs, doc_id=1, k=2, stem=True).collect()
     ids = [r["doc_id"] for r in hits]
     assert ids and ids[0] == 2 and 1 not in ids
+
+
+def test_fielded_code_mode_query_tokenization(spark):
+    """Review r4: bm25f_index_topk / bm25f_local_topk must tokenize the
+    query with the SAME mode the fielded index was built with — a
+    code-mode index queried through default simple-mode tokenization
+    looks up 'parsejsonfile', which exists in neither field's vocabulary,
+    and silently returns nothing."""
+    from google_spark.operators.fielded import (
+        bm25f_index_topk,
+        bm25f_local_topk,
+        build_fielded_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "def parseJsonFile(path):\n    return json.load(open(path))"),
+            (2, "unrelated prose about gardening and soil quality here"),
+        ],
+        "doc_id long, text string",
+    )
+    findex = build_fielded_index(spark, docs, mode="code")
+
+    got = bm25f_index_topk(findex, "parseJsonFile", k=5, mode="code").collect()
+    assert [r["doc_id"] for r in got] == [1]
+    local = bm25f_local_topk(findex, "parseJsonFile", k=5, mode="code")
+    assert [d for d, _ in local] == [1]
+    assert abs(local[0][1] - got[0]["score"]) < 1e-9  # paths stay identical
+
+    # the failure the fix removes: simple-mode tokenization of the same
+    # query finds nothing in a code-mode index
+    assert bm25f_index_topk(findex, "parseJsonFile", k=5).count() == 0

@@ -516,3 +516,48 @@ def test_epoch_guard_survives_manifest_expiry(spark, corpus_df, tmp_path):
     )
     assert append_epoch_to_catalog(cat, other, 0, stream_id="s2") is not None
     assert cat.manifest().summary["stream_epochs"] == {"s1": 1, "s2": 0}
+
+
+def test_rollback_resets_stream_marks_and_replays(spark, corpus_df, tmp_path):
+    """Review r4: rollback() must pin the TARGET's stream high-water marks
+    (empty when the target predates streaming) — inheriting the rolled-
+    back head's marks would brand the discarded epochs committed forever
+    and silently lose their data on replay. The legacy per-manifest-tag
+    fallback must likewise ignore the discarded branch's manifests (it
+    walks head's parent chain, not the whole version log)."""
+    from google_spark.operators.catalog import SnapshotCatalog
+    from google_spark.sources.tables import with_doc_identity
+    from google_spark.streaming.ingest import append_epoch_to_catalog
+
+    seed = with_doc_identity(corpus_df).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    cat = SnapshotCatalog(str(tmp_path / "rb_cat"))
+    base_v = cat.commit_build(spark, seed, id_col="doc_id", text_col="text")
+    n_base = int(cat.manifest().summary["n_docs"])
+
+    epochs = [
+        [(900000001, "zzrollterm first epoch doc")],
+        [(900000002, "zzrollterm second epoch doc")],
+    ]
+    for i, rows in enumerate(epochs):
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        assert append_epoch_to_catalog(cat, batch, i, stream_id="s1") is not None
+    assert cat.manifest().summary["stream_epochs"] == {"s1": 1}
+
+    # operator discards the bad stream data and resets the checkpoint
+    cat.rollback(base_v)
+    m = cat.manifest()
+    assert m.operation == "rollback"
+    assert m.summary["stream_epochs"] == {}
+    assert "stream_id" not in m.summary and "stream_epoch" not in m.summary
+    assert int(m.summary["n_docs"]) == n_base
+
+    # the discarded branch's tagged manifests still exist on disk (time
+    # travel), but must NOT mark the epochs done on the new branch
+    replay = spark.createDataFrame(epochs[0], "doc_id long, text string")
+    v = append_epoch_to_catalog(cat, replay, 0, stream_id="s1")
+    assert v is not None, "rolled-back epoch must be allowed to re-append"
+    assert cat.manifest().summary["stream_epochs"] == {"s1": 0}
+    # and the guard still dedupes once re-appended
+    assert append_epoch_to_catalog(cat, replay, 0, stream_id="s1") is None
