@@ -826,6 +826,33 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, ev)
 
 
+def q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level LINE dedup through ENGINE code
+    (dedup.global_line_dedup): documents are grouped into 50 synthetic
+    multi-line texts (gid = doc_id % 50, members joined by newline in
+    doc_id order), each planted with two kinds of boilerplate the op must
+    strip: a license line shared by ALL groups (survives only in the
+    globally-first group) and a trailing repeat of the group's own first
+    member line (survives only at its original position). Any trimmed
+    line occurring >= 2 times corpus-wide survives only at its
+    globally-first (gid, position); expected drops = 49 license + 50
+    within-group repeats. The oracle replays the grouping+planting, the
+    md5(trim(line)) canonical-occurrence window, and the ordered rebuild
+    in SQL."""
+    from google_spark.operators.dedup import global_line_dedup
+
+    docs = _docs(spark, sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    grouped = docs.groupBy((F.col("doc_id") % 50).alias("gid")).agg(
+        F.concat(
+            F.array_join(F.transform(arr, lambda x: x["text"]), "\n"),
+            F.lit("\n// SPDX-License-Identifier: MIT\n"),
+            F.element_at(arr, 1)["text"],
+        ).alias("text")
+    )
+    return global_line_dedup(grouped, id_col="gid", text_col="text")
+
+
 def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget sequence packing through ENGINE code
     (sampling.pack_sequences): concatenate each language's stream in
@@ -1733,6 +1760,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "dedup_containment": q_dedup_containment,
         "catalog_changelog": q_catalog_changelog,
+        "dedup_lines_global": q_dedup_lines_global,
     }
 
 
@@ -3465,5 +3493,46 @@ best AS (
 SELECT vec_id, CAST(label AS INT) AS label, CAST(clabel AS INT) AS pred,
        label = clabel AS correct
 FROM best
+""",
+        # C4-style corpus-level line dedup: synthetic multi-line texts
+        # (gid = doc_id % 50, members newline-joined in doc_id order), a
+        # trimmed line occurring >= 2 times survives only at the globally
+        # first (gid, pos); blank lines are never keys. string_agg(CASE...)
+        # skips NULLs exactly like Spark's collect_list skips them.
+        "dedup_lines_global": """
+WITH grouped AS (
+  SELECT doc_id % 50 AS gid,
+         string_agg(text, chr(10) ORDER BY doc_id)
+           || chr(10) || '// SPDX-License-Identifier: MIT' || chr(10)
+           || arg_min(text, doc_id) AS text
+  FROM documents GROUP BY 1
+),
+lines AS (
+  SELECT gid, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+  FROM (SELECT gid, string_split(text, chr(10)) AS l FROM grouped)
+),
+keyed AS (
+  SELECT gid, pos, line,
+         CASE WHEN len(trim(line)) >= 1 THEN md5(trim(line)) END AS key
+  FROM lines
+),
+ranked AS (
+  SELECT gid, pos, line, key,
+         row_number() OVER (PARTITION BY key ORDER BY gid, pos) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM keyed
+),
+flagged AS (
+  SELECT gid, pos, line,
+         (key IS NULL OR n < 2 OR rn = 1) AS keep
+  FROM ranked
+)
+SELECT gid,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY pos), '') AS clean_text,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM flagged
+GROUP BY gid
 """,
     }

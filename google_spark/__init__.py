@@ -57,6 +57,7 @@ def __getattr__(name):
         "bm25f_local_topk": ("google_spark.operators.fielded", "bm25f_local_topk"),
         "cluster_dedup": ("google_spark.operators.components", "cluster_dedup"),
         "contamination_flags": ("google_spark.operators.dedup", "contamination_flags"),
+        "global_line_dedup": ("google_spark.operators.dedup", "global_line_dedup"),
         "incremental_near_dups": ("google_spark.operators.dedup", "incremental_near_dups"),
         "write_signature_store": ("google_spark.operators.dedup", "write_signature_store"),
         "compact_signature_store": ("google_spark.operators.dedup", "compact_signature_store"),

@@ -1089,3 +1089,89 @@ def contamination_flags(
             (F.coalesce("n_shared_shingles", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def global_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style corpus-level line deduplication: any (trimmed) line that
+    occurs ``min_count`` or more times across the whole corpus is kept only
+    at its globally-first occurrence (smallest ``(id, position)``); every
+    other occurrence — in other documents or later in the same document —
+    is dropped. Lines shorter than ``min_chars`` after trimming (blank
+    lines by default) are never dedup keys and are always kept, so document
+    structure survives. Returns ``(id, clean_text, n_kept, n_dropped)``
+    with ``clean_text`` the surviving lines rejoined in original order.
+
+    This is the corpus-wide complement of the per-document
+    ``repetition_scores`` dup-line signal (text_analysis.py) and the
+    cross-document ``cross_doc_shingle_frac`` fraction: those *measure*
+    duplication, this one *removes* it, line-granular, the way the C4
+    pipeline strips boilerplate (cookie banners, license headers) that
+    exact whole-document dedup never catches.
+
+    Scale shape (100 TB): lines explode scan-side; the canonical-occurrence
+    relation is ONE hash aggregate on md5(trim(line)) with map-side partial
+    min/count (skew-safe — a billion-occurrence boilerplate line still
+    partially aggregates per task before the exchange); the keep-decision
+    is an equi-join on the fixed-width key (AQE skew split applies); the
+    rebuild is one groupBy(id) whose state is bounded by document size.
+    No windows over hot keys, no raw-text shuffle keys.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_gld_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "_gld_pos", "_gld_line"
+        ),
+    )
+    eligible = F.length(F.trim(F.col("_gld_line"))) >= F.lit(min_chars)
+    keyed = lines.withColumn(
+        "_gld_key", F.when(eligible, F.md5(F.trim(F.col("_gld_line"))))
+    )
+    canon = (
+        keyed.where(F.col("_gld_key").isNotNull())
+        .groupBy("_gld_key")
+        .agg(
+            F.min(F.struct("_gld_id", "_gld_pos")).alias("_gld_first"),
+            F.count(F.lit(1)).alias("_gld_n"),
+        )
+    )
+    keep = (
+        F.col("_gld_key").isNull()
+        | (F.col("_gld_n") < F.lit(min_count))
+        | (
+            (F.col("_gld_first._gld_id") == F.col("_gld_id"))
+            & (F.col("_gld_first._gld_pos") == F.col("_gld_pos"))
+        )
+    )
+    kept = keyed.join(canon, "_gld_key", "left").withColumn("_gld_keep", keep)
+    return (
+        kept.groupBy("_gld_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_gld_keep"),
+                                F.struct("_gld_pos", "_gld_line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["_gld_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_gld_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_gld_keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(F.col("_gld_id").alias(id_col), "clean_text", "n_kept", "n_dropped")
+    )

@@ -502,3 +502,51 @@ def test_pair_verification_surfaces_missing_docs_as_zero(spark):
         (99, 1): (0.0, 0.0),
         (98, 99): (0.0, 0.0),
     }
+
+
+class TestGlobalLineDedup:
+    DOCS = [
+        (1, "import x\nunique alpha line\n\n  BOILERPLATE  "),
+        (2, "BOILERPLATE\nunique beta line\n"),
+        (3, "repeat me\nrepeat me\nunique gamma"),
+        (4, "}\nunique delta\n}"),
+    ]
+
+    def _run(self, spark, **kw):
+        from google_spark.operators.dedup import global_line_dedup
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = global_line_dedup(docs, **kw)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_cross_doc_first_occurrence_wins(self, spark):
+        got = self._run(spark)
+        # BOILERPLATE (trim-keyed) first occurs in doc 1 pos 3 -> doc 2 loses it
+        assert got[1]["clean_text"].split("\n") == [
+            "import x", "unique alpha line", "", "  BOILERPLATE  "
+        ]
+        assert got[2]["clean_text"].split("\n") == ["unique beta line", ""]
+        assert got[2]["n_dropped"] == 1
+
+    def test_within_doc_repeat_dropped(self, spark):
+        got = self._run(spark)
+        assert got[3]["clean_text"].split("\n") == ["repeat me", "unique gamma"]
+        assert got[3]["n_kept"] == 2 and got[3]["n_dropped"] == 1
+
+    def test_blank_lines_always_kept(self, spark):
+        got = self._run(spark)
+        # the empty line in doc 1 and the trailing empty in doc 2 both survive
+        assert "" in got[1]["clean_text"].split("\n")
+        assert got[2]["clean_text"].split("\n")[-1] == ""
+
+    def test_min_chars_exempts_short_lines(self, spark):
+        got = self._run(spark, min_chars=2)
+        # "}" is below the key threshold -> kept everywhere despite repeats
+        assert got[4]["clean_text"].split("\n") == ["}", "unique delta", "}"]
+        assert got[4]["n_dropped"] == 0
+
+    def test_min_count_threshold(self, spark):
+        got = self._run(spark, min_count=3)
+        # every line occurs < 3 times except "repeat me"? it occurs twice ->
+        # nothing is dropped at min_count=3
+        assert all(r["n_dropped"] == 0 for r in got.values())

@@ -283,6 +283,23 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.dedup import global_line_dedup
+
+    sections.append(
+        (
+            "Corpus-level line dedup (C4-style boilerplate removal)",
+            "Lines explode scan-side; the canonical-occurrence relation is "
+            "ONE hash aggregate on md5(trim(line)) with map-side partial "
+            "min/count (a billion-occurrence boilerplate line still "
+            "pre-aggregates per task); the keep decision is an equi-join "
+            "on the fixed-width key (broadcast here, AQE-skew-split SMJ at "
+            "scale) and the rebuild groupBy(id) state is bounded by "
+            "document size. No windows over hot keys, no raw-text shuffle "
+            "keys.",
+            fmt(global_line_dedup(docs)),
+        )
+    )
+
     sections.append(
         (
             "Per-doc keyword extraction (tf-idf top-k)",
