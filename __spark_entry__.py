@@ -1704,6 +1704,35 @@ def q_catalog_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.changelog(spark, 1, head)
 
 
+def q_regex_search_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google-Code-Search-style regex retrieval (Cox 2012 trigram design):
+    compile the pattern to a trigram boolean query, candidate doc_ids from
+    the sharded trigram postings (a sound SUPERSET), verify candidates
+    with the real regex JVM-side (``rlike``) — the oracle is the brute
+    regex over every document, so the compare proves the pruned path loses
+    nothing. The reference has no substring/regex retrieval (its index is
+    word-only, ref: src/cis5550/jobs/Indexer.java:148-197); this is the
+    code-search extension of the fulltext surface."""
+    from google_spark.operators.trigram import build_trigram_index, regex_search
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_trigram_index(spark, docs, total_docs=0)
+    return regex_search(
+        spark, idx, docs, r"data (group|row) (join|merge)", limit=20
+    )
+
+
+def q_substring_search_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal substring retrieval on the same trigram index: the compiled
+    query is AND over the literal's trigrams, then exact verification —
+    grep over the corpus without scanning the corpus."""
+    from google_spark.operators.trigram import build_trigram_index, substring_search
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_trigram_index(spark, docs, total_docs=0)
+    return substring_search(spark, idx, docs, "window window", limit=20)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1761,6 +1790,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "catalog_changelog": q_catalog_changelog,
         "dedup_lines_global": q_dedup_lines_global,
+        "regex_search_trigram": q_regex_search_trigram,
+        "substring_search_trigram": q_substring_search_trigram,
     }
 
 
@@ -3456,6 +3487,19 @@ WHERE greatest(inter / na, inter / nb) >= 0.6
         # Changelog v1 -> HEAD over the shared catalog lineage: upserted
         # copies appear as added (old key deleted), %17==3 docs deleted;
         # the interleaved compaction contributes nothing (set semantics)
+        "regex_search_trigram": """
+SELECT doc_id,
+       regexp_extract(text, 'data (group|row) (join|merge)', 0) AS "match"
+FROM documents
+WHERE regexp_matches(text, 'data (group|row) (join|merge)')
+ORDER BY doc_id LIMIT 20
+""",
+        "substring_search_trigram": """
+SELECT doc_id, 'window window' AS "match"
+FROM documents
+WHERE position('window window' IN text) > 0
+ORDER BY doc_id LIMIT 20
+""",
         "catalog_changelog": """
 SELECT * FROM (
   SELECT 'added' AS change, doc_id + 1000000000 AS doc_id

@@ -1,0 +1,510 @@
+"""Trigram index for regular-expression and literal-substring search.
+
+Public design: Russ Cox, "Regular Expression Matching with a Trigram
+Index, or How Google Code Search Worked" (2012,
+swtch.com/~rsc/regexp/regexp4.html). Index every distinct 3-char
+substring of every document; compile a regex into a boolean query over
+trigrams that every matching document MUST satisfy (a sound
+over-approximation); evaluate that query against the posting lists to get
+a candidate SUPERSET; run the real regex only on the candidates.
+
+Reference parity: the reference engine indexes words only (ref:
+src/cis5550/jobs/Indexer.java:53-246) and has no substring/regex
+retrieval; this extends the fulltext surface in the code-search direction
+the tier implies (identifier-aware tokenizer, field search).
+
+Spark-first shape:
+ - gram extraction is pure JVM SQL (``sequence``/``transform``/
+   ``substring`` inside whole-stage codegen); ``array_distinct`` runs
+   BEFORE the explode so the one exchange carries each (doc, gram) once
+ - postings are (gram, shard) rows exactly like the word index:
+   ``shard = pmod(xxhash64(doc_id), n_shards)`` caps a hot gram's row at
+   |docs|/n_shards ids — "the" never materializes on one reducer
+ - on disk the postings are partitioned by ``gb = bucket(gram)``; a query
+   touching k grams scans at most k of ``n_buckets`` directories
+ - candidate generation is one pruned scan + one groupBy(doc_id) whose
+   filter is a JVM boolean expression built from the compiled query
+   (``array_contains`` under AND/OR) — no driver-side set algebra
+ - verification is a semi-join of candidates to the docstore plus
+   ``rlike`` (JVM regex), so Python never touches document text
+
+The compiler is intentionally a SOUND SUBSET of Cox's full analysis: it
+tracks exact-match string sets through literals, bounded character
+classes, alternation, bounded repetition, groups and anchors, and flushes
+to "required trigrams" clauses whenever a node is unbounded (``.``,
+``\\w+``, huge classes, backreferences). Whenever nothing useful survives
+(e.g. ``[a-z]+``), it returns ``None`` and the caller falls back to a
+full regex scan — exactly Code Search's grep fallback.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from google_spark.operators.index_build import term_bucket_col
+
+try:  # Python 3.11+ moved sre_parse; both expose the same parse()
+    from re import _parser as _sre
+except ImportError:  # pragma: no cover - older interpreters
+    import sre_parse as _sre
+
+# ---------------------------------------------------------------------------
+# Regex -> trigram boolean query
+# ---------------------------------------------------------------------------
+# Query representation: nested tuples.
+#   ("gram", "abc")          document must contain trigram "abc"
+#   ("and", [q1, q2, ...])   all must hold
+#   ("or",  [q1, q2, ...])   at least one must hold
+#   None                     no constraint derivable (match-all)
+
+_CAP_SET = 16  # max alternative strings tracked exactly
+_CAP_LEN = 24  # max exact-string length tracked
+
+
+def _grams(s: str) -> list[str]:
+    return [s[i : i + 3] for i in range(len(s) - 2)]
+
+
+def _exact_to_query(strings: set[str]):
+    """OR over the strings of AND over each string's trigrams.
+
+    Sound only if EVERY alternative yields at least one trigram — a
+    too-short alternative means "maybe no trigram at all", which poisons
+    the whole OR."""
+    alts = []
+    for s in sorted(strings):
+        gs = sorted(set(_grams(s)))
+        if not gs:
+            return None
+        alts.append(("and", [("gram", g) for g in gs]))
+    if not alts:
+        return None
+    return ("or", alts) if len(alts) > 1 else alts[0]
+
+
+def _char_set(av) -> set[str] | None:
+    """Expand an IN node's item list to a set of single chars, or None if
+    it is negated / categorical / too large to enumerate."""
+    out: set[str] = set()
+    for op, val in av:
+        name = str(op)
+        if name == "LITERAL":
+            out.add(chr(val))
+        elif name == "RANGE":
+            lo, hi = val
+            if hi - lo + 1 > _CAP_SET:
+                return None
+            out.update(chr(c) for c in range(lo, hi + 1))
+        else:  # NEGATE, CATEGORY, ...
+            return None
+        if len(out) > _CAP_SET:
+            return None
+    return out
+
+
+def _concat(acc: set[str], exact: set[str]) -> set[str] | None:
+    if len(acc) * len(exact) > _CAP_SET:
+        return None
+    out = {a + e for a in acc for e in exact}
+    if any(len(s) > _CAP_LEN for s in out):
+        return None
+    return out
+
+
+def _node(op, av) -> tuple[set[str] | None, list]:
+    """Analyze one parse node -> (exact_strings | None, required_clauses).
+
+    When ``exact_strings`` is not None it fully describes the node and the
+    clause list is empty; otherwise the clauses are constraints any match
+    must satisfy (possibly empty = no information)."""
+    name = str(op)
+    if name == "LITERAL":
+        return {chr(av)}, []
+    if name == "IN":
+        cs = _char_set(av)
+        return (cs, []) if cs is not None else (None, [])
+    if name == "AT":  # anchors/word boundaries: zero-width
+        return {""}, []
+    if name in ("SUBPATTERN", "ATOMIC_GROUP", "POSSESSIVE_REPEAT"):
+        if name == "SUBPATTERN":
+            _, add_flags, _, subp = av
+            if add_flags & re.IGNORECASE:
+                return None, []  # index is case-sensitive; fall back
+        elif name == "POSSESSIVE_REPEAT":
+            return _node("MAX_REPEAT", av)
+        else:
+            subp = av
+        return _pattern(subp)
+    if name == "BRANCH":
+        _, branches = av
+        exacts: set[str] = set()
+        all_exact = True
+        alt_queries = []
+        for b in branches:
+            ex, cls = _pattern(b)
+            if ex is not None and all_exact and len(exacts) + len(ex) <= _CAP_SET:
+                exacts.update(ex)
+            else:
+                all_exact = False
+            if ex is not None:
+                q = _exact_to_query(ex)
+            elif cls:
+                q = ("and", cls) if len(cls) > 1 else cls[0]
+            else:
+                q = None
+            if q is None:
+                alt_queries = None  # one branch unconstrained -> OR useless
+            elif alt_queries is not None:
+                alt_queries.append(q)
+        if all_exact:
+            return exacts, []
+        if alt_queries:
+            return None, [("or", alt_queries)]
+        return None, []
+    if name in ("MAX_REPEAT", "MIN_REPEAT"):
+        lo, hi, subp = av
+        ex, cls = _pattern(subp)
+        if lo == 0:
+            if hi == 0:
+                return {""}, []
+            if hi == 1 and ex is not None and len(ex) < _CAP_SET:
+                return {""} | ex, []  # X? stays exact: empty-or-X
+            return None, []
+        if ex is not None:
+            if lo == hi and lo <= _CAP_LEN:
+                out = {""}
+                for _ in range(lo):
+                    out = _concat(out, ex)
+                    if out is None:
+                        break
+                if out is not None:
+                    return out, []
+            q = _exact_to_query(ex)
+            return None, ([q] if q is not None else [])
+        return None, cls  # one full copy occurs (lo >= 1)
+    if name == "ASSERT":  # lookaround: its match IS present in the text
+        _, subp = av
+        ex, cls = _pattern(subp)
+        if ex is not None:
+            q = _exact_to_query(ex)
+            return None, ([q] if q is not None else [])
+        return None, cls
+    # ANY, NOT_LITERAL, GROUPREF, ASSERT_NOT, CATEGORY, ...: no info
+    return None, []
+
+
+def _pattern(nodes) -> tuple[set[str] | None, list]:
+    """Analyze a node sequence. Returns (exact, clauses): ``exact`` is the
+    full string set if every node stayed exactly trackable, else None with
+    the AND-ed requirement clauses extracted from literal runs."""
+    clauses: list = []
+    acc: set[str] = {""}
+    pure = True
+
+    def flush():
+        nonlocal acc
+        if acc != {""}:
+            q = _exact_to_query(acc)
+            if q is not None:
+                clauses.append(q)
+        acc = {""}
+
+    for op, av in nodes:
+        ex, cls = _node(op, av)
+        merged = _concat(acc, ex) if ex is not None else None
+        if merged is not None:
+            acc = merged
+            continue
+        pure = False
+        flush()
+        if ex is not None:  # exact but too big to concatenate: standalone
+            q = _exact_to_query(ex)
+            if q is not None:
+                clauses.append(q)
+        else:
+            clauses.extend(cls)
+    if pure:
+        return acc, []
+    flush()
+    return None, clauses
+
+
+def _simplify(q):
+    if q is None or q[0] == "gram":
+        return q
+    kind, kids = q
+    flat, seen = [], set()
+    for k in kids:
+        k = _simplify(k)
+        if k is None:
+            if kind == "or":
+                return None  # OR with an unconstrained arm is useless
+            continue  # AND: drop the no-op arm
+        sub = [k] if k[0] != kind else k[1]
+        for s in sub:
+            key = repr(s)
+            if key not in seen:
+                seen.add(key)
+                flat.append(s)
+    if not flat:
+        return None
+    return flat[0] if len(flat) == 1 else (kind, flat)
+
+
+def trigram_query(pattern: str, flags: int = 0):
+    """Compile ``pattern`` to a trigram boolean query, or None when no
+    constraint can be derived (caller must fall back to a full scan).
+    Raises ``re.error`` on an invalid pattern — same contract as
+    ``re.compile``."""
+    if flags & re.IGNORECASE:
+        return None
+    parsed = _sre.parse(pattern, flags)
+    # inline global flags ((?i)...) land on the parse state, not a node —
+    # missing them would make case-sensitive trigrams UNSOUND for a
+    # case-insensitive pattern
+    state_flags = getattr(getattr(parsed, "state", None), "flags", 0)
+    if state_flags & re.IGNORECASE:
+        return None
+    ex, clauses = _pattern(parsed)
+    if ex is not None:
+        return _simplify(_exact_to_query(ex))
+    if not clauses:
+        return None
+    return _simplify(("and", clauses) if len(clauses) > 1 else clauses[0])
+
+
+def query_grams(q) -> set[str]:
+    if q is None:
+        return set()
+    if q[0] == "gram":
+        return {q[1]}
+    out: set[str] = set()
+    for k in q[1]:
+        out |= query_grams(k)
+    return out
+
+
+def prune_and(q, df_map: dict[str, int], keep: int = 8):
+    """Drop the most-common gram conjuncts from oversized AND nodes.
+    Sound: removing an AND conjunct only WIDENS the candidate set (the
+    regex verification step restores exactness); OR arms are never
+    dropped. This is Cox's "discard trigrams that match too many
+    documents" step."""
+    if q is None or q[0] == "gram":
+        return q
+    kind, kids = q
+    kids = [prune_and(k, df_map, keep) for k in kids]
+    if kind == "and":
+        leaves = [k for k in kids if k[0] == "gram"]
+        rest = [k for k in kids if k[0] != "gram"]
+        if len(leaves) > keep:
+            leaves.sort(key=lambda k: (df_map.get(k[1], 0), k[1]))
+            leaves = leaves[:keep]
+        kids = rest + leaves
+    return kids[0] if len(kids) == 1 else (kind, kids)
+
+
+# ---------------------------------------------------------------------------
+# Index build / persistence
+# ---------------------------------------------------------------------------
+
+N_GRAM_BUCKETS = 64
+
+
+@dataclass
+class TrigramIndex:
+    """postings: (gram, shard, doc_ids array<long> sorted, df long);
+    stats: (gram, df) for AND pruning. ``n_buckets`` set when the
+    postings carry the on-disk ``gb`` partition column."""
+
+    postings: DataFrame
+    stats: DataFrame
+    n_docs: int
+    n_buckets: int | None = None
+    disk_path: str | None = None
+
+    def matching(self, grams: list[str]) -> DataFrame:
+        from functools import reduce
+        from operator import or_
+
+        df = self.postings
+        if self.n_buckets and grams and "gb" in df.columns:
+            pred = reduce(
+                or_,
+                [
+                    F.col("gb") == term_bucket_col(F.lit(g), self.n_buckets)
+                    for g in grams
+                ],
+            )
+            df = df.filter(pred)
+        return df.filter(F.col("gram").isin(grams))
+
+    def df_map(self, grams: list[str]) -> dict[str, int]:
+        rows = self.stats.filter(F.col("gram").isin(grams)).collect()
+        return {r["gram"]: int(r["df"]) for r in rows}
+
+
+def doc_trigram_col(text_col: str = "text") -> Column:
+    """array<string> of the DISTINCT trigrams of ``text_col`` — whole-stage
+    codegen, deduped scan-side so the build shuffle carries each
+    (doc, gram) once. Texts shorter than 3 chars yield an empty array
+    (``sequence`` with start > stop would count DOWN, so it is guarded)."""
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(2)),
+        lambda i: F.substring(t, i, F.lit(3)),
+    )
+    return F.when(
+        t.isNull() | (F.length(t) < 3), F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(grams))
+
+
+def build_trigram_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    total_docs: int | None = None,
+) -> TrigramIndex:
+    """One exchange end-to-end: scan (extract+dedup grams, JVM) ->
+    explode -> groupBy(gram, doc-shard) -> sorted id arrays. ``df`` per
+    gram is a second small agg over the postings (|grams|*n_shards rows),
+    not over the exploded relation."""
+    if total_docs is None:
+        total_docs = docs.count()
+    pairs = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(doc_trigram_col(text_col)).alias("gram"),
+    )
+    postings = (
+        pairs.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        )
+        .groupBy("gram", "shard")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count("*").alias("df"),
+        )
+    ).persist()
+    postings.count()
+    stats = (
+        postings.groupBy("gram").agg(F.sum("df").alias("df"))
+    ).persist()
+    return TrigramIndex(postings=postings, stats=stats, n_docs=total_docs)
+
+
+def write_trigram_index(
+    index: TrigramIndex, out_dir: str, n_buckets: int = N_GRAM_BUCKETS
+) -> None:
+    """Bucket-partitioned parquet, same layout contract as the word index
+    (index_build.write_index): query-time gram filters prune to at most
+    |query grams| of ``n_buckets`` directories."""
+    (
+        index.postings.withColumn("gb", term_bucket_col("gram", n_buckets))
+        .repartition("gb", "gram")
+        .write.mode("overwrite")
+        .partitionBy("gb")
+        .parquet(f"{out_dir}/gram_postings.parquet")
+    )
+    index.stats.write.mode("overwrite").parquet(f"{out_dir}/gram_stats.parquet")
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(index.n_docs, n_buckets)], "n_docs long, n_buckets int"
+    ).write.mode("overwrite").parquet(f"{out_dir}/gram_meta.parquet")
+
+
+def read_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
+    meta = spark.read.parquet(f"{out_dir}/gram_meta.parquet").collect()[0]
+    return TrigramIndex(
+        postings=spark.read.parquet(f"{out_dir}/gram_postings.parquet"),
+        stats=spark.read.parquet(f"{out_dir}/gram_stats.parquet"),
+        n_docs=int(meta["n_docs"]),
+        n_buckets=int(meta["n_buckets"]) or None,
+        disk_path=out_dir,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query execution
+# ---------------------------------------------------------------------------
+
+
+def _candidate_expr(q, grams_col: Column) -> Column:
+    if q[0] == "gram":
+        return F.array_contains(grams_col, q[1])
+    kind, kids = q
+    out = _candidate_expr(kids[0], grams_col)
+    for k in kids[1:]:
+        nxt = _candidate_expr(k, grams_col)
+        out = (out & nxt) if kind == "and" else (out | nxt)
+    return out
+
+
+def regex_candidates(index: TrigramIndex, q) -> DataFrame:
+    """doc_ids that satisfy the trigram query — a SUPERSET of the regex's
+    matches. One pruned postings scan, one groupBy(doc_id), then a JVM
+    boolean filter; nothing touches the driver."""
+    grams = sorted(query_grams(q))
+    per_doc = (
+        index.matching(grams)
+        .select(F.col("gram"), F.explode("doc_ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("gram").alias("grams"))
+    )
+    return per_doc.filter(_candidate_expr(q, F.col("grams"))).select("doc_id")
+
+
+def regex_search(
+    spark: SparkSession,
+    index: TrigramIndex,
+    docs: DataFrame,
+    pattern: str,
+    limit: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prune_keep: int = 8,
+) -> DataFrame:
+    """(doc_id, match) for documents whose text matches ``pattern``,
+    ordered by doc_id. Candidates from the trigram index, verified with
+    the real regex (``rlike``, JVM) on the semi-joined candidate docs
+    only; falls back to a full scan when the pattern yields no trigram
+    constraint (Cox's grep fallback). ``match`` is the first matched
+    span (``regexp_extract`` group 0)."""
+    q = trigram_query(pattern)
+    if q is not None and prune_keep:
+        q = prune_and(q, index.df_map(sorted(query_grams(q))), keep=prune_keep)
+    cand = docs
+    if q is not None:
+        ids = regex_candidates(index, q)
+        cand = docs.join(ids, on=docs[id_col] == ids["doc_id"], how="left_semi")
+    return (
+        cand.filter(F.col(text_col).rlike(pattern))
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.regexp_extract(F.col(text_col), pattern, 0).alias("match"),
+        )
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+def substring_search(
+    spark: SparkSession,
+    index: TrigramIndex,
+    docs: DataFrame,
+    literal: str,
+    limit: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Literal substring search = regex search on the escaped literal; the
+    compiled query is simply AND over the literal's trigrams."""
+    return regex_search(
+        spark, index, docs, re.escape(literal), limit=limit,
+        id_col=id_col, text_col=text_col,
+    )

@@ -1,0 +1,253 @@
+"""Trigram regex/substring search (Cox 2012 design, operators/trigram.py).
+
+Soundness contract under test: for every pattern, the compiled trigram
+query must ACCEPT every string the regex matches (candidates are a
+superset); exactness then follows from the rlike verification step.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from google_spark.operators.trigram import (
+    build_trigram_index,
+    prune_and,
+    query_grams,
+    read_trigram_index,
+    regex_search,
+    substring_search,
+    trigram_query,
+    write_trigram_index,
+)
+
+
+def _eval(q, grams: set[str]) -> bool:
+    """Reference evaluator for a trigram boolean query."""
+    if q is None:
+        return True
+    if q[0] == "gram":
+        return q[1] in grams
+    kind, kids = q
+    if kind == "and":
+        return all(_eval(k, grams) for k in kids)
+    return any(_eval(k, grams) for k in kids)
+
+
+def _grams_of(s: str) -> set[str]:
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+# ---------------------------------------------------------------------------
+# Planner unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_literal_is_and_of_grams():
+    q = trigram_query("abcde")
+    assert q is not None
+    assert query_grams(q) == {"abc", "bcd", "cde"}
+    assert _eval(q, _grams_of("xxabcdexx"))
+    assert not _eval(q, _grams_of("abcxde"))
+
+
+def test_alternation_is_or():
+    q = trigram_query("(foobar|bazqux)")
+    assert _eval(q, _grams_of("foobar"))
+    assert _eval(q, _grams_of("bazqux"))
+    assert not _eval(q, _grams_of("fooqux"))
+
+
+def test_unconstrained_patterns_fall_back():
+    for pat in (r"[a-z]+", r".*", r"\w{3}", r"a|bcd", r"ab"):
+        # 'a|bcd': the 'a' arm yields no trigram, poisoning the OR;
+        # 'ab': too short for any trigram.
+        assert trigram_query(pat) is None, pat
+
+
+def test_case_insensitive_falls_back():
+    assert trigram_query("abcdef", re.IGNORECASE) is None
+    assert trigram_query("(?i)abcdef") is None
+    # scoped (?i:...) degrades only the scoped part; the case-sensitive
+    # tail is still a sound constraint
+    assert trigram_query("(?i:abc)def") == ("gram", "def")
+
+
+def test_optional_stays_exact():
+    q = trigram_query("abcd?ef")
+    # both abcdef and abcef must be accepted
+    assert _eval(q, _grams_of("abcdef"))
+    assert _eval(q, _grams_of("abcef"))
+    assert not _eval(q, _grams_of("abdef"))
+
+
+def test_bounded_repeat_expands():
+    q = trigram_query("(ab){3}")
+    assert q is not None
+    assert _eval(q, _grams_of("ababab"))
+    # "abab" shares the full gram set {aba,bab} — superset semantics allow
+    # it; a string with none of the repeat's grams must be rejected
+    assert not _eval(q, _grams_of("ab ab ab"))
+
+
+def test_anchors_are_zero_width():
+    q = trigram_query(r"^hello\b")
+    assert q is not None
+    assert _eval(q, _grams_of("hello world"))
+
+
+@pytest.mark.parametrize(
+    "pattern,samples",
+    [
+        (r"data (group|row)", ["data group x", "a data row", "data  row"]),
+        (r"import [a-z]+ from", ["import os from x", "zimport abc fromz"]),
+        (r"err(or|no)\d*", ["error7", "errno", "xerrorx"]),
+        (r"foo.*bar", ["foo bar", "fooXYZbar", "barfoo foobar"]),
+        (r"(get|set)Value", ["getValue", "setValue()"]),
+        (r"\bclass [A-Z]inner", ["class Winner", "a class Dinner!"]),
+        (r"a(bc)+d", ["abcd", "abcbcd"]),
+        (r"colou?r map", ["color map", "colour map"]),
+    ],
+)
+def test_soundness_on_matching_strings(pattern, samples):
+    q = trigram_query(pattern)
+    rx = re.compile(pattern)
+    for s in samples:
+        if rx.search(s):
+            assert _eval(q, _grams_of(s)), (pattern, s)
+
+
+def test_soundness_random_fuzz():
+    # random-ish strings over a tiny alphabet vs a pattern pool: every
+    # regex match must pass its trigram query (superset property).
+    import random
+
+    rnd = random.Random(7)
+    pats = [
+        r"abc(de|fg)h",
+        r"ab[cd]ef",
+        r"(abcd)+",
+        r"abc\w*def",
+        r"a.cdef",
+        r"q(rst|uvw)x",
+    ]
+    compiled = [(p, trigram_query(p), re.compile(p)) for p in pats]
+    alphabet = "abcdefghqrstuvwx "
+    for _ in range(400):
+        s = "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(3, 30)))
+        gs = _grams_of(s)
+        for p, q, rx in compiled:
+            if rx.search(s):
+                assert _eval(q, gs), (p, s)
+
+
+def test_prune_and_only_widens():
+    q = trigram_query("abcdefgh")
+    df_map = {g: i for i, g in enumerate(sorted(query_grams(q)))}
+    pruned = prune_and(q, df_map, keep=2)
+    assert len(query_grams(pruned)) == 2
+    # widening: anything the full query accepts, the pruned one accepts
+    for s in ("abcdefgh", "xxabcdefghxx"):
+        assert _eval(pruned, _grams_of(s))
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tri_docs(spark):
+    rows = [
+        (1, "def get_value(self): return data group join here"),
+        (2, "data row merge across the window window frame"),
+        (3, "class Winner: pass  # data group merge"),
+        (4, "import os from pathlib import Path"),
+        (5, "no relevant content at all zzz"),
+        (6, "window window window dup lines"),
+        (7, "short"),
+        (8, ""),
+        (9, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def tri_index(spark, tri_docs):
+    return build_trigram_index(spark, tri_docs, n_shards=4)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        r"data (group|row) (join|merge)",
+        r"import [a-z]+",
+        r"window window",
+        r"class \w+:",
+        r"zzz",
+        r"[a-z]+",  # no trigram constraint -> full-scan fallback
+    ],
+)
+def test_regex_search_matches_brute_force(spark, tri_docs, tri_index, pattern):
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, tri_index, tri_docs, pattern, limit=100
+        ).collect()
+    }
+    truth = {
+        r.doc_id
+        for r in tri_docs.filter(F.col("text").rlike(pattern)).collect()
+    }
+    assert got == truth
+
+
+def test_substring_search(spark, tri_docs, tri_index):
+    rows = substring_search(
+        spark, tri_index, tri_docs, "window window", limit=10
+    ).collect()
+    assert [r.doc_id for r in rows] == [2, 6]
+    assert all(r.match == "window window" for r in rows)
+
+
+def test_match_column_is_first_span(spark, tri_docs, tri_index):
+    rows = regex_search(
+        spark, tri_index, tri_docs, r"data (group|row)", limit=10
+    ).collect()
+    by_id = {r.doc_id: r.match for r in rows}
+    assert by_id[1] == "data group"
+    assert by_id[2] == "data row"
+
+
+def test_disk_round_trip(spark, tri_docs, tri_index, tmp_path):
+    out = str(tmp_path / "tri")
+    write_trigram_index(tri_index, out, n_buckets=8)
+    idx2 = read_trigram_index(spark, out)
+    assert idx2.n_buckets == 8
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx2, tri_docs, r"data (group|row)", limit=100
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+
+
+def test_short_and_null_docs_are_safe(spark, tri_index):
+    # doc 8 (empty) and doc 9 (null) yield no postings; doc 7 ("short",
+    # 5 chars) still produces its 3 grams — the <3-char guard is exact
+    from pyspark.sql import functions as F
+
+    ids = {
+        r.doc_id
+        for r in tri_index.postings.select(
+            F.explode("doc_ids").alias("doc_id")
+        )
+        .distinct()
+        .collect()
+    }
+    assert 7 in ids
+    assert 8 not in ids and 9 not in ids
