@@ -1733,6 +1733,41 @@ def q_substring_search_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_search(spark, idx, docs, "window window", limit=20)
 
 
+def q_grep_lines_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grep -n`` over the corpus: the testdata text is single-line, so
+    ' merge ' is deterministically rewritten to newline-bracketed lines
+    first (same rewrite in the oracle); candidates come from the trigram
+    index, only candidate docs are line-split (posexplode, JVM) and
+    line-verified with rlike."""
+    from google_spark.operators.trigram import build_trigram_index, grep_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit(" merge "), F.lit("\nmerge\n")
+        ).alias("text"),
+    )
+    idx = build_trigram_index(spark, docs, total_docs=0)
+    return grep_lines(
+        spark, idx, docs, r"data (group|row) (join|agg)", limit=50
+    )
+
+
+def q_regex_search_ci_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive regex retrieval on a CASE-FOLDED trigram index
+    (lowercase grams; the ripgrep ``-i`` analog): the all-caps pattern
+    finds the lowercase corpus matches only because both the planner and
+    the index fold — verification runs the real ``(?i)`` regex."""
+    from google_spark.operators.trigram import build_trigram_index, regex_search
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_trigram_index(spark, docs, total_docs=0, fold_case=True)
+    return regex_search(
+        spark, idx, docs, r"DATA (GROUP|ROW) (JOIN|MERGE)", limit=20,
+        case_insensitive=True,
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1792,6 +1827,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_global": q_dedup_lines_global,
         "regex_search_trigram": q_regex_search_trigram,
         "substring_search_trigram": q_substring_search_trigram,
+        "grep_lines_trigram": q_grep_lines_trigram,
+        "regex_search_ci_trigram": q_regex_search_ci_trigram,
     }
 
 
@@ -3498,6 +3535,30 @@ ORDER BY doc_id LIMIT 20
 SELECT doc_id, 'window window' AS "match"
 FROM documents
 WHERE position('window window' IN text) > 0
+ORDER BY doc_id LIMIT 20
+""",
+        "grep_lines_trigram": """
+WITH d AS (
+  SELECT doc_id,
+         replace(text, ' merge ', chr(10) || 'merge' || chr(10)) AS text
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         CAST(generate_subscripts(string_split(text, chr(10)), 1) AS BIGINT)
+           AS line_no
+  FROM d
+)
+SELECT doc_id, line_no, line FROM l
+WHERE regexp_matches(line, 'data (group|row) (join|agg)')
+ORDER BY doc_id, line_no LIMIT 50
+""",
+        "regex_search_ci_trigram": """
+SELECT doc_id,
+       regexp_extract(text, 'DATA (GROUP|ROW) (JOIN|MERGE)', 0, 'i')
+         AS "match"
+FROM documents
+WHERE regexp_matches(text, 'DATA (GROUP|ROW) (JOIN|MERGE)', 'i')
 ORDER BY doc_id LIMIT 20
 """,
         "catalog_changelog": """

@@ -86,19 +86,21 @@ def _exact_to_query(strings: set[str]):
     return ("or", alts) if len(alts) > 1 else alts[0]
 
 
-def _char_set(av) -> set[str] | None:
+def _char_set(av, fold: bool) -> set[str] | None:
     """Expand an IN node's item list to a set of single chars, or None if
     it is negated / categorical / too large to enumerate."""
     out: set[str] = set()
     for op, val in av:
         name = str(op)
         if name == "LITERAL":
-            out.add(chr(val))
+            out.add(chr(val).lower() if fold else chr(val))
         elif name == "RANGE":
             lo, hi = val
             if hi - lo + 1 > _CAP_SET:
                 return None
-            out.update(chr(c) for c in range(lo, hi + 1))
+            out.update(
+                chr(c).lower() if fold else chr(c) for c in range(lo, hi + 1)
+            )
         else:  # NEGATE, CATEGORY, ...
             return None
         if len(out) > _CAP_SET:
@@ -115,37 +117,40 @@ def _concat(acc: set[str], exact: set[str]) -> set[str] | None:
     return out
 
 
-def _node(op, av) -> tuple[set[str] | None, list]:
+def _node(op, av, fold: bool = False) -> tuple[set[str] | None, list]:
     """Analyze one parse node -> (exact_strings | None, required_clauses).
 
     When ``exact_strings`` is not None it fully describes the node and the
     clause list is empty; otherwise the clauses are constraints any match
-    must satisfy (possibly empty = no information)."""
+    must satisfy (possibly empty = no information). With ``fold`` the
+    tracked strings are lowercased (for querying a case-folded index: the
+    lowercase image of any span a literal matches — case-sensitively OR
+    insensitively — is exactly the lowercased literal, 1:1 for ASCII)."""
     name = str(op)
     if name == "LITERAL":
-        return {chr(av)}, []
+        return {chr(av).lower() if fold else chr(av)}, []
     if name == "IN":
-        cs = _char_set(av)
+        cs = _char_set(av, fold)
         return (cs, []) if cs is not None else (None, [])
     if name == "AT":  # anchors/word boundaries: zero-width
         return {""}, []
     if name in ("SUBPATTERN", "ATOMIC_GROUP", "POSSESSIVE_REPEAT"):
         if name == "SUBPATTERN":
             _, add_flags, _, subp = av
-            if add_flags & re.IGNORECASE:
+            if add_flags & re.IGNORECASE and not fold:
                 return None, []  # index is case-sensitive; fall back
         elif name == "POSSESSIVE_REPEAT":
-            return _node("MAX_REPEAT", av)
+            return _node("MAX_REPEAT", av, fold)
         else:
             subp = av
-        return _pattern(subp)
+        return _pattern(subp, fold)
     if name == "BRANCH":
         _, branches = av
         exacts: set[str] = set()
         all_exact = True
         alt_queries = []
         for b in branches:
-            ex, cls = _pattern(b)
+            ex, cls = _pattern(b, fold)
             if ex is not None and all_exact and len(exacts) + len(ex) <= _CAP_SET:
                 exacts.update(ex)
             else:
@@ -167,7 +172,7 @@ def _node(op, av) -> tuple[set[str] | None, list]:
         return None, []
     if name in ("MAX_REPEAT", "MIN_REPEAT"):
         lo, hi, subp = av
-        ex, cls = _pattern(subp)
+        ex, cls = _pattern(subp, fold)
         if lo == 0:
             if hi == 0:
                 return {""}, []
@@ -188,7 +193,7 @@ def _node(op, av) -> tuple[set[str] | None, list]:
         return None, cls  # one full copy occurs (lo >= 1)
     if name == "ASSERT":  # lookaround: its match IS present in the text
         _, subp = av
-        ex, cls = _pattern(subp)
+        ex, cls = _pattern(subp, fold)
         if ex is not None:
             q = _exact_to_query(ex)
             return None, ([q] if q is not None else [])
@@ -197,7 +202,7 @@ def _node(op, av) -> tuple[set[str] | None, list]:
     return None, []
 
 
-def _pattern(nodes) -> tuple[set[str] | None, list]:
+def _pattern(nodes, fold: bool = False) -> tuple[set[str] | None, list]:
     """Analyze a node sequence. Returns (exact, clauses): ``exact`` is the
     full string set if every node stayed exactly trackable, else None with
     the AND-ed requirement clauses extracted from literal runs."""
@@ -214,7 +219,7 @@ def _pattern(nodes) -> tuple[set[str] | None, list]:
         acc = {""}
 
     for op, av in nodes:
-        ex, cls = _node(op, av)
+        ex, cls = _node(op, av, fold)
         merged = _concat(acc, ex) if ex is not None else None
         if merged is not None:
             acc = merged
@@ -255,21 +260,29 @@ def _simplify(q):
     return flat[0] if len(flat) == 1 else (kind, flat)
 
 
-def trigram_query(pattern: str, flags: int = 0):
+def trigram_query(pattern: str, flags: int = 0, fold: bool = False):
     """Compile ``pattern`` to a trigram boolean query, or None when no
     constraint can be derived (caller must fall back to a full scan).
     Raises ``re.error`` on an invalid pattern — same contract as
-    ``re.compile``."""
-    if flags & re.IGNORECASE:
+    ``re.compile``.
+
+    With ``fold=True`` the produced grams are lowercase — for evaluation
+    against a CASE-FOLDED index (built with ``fold_case=True``). Folded
+    compilation is sound for BOTH case-sensitive and ``(?i)`` matching
+    (ASCII: lowercasing is 1:1 positional, so the lowercase image of any
+    matched span contains the lowercased literal's grams). Without fold, a
+    case-insensitive pattern yields None: case-sensitive grams would be
+    UNSOUND for it."""
+    if flags & re.IGNORECASE and not fold:
         return None
     parsed = _sre.parse(pattern, flags)
     # inline global flags ((?i)...) land on the parse state, not a node —
     # missing them would make case-sensitive trigrams UNSOUND for a
     # case-insensitive pattern
     state_flags = getattr(getattr(parsed, "state", None), "flags", 0)
-    if state_flags & re.IGNORECASE:
+    if state_flags & re.IGNORECASE and not fold:
         return None
-    ex, clauses = _pattern(parsed)
+    ex, clauses = _pattern(parsed, fold)
     if ex is not None:
         return _simplify(_exact_to_query(ex))
     if not clauses:
@@ -326,6 +339,7 @@ class TrigramIndex:
     n_docs: int
     n_buckets: int | None = None
     disk_path: str | None = None
+    fold_case: bool = False
 
     def matching(self, grams: list[str]) -> DataFrame:
         from functools import reduce
@@ -348,12 +362,13 @@ class TrigramIndex:
         return {r["gram"]: int(r["df"]) for r in rows}
 
 
-def doc_trigram_col(text_col: str = "text") -> Column:
+def doc_trigram_col(text_col: str = "text", fold_case: bool = False) -> Column:
     """array<string> of the DISTINCT trigrams of ``text_col`` — whole-stage
     codegen, deduped scan-side so the build shuffle carries each
     (doc, gram) once. Texts shorter than 3 chars yield an empty array
-    (``sequence`` with start > stop would count DOWN, so it is guarded)."""
-    t = F.col(text_col)
+    (``sequence`` with start > stop would count DOWN, so it is guarded).
+    With ``fold_case`` grams come from ``lower(text)``."""
+    t = F.lower(F.col(text_col)) if fold_case else F.col(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.length(t) - F.lit(2)),
         lambda i: F.substring(t, i, F.lit(3)),
@@ -370,16 +385,20 @@ def build_trigram_index(
     text_col: str = "text",
     n_shards: int = 8,
     total_docs: int | None = None,
+    fold_case: bool = False,
 ) -> TrigramIndex:
     """One exchange end-to-end: scan (extract+dedup grams, JVM) ->
     explode -> groupBy(gram, doc-shard) -> sorted id arrays. ``df`` per
     gram is a second small agg over the postings (|grams|*n_shards rows),
-    not over the exploded relation."""
+    not over the exploded relation. ``fold_case`` builds a lowercase-gram
+    index that serves case-insensitive queries (the ripgrep ``-i``
+    analog) — and still serves case-sensitive ones, with folded grams for
+    candidates and exact-case verification."""
     if total_docs is None:
         total_docs = docs.count()
     pairs = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(doc_trigram_col(text_col)).alias("gram"),
+        F.explode(doc_trigram_col(text_col, fold_case)).alias("gram"),
     )
     postings = (
         pairs.withColumn(
@@ -395,7 +414,10 @@ def build_trigram_index(
     stats = (
         postings.groupBy("gram").agg(F.sum("df").alias("df"))
     ).persist()
-    return TrigramIndex(postings=postings, stats=stats, n_docs=total_docs)
+    return TrigramIndex(
+        postings=postings, stats=stats, n_docs=total_docs,
+        fold_case=fold_case,
+    )
 
 
 def write_trigram_index(
@@ -414,7 +436,8 @@ def write_trigram_index(
     index.stats.write.mode("overwrite").parquet(f"{out_dir}/gram_stats.parquet")
     spark = index.postings.sparkSession
     spark.createDataFrame(
-        [(index.n_docs, n_buckets)], "n_docs long, n_buckets int"
+        [(index.n_docs, n_buckets, index.fold_case)],
+        "n_docs long, n_buckets int, fold_case boolean",
     ).write.mode("overwrite").parquet(f"{out_dir}/gram_meta.parquet")
 
 
@@ -426,6 +449,7 @@ def read_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
         n_docs=int(meta["n_docs"]),
         n_buckets=int(meta["n_buckets"]) or None,
         disk_path=out_dir,
+        fold_case=bool(meta["fold_case"]) if "fold_case" in meta.__fields__ else False,
     )
 
 
@@ -459,6 +483,36 @@ def regex_candidates(index: TrigramIndex, q) -> DataFrame:
     return per_doc.filter(_candidate_expr(q, F.col("grams"))).select("doc_id")
 
 
+def _prune_to_candidates(
+    index: TrigramIndex,
+    docs: DataFrame,
+    pattern: str,
+    case_insensitive: bool,
+    prune_keep: int,
+    id_col: str,
+) -> tuple[DataFrame, str]:
+    """Shared query prologue: compile the pattern (folded iff the index
+    is), prune hot AND conjuncts, semi-join docs to the candidate ids.
+    Returns (candidate docs, verification pattern). A case-insensitive
+    request against a case-SENSITIVE index cannot use the index soundly
+    and degrades to the full-scan fallback; the reverse (case-sensitive
+    query on a folded index) stays indexed — folded grams for candidates,
+    exact-case verification."""
+    verify = f"(?i){pattern}" if case_insensitive else pattern
+    if case_insensitive and not index.fold_case:
+        return docs, verify
+    q = trigram_query(pattern, fold=index.fold_case)
+    if q is not None and prune_keep:
+        q = prune_and(q, index.df_map(sorted(query_grams(q))), keep=prune_keep)
+    if q is None:
+        return docs, verify
+    ids = regex_candidates(index, q)
+    return (
+        docs.join(ids, on=docs[id_col] == ids["doc_id"], how="left_semi"),
+        verify,
+    )
+
+
 def regex_search(
     spark: SparkSession,
     index: TrigramIndex,
@@ -468,27 +522,66 @@ def regex_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     prune_keep: int = 8,
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """(doc_id, match) for documents whose text matches ``pattern``,
     ordered by doc_id. Candidates from the trigram index, verified with
     the real regex (``rlike``, JVM) on the semi-joined candidate docs
     only; falls back to a full scan when the pattern yields no trigram
     constraint (Cox's grep fallback). ``match`` is the first matched
-    span (``regexp_extract`` group 0)."""
-    q = trigram_query(pattern)
-    if q is not None and prune_keep:
-        q = prune_and(q, index.df_map(sorted(query_grams(q))), keep=prune_keep)
-    cand = docs
-    if q is not None:
-        ids = regex_candidates(index, q)
-        cand = docs.join(ids, on=docs[id_col] == ids["doc_id"], how="left_semi")
+    span (``regexp_extract`` group 0). ``case_insensitive`` needs an
+    index built with ``fold_case=True`` to stay indexed (ASCII folding;
+    see :func:`trigram_query`)."""
+    cand, verify = _prune_to_candidates(
+        index, docs, pattern, case_insensitive, prune_keep, id_col
+    )
     return (
-        cand.filter(F.col(text_col).rlike(pattern))
+        cand.filter(F.col(text_col).rlike(verify))
         .select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.regexp_extract(F.col(text_col), pattern, 0).alias("match"),
+            F.regexp_extract(F.col(text_col), verify, 0).alias("match"),
         )
         .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+def grep_lines(
+    spark: SparkSession,
+    index: TrigramIndex,
+    docs: DataFrame,
+    pattern: str,
+    limit: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prune_keep: int = 8,
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """``grep -n`` over the corpus: (doc_id, line_no, line) for every line
+    matching ``pattern``, ordered by (doc_id, line_no). Document
+    candidates come from the trigram index exactly as in
+    :func:`regex_search`; only candidate docs are split into lines
+    (``posexplode(split(...))``, JVM) and line-filtered with ``rlike``.
+    One caveat makes this sound: a trigram spanning a newline can never be
+    required by a single-LINE match, and the index extracts grams from the
+    raw text including ``\\n`` chars — so a pattern whose trigrams would
+    have to span lines simply yields extra candidates, never misses
+    (trigrams of the matching line are a subset of the doc's trigrams)."""
+    cand, verify = _prune_to_candidates(
+        index, docs, pattern, case_insensitive, prune_keep, id_col
+    )
+    lines = cand.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    return (
+        lines.filter(F.col("line").rlike(verify))
+        .select(
+            "doc_id",
+            (F.col("line_idx") + 1).cast("long").alias("line_no"),
+            "line",
+        )
+        .orderBy("doc_id", "line_no")
         .limit(limit)
     )
 
@@ -501,10 +594,11 @@ def substring_search(
     limit: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """Literal substring search = regex search on the escaped literal; the
     compiled query is simply AND over the literal's trigrams."""
     return regex_search(
         spark, index, docs, re.escape(literal), limit=limit,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, case_insensitive=case_insensitive,
     )

@@ -251,3 +251,121 @@ def test_short_and_null_docs_are_safe(spark, tri_index):
     }
     assert 7 in ids
     assert 8 not in ids and 9 not in ids
+
+
+# ---------------------------------------------------------------------------
+# grep_lines and case-folded index
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def code_docs(spark):
+    rows = [
+        (1, "def alpha():\n    return DataGroup()\n# data group join"),
+        (2, "class DataRow:\n    DATA GROUP JOIN\n    pass"),
+        (3, "x = 1\ny = 2\nz = data group join here"),
+        (4, "nothing to see"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_grep_lines_matches_per_line(spark, code_docs):
+    from google_spark.operators.trigram import build_trigram_index, grep_lines
+
+    idx = build_trigram_index(spark, code_docs, n_shards=2)
+    rows = grep_lines(spark, idx, code_docs, r"data group join").collect()
+    assert [(r.doc_id, r.line_no, r.line) for r in rows] == [
+        (1, 3, "# data group join"),
+        (3, 3, "z = data group join here"),
+    ]
+
+
+def test_grep_lines_brute_force_parity(spark, tri_docs, tri_index):
+    import re as _re
+
+    from google_spark.operators.trigram import grep_lines
+
+    pattern = r"window window"
+    got = [
+        (r.doc_id, r.line_no, r.line)
+        for r in grep_lines(spark, tri_index, tri_docs, pattern).collect()
+    ]
+    truth = []
+    for row in tri_docs.collect():
+        if row.text is None:
+            continue
+        for i, line in enumerate(row.text.split("\n"), start=1):
+            if _re.search(pattern, line):
+                truth.append((row.doc_id, i, line))
+    assert got == sorted(truth)
+
+
+def test_fold_case_planner():
+    q = trigram_query("DataGroup", fold=True)
+    assert query_grams(q) <= _grams_of("datagroup")
+    assert _eval(q, _grams_of("datagroup"))
+    # (?i) no longer forces fallback under fold
+    assert trigram_query("(?i)DataGroup", fold=True) is not None
+    # unfolded: (?i) still falls back
+    assert trigram_query("(?i)DataGroup") is None
+
+
+def test_fold_case_index_case_insensitive_search(spark, code_docs):
+    from google_spark.operators.trigram import build_trigram_index, regex_search
+
+    idx = build_trigram_index(spark, code_docs, n_shards=2, fold_case=True)
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx, code_docs, r"data group join", limit=100,
+            case_insensitive=True,
+        ).collect()
+    }
+    assert got == {1, 2, 3}  # doc 2 matches only case-insensitively
+    # case-SENSITIVE query on the folded index stays exact
+    got_cs = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx, code_docs, r"data group join", limit=100
+        ).collect()
+    }
+    assert got_cs == {1, 3}
+
+
+def test_ci_on_sensitive_index_falls_back_but_stays_correct(
+    spark, code_docs
+):
+    from google_spark.operators.trigram import build_trigram_index, regex_search
+
+    idx = build_trigram_index(spark, code_docs, n_shards=2)  # not folded
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx, code_docs, r"DATA GROUP", limit=100,
+            case_insensitive=True,
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+
+
+def test_folded_index_disk_round_trip(spark, code_docs, tmp_path):
+    from google_spark.operators.trigram import (
+        build_trigram_index,
+        read_trigram_index,
+        regex_search,
+        write_trigram_index,
+    )
+
+    idx = build_trigram_index(spark, code_docs, n_shards=2, fold_case=True)
+    out = str(tmp_path / "tri_ci")
+    write_trigram_index(idx, out, n_buckets=4)
+    idx2 = read_trigram_index(spark, out)
+    assert idx2.fold_case is True
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx2, code_docs, r"DataRow", limit=100,
+            case_insensitive=True,
+        ).collect()
+    }
+    assert got == {2}
