@@ -377,6 +377,40 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.trigram import (
+        build_trigram_index,
+        read_trigram_index,
+        regex_search,
+        write_trigram_index,
+    )
+
+    tri = build_trigram_index(spark, docs)
+    tri_out = tempfile.mkdtemp() + "/tri"
+    write_trigram_index(tri, tri_out)
+    tri_disk = read_trigram_index(spark, tri_out)
+    sections.append(
+        (
+            "Trigram regex search (Code-Search-style candidates + verify)",
+            "The compiled trigram query prunes the postings scan to the "
+            "query grams' `gb=` partition directories (PartitionFilters) "
+            "plus a pushed `gram IN (...)` filter; candidates are one "
+            "explode + one doc_id hash aggregate whose HAVING is the "
+            "compiled AND/OR as a JVM array_contains expression; the "
+            "corpus is touched only through a left-semi join of "
+            "candidates, then rlike-verified. Cost follows the grams' "
+            "posting lists, never the corpus size.",
+            fmt(
+                regex_search(
+                    spark,
+                    tri_disk,
+                    docs,
+                    r"data (group|row) (join|merge)",
+                    limit=20,
+                )
+            ),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
