@@ -256,3 +256,35 @@ def test_bm25f_local_zero_spark_jobs_when_cached(spark, corpus_df, tmp_path):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert again == first
     assert after == before  # no job scheduled on the warm path
+
+
+def test_trigram_search_prunes_partitions_and_semijoins(
+    spark, tmp_path
+):
+    """Disk trigram search must (a) prune the postings scan to the query
+    grams' gb= directories (PartitionFilters), (b) reach the corpus only
+    through a left-semi join of the candidate ids (the plan claims in
+    PLANS.md §Trigram)."""
+    from google_spark.operators.trigram import (
+        build_trigram_index,
+        read_trigram_index,
+        regex_search,
+        write_trigram_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    idx = build_trigram_index(spark, docs, total_docs=0)
+    out = str(tmp_path / "tri")
+    write_trigram_index(idx, out, n_buckets=16)
+    disk = read_trigram_index(spark, out)
+    plan = _plan(
+        regex_search(spark, disk, docs, r"data (group|row) (join|merge)")
+    )
+    # (a) the gb= partition column appears in the postings scan's
+    # PartitionFilters (the documents scan has an empty one — check all)
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[[^\]]*gb#", plan), plan[:500]
+    assert "LeftSemi" in plan
+    # verification regex runs JVM-side (no Python eval of document text)
+    assert "RLIKE" in plan or "rlike" in plan.lower()
