@@ -90,6 +90,24 @@ def __getattr__(name):
             "google_spark.operators.dedup",
             "containment_near_dups",
         ),
+        "build_trigram_index": (
+            "google_spark.operators.trigram",
+            "build_trigram_index",
+        ),
+        "write_trigram_index": (
+            "google_spark.operators.trigram",
+            "write_trigram_index",
+        ),
+        "read_trigram_index": (
+            "google_spark.operators.trigram",
+            "read_trigram_index",
+        ),
+        "regex_search": ("google_spark.operators.trigram", "regex_search"),
+        "substring_search": (
+            "google_spark.operators.trigram",
+            "substring_search",
+        ),
+        "grep_lines": ("google_spark.operators.trigram", "grep_lines"),
     }
     if name in lazy:
         import importlib
