@@ -106,10 +106,10 @@ def main() -> int:
         # rows beyond the driver's 50-entry budget still gate locally
         qs = {**qs, **entrymod.extra_queries()}
     oracles = entrymod.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
