@@ -108,6 +108,14 @@ def __getattr__(name):
             "substring_search",
         ),
         "grep_lines": ("google_spark.operators.trigram", "grep_lines"),
+        "append_trigram_index": (
+            "google_spark.operators.trigram",
+            "append_trigram_index",
+        ),
+        "compact_trigram_index": (
+            "google_spark.operators.trigram",
+            "compact_trigram_index",
+        ),
     }
     if name in lazy:
         import importlib

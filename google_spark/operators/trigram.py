@@ -442,15 +442,152 @@ def write_trigram_index(
 
 
 def read_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
+    """Open a disk trigram index: the base plus every COMMITTED appended
+    segment (see :func:`append_trigram_index`). Each part is read from
+    its own parquet root, so the gb partition filter prunes every part;
+    per-gram stats re-aggregate lazily across parts."""
+    import json
+    import os
+
     meta = spark.read.parquet(f"{out_dir}/gram_meta.parquet").collect()[0]
+    postings = spark.read.parquet(f"{out_dir}/gram_postings.parquet")
+    stats = spark.read.parquet(f"{out_dir}/gram_stats.parquet")
+    n_docs = int(meta["n_docs"])
+    for k in trigram_segments(out_dir):
+        seg_dir = os.path.join(_tri_seg_root(out_dir), f"seg={k:05d}")
+        postings = postings.unionByName(
+            spark.read.parquet(f"{seg_dir}/gram_postings.parquet")
+        )
+        stats = stats.unionByName(
+            spark.read.parquet(f"{seg_dir}/gram_stats.parquet")
+        )
+        with open(os.path.join(seg_dir, "_COMMITTED")) as f:
+            n_docs += int(json.load(f)["n_docs"])
+    stats = stats.groupBy("gram").agg(F.sum("df").alias("df"))
     return TrigramIndex(
-        postings=spark.read.parquet(f"{out_dir}/gram_postings.parquet"),
-        stats=spark.read.parquet(f"{out_dir}/gram_stats.parquet"),
-        n_docs=int(meta["n_docs"]),
+        postings=postings,
+        stats=stats,
+        n_docs=n_docs,
         n_buckets=int(meta["n_buckets"]) or None,
         disk_path=out_dir,
         fold_case=bool(meta["fold_case"]) if "fold_case" in meta.__fields__ else False,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: segment appends + compaction
+# ---------------------------------------------------------------------------
+# The Lucene-segment analog, and the same layout/commit discipline as
+# operators/incremental.py: a new batch of documents lands as a fully
+# written ``segments/seg=<k>/`` directory whose ``_COMMITTED`` marker is
+# created LAST, so readers never observe a partial append and a crashed
+# writer leaves only an ignorable orphan. Appends never rewrite history —
+# a growing corpus is re-gram'd only for the new docs. The contract is
+# append-only doc_ids (same as the signature store); updates/deletes go
+# through a compact-to-fresh-path rewrite.
+
+
+def _tri_seg_root(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "segments")
+
+
+def trigram_segments(out_dir: str) -> list[int]:
+    """Committed segment ids, ascending. Uncommitted (crashed) segment
+    directories are ignored."""
+    import os
+
+    root = _tri_seg_root(out_dir)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for entry in os.scandir(root):
+        if not (entry.is_dir() and entry.name.startswith("seg=")):
+            continue
+        if os.path.exists(os.path.join(entry.path, "_COMMITTED")):
+            out.append(int(entry.name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def append_trigram_index(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> int:
+    """Append ``new_docs`` to the disk trigram index at ``out_dir`` as a
+    new committed segment; returns the segment id. The segment inherits
+    the base's bucket count and case-folding, so query-time gb pruning
+    applies to every part uniformly. Cost is proportional to the NEW
+    batch only — the existing postings are never read or rewritten."""
+    import json
+    import os
+
+    meta = spark.read.parquet(f"{out_dir}/gram_meta.parquet").collect()[0]
+    n_buckets = int(meta["n_buckets"])
+    fold = (
+        bool(meta["fold_case"]) if "fold_case" in meta.__fields__ else False
+    )
+    segs = trigram_segments(out_dir)
+    k = (segs[-1] + 1) if segs else 1
+    seg_dir = os.path.join(_tri_seg_root(out_dir), f"seg={k:05d}")
+    n_new = new_docs.count()
+    seg_idx = build_trigram_index(
+        spark,
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        n_shards=n_shards,
+        total_docs=n_new,
+        fold_case=fold,
+    )
+    (
+        seg_idx.postings.withColumn("gb", term_bucket_col("gram", n_buckets))
+        .repartition("gb", "gram")
+        .write.mode("overwrite")
+        .partitionBy("gb")
+        .parquet(f"{seg_dir}/gram_postings.parquet")
+    )
+    seg_idx.stats.write.mode("overwrite").parquet(
+        f"{seg_dir}/gram_stats.parquet"
+    )
+    seg_idx.postings.unpersist()
+    seg_idx.stats.unpersist()
+    tmp = os.path.join(seg_dir, "_COMMITTED.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"segment": k, "n_docs": n_new}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(seg_dir, "_COMMITTED"))
+    return k
+
+
+def compact_trigram_index(
+    spark: SparkSession, out_dir: str, dest_dir: str
+) -> TrigramIndex:
+    """Merge the base index + every committed segment into ONE full index
+    at ``dest_dir`` (the rewrite_data_files analog): per-(gram, shard) the
+    segments' sorted id arrays are flattened and re-sorted JVM-side —
+    disjoint doc sets, so this is a pure merge, no dedup pass. Publishing
+    is the caller's atomic rename/path-flip, same contract as
+    ``write_trigram_index``."""
+    idx = read_trigram_index(spark, out_dir)
+    merged = idx.postings.groupBy("gram", "shard").agg(
+        F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias("doc_ids"),
+        F.sum("df").alias("df"),
+    )
+    stats = merged.groupBy("gram").agg(F.sum("df").alias("df"))
+    out = TrigramIndex(
+        postings=merged,
+        stats=stats,
+        n_docs=idx.n_docs,
+        fold_case=idx.fold_case,
+    )
+    write_trigram_index(out, dest_dir, n_buckets=idx.n_buckets or N_GRAM_BUCKETS)
+    return read_trigram_index(spark, dest_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -369,3 +369,125 @@ def test_folded_index_disk_round_trip(spark, code_docs, tmp_path):
         ).collect()
     }
     assert got == {2}
+
+
+# ---------------------------------------------------------------------------
+# Incremental segments + compaction
+# ---------------------------------------------------------------------------
+
+
+def _search_ids(spark, idx, docs, pattern):
+    return {
+        r.doc_id
+        for r in regex_search(spark, idx, docs, pattern, limit=1000).collect()
+    }
+
+
+def test_append_segments_equal_full_rebuild(spark, tmp_path):
+    from google_spark.operators.trigram import (
+        append_trigram_index,
+        compact_trigram_index,
+        trigram_segments,
+    )
+
+    base_rows = [(i, f"alpha beta gamma doc{i}") for i in range(10)]
+    new_rows = [(100 + i, f"delta epsilon gamma doc{100 + i}") for i in range(5)]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    all_docs = base.unionByName(new)
+
+    out = str(tmp_path / "tri")
+    write_trigram_index(build_trigram_index(spark, base), out, n_buckets=8)
+    seg = append_trigram_index(spark, out, new)
+    assert seg == 1
+    assert trigram_segments(out) == [1]
+
+    merged = read_trigram_index(spark, out)
+    assert merged.n_docs == 15
+    rebuilt = build_trigram_index(spark, all_docs)
+    for pat in (r"gamma", r"delta epsilon", r"alpha beta"):
+        assert _search_ids(spark, merged, all_docs, pat) == _search_ids(
+            spark, rebuilt, all_docs, pat
+        ), pat
+    # df stats re-aggregate across parts
+    assert merged.df_map(["gam"]) == rebuilt.df_map(["gam"])
+
+    # second append increments, compaction collapses to one base
+    seg2 = append_trigram_index(
+        spark,
+        out,
+        spark.createDataFrame(
+            [(200, "zeta eta gamma")], "doc_id long, text string"
+        ),
+    )
+    assert seg2 == 2
+    dest = str(tmp_path / "tri_compact")
+    compacted = compact_trigram_index(spark, out, dest)
+    assert trigram_segments(dest) == []
+    assert compacted.n_docs == 16
+    every = all_docs.unionByName(
+        spark.createDataFrame([(200, "zeta eta gamma")], "doc_id long, text string")
+    )
+    assert _search_ids(spark, compacted, every, r"gamma") == _search_ids(
+        spark, build_trigram_index(spark, every), every, r"gamma"
+    )
+
+
+def test_uncommitted_segment_is_ignored(spark, tmp_path):
+    import os
+
+    from google_spark.operators.trigram import (
+        append_trigram_index,
+        trigram_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "tri")
+    write_trigram_index(build_trigram_index(spark, docs), out, n_buckets=4)
+    seg = append_trigram_index(
+        spark,
+        out,
+        spark.createDataFrame([(2, "delta gamma")], "doc_id long, text string"),
+    )
+    # simulate a crashed append: remove the marker
+    os.remove(
+        os.path.join(out, "segments", f"seg={seg:05d}", "_COMMITTED")
+    )
+    assert trigram_segments(out) == []
+    idx = read_trigram_index(spark, out)
+    assert idx.n_docs == 1
+    got = _search_ids(
+        spark, idx, docs, r"gamma"
+    )
+    assert got == {1}
+
+
+def test_append_inherits_fold_case(spark, tmp_path):
+    from google_spark.operators.trigram import append_trigram_index
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha Beta")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "tri_ci")
+    write_trigram_index(
+        build_trigram_index(spark, docs, fold_case=True), out, n_buckets=4
+    )
+    append_trigram_index(
+        spark,
+        out,
+        spark.createDataFrame([(2, "ALPHA GAMMA")], "doc_id long, text string"),
+    )
+    idx = read_trigram_index(spark, out)
+    assert idx.fold_case is True
+    both = docs.unionByName(
+        spark.createDataFrame([(2, "ALPHA GAMMA")], "doc_id long, text string")
+    )
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx, both, r"alpha", limit=100, case_insensitive=True
+        ).collect()
+    }
+    assert got == {1, 2}
