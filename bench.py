@@ -241,6 +241,30 @@ def main() -> None:
         flat_ms.append((time.perf_counter() - t0) * 1000)
     timings["bm25f_local_5q"] = round(sum(flat_ms) / 1000, 4)
 
+    # round-4: trigram code-search — index build, indexed regex search,
+    # and the brute full-scan for comparison. NOTE: the synthetic corpus
+    # has a ~60-word vocabulary, so every trigram is near-universal and
+    # candidate pruning cannot win here — the indexed line measures the
+    # path's OVERHEAD floor; on real code (selective literals) candidates
+    # shrink with the rarest gram's df while the full scan stays O(corpus)
+    from google_spark.operators.trigram import (
+        build_trigram_index,
+        regex_search,
+    )
+
+    t0 = time.perf_counter()
+    tri = build_trigram_index(spark, docs, total_docs=n_docs)
+    timings["trigram_build"] = round(time.perf_counter() - t0, 4)
+    tri_pat = r"data (group|row) (join|merge)"
+    t0 = time.perf_counter()
+    regex_search(spark, tri, docs, tri_pat, limit=20).collect()
+    timings["regex_q1"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    docs.filter(F.col("text").rlike(tri_pat)).orderBy("doc_id").limit(
+        20
+    ).collect()
+    timings["regex_fullscan_q1"] = round(time.perf_counter() - t0, 4)
+
     # second scale point: replicated corpus, so round-over-round deltas in
     # build throughput aren't masked by fixed job overhead (~2-3s) that
     # dominates the raw 5k-doc sf0.1 figure
