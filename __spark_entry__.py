@@ -26,6 +26,15 @@ op_take_ordered, tpch_q3, tpch_q5, op_rollup, doc_sha, dedup_jaccard_pairs,
 dedup_simhash_pairs, text_fingerprint, sim_ann_topk, sim_ivf_topk,
 sim_near_dup_pairs, media_resize, media_frames). Union coverage
 r03 ∪ r04 = all 73 rows. Round 5: swap back (or re-rotate) as needed.
+
+Beyond the rotation, round 4 added NEW extra_queries rows (local gate only;
+rotate into queries() in round 5): boolean_search_topk, prefix_search_topk,
+text_keywords, text_pmi_bigrams, text_bigram_logprob, sim_semantic_dedup,
+hybrid_rrf_topk, facet_counts, fuzzy_search_topk, graph_hits,
+rank_eval_metrics, sim_centroid_classify, sim_mmr_rerank, dedup_containment,
+catalog_changelog, dedup_lines_global, regex_search_trigram,
+substring_search_trigram, grep_lines_trigram, regex_search_ci_trigram —
+total contract surface 98 rows, all green in the local gate this round.
 """
 
 from __future__ import annotations
