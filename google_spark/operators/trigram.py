@@ -620,6 +620,20 @@ def regex_candidates(index: TrigramIndex, q) -> DataFrame:
     return per_doc.filter(_candidate_expr(q, F.col("grams"))).select("doc_id")
 
 
+def estimate_candidates(q, df_map: dict[str, int]) -> int:
+    """Upper bound on how many docs can satisfy the trigram query, from
+    the grams' document frequencies alone: AND is bounded by its most
+    selective conjunct (min), OR by the sum of its arms, a gram by its
+    df (0 if absent from the index — the query then matches nothing)."""
+    if q is None:
+        return 1 << 62
+    if q[0] == "gram":
+        return df_map.get(q[1], 0)
+    kind, kids = q
+    ests = [estimate_candidates(k, df_map) for k in kids]
+    return min(ests) if kind == "and" else sum(ests)
+
+
 def _prune_to_candidates(
     index: TrigramIndex,
     docs: DataFrame,
@@ -627,6 +641,7 @@ def _prune_to_candidates(
     case_insensitive: bool,
     prune_keep: int,
     id_col: str,
+    max_candidate_frac: float = 0.5,
 ) -> tuple[DataFrame, str]:
     """Shared query prologue: compile the pattern (folded iff the index
     is), prune hot AND conjuncts, semi-join docs to the candidate ids.
@@ -634,14 +649,28 @@ def _prune_to_candidates(
     request against a case-SENSITIVE index cannot use the index soundly
     and degrades to the full-scan fallback; the reverse (case-sensitive
     query on a folded index) stays indexed — folded grams for candidates,
-    exact-case verification."""
+    exact-case verification.
+
+    Cost-based fallback: when the df-derived candidate bound exceeds
+    ``max_candidate_frac`` of the corpus (only checked when the index
+    knows ``n_docs``), skip the index — scanning the posting lists,
+    shuffling a doc-grain aggregate, and semi-joining back would all cost
+    ~corpus anyway, so ONE verification scan is strictly cheaper. Common
+    on tiny-vocabulary corpora and for patterns made of stop-grams."""
     verify = f"(?i){pattern}" if case_insensitive else pattern
     if case_insensitive and not index.fold_case:
         return docs, verify
     q = trigram_query(pattern, fold=index.fold_case)
-    if q is not None and prune_keep:
-        q = prune_and(q, index.df_map(sorted(query_grams(q))), keep=prune_keep)
     if q is None:
+        return docs, verify
+    df_map = index.df_map(sorted(query_grams(q)))
+    if prune_keep:
+        q = prune_and(q, df_map, keep=prune_keep)
+    if (
+        index.n_docs > 0
+        and estimate_candidates(q, df_map)
+        > max_candidate_frac * index.n_docs
+    ):
         return docs, verify
     ids = regex_candidates(index, q)
     return (
@@ -660,6 +689,7 @@ def regex_search(
     text_col: str = "text",
     prune_keep: int = 8,
     case_insensitive: bool = False,
+    max_candidate_frac: float = 0.5,
 ) -> DataFrame:
     """(doc_id, match) for documents whose text matches ``pattern``,
     ordered by doc_id. Candidates from the trigram index, verified with
@@ -670,7 +700,8 @@ def regex_search(
     index built with ``fold_case=True`` to stay indexed (ASCII folding;
     see :func:`trigram_query`)."""
     cand, verify = _prune_to_candidates(
-        index, docs, pattern, case_insensitive, prune_keep, id_col
+        index, docs, pattern, case_insensitive, prune_keep, id_col,
+        max_candidate_frac=max_candidate_frac,
     )
     return (
         cand.filter(F.col(text_col).rlike(verify))
@@ -693,6 +724,7 @@ def grep_lines(
     text_col: str = "text",
     prune_keep: int = 8,
     case_insensitive: bool = False,
+    max_candidate_frac: float = 0.5,
 ) -> DataFrame:
     """``grep -n`` over the corpus: (doc_id, line_no, line) for every line
     matching ``pattern``, ordered by (doc_id, line_no). Document
@@ -705,7 +737,8 @@ def grep_lines(
     have to span lines simply yields extra candidates, never misses
     (trigrams of the matching line are a subset of the doc's trigrams)."""
     cand, verify = _prune_to_candidates(
-        index, docs, pattern, case_insensitive, prune_keep, id_col
+        index, docs, pattern, case_insensitive, prune_keep, id_col,
+        max_candidate_frac=max_candidate_frac,
     )
     lines = cand.select(
         F.col(id_col).cast("long").alias("doc_id"),

@@ -491,3 +491,53 @@ def test_append_inherits_fold_case(spark, tmp_path):
         ).collect()
     }
     assert got == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Cost-based fallback (selectivity estimate)
+# ---------------------------------------------------------------------------
+
+
+def test_estimate_candidates():
+    from google_spark.operators.trigram import estimate_candidates
+
+    df_map = {"abc": 100, "bcd": 5, "xyz": 40}
+    q_and = ("and", [("gram", "abc"), ("gram", "bcd")])
+    q_or = ("or", [("gram", "abc"), ("gram", "xyz")])
+    assert estimate_candidates(q_and, df_map) == 5  # min conjunct
+    assert estimate_candidates(q_or, df_map) == 140  # sum of arms
+    assert estimate_candidates(("gram", "nope"), df_map) == 0
+    assert estimate_candidates(None, df_map) > 10**9
+
+
+def test_common_gram_query_falls_back_to_scan(spark):
+    """When every doc shares the grams, the indexed path costs more than
+    one scan: the plan must contain NO semi-join (full-scan fallback) yet
+    the results must stay exact."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"common text body {i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_trigram_index(spark, docs)  # n_docs known -> estimator on
+    df = regex_search(spark, idx, docs, r"common text", limit=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan  # estimator chose the scan
+    got = {r.doc_id for r in df.collect()}
+    assert got == set(range(20))
+    # a selective pattern on the same index still uses candidates
+    df2 = regex_search(spark, idx, docs, r"body 7", limit=100)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan2
+    assert {r.doc_id for r in df2.collect()} == {7}
+
+
+def test_unknown_n_docs_keeps_index_path(spark):
+    from google_spark.operators.trigram import TrigramIndex
+
+    rows = [(i, f"common text body {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_trigram_index(spark, docs, total_docs=0)  # n_docs unknown
+    df = regex_search(spark, idx, docs, r"common text", limit=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # estimator disabled, still correct
+    assert {r.doc_id for r in df.collect()} == set(range(10))
