@@ -142,8 +142,12 @@ class SearchEngine:
         mode: str = "simple",
         word_vectors: DataFrame | None = None,
         fielded_index=None,
+        trigram_index=None,
     ):
         self.index = index
+        # optional operators.trigram.TrigramIndex: grep()/regex retrieval
+        # over the docstore content, saved/loaded with the bundle
+        self.trigram_index = trigram_index
         # optional operators.fielded.FieldedIndex: search(fielded=True)
         # then scores with BM25F from per-field postings (title weight in
         # the SCORE, not a flat boost) through the same serving point-read
@@ -227,6 +231,8 @@ class SearchEngine:
         with_pagerank: bool = True,
         n_shards: int = 8,
         fielded: bool = False,
+        trigram: bool = False,
+        trigram_fold_case: bool = False,
     ) -> "SearchEngine":
         index = build_index(
             spark, source_files, id_col=id_col, text_col=text_col,
@@ -268,7 +274,18 @@ class SearchEngine:
         docs = source_files.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")
         )
-        return cls(index, ranks, doc_meta, docs, mode=mode, fielded_index=findex)
+        tindex = None
+        if trigram:
+            from google_spark.operators.trigram import build_trigram_index
+
+            tindex = build_trigram_index(
+                spark, source_files, id_col=id_col, text_col=text_col,
+                n_shards=n_shards, fold_case=trigram_fold_case,
+            )
+        return cls(
+            index, ranks, doc_meta, docs, mode=mode, fielded_index=findex,
+            trigram_index=tindex,
+        )
 
     @classmethod
     def from_catalog(
@@ -347,6 +364,10 @@ class SearchEngine:
             from google_spark.operators.fielded import write_fielded_index
 
             write_fielded_index(self.fielded_index, f"{out_dir}/fields")
+        if self.trigram_index is not None:
+            from google_spark.operators.trigram import write_trigram_index
+
+            write_trigram_index(self.trigram_index, f"{out_dir}/trigram")
         if self.doc_meta is not None:
             self.doc_meta.sort("doc_id").write.mode("overwrite").parquet(
                 f"{out_dir}/doc_meta.parquet"
@@ -391,9 +412,14 @@ class SearchEngine:
             from google_spark.operators.fielded import read_fielded_index
 
             findex = read_fielded_index(spark, os.path.join(index_dir, "fields"))
+        tindex = None
+        if os.path.isdir(os.path.join(index_dir, "trigram")):
+            from google_spark.operators.trigram import read_trigram_index
+
+            tindex = read_trigram_index(spark, os.path.join(index_dir, "trigram"))
         eng = cls(
             index, ranks, meta, docs, mode=mode, word_vectors=wv,
-            fielded_index=findex,
+            fielded_index=findex, trigram_index=tindex,
         )
         if meta is not None:
             eng._meta_path = meta_p
@@ -545,6 +571,68 @@ class SearchEngine:
             self._syn = load_word_vectors(self.word_vectors)
         terms = list(dict.fromkeys(normalize_query(query, mode=self.mode)))
         return expand_query(terms, self._syn[0], self._syn[1], topn=topn)
+
+    def grep(
+        self,
+        pattern: str,
+        limit: int = 20,
+        lines: bool = False,
+        case_insensitive: bool = False,
+    ) -> list[dict]:
+        """Regex retrieval over the corpus content (the Code-Search
+        surface): with a bundled trigram index (``build(trigram=True)`` or
+        a saved bundle containing ``trigram/``), candidates come from the
+        gram postings and only candidates are regex-verified; without one,
+        the same result via a single full verification scan. Unlike the
+        word-query paths this IS a distributed job per call — substring
+        semantics cannot be served from the word postings. ``lines=True``
+        returns grep -n rows (doc_id, line_no, line) instead of
+        (doc_id, match)."""
+        self._maybe_refresh()
+        if self.docs is None:
+            raise ValueError("grep needs the docstore (docs=) to verify")
+        spark = self.index.postings.sparkSession
+        docs = self.docs.select(
+            F.col("doc_id"), F.col("content").alias("text")
+        )
+        if self.trigram_index is not None:
+            from google_spark.operators.trigram import grep_lines, regex_search
+
+            fn = grep_lines if lines else regex_search
+            df = fn(
+                spark, self.trigram_index, docs, pattern, limit=limit,
+                case_insensitive=case_insensitive,
+            )
+        else:
+            verify = f"(?i){pattern}" if case_insensitive else pattern
+            base = docs.filter(F.col("text").rlike(verify))
+            if lines:
+                df = (
+                    docs.select(
+                        "doc_id",
+                        F.posexplode(F.split("text", "\n")).alias(
+                            "line_idx", "line"
+                        ),
+                    )
+                    .filter(F.col("line").rlike(verify))
+                    .select(
+                        "doc_id",
+                        (F.col("line_idx") + 1).cast("long").alias("line_no"),
+                        "line",
+                    )
+                    .orderBy("doc_id", "line_no")
+                    .limit(limit)
+                )
+            else:
+                df = (
+                    base.select(
+                        "doc_id",
+                        F.regexp_extract("text", verify, 0).alias("match"),
+                    )
+                    .orderBy("doc_id")
+                    .limit(limit)
+                )
+        return [r.asDict() for r in df.collect()]
 
     def related(
         self, doc_id: int, k: int = 10, n_query_terms: int = 5

@@ -127,6 +127,24 @@ def make_handler(engine):
                             for t, cands in sugg.items()
                         },
                     )
+                if u.path == "/grep":
+                    # regex retrieval — the one route that runs a Spark
+                    # job per request (substring semantics can't be
+                    # served from the word postings)
+                    pattern = (qs.get("pattern") or [""])[0]
+                    if not pattern:
+                        return self._json(400, {"error": "pattern required"})
+                    limit = int((qs.get("limit") or ["20"])[0])
+                    lines = (qs.get("lines") or ["false"])[0] == "true"
+                    ci = (qs.get("i") or ["false"])[0] == "true"
+                    with lock:
+                        rows = engine.grep(
+                            pattern, limit=limit, lines=lines,
+                            case_insensitive=ci,
+                        )
+                    return self._json(
+                        200, {"pattern": pattern, "results": rows}
+                    )
                 if u.path == "/history":
                     limit = int((qs.get("limit") or ["5"])[0])
                     with lock:

@@ -384,3 +384,34 @@ def test_facade_fielded_search(spark, corpus_df, tmp_path):
 
     with pytest.raises(ValueError, match="fielded_index"):
         bare.search(q, fielded=True)
+
+
+def test_grep_facade_trigram_vs_fallback(spark, corpus_df, tmp_path):
+    """engine.grep: trigram-indexed and full-scan engines must return the
+    same rows; the bundle round-trips the trigram index."""
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    eng_plain = SearchEngine.build(spark, docs, with_pagerank=False)
+    eng_tri = SearchEngine.build(
+        spark, docs, with_pagerank=False, trigram=True
+    )
+    assert eng_tri.trigram_index is not None
+
+    pat = r"def open_[a-z_]+"
+    got_plain = eng_plain.grep(pat, limit=10)
+    got_tri = eng_tri.grep(pat, limit=10)
+    assert got_tri == got_plain
+    assert got_tri and all(r["match"].startswith("def open_") for r in got_tri)
+
+    lines = eng_tri.grep(pat, limit=10, lines=True)
+    assert lines and all(
+        r["line_no"] >= 1 and "def open_" in r["line"] for r in lines
+    )
+
+    out = str(tmp_path / "grep_bundle")
+    eng_tri.save(out)
+    loaded = SearchEngine.load(spark, out)
+    assert loaded.trigram_index is not None
+    assert loaded.grep(pat, limit=10) == got_plain

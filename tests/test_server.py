@@ -138,3 +138,23 @@ def test_related_route(served):
 
     status, body = _get(base, "/related?doc_id=99999999")
     assert status == 200 and body["results"] == []
+
+
+def test_grep_route(served):
+    loaded, base = served
+    import urllib.parse
+
+    pat = urllib.parse.quote(r"def open_[a-z_]+")
+    status, body = _get(base, f"/grep?pattern={pat}&limit=5")
+    assert status == 200
+    direct = loaded.grep(r"def open_[a-z_]+", limit=5)
+    assert body["results"] == direct
+    assert body["results"]
+    status, body = _get(base, f"/grep?pattern={pat}&limit=3&lines=true")
+    assert status == 200
+    assert all("line_no" in r for r in body["results"])
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base, "/grep")
+    assert ei.value.code == 400
