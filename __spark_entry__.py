@@ -1777,6 +1777,27 @@ def q_regex_search_ci_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "t"), ("d", "at"),
+    ("dat", "a"), ("data", "</w>"), ("e", "r"), ("o", "w"), ("r", "ow"),
+]
+
+
+def q_text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword token counts from a FIXED BPE merge list applied by
+    the vectorized encode kernel (functions/bpe.py) — the trained-tokenizer
+    budget line. The rules are pinned (not trained) so the DuckDB oracle
+    can replay the encode exactly as a chain of delimiter replaces; the
+    lowest-rank-first loop and the rank-order replace chain coincide on
+    this corpus's vocabulary (asserted against every distinct word in
+    tests). Training itself (distributed word freqs -> incremental merge
+    loop) is pytest-verified against a naive recount reference."""
+    from google_spark.functions.bpe import bpe_token_count
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bpe_token_count(docs, _BPE_MERGES).orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1838,6 +1859,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search_trigram": q_substring_search_trigram,
         "grep_lines_trigram": q_grep_lines_trigram,
         "regex_search_ci_trigram": q_regex_search_ci_trigram,
+        "text_bpe_count": q_text_bpe_count,
     }
 
 
@@ -3569,6 +3591,24 @@ SELECT doc_id,
 FROM documents
 WHERE regexp_matches(text, 'DATA (GROUP|ROW) (JOIN|MERGE)', 'i')
 ORDER BY doc_id LIMIT 20
+""",
+        # BPE encode replay: symbols space-joined, each merge rule (rank
+        # order) one delimiter replace — exact vs the kernel's
+        # lowest-rank-first loop on this corpus's vocabulary
+        "text_bpe_count": """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(lower(coalesce(text, '')), ' ')) AS word
+  FROM documents
+), enc AS (
+  SELECT doc_id,
+         CASE WHEN word = '' THEN 0 ELSE len(string_split(trim(
+replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w> ', ' t h ', ' th '), ' th e ', ' the '), ' the </w> ', ' the</w> '), ' a t ', ' at '), ' d at ', ' dat '), ' dat a ', ' data '), ' data </w> ', ' data</w> '), ' e r ', ' er '), ' o w ', ' ow '), ' r ow ', ' row ')
+         ), ' ')) END AS n
+  FROM w
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM enc GROUP BY doc_id ORDER BY doc_id
 """,
         "catalog_changelog": """
 SELECT * FROM (

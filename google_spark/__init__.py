@@ -116,6 +116,12 @@ def __getattr__(name):
             "google_spark.operators.trigram",
             "compact_trigram_index",
         ),
+        "train_bpe": ("google_spark.functions.bpe", "train_bpe"),
+        "bpe_encode": ("google_spark.functions.bpe", "bpe_encode"),
+        "bpe_token_count": (
+            "google_spark.functions.bpe",
+            "bpe_token_count",
+        ),
     }
     if name in lazy:
         import importlib

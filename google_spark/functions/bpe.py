@@ -1,0 +1,204 @@
+"""Byte-pair-encoding tokenizer: distributed training + vectorized encode.
+
+Public design: Sennrich, Haddow & Birch, "Neural Machine Translation of
+Rare Words with Subword Units" (ACL 2016) — learn a fixed number of merge
+rules by repeatedly fusing the most frequent adjacent symbol pair.
+
+The scale insight (the same one SentencePiece/subword-nmt exploit): BPE
+training never needs the corpus — it needs the WORD FREQUENCY TABLE, which
+is vocabulary-sized. So the distributed part is exactly one Spark
+aggregation (split -> explode -> groupBy(word).count(), optionally capped
+to the top-K words, which bounds driver memory AND is the standard
+practice: rare-word tails don't move pair counts). The merge loop then
+runs driver-side over (word_symbols, freq) pairs with an incremental
+pair-count index — O(vocab) per merge, not O(corpus).
+
+Encoding goes back to the executors: a mapInPandas kernel applies the
+(broadcast) merge ranks with the classic lowest-rank-first loop, giving
+per-doc subword tokens / counts at corpus scale. The reference engine has
+no subword layer at all (its tokenizer is `\\b\\w+\\b`, ref:
+src/cis5550/jobs/Indexer.java:152-165); this is the training-data-pipeline
+"token accounting done right" upgrade over the regex estimate in
+operators/text_analysis.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker: merges can't cross word boundaries
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", max_words: int = 50_000
+) -> list[tuple[str, int]]:
+    """The ONE distributed step: (word, freq) for the ``max_words`` most
+    frequent whitespace-delimited words, lowercased. Partial aggregation
+    is map-side (hash agg before the exchange); the result is
+    vocabulary-sized and safe to collect."""
+    t = F.col(text_col)
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(t, F.lit(""))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("word")
+    )
+    rows = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_words)
+        .collect()
+    )
+    return [(r["word"], int(r["freq"])) for r in rows]
+
+
+def train_bpe_from_freqs(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE over a word-frequency table: returns the ordered merge
+    list. Deterministic: ties on pair frequency break on the pair itself
+    (lexicographic), so two engines training on the same table produce
+    identical rules. Incremental pair-count maintenance keeps each merge
+    O(#affected words), not O(vocab)."""
+    # word -> list of symbols; start at characters + end marker
+    words: list[list[str]] = [list(w) + [END] for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += f
+            pair_words[(a, b)].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if pair_counts[best] <= 0:
+            break
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        affected = list(pair_words.pop(best, ()))
+        pair_counts.pop(best, None)
+        for i in affected:
+            syms = words[i]
+            f = freqs[i]
+            # remove this word's contribution to all its pairs, re-add
+            # after the in-word merge (simple and exactly correct)
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= f
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                pair_words[(a, b)].discard(i)
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if (
+                    j + 1 < len(syms)
+                    and syms[j] == best[0]
+                    and syms[j + 1] == best[1]
+                ):
+                    out.append(new_sym)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += f
+                pair_words[(a, b)].add(i)
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 1000,
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """End-to-end: one Spark aggregation for word frequencies, then the
+    driver-side merge loop (see module docstring for why that split IS
+    the at-scale design)."""
+    return train_bpe_from_freqs(
+        word_frequencies(docs, text_col=text_col, max_words=max_words),
+        n_merges,
+    )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word, lowest-rank-first (the canonical BPE
+    encode loop)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, tokens array<string>, n_tokens) — the merge table rides to
+    executors inside the serialized kernel (it is n_merges rows, KBs);
+    per-word encodes are memoized per batch, so hot words cost one encode
+    per Arrow batch, not one per occurrence."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def kernel(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_col, counts = [], []
+            for text in pdf[text_col].astype(object):
+                toks: list[str] = []
+                if isinstance(text, str) and text:
+                    for w in text.lower().split():
+                        got = memo.get(w)
+                        if got is None:
+                            got = memo[w] = encode_word(w, ranks)
+                        toks.extend(got)
+                toks_col.append(toks)
+                counts.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "tokens": toks_col,
+                    "n_tokens": counts,
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, tokens array<string>, n_tokens long"
+    )
+
+
+def bpe_token_count(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens) — the trained-tokenizer budget line for packing
+    and mix planning (upgrade over text_analysis.token_estimate)."""
+    return bpe_encode(
+        docs, merges, id_col=id_col, text_col=text_col
+    ).select("doc_id", "n_tokens")

@@ -1,0 +1,167 @@
+"""BPE tokenizer training/encoding (functions/bpe.py).
+
+The incremental pair-count trainer is cross-checked against a naive
+recount-everything reference; encode round-trips (concatenation restores
+the word) and the Spark kernel matches the pure-Python encoder row by row.
+"""
+
+from collections import Counter
+
+import pytest
+
+from google_spark.functions.bpe import (
+    END,
+    bpe_encode,
+    bpe_token_count,
+    encode_word,
+    train_bpe,
+    train_bpe_from_freqs,
+    word_frequencies,
+)
+
+
+def _naive_train(word_freqs, n_merges):
+    """Reference trainer: recount all pairs from scratch every round."""
+    words = {i: list(w) + [END] for i, (w, _) in enumerate(word_freqs)}
+    freqs = [f for _, f in word_freqs]
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for i, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] += freqs[i]
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        for i, syms in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if (
+                    j + 1 < len(syms)
+                    and syms[j] == best[0]
+                    and syms[j + 1] == best[1]
+                ):
+                    out.append(best[0] + best[1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+    return merges
+
+
+FREQS = [
+    ("low", 5),
+    ("lower", 2),
+    ("newest", 6),
+    ("widest", 3),
+    ("lowest", 4),
+]
+
+
+def test_incremental_trainer_matches_naive():
+    for n in (1, 5, 12, 40):
+        assert train_bpe_from_freqs(FREQS, n) == _naive_train(FREQS, n), n
+
+
+def test_trainer_deterministic_and_est_merge_early():
+    m = train_bpe_from_freqs(FREQS, 10)
+    assert m == train_bpe_from_freqs(list(FREQS), 10)
+    # 'est</w>' dominates (newest+widest+lowest = 13): its pairs appear
+    # among the first merges
+    joined = ["".join(p) for p in m[:4]]
+    assert any("est" in s or ("es" in s) for s in joined)
+
+
+def test_encode_word_round_trips():
+    merges = train_bpe_from_freqs(FREQS, 20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in FREQS + [("lowers", 1), ("unseen", 1), ("x", 1)]:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + END, w
+
+
+def test_encode_word_prefers_lowest_rank():
+    # rank 0 ('a','b') must merge before rank 1 ('b','c') even when 'bc'
+    # appears first in the word
+    ranks = {("a", "b"): 0, ("b", "c"): 1}
+    assert encode_word("bcab", ranks)[:2] == ["bc", "ab"]
+
+
+def test_spark_encode_matches_python(spark):
+    rows = [
+        (1, "low lower newest"),
+        (2, "widest lowest low low"),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe_from_freqs(FREQS, 15)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for doc_id, text in rows:
+        want = []
+        for w in (text or "").lower().split():
+            want.extend(encode_word(w, ranks))
+        assert got[doc_id] == (want, len(want)), doc_id
+    counts = {
+        r.doc_id: r.n_tokens for r in bpe_token_count(docs, merges).collect()
+    }
+    assert counts == {d: got[d][1] for d, _ in rows}
+
+
+def test_word_frequencies_and_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "AA cc"), (3, None)],
+        "doc_id long, text string",
+    )
+    wf = word_frequencies(docs)
+    assert wf[0] == ("aa", 3)  # lowercased, merged across docs
+    assert dict(wf)["bb"] == 1
+    merges = train_bpe(docs, n_merges=3)
+    assert merges[0] == ("a", "a")  # most frequent pair
+
+
+def test_max_words_cap(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z x y x")], "doc_id long, text string"
+    )
+    wf = word_frequencies(docs, max_words=2)
+    assert [w for w, _ in wf] == ["x", "y"]  # freq desc, word asc
+
+
+def test_oracle_replace_chain_equals_kernel_on_testdata_vocab():
+    """The contract row's SQL oracle replays encode as a rank-order chain
+    of delimiter replaces; this pins that the chain equals the kernel's
+    lowest-rank-first loop on EVERY distinct word of the testdata corpus
+    (the assumption that makes the oracle exact)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    merges = entry._BPE_MERGES
+    ranks = {p: i for i, p in enumerate(merges)}
+    con = duckdb.connect()
+    words = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT unnest(string_split(lower(text), ' ')) "
+            "FROM '/root/testdata/sf0.01/documents.parquet' "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+        if r[0]
+    ]
+    assert words
+
+    def sql_replay(w):
+        s = " " + " ".join(list(w) + [END]) + " "
+        for a, b in merges:
+            s = s.replace(f" {a} {b} ", f" {a + b} ")
+        return s.split()
+
+    for w in words:
+        assert encode_word(w, ranks) == sql_replay(w), w
