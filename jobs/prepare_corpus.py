@@ -61,12 +61,17 @@ def prepare_corpus(
     scrub: bool = False,
     decontaminate=None,
     pack_budget: int | None = None,
+    bpe_merges: int | None = None,
 ):
     """Run stages 0-8 (everything except the index build); returns
     (prepared DataFrame, accounting dict). Importable so tests drive it
     without spark-submit. ``decontaminate`` is a DataFrame of eval docs
     (same id/text columns); ``pack_budget`` adds a ``pack_id`` column
-    (per-language sequence packing) without changing row counts."""
+    (per-language sequence packing) without changing row counts.
+    ``bpe_merges`` switches token accounting (and therefore packing) from
+    the regex estimate to a BPE tokenizer TRAINED on the surviving docs
+    (functions/bpe.py) — the budget line a real pretraining mix uses;
+    the learned rules are returned in the accounting dict."""
     from pyspark.sql import functions as F
 
     from google_spark.operators.dedup import exact_dedup, minhash_near_dups
@@ -218,9 +223,22 @@ def prepare_corpus(
     # second barrier: all gates are applied; the token accounting, the
     # optional packing window, and the caller's write reuse this state
     # instead of replaying the filter stack off the dedup barrier
-    docs = docs.join(
-        token_count(docs, id_col=id_col, text_col=text_col), id_col
-    ).persist()
+    if bpe_merges:
+        # train on the SURVIVORS (post-gates), so the learned subwords
+        # reflect what the mix will actually feed the model
+        from google_spark.functions.bpe import bpe_token_count, train_bpe
+
+        merges = train_bpe(docs, text_col=text_col, n_merges=bpe_merges)
+        acct["bpe_n_merges"] = len(merges)
+        acct["bpe_merges"] = ["".join(m) for m in merges[:50]]
+        counts = bpe_token_count(
+            docs, merges, id_col=id_col, text_col=text_col
+        ).withColumnRenamed("doc_id", id_col)
+        docs = docs.join(counts, id_col).persist()
+    else:
+        docs = docs.join(
+            token_count(docs, id_col=id_col, text_col=text_col), id_col
+        ).persist()
     total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
     acct["total_tokens"] = int(total)
     _dedup_barrier.unpersist()
@@ -288,6 +306,13 @@ def main() -> None:
         help="add a pack_id column: per-language sequence packing at this "
         "token budget",
     )
+    ap.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=None,
+        help="train a BPE tokenizer on the survivors and use its subword "
+        "counts for token accounting and packing",
+    )
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
     mix = None
@@ -326,6 +351,7 @@ def main() -> None:
             else None
         ),
         pack_budget=args.pack_budget,
+        bpe_merges=args.bpe_merges,
     )
     prepared.write.mode("overwrite").parquet(f"{args.out}/corpus.parquet")
     prepared_back = spark.read.parquet(f"{args.out}/corpus.parquet")

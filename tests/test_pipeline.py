@@ -228,3 +228,35 @@ def test_prepare_corpus_scrub_decontaminate_pack(spark):
     assert all("pack_id" in r.asDict() for r in rows.values())
     assert acct["n_packs"] >= 1
     assert "@" not in rows[1]["text"] and "<EMAIL>" in rows[1]["text"]
+
+
+def test_prepare_corpus_bpe_token_accounting(spark):
+    """bpe_merges= switches the token budget line to a tokenizer trained
+    on the survivors: counts must equal encoding every surviving doc with
+    the returned rules, and packing must consume the BPE counts."""
+    from prepare_corpus import prepare_corpus
+
+    from google_spark.functions.bpe import encode_word, train_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prepared, acct = prepare_corpus(
+        spark, docs, bpe_merges=30, pack_budget=500
+    )
+    assert acct["bpe_n_merges"] == 30
+    # the same training on the same survivors is deterministic, so the
+    # pipeline's counts must equal a hand-rolled encode
+    survivors = prepared.select("doc_id", "text", "n_tokens").collect()
+    merges = train_bpe(
+        prepared.select("doc_id", "text"), n_merges=30
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    memo: dict[str, int] = {}
+    for r in survivors:
+        want = 0
+        for w in (r.text or "").lower().split():
+            if w not in memo:
+                memo[w] = len(encode_word(w, ranks))
+            want += memo[w]
+        assert r.n_tokens == want, r.doc_id
+    assert acct["total_tokens"] == sum(r.n_tokens for r in survivors)
+    assert "pack_id" in prepared.columns and acct["n_packs"] > 0
