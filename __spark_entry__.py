@@ -33,8 +33,9 @@ text_keywords, text_pmi_bigrams, text_bigram_logprob, sim_semantic_dedup,
 hybrid_rrf_topk, facet_counts, fuzzy_search_topk, graph_hits,
 rank_eval_metrics, sim_centroid_classify, sim_mmr_rerank, dedup_containment,
 catalog_changelog, dedup_lines_global, regex_search_trigram,
-substring_search_trigram, grep_lines_trigram, regex_search_ci_trigram —
-total contract surface 98 rows, all green in the local gate this round.
+substring_search_trigram, grep_lines_trigram, regex_search_ci_trigram,
+text_bpe_count, join_asof, join_range — total contract surface 101 rows,
+all green in the local gate this round.
 """
 
 from __future__ import annotations
@@ -1798,6 +1799,44 @@ def q_text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(docs, _BPE_MERGES).orderBy("doc_id")
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events table: each click attached to the
+    user's latest at-or-before view (union+window formulation — one
+    key shuffle, never |L|x|R|; operators/joins.py). Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from google_spark.operators.joins import asof_join_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof_join_events(ev).select(
+        "event_id", "event_id_r", "value_r"
+    ).orderBy("event_id")
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks inside [view.ts, view.ts + 10min]
+    per user, via the bucketed interval join (intervals explode to
+    coarse buckets, points map to one bucket, equi-join + exact filter
+    — no cross product). Oracle: plain inequality join."""
+    from google_spark.operators.joins import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    return (
+        range_join(clicks, views, "ts", "lo", "hi", by="user_id",
+                   bucket_width=600.0)
+        .select("event_id", "view_id")
+        .orderBy("event_id", "view_id")
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1860,6 +1899,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_lines_trigram": q_grep_lines_trigram,
         "regex_search_ci_trigram": q_regex_search_ci_trigram,
         "text_bpe_count": q_text_bpe_count,
+        "join_asof": q_join_asof,
+        "join_range": q_join_range,
     }
 
 
@@ -3591,6 +3632,23 @@ SELECT doc_id,
 FROM documents
 WHERE regexp_matches(text, 'DATA (GROUP|ROW) (JOIN|MERGE)', 'i')
 ORDER BY doc_id LIMIT 20
+""",
+        "join_asof": """
+SELECT l.event_id,
+       r.event_id AS event_id_r,
+       r.value AS value_r
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""",
+        "join_range": """
+SELECT l.event_id, r.event_id AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id
+ AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 10 MINUTE
+ORDER BY l.event_id, view_id
 """,
         # BPE encode replay: symbols space-joined, each merge rule (rank
         # order) one delimiter replace — exact vs the kernel's

@@ -116,6 +116,8 @@ def __getattr__(name):
             "google_spark.operators.trigram",
             "compact_trigram_index",
         ),
+        "asof_join": ("google_spark.operators.joins", "asof_join"),
+        "range_join": ("google_spark.operators.joins", "range_join"),
         "train_bpe": ("google_spark.functions.bpe", "train_bpe"),
         "bpe_encode": ("google_spark.functions.bpe", "bpe_encode"),
         "bpe_token_count": (

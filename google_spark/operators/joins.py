@@ -1,0 +1,191 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+The reference engine has only an equi inner join executed as one RPC
+point-lookup per probe row (ref: src/cis5550/flame/Worker.java:147-161);
+these are the standard time-series extensions (pandas ``merge_asof``,
+DuckDB/kdb ``ASOF JOIN``) a log/metrics pipeline needs, built as
+compositions of existing DataFrame ops — no cross products, no UDFs.
+
+Scale shapes:
+- **as-of** is the union+window formulation: tag the two sides, union,
+  and for each left row take ``last(right_payload, ignorenulls)`` over a
+  (key)-partitioned window ordered by time — ONE shuffle on the key, cost
+  O((|L|+|R|) log per-key run), never |L|x|R|. The right payload travels
+  as a single struct column, so the window carries one value, not one
+  per column.
+- **range** is the bucketed interval join: intervals explode to the
+  coarse buckets they cover (``sequence``), points map to exactly one
+  bucket, the join is a plain equi-join on (key, bucket) and the exact
+  containment predicate filters after. Each matching pair is produced
+  exactly once (a point lives in one bucket), and the fan-out is bounded
+  by interval_span / bucket_width — pick the width near the typical span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _payload(df: DataFrame, cols: list[str]) -> object:
+    return F.struct(*[F.col(c) for c in cols])
+
+
+def _as_double(df: DataFrame, col_name: str):
+    """Numeric view of a point/bound column: timestamps (incl. NTZ, which
+    Spark won't cast to double directly) go through a timestamp cast
+    first — epoch seconds with fraction; plain numerics cast straight."""
+    dt = dict(df.dtypes).get(col_name, "")
+    if dt.startswith("timestamp") or dt == "date":
+        return F.col(col_name).cast("timestamp").cast("double")
+    return F.col(col_name).cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row, attach the right row whose ``on`` value is the
+    closest at-or-before it (``backward``) / at-or-after it (``forward``),
+    optionally within the same ``by`` key and within ``tolerance`` (in the
+    ``on`` column's units; seconds for timestamps). Left rows with no
+    match keep NULL right columns (pandas ``merge_asof`` semantics).
+    Right columns colliding with left names get ``suffix``.
+
+    Ties on ``on`` are inclusive: a right row AT the left timestamp
+    matches in both directions."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    lcols = left.columns
+    rcols = right.columns
+    out_r = [(c, c + suffix if c in lcols else c) for c in rcols]
+
+    key = by if by is not None else "__asof_all"
+    l_ = left if by is not None else left.withColumn(key, F.lit(0))
+    r_ = right if by is not None else right.withColumn(key, F.lit(0))
+
+    # inclusive tie-break: the right row must be visible to an equal-ts
+    # left row, so it sorts on the frame-start side of the left row
+    r_tag, l_tag = (0, 1) if direction == "backward" else (1, 0)
+    u = l_.select(
+        F.col(key).alias("__k"),
+        F.col(on).alias("__t"),
+        F.lit(l_tag).alias("__tag"),
+        _payload(l_, lcols).alias("__l"),
+        F.lit(None).cast(
+            r_.select(_payload(r_, rcols)).schema[0].dataType
+        ).alias("__r"),
+    ).unionByName(
+        r_.select(
+            F.col(key).alias("__k"),
+            F.col(on).alias("__t"),
+            F.lit(r_tag).alias("__tag"),
+            F.lit(None).cast(
+                l_.select(_payload(l_, lcols)).schema[0].dataType
+            ).alias("__l"),
+            _payload(r_, rcols).alias("__r"),
+        )
+    )
+    w = Window.partitionBy("__k").orderBy("__t", "__tag")
+    if direction == "backward":
+        matched = F.last("__r", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        matched = F.first("__r", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+    out = (
+        u.withColumn("__m", matched)
+        .filter(F.col("__tag") == l_tag)
+    )
+    if tolerance is not None:
+        tcast = (
+            "timestamp"
+            if dict(left.dtypes).get(on, "").startswith(("timestamp", "date"))
+            else "double"
+        )
+        gap = F.abs(
+            F.col("__t").cast(tcast).cast("double")
+            - F.col(f"__m.{on}").cast(tcast).cast("double")
+        )
+        out = out.withColumn(
+            "__m", F.when(gap <= float(tolerance), F.col("__m"))
+        )
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__m.{src}").alias(dst) for src, dst in out_r],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    by: str | None = None,
+    bucket_width: float = 3600.0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner-join each point row to every interval row with
+    ``lo <= point <= hi`` (and equal ``by`` key when given) WITHOUT a
+    cross product: intervals explode to the coarse buckets they cover,
+    points live in exactly one bucket, and a plain equi-join on
+    (key, bucket) feeds the exact containment filter — so each matching
+    pair is produced exactly once. ``bucket_width`` is in the value
+    column's units (seconds for timestamps); fan-out per interval is
+    span/width + 1, so pick the width near the typical span. Interval
+    columns colliding with point-side names get ``suffix``."""
+    pcols = points.columns
+    icols = intervals.columns
+    out_i = [(c, c + suffix if c in pcols else c) for c in icols]
+
+    pv = _as_double(points, point_col)
+    lov, hiv = _as_double(intervals, lo_col), _as_double(intervals, hi_col)
+    wlit = float(bucket_width)
+
+    p = points.select(
+        _payload(points, pcols).alias("__p"),
+        F.floor(pv / wlit).alias("__b"),
+        *([F.col(by).alias("__k")] if by else [F.lit(0).alias("__k")]),
+        pv.alias("__pv"),
+    )
+    i = intervals.filter(lov <= hiv).select(
+        _payload(intervals, icols).alias("__i"),
+        F.explode(
+            F.sequence(F.floor(lov / wlit), F.floor(hiv / wlit))
+        ).alias("__b"),
+        *([F.col(by).alias("__k")] if by else [F.lit(0).alias("__k")]),
+        lov.alias("__lo"),
+        hiv.alias("__hi"),
+    )
+    return (
+        p.join(i, ["__k", "__b"])
+        .filter((F.col("__lo") <= F.col("__pv")) & (F.col("__pv") <= F.col("__hi")))
+        .select(
+            *[F.col(f"__p.{c}").alias(c) for c in pcols],
+            *[F.col(f"__i.{src}").alias(dst) for src, dst in out_i],
+        )
+    )
+
+
+def asof_join_events(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+) -> DataFrame:
+    """Testdata-shaped convenience: each ``left_type`` event joined to the
+    user's latest at-or-before ``right_type`` event."""
+    l_ = events.filter(F.col("event_type") == left_type).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r_ = events.filter(F.col("event_type") == right_type).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(l_, r_, on="ts", by="user_id", direction="backward")

@@ -1,0 +1,166 @@
+"""As-of and range joins (operators/joins.py) — parity vs DuckDB's native
+ASOF JOIN / inequality join on the events testdata, plus edge semantics
+(inclusive ties, tolerance, no-match NULLs, bucket-width invariance)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from google_spark.operators.joins import asof_join, asof_join_events, range_join
+
+EV = "/root/testdata/sf0.01/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(EV)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{EV}'")
+    return con
+
+
+def test_asof_backward_matches_duckdb(spark, events, duck):
+    got = sorted(
+        (r.event_id, r.event_id_r)
+        for r in asof_join_events(events).collect()
+    )
+    truth = sorted(
+        duck.execute(
+            """
+            SELECT l.event_id, r.event_id FROM
+            (SELECT * FROM events WHERE event_type='click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            """
+        ).fetchall()
+    )
+    assert got == truth and len(got) > 100
+
+
+def test_asof_forward_matches_duckdb(spark, events, duck):
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    got = sorted(
+        (r.event_id, r.event_id_r)
+        for r in asof_join(
+            clicks, views, on="ts", by="user_id", direction="forward"
+        ).collect()
+    )
+    truth = sorted(
+        duck.execute(
+            """
+            SELECT l.event_id, r.event_id FROM
+            (SELECT * FROM events WHERE event_type='click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+            """
+        ).fetchall()
+    )
+    assert got == truth
+
+
+def test_asof_tolerance_and_tie_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 10.0), (2, "k", 100.0), (3, "k", 5.0)],
+        "id long, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 10.0), (11, "k", 90.0)],
+        "rid long, k string, t double",
+    )
+    rows = {
+        r.id: r.rid
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    # inclusive tie: left t=10 matches the right row AT 10
+    assert rows == {1: 10, 2: 11, 3: None}
+    rows_tol = {
+        r.id: r.rid
+        for r in asof_join(
+            left, right, on="t", by="k", tolerance=5.0
+        ).collect()
+    }
+    # t=100 is 10 past its match at 90: dropped by tolerance
+    assert rows_tol == {1: 10, 2: None, 3: None}
+
+
+def test_asof_without_by_key(spark):
+    left = spark.createDataFrame([(1, 7.0)], "id long, t double")
+    right = spark.createDataFrame(
+        [(20, 3.0), (21, 6.0), (22, 9.0)], "rid long, t double"
+    )
+    rows = asof_join(left, right, on="t").collect()
+    assert rows[0].rid == 21
+
+
+def test_range_join_matches_duckdb(spark, events, duck):
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    truth = sorted(
+        duck.execute(
+            """
+            SELECT l.event_id, r.event_id FROM
+            (SELECT * FROM events WHERE event_type='click') l
+            JOIN (SELECT * FROM events WHERE event_type='view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+             AND l.ts <= r.ts + INTERVAL 10 MINUTE
+            """
+        ).fetchall()
+    )
+    # bucket width must not change results (correctness vs tuning knob)
+    for width in (60.0, 600.0, 7200.0):
+        got = sorted(
+            (r.event_id, r.view_id)
+            for r in range_join(
+                clicks, views, "ts", "lo", "hi",
+                by="user_id", bucket_width=width,
+            ).collect()
+        )
+        assert got == truth, width
+    assert truth  # the fixture must actually exercise matches
+
+
+def test_range_join_exactly_once_per_pair(spark):
+    # one interval spanning many buckets, one point inside: exactly 1 row
+    points = spark.createDataFrame([(1, 500.0)], "id long, v double")
+    iv = spark.createDataFrame(
+        [(9, 0.0, 10_000.0)], "iid long, lo double, hi double"
+    )
+    rows = range_join(points, iv, "v", "lo", "hi", bucket_width=10.0).collect()
+    assert [(r.id, r.iid) for r in rows] == [(1, 9)]
+
+
+def test_range_join_no_shuffle_explosion_plan(spark, events):
+    """The plan must be an equi-join (SortMergeJoin/ShuffledHashJoin or
+    broadcast) on the bucket key — never a cartesian/BNLJ."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    plan = (
+        range_join(clicks, views, "ts", "lo", "hi", by="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
