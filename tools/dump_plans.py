@@ -411,6 +411,65 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.joins import asof_join, range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    sections.append(
+        (
+            "As-of join (union + window, one key shuffle)",
+            "Both sides project to (key, time, tag, payload struct) and "
+            "union; the match is last(right_payload, ignorenulls) over a "
+            "key-partitioned time-ordered window — ONE exchange on the "
+            "key, a per-key sort, no |L|x|R| blowup, right columns carried "
+            "as a single struct through the window.",
+            fmt(asof_join(clicks, views, on="ts", by="user_id")),
+        )
+    )
+    iv = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    sections.append(
+        (
+            "Range join (bucketed interval join, no cross product)",
+            "Intervals explode to the coarse buckets they cover "
+            "(sequence + explode, fan-out = span/width + 1); points map "
+            "to exactly one bucket; the join is a plain equi-join on "
+            "(key, bucket) — SortMergeJoin/ShuffledHashJoin, never "
+            "CartesianProduct/BNLJ — with the exact containment filter "
+            "after. Each matching pair appears exactly once.",
+            fmt(
+                range_join(
+                    clicks, iv, "ts", "lo", "hi",
+                    by="user_id", bucket_width=600.0,
+                )
+            ),
+        )
+    )
+
+    from google_spark.functions.bpe import bpe_encode, train_bpe
+
+    merges = train_bpe(docs, n_merges=30)
+    sections.append(
+        (
+            "BPE encode (trained rules, Arrow kernel)",
+            "Training is ONE aggregation (word frequencies — "
+            "vocabulary-sized, collected) + a driver-side merge loop; "
+            "encoding is a single MapInPandas over the scan with the "
+            "merge ranks serialized into the kernel (KBs) and per-word "
+            "memoization per batch. No joins, no shuffles.",
+            fmt(bpe_encode(docs, merges)),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
