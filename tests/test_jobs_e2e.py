@@ -158,3 +158,65 @@ def test_catalog_job_lifecycle(spark, corpus_parquet, tmp_path):
 
     log = _run([sys.executable, "jobs/catalog_job.py", "--root", root, "log"])
     assert [h["version"] for h in log["history"]] == [5]
+
+
+def test_trigram_job_lifecycle(spark, corpus_parquet, tmp_path):
+    """jobs/trigram_job.py drives the code-search index lifecycle as
+    subprocesses: build -> append -> search -> grep -> compact, each
+    emitting one JSON line."""
+    root = str(tmp_path / "tri_root")
+    built = _run(
+        [
+            sys.executable, "jobs/trigram_job.py", "--root", root,
+            "--cores", "8", "build",
+            "--input", corpus_parquet, "--text-col", "content",
+        ],
+        timeout=420,
+    )
+    assert built["n_docs"] == 300
+
+    app = _run(
+        [
+            sys.executable, "jobs/trigram_job.py", "--root", root,
+            "--cores", "8", "append",
+            "--input", corpus_parquet, "--text-col", "content",
+        ],
+        timeout=420,
+    )
+    assert app["segment"] == 1 and app["segments"] == [1]
+
+    hits = _run(
+        [
+            sys.executable, "jobs/trigram_job.py", "--root", root,
+            "--cores", "8", "search",
+            "--pattern", r"def open_[a-z_]+",
+            "--docs", corpus_parquet, "--text-col", "content",
+            "--limit", "5",
+        ],
+        timeout=420,
+    )
+    assert hits["results"] and all(
+        r["match"].startswith("def open_") for r in hits["results"]
+    )
+
+    grep = _run(
+        [
+            sys.executable, "jobs/trigram_job.py", "--root", root,
+            "--cores", "8", "grep",
+            "--pattern", r"def open_[a-z_]+",
+            "--docs", corpus_parquet, "--text-col", "content",
+            "--limit", "3",
+        ],
+        timeout=420,
+    )
+    assert grep["results"] and all(r["line_no"] >= 1 for r in grep["results"])
+
+    dest = str(tmp_path / "tri_compacted")
+    comp = _run(
+        [
+            sys.executable, "jobs/trigram_job.py", "--root", root,
+            "--cores", "8", "compact", "--dest", dest,
+        ],
+        timeout=420,
+    )
+    assert comp["n_docs"] == 600  # base 300 + appended 300 (plumbing test)
