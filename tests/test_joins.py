@@ -164,3 +164,59 @@ def test_range_join_no_shuffle_explosion_plan(spark, events):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_property_vs_pandas_merge_asof(spark):
+    """Randomized parity with pandas.merge_asof (the semantics contract):
+    backward + tolerance, grouped by key, inclusive ties."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        nl, nr = int(rng.integers(1, 40)), int(rng.integers(0, 40))
+        lp = pd.DataFrame(
+            {
+                "id": np.arange(nl),
+                "k": rng.integers(0, 3, nl).astype(str),
+                "t": rng.integers(0, 50, nl).astype("float64"),
+            }
+        )
+        rp = pd.DataFrame(
+            {
+                "rid": np.arange(100, 100 + nr),
+                "k": rng.integers(0, 3, nr).astype(str),
+                "t": rng.integers(0, 50, nr).astype("float64"),
+            }
+        )
+        # merge_asof forbids duplicate (k, t) ambiguity on the right only
+        # in spirit — it takes the LAST of equal rows; our window's tie on
+        # (t, tag) is arbitrary among exact right duplicates, so drop them
+        rp = rp.drop_duplicates(subset=["k", "t"], keep="last")
+        tol = float(rng.integers(1, 20)) if trial % 2 else None
+
+        want = pd.merge_asof(
+            lp.sort_values("t"),
+            rp.sort_values("t"),
+            on="t",
+            by="k",
+            direction="backward",
+            tolerance=tol,
+            suffixes=("", "_r"),
+        ).sort_values("id")
+        l_ = spark.createDataFrame(lp)
+        r_ = spark.createDataFrame(rp)
+        got = (
+            asof_join(l_, r_, on="t", by="k", tolerance=tol)
+            .orderBy("id")
+            .toPandas()
+        )
+        want_pairs = [
+            (int(i), None if pd.isna(r) else int(r))
+            for i, r in zip(want["id"], want["rid"])
+        ]
+        got_pairs = [
+            (int(i), None if pd.isna(r) else int(r))
+            for i, r in zip(got["id"], got["rid"])
+        ]
+        assert got_pairs == want_pairs, (trial, tol)
