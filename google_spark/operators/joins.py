@@ -51,16 +51,19 @@ def asof_join(
     suffix: str = "_r",
 ) -> DataFrame:
     """For every left row, attach the right row whose ``on`` value is the
-    closest at-or-before it (``backward``) / at-or-after it (``forward``),
-    optionally within the same ``by`` key and within ``tolerance`` (in the
-    ``on`` column's units; seconds for timestamps). Left rows with no
-    match keep NULL right columns (pandas ``merge_asof`` semantics).
-    Right columns colliding with left names get ``suffix``.
+    closest at-or-before it (``backward``) / at-or-after it (``forward``) /
+    closest either way (``nearest``; equidistant resolves backward, the
+    pandas behavior), optionally within the same ``by`` key and within
+    ``tolerance`` (in the ``on`` column's units; seconds for timestamps).
+    Left rows with no match keep NULL right columns (pandas
+    ``merge_asof`` semantics). Right columns colliding with left names
+    get ``suffix``.
 
     Ties on ``on`` are inclusive: a right row AT the left timestamp
-    matches in both directions."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    matches in every direction. ``nearest`` still costs ONE exchange —
+    both window passes share the same sort."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     lcols = left.columns
     rcols = right.columns
     out_r = [(c, c + suffix if c in lcols else c) for c in rcols]
@@ -70,8 +73,10 @@ def asof_join(
     r_ = right if by is not None else right.withColumn(key, F.lit(0))
 
     # inclusive tie-break: the right row must be visible to an equal-ts
-    # left row, so it sorts on the frame-start side of the left row
-    r_tag, l_tag = (0, 1) if direction == "backward" else (1, 0)
+    # left row, so it sorts on the frame-start side of the left row.
+    # nearest uses the backward layout: an equal-ts right row is then
+    # found by the backward pass with gap 0, which always wins.
+    r_tag, l_tag = (1, 0) if direction == "forward" else (0, 1)
     u = l_.select(
         F.col(key).alias("__k"),
         F.col(on).alias("__t"),
@@ -92,13 +97,40 @@ def asof_join(
         )
     )
     w = Window.partitionBy("__k").orderBy("__t", "__tag")
+    back = F.last("__r", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = F.first("__r", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
     if direction == "backward":
-        matched = F.last("__r", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
+        matched = back
+    elif direction == "forward":
+        matched = fwd
     else:
-        matched = F.first("__r", ignorenulls=True).over(
-            w.rowsBetween(0, Window.unboundedFollowing)
+        t_num = F.col("__t").cast(
+            "timestamp"
+            if dict(left.dtypes).get(on, "").startswith(("timestamp", "date"))
+            else "double"
+        ).cast("double")
+
+        def _gap(m):
+            return F.abs(
+                t_num
+                - m[on].cast(
+                    "timestamp"
+                    if dict(left.dtypes)
+                    .get(on, "")
+                    .startswith(("timestamp", "date"))
+                    else "double"
+                ).cast("double")
+            )
+
+        matched = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(_gap(fwd) < _gap(back), fwd)
+            .otherwise(back)  # equidistant -> backward (pandas)
         )
     out = (
         u.withColumn("__m", matched)

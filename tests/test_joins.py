@@ -220,3 +220,50 @@ def test_asof_property_vs_pandas_merge_asof(spark):
             for i, r in zip(got["id"], got["rid"])
         ]
         assert got_pairs == want_pairs, (trial, tol)
+
+
+def test_asof_nearest_vs_pandas_merge_asof(spark):
+    """direction='nearest' parity with pandas (equidistant -> backward),
+    with and without tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        nl, nr = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        lp = pd.DataFrame(
+            {
+                "id": np.arange(nl),
+                "k": rng.integers(0, 3, nl).astype(str),
+                "t": rng.integers(0, 60, nl).astype("float64"),
+            }
+        )
+        rp = pd.DataFrame(
+            {
+                "rid": np.arange(100, 100 + nr),
+                "k": rng.integers(0, 3, nr).astype(str),
+                "t": rng.integers(0, 60, nr).astype("float64"),
+            }
+        ).drop_duplicates(subset=["k", "t"], keep="last")
+        tol = float(rng.integers(2, 25)) if trial % 2 else None
+        want = pd.merge_asof(
+            lp.sort_values("t"), rp.sort_values("t"), on="t", by="k",
+            direction="nearest", tolerance=tol, suffixes=("", "_r"),
+        ).sort_values("id")
+        got = (
+            asof_join(
+                spark.createDataFrame(lp), spark.createDataFrame(rp),
+                on="t", by="k", direction="nearest", tolerance=tol,
+            )
+            .orderBy("id")
+            .toPandas()
+        )
+        wp = [
+            (int(i), None if pd.isna(r) else int(r))
+            for i, r in zip(want["id"], want["rid"])
+        ]
+        gp = [
+            (int(i), None if pd.isna(r) else int(r))
+            for i, r in zip(got["id"], got["rid"])
+        ]
+        assert gp == wp, (trial, tol)
