@@ -265,6 +265,28 @@ def main() -> None:
     ).collect()
     timings["regex_fullscan_q1"] = round(time.perf_counter() - t0, 4)
 
+    # round-4: temporal joins over the events table — as-of (one key
+    # shuffle + window) and the bucketed range join
+    from google_spark.operators.joins import asof_join_events, range_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = time.perf_counter()
+    asof_join_events(events).count()
+    timings["asof_join"] = round(time.perf_counter() - t0, 4)
+    clicks_b = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views_b = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    t0 = time.perf_counter()
+    range_join(
+        clicks_b, views_b, "ts", "lo", "hi", by="user_id", bucket_width=600.0
+    ).count()
+    timings["range_join"] = round(time.perf_counter() - t0, 4)
+
     # second scale point: replicated corpus, so round-over-round deltas in
     # build throughput aren't masked by fixed job overhead (~2-3s) that
     # dominates the raw 5k-doc sf0.1 figure
