@@ -34,8 +34,8 @@ hybrid_rrf_topk, facet_counts, fuzzy_search_topk, graph_hits,
 rank_eval_metrics, sim_centroid_classify, sim_mmr_rerank, dedup_containment,
 catalog_changelog, dedup_lines_global, regex_search_trigram,
 substring_search_trigram, grep_lines_trigram, regex_search_ci_trigram,
-text_bpe_count, join_asof, join_range — total contract surface 101 rows,
-all green in the local gate this round.
+text_bpe_count, join_asof, join_range, op_cube, op_pivot — total contract
+surface 103 rows, all green in the local gate this round.
 """
 
 from __future__ import annotations
@@ -1837,6 +1837,45 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (grouping sets — absent from the reference's
+    foldByKey-only surface): lineitem quantity totals at every
+    (returnflag, linestatus) granularity incl. margins."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (orders count per status x priority, priorities as columns)
+    — expressed as groupBy().pivot() with an explicit value list so the
+    plan is one hash aggregate, no per-value scans."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    df = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderstatus")
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(prios)}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1901,6 +1940,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_count": q_text_bpe_count,
         "join_asof": q_join_asof,
         "join_range": q_join_range,
+        "op_cube": q_op_cube,
+        "op_pivot": q_op_pivot,
     }
 
 
@@ -3632,6 +3673,23 @@ SELECT doc_id,
 FROM documents
 WHERE regexp_matches(text, 'DATA (GROUP|ROW) (JOIN|MERGE)', 'i')
 ORDER BY doc_id LIMIT 20
+""",
+        "op_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+""",
+        "op_pivot": """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
         "join_asof": """
 SELECT l.event_id,
