@@ -34,8 +34,9 @@ hybrid_rrf_topk, facet_counts, fuzzy_search_topk, graph_hits,
 rank_eval_metrics, sim_centroid_classify, sim_mmr_rerank, dedup_containment,
 catalog_changelog, dedup_lines_global, regex_search_trigram,
 substring_search_trigram, grep_lines_trigram, regex_search_ci_trigram,
-text_bpe_count, join_asof, join_range, op_cube, op_pivot — total contract
-surface 103 rows, all green in the local gate this round.
+text_bpe_count, join_asof, join_range, op_cube, op_pivot, op_semi_join,
+op_anti_join, op_unpivot — total contract surface 106 rows, all green in
+the local gate this round.
 """
 
 from __future__ import annotations
@@ -1876,6 +1877,55 @@ def q_op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_op_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the reference emulates it with a getRow null check,
+    ref: src/cis5550/jobs/PageRank.java:153): customers having at least
+    one order above 200k."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = orders.filter(F.col("o_totalprice") > 200000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_op_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with NO urgent order (203 of 1500 at
+    sf0.01 — non-empty AND non-total, so the row actually discriminates)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: per-returnflag (sum_qty, sum_price) wide row melted
+    to (flag, metric, value) long rows — DataFrame.unpivot, one aggregate
+    then a generator, no join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "value"
+        )
+        .withColumn("value", F.round("value", 2))
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -1942,6 +1992,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": q_join_range,
         "op_cube": q_op_cube,
         "op_pivot": q_op_pivot,
+        "op_semi_join": q_op_semi_join,
+        "op_anti_join": q_op_anti_join,
+        "op_unpivot": q_op_unpivot,
     }
 
 
@@ -3673,6 +3726,33 @@ SELECT doc_id,
 FROM documents
 WHERE regexp_matches(text, 'DATA (GROUP|ROW) (JOIN|MERGE)', 'i')
 ORDER BY doc_id LIMIT 20
+""",
+        "op_semi_join": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+ORDER BY c_custkey
+""",
+        "op_anti_join": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+        "op_unpivot": """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, round(value, 2) AS value FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+) ORDER BY l_returnflag, metric
 """,
         "op_cube": """
 SELECT l_returnflag, l_linestatus,
