@@ -9,34 +9,23 @@ engines' summation orders can't flip a hash.
 Operator keys map to SURVEY.md §2 (Flame ops ``op_*``, domain ops ``d*_*``,
 training-data-pipeline ops ``dedup_*``/``text_*``/``sim_*``).
 
-ROUND-4 ROTATION of the driver's 50-row budget (the driver records only the
-first 50 ``queries()`` rows; ``extra_queries()`` rows run in the local gate
-via tools/check_contract.py with the same oracles). Round 3 demonstrated 50
-rows driver-green (CORRECTNESS_r03.json); round 4 swaps in the 23 rows that
-had only local coverage — the whole round-3 operator wave (text_repetition,
-text_unigram_logprob, sample_stratified, quality_bins, bm25f_topk,
-more_like_this, spell_suggest, dedup_components, dedup_incremental,
-dedup_shared_shingles, index_stats, phrase_filter_topk, field_search_topk,
-op_count/except/cogroup/percentiles/topk_per_group/intersect/sample,
-tpch_partagg, text_token_estimate) plus the new bm25f_index_topk — and
-demotes 23 rows that are green in CORRECTNESS_r03.json (bm25_topk_code,
-bm25_topk_stemmed, tokenize_code_tf, term_df_idf, prox_bonus,
-op_filter_project, op_foldbykey, op_fold_global, op_join, op_distinct,
-op_take_ordered, tpch_q3, tpch_q5, op_rollup, doc_sha, dedup_jaccard_pairs,
-dedup_simhash_pairs, text_fingerprint, sim_ann_topk, sim_ivf_topk,
-sim_near_dup_pairs, media_resize, media_frames). Union coverage
-r03 ∪ r04 = all 73 rows. Round 5: swap back (or re-rotate) as needed.
-
-Beyond the rotation, round 4 added NEW extra_queries rows (local gate only;
-rotate into queries() in round 5): boolean_search_topk, prefix_search_topk,
-text_keywords, text_pmi_bigrams, text_bigram_logprob, sim_semantic_dedup,
-hybrid_rrf_topk, facet_counts, fuzzy_search_topk, graph_hits,
-rank_eval_metrics, sim_centroid_classify, sim_mmr_rerank, dedup_containment,
-catalog_changelog, dedup_lines_global, regex_search_trigram,
-substring_search_trigram, grep_lines_trigram, regex_search_ci_trigram,
-text_bpe_count, join_asof, join_range, op_cube, op_pivot, op_semi_join,
-op_anti_join, op_unpivot — total contract surface 106 rows, all green in
-the local gate this round.
+ROTATION of the driver's 50-row budget (the driver records only the first
+50 ``queries()`` rows; ``extra_queries()`` rows run in the local gate via
+tools/check_contract.py with the same oracles). Round 3 put 50 rows
+driver-green (CORRECTNESS_r03.json); round 4 rotated in the 23 rows that
+had only local coverage (CORRECTNESS_r04.json, 50/50 green); ROUND 5
+rotates in the remaining 33 rows that were local-gate-only in round 4 —
+the whole round-4 operator wave (bm25f_local_topk, text_scrub_pii,
+dedup_contamination, sample_pack, sample_pack_corpus, boolean_search_topk,
+prefix_search_topk, text_keywords, text_pmi_bigrams, text_bigram_logprob,
+sim_semantic_dedup, hybrid_rrf_topk, facet_counts, fuzzy_search_topk,
+graph_hits, rank_eval_metrics, sim_centroid_classify, sim_mmr_rerank,
+dedup_containment, catalog_changelog, dedup_lines_global, the four trigram
+rows, text_bpe_count, join_asof, join_range, op_cube, op_pivot,
+op_semi_join, op_anti_join, op_unpivot) — keeping 17 flagships and
+demoting 33 rows that are green in CORRECTNESS_r04.json. Union driver
+coverage r03 ∪ r04 ∪ r05 = all 106 contract rows; every demoted row stays
+oracle-checked in the local gate.
 """
 
 from __future__ import annotations
@@ -1108,62 +1097,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROUND-4 ROTATION (see module docstring): 27 retained flagships +
-    # the 23 rows that were local-gate-only in round 3 (incl. the new
-    # bm25f_index_topk). Exactly 50 rows — the driver's budget.
+    # ROUND-5 ROTATION (see module docstring): 17 retained flagships +
+    # the 33 rows that were local-gate-only in round 4 (the whole round-4
+    # operator wave). Exactly 50 rows — the driver's budget. Union driver
+    # coverage r03 ∪ r04 ∪ r05 = all 106 contract rows.
     return {
-        # -- retained flagships (driver-green in CORRECTNESS_r03) ----------
+        # -- retained flagships (driver-green in CORRECTNESS_r04) ----------
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_wand": q_bm25_topk_wand,
         "pagerank_fixed3": q_pagerank_fixed3,
         "tpch_q1": q_tpch_q1,
         "tokenize_tf": q_tokenize_tf,
         "corpus_stats": q_corpus_stats,
-        "phrase_positions": q_phrase_positions,
         "serve_priority_topk": q_serve_priority_topk,
-        "autocomplete_topdf": q_autocomplete_topdf,
-        "tfidf_ref_topk": q_tfidf_ref_topk,
         "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
-        "catalog_upsert_compact_topk": q_catalog_upsert_compact_topk,
         "batch_bm25_topk": q_batch_bm25_topk,
-        "op_window_agg": q_op_window_agg,
-        "op_sessionize": q_op_sessionize,
-        "doc_titles": q_doc_titles,
-        "doc_snippets": q_doc_snippets,
-        "synonym_topk": q_synonym_topk,
+        "bm25f_index_topk": q_bm25f_index_topk,
+        "index_stats": q_index_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_incremental": q_dedup_incremental,
         "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_ivf_refined": q_sim_ivf_refined,
-        "media_meta": q_media_meta,
-        "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
-        # -- promoted: round-3 operator wave + round-4 additions -----------
-        "text_repetition": q_text_repetition,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        "text_token_estimate": q_text_token_estimate,
-        "sample_stratified": q_sample_stratified,
-        "quality_bins": q_quality_bins,
-        "bm25f_topk": q_bm25f_topk,
-        "bm25f_index_topk": q_bm25f_index_topk,
-        "more_like_this": q_more_like_this,
-        "spell_suggest": q_spell_suggest,
-        "phrase_filter_topk": q_phrase_filter_topk,
-        "field_search_topk": q_field_search_topk,
-        "index_stats": q_index_stats,
-        "dedup_components": q_dedup_components,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_shared_shingles": q_dedup_shared_shingles,
-        "op_count": q_op_count,
-        "op_except": q_op_except,
-        "op_cogroup": q_op_cogroup,
-        "op_percentiles": q_op_percentiles,
-        "op_topk_per_group": q_op_topk_per_group,
-        "op_intersect": q_op_intersect,
-        "op_sample": q_op_sample,
-        "tpch_partagg": q_tpch_partagg,
+        # -- promoted: the round-4 operator wave (local-gate-only in r04) ---
+        "bm25f_local_topk": q_bm25f_local_topk,
+        "text_scrub_pii": q_text_scrub_pii,
+        "dedup_contamination": q_dedup_contamination,
+        "sample_pack": q_sample_pack,
+        "sample_pack_corpus": q_sample_pack_corpus,
+        "boolean_search_topk": q_boolean_search_topk,
+        "prefix_search_topk": q_prefix_search_topk,
+        "text_keywords": q_text_keywords,
+        "text_pmi_bigrams": q_text_pmi_bigrams,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "facet_counts": q_facet_counts,
+        "fuzzy_search_topk": q_fuzzy_search_topk,
+        "graph_hits": q_graph_hits,
+        "rank_eval_metrics": q_rank_eval_metrics,
+        "sim_centroid_classify": q_sim_centroid_classify,
+        "sim_mmr_rerank": q_sim_mmr_rerank,
+        "dedup_containment": q_dedup_containment,
+        "catalog_changelog": q_catalog_changelog,
+        "dedup_lines_global": q_dedup_lines_global,
+        "regex_search_trigram": q_regex_search_trigram,
+        "substring_search_trigram": q_substring_search_trigram,
+        "grep_lines_trigram": q_grep_lines_trigram,
+        "regex_search_ci_trigram": q_regex_search_ci_trigram,
+        "text_bpe_count": q_text_bpe_count,
+        "join_asof": q_join_asof,
+        "join_range": q_join_range,
+        "op_cube": q_op_cube,
+        "op_pivot": q_op_pivot,
+        "op_semi_join": q_op_semi_join,
+        "op_anti_join": q_op_anti_join,
+        "op_unpivot": q_op_unpivot,
     }
 
 
@@ -1930,15 +1920,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
     output). These run in the LOCAL contract gate (tools/check_contract.py
-    merges them) with the same oracles. ROUND-4 ROTATION: the first 28 rows
-    here are driver-green in CORRECTNESS_r03.json — demoted this round so
-    the 23 rows that only had local coverage earn driver rows (see the
-    module docstring); union coverage r03 ∪ r04 = all 73. The last 15 rows
-    (boolean_search_topk … catalog_changelog) are NEW round-4 operators —
-    rotate them into queries() in round 5 alongside the five early-round-4
-    extras (bm25f_local_topk, text_scrub_pii, dedup_contamination,
-    sample_pack, sample_pack_corpus)."""
+    merges them) with the same oracles. ROUND-5 ROTATION: every row here is
+    driver-green in CORRECTNESS_r03.json and/or CORRECTNESS_r04.json —
+    demoted this round so the 33 rows that only had local coverage in
+    round 4 earn driver rows (see the module docstring); union driver
+    coverage r03 ∪ r04 ∪ r05 = all 106 contract rows."""
     return {
+        # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
         "bm25_topk_code": q_bm25_topk_code,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "tokenize_code_tf": q_tokenize_code_tf,
@@ -1962,39 +1950,40 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
-        "bm25f_local_topk": q_bm25f_local_topk,
-        "text_scrub_pii": q_text_scrub_pii,
-        "dedup_contamination": q_dedup_contamination,
-        "sample_pack": q_sample_pack,
-        "sample_pack_corpus": q_sample_pack_corpus,
-        "boolean_search_topk": q_boolean_search_topk,
-        "prefix_search_topk": q_prefix_search_topk,
-        "text_keywords": q_text_keywords,
-        "text_pmi_bigrams": q_text_pmi_bigrams,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "sim_semantic_dedup": q_sim_semantic_dedup,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "facet_counts": q_facet_counts,
-        "fuzzy_search_topk": q_fuzzy_search_topk,
-        "graph_hits": q_graph_hits,
-        "rank_eval_metrics": q_rank_eval_metrics,
-        "sim_centroid_classify": q_sim_centroid_classify,
-        "sim_mmr_rerank": q_sim_mmr_rerank,
-        "dedup_containment": q_dedup_containment,
-        "catalog_changelog": q_catalog_changelog,
-        "dedup_lines_global": q_dedup_lines_global,
-        "regex_search_trigram": q_regex_search_trigram,
-        "substring_search_trigram": q_substring_search_trigram,
-        "grep_lines_trigram": q_grep_lines_trigram,
-        "regex_search_ci_trigram": q_regex_search_ci_trigram,
-        "text_bpe_count": q_text_bpe_count,
-        "join_asof": q_join_asof,
-        "join_range": q_join_range,
-        "op_cube": q_op_cube,
-        "op_pivot": q_op_pivot,
-        "op_semi_join": q_op_semi_join,
-        "op_anti_join": q_op_anti_join,
-        "op_unpivot": q_op_unpivot,
+        # demoted in round 5 (driver-green in CORRECTNESS_r04) --------------
+        "phrase_positions": q_phrase_positions,
+        "autocomplete_topdf": q_autocomplete_topdf,
+        "tfidf_ref_topk": q_tfidf_ref_topk,
+        "catalog_upsert_compact_topk": q_catalog_upsert_compact_topk,
+        "op_window_agg": q_op_window_agg,
+        "op_sessionize": q_op_sessionize,
+        "doc_titles": q_doc_titles,
+        "doc_snippets": q_doc_snippets,
+        "synonym_topk": q_synonym_topk,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "sim_ivf_refined": q_sim_ivf_refined,
+        "media_meta": q_media_meta,
+        "text_lang_id": q_text_lang_id,
+        "text_repetition": q_text_repetition,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "text_token_estimate": q_text_token_estimate,
+        "sample_stratified": q_sample_stratified,
+        "quality_bins": q_quality_bins,
+        "bm25f_topk": q_bm25f_topk,
+        "more_like_this": q_more_like_this,
+        "spell_suggest": q_spell_suggest,
+        "phrase_filter_topk": q_phrase_filter_topk,
+        "field_search_topk": q_field_search_topk,
+        "dedup_components": q_dedup_components,
+        "dedup_shared_shingles": q_dedup_shared_shingles,
+        "op_count": q_op_count,
+        "op_except": q_op_except,
+        "op_cogroup": q_op_cogroup,
+        "op_percentiles": q_op_percentiles,
+        "op_topk_per_group": q_op_topk_per_group,
+        "op_intersect": q_op_intersect,
+        "op_sample": q_op_sample,
+        "tpch_partagg": q_tpch_partagg,
     }
 
 

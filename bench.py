@@ -265,6 +265,33 @@ def main() -> None:
     ).collect()
     timings["regex_fullscan_q1"] = round(time.perf_counter() - t0, 4)
 
+    # round-5: a SELECTIVE pattern (a 6-word phrase from doc 0 — rare in
+    # the shuffled corpus) where candidate pruning applies: the indexed
+    # path collects a small id set, pushes it into the scan as
+    # In(doc_id) (parquet row-group pruning), and RLIKE-verifies the
+    # candidates only. HONEST CROSSOVER NOTE: at sf0.1 the whole corpus
+    # is ~2.5 MB cached in RAM, so ONE rlike scan (~0.13s) beats the
+    # indexed path's floor of 3 Spark jobs (stats lookup, candidate
+    # agg, verify; ~0.5s total at local[32] job overhead). The index
+    # wins when scanning the corpus costs more than ~3 job launches —
+    # i.e. corpus >> RAM (the 100 TB design point), where the verify
+    # scan reads only the candidates' row groups while the full scan
+    # reads everything.
+    import re as _re
+
+    sel_words = (
+        docs.filter(F.col("doc_id") == 0).select("text").collect()[0][0]
+    ).split()[10:16]
+    sel_pat = _re.escape(" ".join(sel_words))
+    t0 = time.perf_counter()
+    regex_search(spark, tri, docs, sel_pat, limit=20).collect()
+    timings["regex_selective_q1"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    docs.filter(F.col("text").rlike(sel_pat)).orderBy("doc_id").limit(
+        20
+    ).collect()
+    timings["regex_selective_fullscan"] = round(time.perf_counter() - t0, 4)
+
     # round-4: temporal joins over the events table — as-of (one key
     # shuffle + window) and the bucketed range join
     from google_spark.operators.joins import asof_join_events, range_join

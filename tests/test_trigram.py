@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from google_spark.operators.trigram import (
     build_trigram_index,
@@ -510,34 +511,102 @@ def test_estimate_candidates():
     assert estimate_candidates(None, df_map) > 10**9
 
 
+def _filter_conjuncts(plan: str) -> str:
+    """The executed plan's Filter line(s), for conjunct-order asserts."""
+    return "\n".join(ln for ln in plan.splitlines() if "Filter " in ln)
+
+
+def _assert_rlike_guarded(plan: str) -> None:
+    """The round-4 `weak`: Catalyst pushed the verification RLIKE below
+    the candidate semi-join, so the regex ran on the FULL corpus. The
+    fixed plan has no join at all — the candidate ids are an IN/equality
+    conjunct that precedes RLIKE inside the same Filter (And evaluation
+    short-circuits left-to-right), so the regex only ever evaluates on
+    candidate rows."""
+    assert "LeftSemi" not in plan  # no join — ids are pushed into the scan
+    flt = _filter_conjuncts(plan)
+    assert "RLIKE" in flt
+    guard = flt.find(" IN ")
+    if guard < 0:  # single candidate simplifies to an equality conjunct
+        guard = flt.find("doc_id")
+    assert 0 <= guard < flt.find("RLIKE")
+
+
 def test_common_gram_query_falls_back_to_scan(spark):
     """When every doc shares the grams, the indexed path costs more than
-    one scan: the plan must contain NO semi-join (full-scan fallback) yet
-    the results must stay exact."""
-    from pyspark.sql import functions as F
-
+    one scan: the plan must contain NO candidate filter (full-scan
+    fallback) yet the results must stay exact."""
     rows = [(i, f"common text body {i}") for i in range(20)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     idx = build_trigram_index(spark, docs)  # n_docs known -> estimator on
     df = regex_search(spark, idx, docs, r"common text", limit=100)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" not in plan  # estimator chose the scan
+    assert "LeftSemi" not in plan and " IN " not in _filter_conjuncts(plan)
     got = {r.doc_id for r in df.collect()}
     assert got == set(range(20))
     # a selective pattern on the same index still uses candidates
     df2 = regex_search(spark, idx, docs, r"body 7", limit=100)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan2
+    _assert_rlike_guarded(plan2)
     assert {r.doc_id for r in df2.collect()} == {7}
 
 
 def test_unknown_n_docs_keeps_index_path(spark):
-    from google_spark.operators.trigram import TrigramIndex
-
     rows = [(i, f"common text body {i}") for i in range(10)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     idx = build_trigram_index(spark, docs, total_docs=0)  # n_docs unknown
     df = regex_search(spark, idx, docs, r"common text", limit=100)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan  # estimator disabled, still correct
+    _assert_rlike_guarded(plan)  # estimator disabled, still indexed
     assert {r.doc_id for r in df.collect()} == set(range(10))
+
+
+def test_verify_rlike_above_candidates_on_parquet(spark, tmp_path):
+    """Regression for the round-4 `weak` on a REAL parquet source: the
+    candidate id set must reach the FileScan as a pushed In(doc_id)
+    filter (row-group pruning — non-candidate text is never read) and
+    the verification RLIKE must sit AFTER it in the Filter's conjunct
+    order, never below a join on the full corpus."""
+    rows = [(i, f"alpha beta {'needle' if i in (3, 7) else 'filler'} {i}")
+            for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    idx = build_trigram_index(spark, docs)
+    df = regex_search(spark, idx, docs, r"needle \d", limit=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_rlike_guarded(plan)
+    assert "In(doc_id" in plan  # pushed to the parquet scan
+    assert {r.doc_id for r in df.collect()} == {3, 7}
+
+
+def test_too_many_candidates_falls_back(spark):
+    """The absolute candidate-id cap bounds driver memory: when the
+    materialized id set exceeds max_candidate_ids, degrade to the full
+    scan (results identical)."""
+    rows = [(i, f"zq{i % 3}needle body {i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_trigram_index(spark, docs, total_docs=0)  # estimator off
+    from google_spark.operators.trigram import _prune_to_candidates
+
+    cand, verify = _prune_to_candidates(
+        idx, docs, r"zq1needle", False, 8, "doc_id", max_candidate_ids=3)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert " IN " not in _filter_conjuncts(plan)  # fell back to full scan
+    got = {r.doc_id for r in cand.filter(F.col("text").rlike(verify)).collect()}
+    assert got == {i for i in range(30) if i % 3 == 1}
+
+
+def test_nonascii_folded_pattern_falls_back():
+    """ADVICE round-4: folded planning lowercases pattern literals with
+    Python str.lower() but the index folds text with JVM lower(); for
+    non-ASCII full-casefold pairs the grams can diverge and MISS. A
+    non-ASCII pattern must refuse the folded indexed path (None =>
+    full-scan fallback, provably sound)."""
+    from google_spark.operators.trigram import trigram_query
+
+    assert trigram_query("straße", fold=True) is None  # ß
+    assert trigram_query("ſome", fold=True) is None  # long s
+    assert trigram_query("strasse", fold=True) is not None
+    # unfolded (case-sensitive, exact grams) stays indexed for non-ASCII
+    assert trigram_query("straße", fold=False) is not None
