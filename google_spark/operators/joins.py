@@ -7,18 +7,37 @@ DuckDB/kdb ``ASOF JOIN``) a log/metrics pipeline needs, built as
 compositions of existing DataFrame ops — no cross products, no UDFs.
 
 Scale shapes:
-- **as-of** is the union+window formulation: tag the two sides, union,
-  and for each left row take ``last(right_payload, ignorenulls)`` over a
-  (key)-partitioned window ordered by time — ONE shuffle on the key, cost
-  O((|L|+|R|) log per-key run), never |L|x|R|. The right payload travels
-  as a single struct column, so the window carries one value, not one
-  per column.
+- **as-of, keyed** is the union+window formulation: tag the two sides,
+  union, and for each left row take ``last(right_payload, ignorenulls)``
+  over a (key)-partitioned window ordered by time — ONE shuffle on the
+  key, cost O((|L|+|R|) log per-key run), never |L|x|R|. The right
+  payload travels as a single struct column, so the window carries one
+  value, not one per column.
+- **as-of, keyless** (``by=None``) cannot partition by key; a naive
+  global window is a SINGLE task. Instead the union is range-bucketed on
+  time (approxQuantile boundaries -> ~n_partitions equal-count buckets),
+  each bucket windows independently in parallel, and cross-bucket
+  matches are restored by a boundary carry: one tiny per-bucket
+  aggregate (the last/first right payload per bucket) windowed over the
+  bucket spine and broadcast back. Costs ~3 passes over the union
+  (quantile, carry aggregate, final) instead of the keyed path's one —
+  the price of parallelizing a global time order.
 - **range** is the bucketed interval join: intervals explode to the
   coarse buckets they cover (``sequence``), points map to exactly one
   bucket, the join is a plain equi-join on (key, bucket) and the exact
   containment predicate filters after. Each matching pair is produced
   exactly once (a point lives in one bucket), and the fan-out is bounded
   by interval_span / bucket_width — pick the width near the typical span.
+
+Numeric precision: containment and tolerance predicates compare the
+ORIGINAL column types (integers via decimal(38,0) arithmetic), so
+integer on-columns beyond 2^53 (e.g. nanosecond-epoch longs) decide
+boundaries exactly. Doubles appear only where they are safe: timestamp
+epochs (micros fit in a double) and float columns. Bucket ASSIGNMENT for
+integral columns with an integral ``bucket_width`` is exact integer
+floor-division (pmod + decimal divide); a fractional width on an
+integral column falls back to double bucketing, which can misbucket
+values beyond 2^53 — pass an integral width there.
 """
 
 from __future__ import annotations
@@ -26,19 +45,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
 
 def _payload(df: DataFrame, cols: list[str]) -> object:
     return F.struct(*[F.col(c) for c in cols])
 
 
 def _as_double(df: DataFrame, col_name: str):
-    """Numeric view of a point/bound column: timestamps (incl. NTZ, which
+    """Double view of a point/bound column: timestamps (incl. NTZ, which
     Spark won't cast to double directly) go through a timestamp cast
-    first — epoch seconds with fraction; plain numerics cast straight."""
+    first — epoch seconds with fraction; plain numerics cast straight.
+    Exact for timestamps (micros < 2^53) and for integers up to 2^53."""
     dt = dict(df.dtypes).get(col_name, "")
     if dt.startswith("timestamp") or dt == "date":
         return F.col(col_name).cast("timestamp").cast("double")
     return F.col(col_name).cast("double")
+
+
+def _exact_num(dtype: str):
+    """Exact numeric view builder for gap/tolerance arithmetic: integral
+    types go through decimal(38,0) (no 2^53 rounding), timestamps/dates
+    through epoch-second doubles (micros are double-exact), the rest
+    straight to double."""
+    if dtype.startswith("timestamp") or dtype == "date":
+        return lambda c: c.cast("timestamp").cast("double")
+    if dtype in _INTEGRAL:
+        return lambda c: c.cast("decimal(38,0)")
+    return lambda c: c.cast("double")
 
 
 def asof_join(
@@ -49,6 +83,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: float | None = None,
     suffix: str = "_r",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row whose ``on`` value is the
     closest at-or-before it (``backward``) / at-or-after it (``forward``) /
@@ -60,17 +95,25 @@ def asof_join(
     get ``suffix``.
 
     Ties on ``on`` are inclusive: a right row AT the left timestamp
-    matches in every direction. ``nearest`` still costs ONE exchange —
-    both window passes share the same sort."""
+    matches in every direction. Keyed mode costs ONE exchange (both
+    ``nearest`` window passes share the same sort). Keyless mode
+    (``by=None``) range-buckets the union on time into ``n_partitions``
+    (default: the session's shuffle parallelism, capped at 64) parallel
+    window tasks plus a tiny boundary-carry aggregate — see the module
+    docstring; pass ``n_partitions=1`` to force the single-task global
+    window."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     lcols = left.columns
     rcols = right.columns
     out_r = [(c, c + suffix if c in lcols else c) for c in rcols]
+    on_dtype = dict(left.dtypes).get(on, "")
+    num = _exact_num(on_dtype)
 
-    key = by if by is not None else "__asof_all"
-    l_ = left if by is not None else left.withColumn(key, F.lit(0))
-    r_ = right if by is not None else right.withColumn(key, F.lit(0))
+    keyed = by is not None
+    key = by if keyed else "__asof_all"
+    l_ = left if keyed else left.withColumn(key, F.lit(0))
+    r_ = right if keyed else right.withColumn(key, F.lit(0))
 
     # inclusive tie-break: the right row must be visible to an equal-ts
     # left row, so it sorts on the frame-start side of the left row.
@@ -96,35 +139,28 @@ def asof_join(
             _payload(r_, rcols).alias("__r"),
         )
     )
-    w = Window.partitionBy("__k").orderBy("__t", "__tag")
-    back = F.last("__r", ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    fwd = F.first("__r", ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
-    )
+
+    if keyed:
+        w = Window.partitionBy("__k").orderBy("__t", "__tag")
+        back = F.last("__r", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fwd = F.first("__r", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+    else:
+        u, back, fwd = _keyless_windows(
+            u, on_dtype, r_tag, direction, n_partitions
+        )
+
     if direction == "backward":
         matched = back
     elif direction == "forward":
         matched = fwd
     else:
-        t_num = F.col("__t").cast(
-            "timestamp"
-            if dict(left.dtypes).get(on, "").startswith(("timestamp", "date"))
-            else "double"
-        ).cast("double")
 
         def _gap(m):
-            return F.abs(
-                t_num
-                - m[on].cast(
-                    "timestamp"
-                    if dict(left.dtypes)
-                    .get(on, "")
-                    .startswith(("timestamp", "date"))
-                    else "double"
-                ).cast("double")
-            )
+            return F.abs(num(F.col("__t")) - num(m[on]))
 
         matched = (
             F.when(back.isNull(), fwd)
@@ -137,15 +173,7 @@ def asof_join(
         .filter(F.col("__tag") == l_tag)
     )
     if tolerance is not None:
-        tcast = (
-            "timestamp"
-            if dict(left.dtypes).get(on, "").startswith(("timestamp", "date"))
-            else "double"
-        )
-        gap = F.abs(
-            F.col("__t").cast(tcast).cast("double")
-            - F.col(f"__m.{on}").cast(tcast).cast("double")
-        )
+        gap = F.abs(num(F.col("__t")) - num(F.col(f"__m.{on}")))
         out = out.withColumn(
             "__m", F.when(gap <= float(tolerance), F.col("__m"))
         )
@@ -153,6 +181,95 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__m.{src}").alias(dst) for src, dst in out_r],
     )
+
+
+def _keyless_windows(
+    u: DataFrame,
+    on_dtype: str,
+    r_tag: int,
+    direction: str,
+    n_partitions: int | None,
+):
+    """Parallel keyless as-of: range-bucket the union on time, window
+    within each bucket, and restore cross-bucket matches with a
+    boundary carry.
+
+    Bucket ids come from approxQuantile boundaries of the time column's
+    double view — double rounding is MONOTONE, so bucket assignment is
+    order-compatible with the exact time order and equal times always
+    share a bucket; within-bucket ordering (and every match decision)
+    still uses the original-typed column. The carry is a per-bucket
+    aggregate (last/first right payload) — at most n_partitions rows —
+    windowed over the bucket spine and broadcast back, so the only
+    full-size exchanges are the bucket hash partitioning itself."""
+    spark = u.sparkSession
+    if n_partitions is None:
+        n_partitions = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 64
+        )
+    td = (
+        F.col("__t").cast("timestamp").cast("double")
+        if on_dtype.startswith("timestamp") or on_dtype == "date"
+        else F.col("__t").cast("double")
+    )
+    bounds: list[float] = []
+    if n_partitions > 1:
+        probs = [i / n_partitions for i in range(1, n_partitions)]
+        qs = u.select(td.alias("__td")).approxQuantile("__td", probs, 0.01)
+        bounds = sorted({b for b in qs if b is not None})
+    if bounds:
+        pid = sum(
+            ((td > F.lit(b)).cast("int") for b in bounds), F.lit(0)
+        )
+    else:
+        pid = F.lit(0)
+    u = u.withColumn("__pid", pid)
+
+    w = Window.partitionBy("__pid").orderBy("__t", "__tag")
+    back_in = F.last("__r", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd_in = F.first("__r", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+
+    rights = u.filter(F.col("__tag") == F.lit(r_tag))
+    per_bucket = rights.groupBy("__pid").agg(
+        F.max_by("__r", F.struct("__t")).alias("__last_r"),
+        F.min_by("__r", F.struct("__t")).alias("__first_r"),
+    )
+    spine = u.select("__pid").distinct().join(per_bucket, "__pid", "left")
+    ws = Window.orderBy("__pid")
+    carry = spine.select(
+        "__pid",
+        F.last("__last_r", ignorenulls=True)
+        .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__carry_back"),
+        F.first("__first_r", ignorenulls=True)
+        .over(ws.rowsBetween(1, Window.unboundedFollowing))
+        .alias("__carry_fwd"),
+    )
+    u = u.join(F.broadcast(carry), "__pid", "left")
+    back = F.coalesce(back_in, F.col("__carry_back"))
+    fwd = F.coalesce(fwd_in, F.col("__carry_fwd"))
+    return u, back, fwd
+
+
+def _bucket_col(df: DataFrame, col_name: str, width: float):
+    """Bucket id for the bucketed range join. Integral columns with an
+    integral width use exact integer floor-division (c - pmod(c, w)) / w
+    — pmod and the subtraction are exact in int64, the quotient divides
+    evenly so the decimal division is exact at any magnitude. Other
+    combinations use the double view (exact for timestamps and for
+    integers within 2^53)."""
+    dt = dict(df.dtypes).get(col_name, "")
+    wi = int(width)
+    if dt in _INTEGRAL and wi == width and wi >= 1:
+        c = F.col(col_name).cast("decimal(38,0)")
+        return (
+            (c - F.pmod(c, F.lit(wi)).cast("decimal(38,0)")) / F.lit(wi)
+        ).cast("long")
+    return F.floor(_as_double(df, col_name) / float(width))
 
 
 def range_join(
@@ -173,29 +290,37 @@ def range_join(
     pair is produced exactly once. ``bucket_width`` is in the value
     column's units (seconds for timestamps); fan-out per interval is
     span/width + 1, so pick the width near the typical span. Interval
-    columns colliding with point-side names get ``suffix``."""
+    columns colliding with point-side names get ``suffix``.
+
+    The containment predicate compares ORIGINAL-typed values (exact at
+    any integer magnitude); see the module docstring for the bucket
+    -assignment precision rules."""
     pcols = points.columns
     icols = intervals.columns
     out_i = [(c, c + suffix if c in pcols else c) for c in icols]
 
-    pv = _as_double(points, point_col)
-    lov, hiv = _as_double(intervals, lo_col), _as_double(intervals, hi_col)
-    wlit = float(bucket_width)
+    pnum = _exact_num(dict(points.dtypes).get(point_col, ""))
+    inum = _exact_num(dict(intervals.dtypes).get(lo_col, ""))
+    lov_x = inum(F.col(lo_col))
+    hiv_x = inum(F.col(hi_col))
 
     p = points.select(
         _payload(points, pcols).alias("__p"),
-        F.floor(pv / wlit).alias("__b"),
+        _bucket_col(points, point_col, bucket_width).alias("__b"),
         *([F.col(by).alias("__k")] if by else [F.lit(0).alias("__k")]),
-        pv.alias("__pv"),
+        pnum(F.col(point_col)).alias("__pv"),
     )
-    i = intervals.filter(lov <= hiv).select(
+    i = intervals.filter(lov_x <= hiv_x).select(
         _payload(intervals, icols).alias("__i"),
         F.explode(
-            F.sequence(F.floor(lov / wlit), F.floor(hiv / wlit))
+            F.sequence(
+                _bucket_col(intervals, lo_col, bucket_width),
+                _bucket_col(intervals, hi_col, bucket_width),
+            )
         ).alias("__b"),
         *([F.col(by).alias("__k")] if by else [F.lit(0).alias("__k")]),
-        lov.alias("__lo"),
-        hiv.alias("__hi"),
+        lov_x.alias("__lo"),
+        hiv_x.alias("__hi"),
     )
     return (
         p.join(i, ["__k", "__b"])

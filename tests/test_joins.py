@@ -267,3 +267,139 @@ def test_asof_nearest_vs_pandas_merge_asof(spark):
             for i, r in zip(got["id"], got["rid"])
         ]
         assert gp == wp, (trial, tol)
+
+
+def test_asof_keyless_parallel_vs_pandas_merge_asof(spark):
+    """Keyless as-of (by=None) must use the range-bucketed PARALLEL path
+    (round-4 What's-wrong #2: the old formulation was one global window
+    task) and still match pandas.merge_asof in every direction, with the
+    boundary carry restoring matches whose right row lives in an earlier
+    or later bucket."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    for direction in ("backward", "forward", "nearest"):
+        nl, nr = 60, 25
+        lp = pd.DataFrame(
+            {"id": np.arange(nl), "t": rng.integers(0, 500, nl).astype("float64")}
+        )
+        rp = pd.DataFrame(
+            {
+                "rid": np.arange(100, 100 + nr),
+                "t": rng.integers(0, 500, nr).astype("float64"),
+            }
+        ).drop_duplicates(subset=["t"], keep="last")
+        want = pd.merge_asof(
+            lp.sort_values("t"),
+            rp.sort_values("t"),
+            on="t",
+            direction=direction,
+            suffixes=("", "_r"),
+        ).sort_values("id")
+        # n_partitions=8 forces several buckets on 85 rows, exercising
+        # the carry between them
+        got = (
+            asof_join(
+                spark.createDataFrame(lp), spark.createDataFrame(rp),
+                on="t", direction=direction, n_partitions=8,
+            )
+            .orderBy("id")
+            .toPandas()
+        )
+        wp = [
+            (int(i), None if pd.isna(r) else int(r))
+            for i, r in zip(want["id"], want["rid"])
+        ]
+        gp = [
+            (int(i), None if pd.isna(r) else int(r))
+            for i, r in zip(got["id"], got["rid"])
+        ]
+        assert gp == wp, direction
+
+
+def test_asof_keyless_carry_across_buckets(spark):
+    """All right rows in the earliest bucket, left rows spread across the
+    range: every left match crosses bucket boundaries through the carry
+    (within-bucket windows alone would return NULL)."""
+    left = spark.createDataFrame(
+        [(i, float(i * 100)) for i in range(1, 33)], "id long, t double"
+    )
+    right = spark.createDataFrame([(900, 0.0)], "rid long, t double")
+    rows = asof_join(left, right, on="t", n_partitions=8).collect()
+    assert len(rows) == 32
+    assert all(r.rid == 900 for r in rows)
+    # forward: the single right row is BEFORE every left row -> no match
+    rows_f = asof_join(
+        left, right, on="t", direction="forward", n_partitions=8
+    ).collect()
+    assert all(r.rid is None for r in rows_f)
+    # and flipped: right row after every left -> forward carry matches all
+    right_hi = spark.createDataFrame([(901, 1e9)], "rid long, t double")
+    rows_f2 = asof_join(
+        left, right_hi, on="t", direction="forward", n_partitions=8
+    ).collect()
+    assert all(r.rid == 901 for r in rows_f2)
+
+
+def test_asof_keyless_plan_is_multi_bucket(spark):
+    """The executed plan must window over the derived __pid bucket, not a
+    constant key (the round-4 single-task bottleneck)."""
+    left = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "id long, t double"
+    )
+    right = spark.createDataFrame(
+        [(i + 1000, float(i) + 0.5) for i in range(200)], "rid long, t double"
+    )
+    df = asof_join(left, right, on="t", n_partitions=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in plan
+    assert df.count() == 200
+
+
+def test_asof_bigint_beyond_double_precision(spark):
+    """Nanosecond-epoch longs beyond 2^53: tolerance and nearest decisions
+    must use exact integer arithmetic (ADVICE round-4: the old
+    cast('double') view rounded them)."""
+    base = (1 << 54) + 10  # 2^54 is even; +10/+11/+13 are NOT double-exact
+    left = spark.createDataFrame([(1, base + 3)], "id long, t long")
+    right = spark.createDataFrame(
+        [(100, base), (101, base + 7)], "rid long, t long"
+    )
+    # gaps are 3 (backward to rid=100) and 4 (forward to rid=101): in
+    # doubles both ts round to the same value and the decision is a coin
+    # flip; exact arithmetic must pick rid=100
+    got = asof_join(
+        left, right, on="t", direction="nearest", n_partitions=1
+    ).collect()[0]
+    assert got.rid == 100
+    # tolerance 3 keeps the match, tolerance 2 drops it
+    assert (
+        asof_join(left, right, on="t", tolerance=3.0, n_partitions=1)
+        .collect()[0]
+        .rid
+        == 100
+    )
+    assert (
+        asof_join(left, right, on="t", tolerance=2.0, n_partitions=1)
+        .collect()[0]
+        .rid
+        is None
+    )
+
+
+def test_range_join_bigint_exact_buckets(spark):
+    """Integral on-columns with an integral bucket_width use exact integer
+    floor-division for bucket ids: containment at magnitudes beyond 2^53
+    never misses or double-counts pairs."""
+    base = 1 << 54
+    points = spark.createDataFrame(
+        [(1, base + 3), (2, base + 999), (3, base + 1000)],
+        "pid long, v long",
+    )
+    iv = spark.createDataFrame(
+        [(10, base, base + 999)], "iid long, lo long, hi long"
+    )
+    rows = range_join(points, iv, "v", "lo", "hi", bucket_width=1000).collect()
+    got = sorted((r.pid, r.iid) for r in rows)
+    assert got == [(1, 10), (2, 10)]  # base+1000 is OUTSIDE [lo, hi]
