@@ -116,6 +116,22 @@ def __getattr__(name):
             "google_spark.operators.trigram",
             "compact_trigram_index",
         ),
+        "delete_from_trigram_index": (
+            "google_spark.operators.trigram",
+            "delete_from_trigram_index",
+        ),
+        "append_epoch_to_trigram": (
+            "google_spark.operators.trigram",
+            "append_epoch_to_trigram",
+        ),
+        "delete_from_fielded_index": (
+            "google_spark.operators.fielded",
+            "delete_from_fielded_index",
+        ),
+        "delete_from_index": (
+            "google_spark.operators.index_build",
+            "delete_from_index",
+        ),
         "asof_join": ("google_spark.operators.joins", "asof_join"),
         "range_join": ("google_spark.operators.joins", "range_join"),
         "train_bpe": ("google_spark.functions.bpe", "train_bpe"),

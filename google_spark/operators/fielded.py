@@ -116,6 +116,52 @@ def read_fielded_index(spark: SparkSession, out_dir: str) -> FieldedIndex:
     return FieldedIndex(fields=fields, n_docs=n_docs)
 
 
+def apply_deletes(findex: FieldedIndex, doc_ids) -> FieldedIndex:
+    """Functional merge-on-read tombstone attach: returns a FieldedIndex
+    whose every field carries the sorted union of its existing deletes and
+    ``doc_ids`` (idempotent). The per-field decode kernels
+    (:func:`_field_component_rows`, index_query._entries_for) already mask
+    IndexTables.deletes, so a doc deleted AFTER the fielded index was
+    built vanishes from bm25f_index_topk / bm25f_local_topk immediately;
+    per-field df/idf/avgdl stay pre-delete until a rebuild, exactly like
+    the word index."""
+    import dataclasses
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    fields = {}
+    for name, idx in findex.fields.items():
+        cur = idx.deletes
+        merged = (
+            np.union1d(np.asarray(cur, dtype=np.int64), ids)
+            if cur is not None and len(cur)
+            else ids
+        )
+        fields[name] = dataclasses.replace(
+            idx, deletes=merged if len(merged) else None
+        )
+    return FieldedIndex(fields=fields, n_docs=findex.n_docs)
+
+
+def delete_from_fielded_index(out_dir: str, doc_ids) -> int:
+    """Merge-on-read delete against a PUBLISHED fielded bundle: tombstone
+    ``doc_ids`` in every ``field=*`` sub-index (O(|ids|) pyarrow metadata
+    writes, no Spark job); subsequent :func:`read_fielded_index` calls
+    restore them per field and the decode kernels mask. Returns the
+    newly-tombstoned count of the first field (all fields share one doc
+    universe, so the counts agree)."""
+    import os
+
+    from google_spark.operators.index_build import delete_from_index
+
+    counts = []
+    for entry in sorted(os.scandir(out_dir), key=lambda e: e.name):
+        if entry.is_dir() and entry.name.startswith("field="):
+            counts.append(delete_from_index(entry.path, doc_ids))
+    if not counts:
+        raise FileNotFoundError(f"no field=* index dirs under {out_dir}")
+    return counts[0]
+
+
 def _field_component_rows(
     idx: IndexTables, terms: list[str], w_f: float, b_f: float
 ) -> DataFrame:

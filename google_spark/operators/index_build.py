@@ -354,24 +354,74 @@ def write_index(
         )
 
 
-def read_index(spark: SparkSession, out_dir: str) -> IndexTables:
+def read_delete_file(del_dir: str):
+    """Sorted unique int64 doc_id array from a ``deletes.parquet``
+    directory (None when absent/empty). Readers union ALL part files, so
+    tombstoning is append-only — see :func:`append_delete_file`."""
     import os
 
     import numpy as np
 
+    if not os.path.isdir(del_dir):
+        return None
+    import pyarrow.parquet as pq
+
+    ids = np.unique(
+        pq.read_table(del_dir, columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    return ids if len(ids) else None
+
+
+def append_delete_file(del_dir: str, doc_ids) -> int:
+    """Tombstone ``doc_ids`` into a bundle's ``deletes.parquet`` directory
+    — an O(|ids|) pyarrow metadata write, no Spark job, no posting
+    touched (the standalone-bundle twin of SnapshotCatalog.delete_docs).
+    Append-only and crash-safe: the new ids land as ONE extra part file
+    published via tmp-write + atomic rename; readers (:func:`read_index`,
+    read_trigram_index, read_fielded_index) np.unique the union of all
+    parts, so re-tombstoning is idempotent and a crashed writer leaves
+    only an invisible ``.tmp`` orphan. Returns how many ids were newly
+    tombstoned. Delete-file growth is bounded by the compaction cadence,
+    exactly as for the catalog's merge-on-read files."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    existing = read_delete_file(del_dir)
+    if existing is not None:
+        ids = np.setdiff1d(ids, existing)
+    if not len(ids):
+        return 0
+    os.makedirs(del_dir, exist_ok=True)
+    n_parts = sum(
+        1 for e in os.scandir(del_dir) if e.name.startswith("part-del-")
+    )
+    final = os.path.join(del_dir, f"part-del-{n_parts:05d}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
+    os.replace(tmp, final)
+    return int(len(ids))
+
+
+def delete_from_index(out_dir: str, doc_ids) -> int:
+    """Merge-on-read delete against a PUBLISHED word-index bundle (see
+    :func:`write_index`): ids land in ``{out_dir}/deletes.parquet`` and
+    every subsequent :func:`read_index` masks them in the query kernels.
+    df/idf/n_docs stay pre-delete until a compacting rewrite — the same
+    Iceberg v2 position-delete semantics as SnapshotCatalog."""
+    return append_delete_file(f"{out_dir}/deletes.parquet", doc_ids)
+
+
+def read_index(spark: SparkSession, out_dir: str) -> IndexTables:
     stats = spark.read.parquet(f"{out_dir}/stats.parquet").collect()[0]
     row = stats.asDict()
-    deletes = None
-    del_p = f"{out_dir}/deletes.parquet"
-    if os.path.isdir(del_p):
-        import pyarrow.parquet as pq
-
-        deletes = np.unique(
-            pq.read_table(del_p, columns=["doc_id"])
-            .column("doc_id")
-            .to_numpy()
-            .astype(np.int64)
-        )
+    deletes = read_delete_file(f"{out_dir}/deletes.parquet")
     return IndexTables(
         postings=spark.read.parquet(f"{out_dir}/postings.parquet"),
         terms=spark.read.parquet(f"{out_dir}/terms.parquet"),

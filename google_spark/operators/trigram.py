@@ -341,7 +341,13 @@ N_GRAM_BUCKETS = 64
 class TrigramIndex:
     """postings: (gram, shard, doc_ids array<long> sorted, df long);
     stats: (gram, df) for AND pruning. ``n_buckets`` set when the
-    postings carry the on-disk ``gb`` partition column."""
+    postings carry the on-disk ``gb`` partition column. ``deletes`` is a
+    sorted int64 array of merge-on-read tombstoned doc_ids (same
+    semantics as IndexTables.deletes / the snapshot catalog's delete
+    files): every query path masks them — candidate ids on the indexed
+    path, a corpus filter on the full-scan fallback — so a deleted doc
+    can never surface through regex/substring/grep search; per-gram df
+    stays pre-delete until :func:`compact_trigram_index` applies them."""
 
     postings: DataFrame
     stats: DataFrame
@@ -349,6 +355,7 @@ class TrigramIndex:
     n_buckets: int | None = None
     disk_path: str | None = None
     fold_case: bool = False
+    deletes: object | None = None
 
     def matching(self, grams: list[str]) -> DataFrame:
         from functools import reduce
@@ -448,6 +455,17 @@ def write_trigram_index(
         [(index.n_docs, n_buckets, index.fold_case)],
         "n_docs long, n_buckets int, fold_case boolean",
     ).write.mode("overwrite").parquet(f"{out_dir}/gram_meta.parquet")
+    # overwrite semantics for the whole bundle, tombstones included: a
+    # rewrite into the same path must not inherit stale delete files
+    import shutil
+
+    shutil.rmtree(f"{out_dir}/deletes.parquet", ignore_errors=True)
+    if index.deletes is not None and len(index.deletes):
+        # tombstones travel with the bundle, same contract as write_index:
+        # a published trigram index can never resurrect deleted documents
+        from google_spark.operators.index_build import append_delete_file
+
+        append_delete_file(f"{out_dir}/deletes.parquet", index.deletes)
 
 
 def read_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
@@ -473,6 +491,8 @@ def read_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
         with open(os.path.join(seg_dir, "_COMMITTED")) as f:
             n_docs += int(json.load(f)["n_docs"])
     stats = stats.groupBy("gram").agg(F.sum("df").alias("df"))
+    from google_spark.operators.index_build import read_delete_file
+
     return TrigramIndex(
         postings=postings,
         stats=stats,
@@ -480,7 +500,40 @@ def read_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
         n_buckets=int(meta["n_buckets"]) or None,
         disk_path=out_dir,
         fold_case=bool(meta["fold_case"]) if "fold_case" in meta.__fields__ else False,
+        deletes=read_delete_file(f"{out_dir}/deletes.parquet"),
     )
+
+
+def delete_from_trigram_index(out_dir: str, doc_ids) -> int:
+    """Merge-on-read delete against a PUBLISHED trigram bundle: an
+    O(|ids|) pyarrow metadata write (no Spark job, no posting touched)
+    into ``{out_dir}/deletes.parquet``; every subsequent
+    :func:`read_trigram_index` masks the ids on all query paths. The mask
+    applies by doc_id across the base AND every appended segment
+    uniformly. Per-gram df stays pre-delete until
+    :func:`compact_trigram_index`, which applies the tombstones and
+    clears them — the same Iceberg v2 position-delete semantics as the
+    word index and the snapshot catalog."""
+    from google_spark.operators.index_build import append_delete_file
+
+    return append_delete_file(f"{out_dir}/deletes.parquet", doc_ids)
+
+
+def with_deletes(index: TrigramIndex, doc_ids) -> TrigramIndex:
+    """Functional tombstone attach for an IN-MEMORY TrigramIndex: returns
+    a copy whose ``deletes`` is the sorted union of the existing set and
+    ``doc_ids`` (idempotent — re-attaching the same ids is a no-op). Used
+    by the search facade to propagate snapshot-catalog delete files onto
+    an auxiliary trigram index built before the delete committed."""
+    import dataclasses
+
+    import numpy as np
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    cur = index.deletes
+    if cur is not None and len(cur):
+        ids = np.union1d(np.asarray(cur, dtype=np.int64), ids)
+    return dataclasses.replace(index, deletes=ids if len(ids) else None)
 
 
 # ---------------------------------------------------------------------------
@@ -492,8 +545,10 @@ def read_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
 # created LAST, so readers never observe a partial append and a crashed
 # writer leaves only an ignorable orphan. Appends never rewrite history —
 # a growing corpus is re-gram'd only for the new docs. The contract is
-# append-only doc_ids (same as the signature store); updates/deletes go
-# through a compact-to-fresh-path rewrite.
+# append-only doc_ids (same as the signature store); deletes are
+# merge-on-read (:func:`delete_from_trigram_index` writes tombstones,
+# every query path masks them) and are physically applied by the
+# compact-to-fresh-path rewrite.
 
 
 def _tri_seg_root(out_dir: str) -> str:
@@ -526,12 +581,16 @@ def append_trigram_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int = 8,
+    tags: dict | None = None,
 ) -> int:
     """Append ``new_docs`` to the disk trigram index at ``out_dir`` as a
     new committed segment; returns the segment id. The segment inherits
     the base's bucket count and case-folding, so query-time gb pruning
     applies to every part uniformly. Cost is proportional to the NEW
-    batch only — the existing postings are never read or rewritten."""
+    batch only — the existing postings are never read or rewritten.
+    ``tags`` (e.g. stream_id/stream_epoch) are merged into the segment's
+    ``_COMMITTED`` marker — the exactly-once bookkeeping
+    :func:`append_epoch_to_trigram` reads."""
     import json
     import os
 
@@ -566,12 +625,78 @@ def append_trigram_index(
     seg_idx.postings.unpersist()
     seg_idx.stats.unpersist()
     tmp = os.path.join(seg_dir, "_COMMITTED.tmp")
+    marker = {"segment": k, "n_docs": n_new}
+    if tags:
+        marker.update(tags)
     with open(tmp, "w") as f:
-        json.dump({"segment": k, "n_docs": n_new}, f)
+        json.dump(marker, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(seg_dir, "_COMMITTED"))
     return k
+
+
+def _trigram_stream_hwm(out_dir: str) -> dict[str, int]:
+    """Per-stream epoch high-water marks for the trigram index: the root
+    ``_stream_epochs.json`` (written by compaction, which folds segments —
+    and their markers — away) max-merged with every live committed
+    segment's marker tags. The exactly-once source of truth for
+    :func:`append_epoch_to_trigram`."""
+    import json
+    import os
+
+    hwm: dict[str, int] = {}
+    root_file = os.path.join(out_dir, "_stream_epochs.json")
+    if os.path.exists(root_file):
+        with open(root_file) as f:
+            hwm = {str(k): int(v) for k, v in json.load(f).items()}
+    for k in trigram_segments(out_dir):
+        seg_dir = os.path.join(_tri_seg_root(out_dir), f"seg={k:05d}")
+        with open(os.path.join(seg_dir, "_COMMITTED")) as f:
+            marker = json.load(f)
+        sid = marker.get("stream_id")
+        if sid is not None and "stream_epoch" in marker:
+            e = int(marker["stream_epoch"])
+            if e > hwm.get(str(sid), -1):
+                hwm[str(sid)] = e
+    return hwm
+
+
+def trigram_epoch_done(out_dir: str, stream_id: str, epoch_id: int) -> bool:
+    """True when this (stream, epoch) already landed in the trigram index
+    — epochs are monotone per stream (Structured Streaming's contract),
+    so any epoch at or below the stream's high-water mark is committed."""
+    return int(epoch_id) <= _trigram_stream_hwm(out_dir).get(str(stream_id), -1)
+
+
+def append_epoch_to_trigram(
+    spark: SparkSession,
+    out_dir: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    stream_id: str = "stream",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> int | None:
+    """One micro-batch -> one trigram segment, EXACTLY ONCE: the segment's
+    ``_COMMITTED`` marker is tagged (stream_id, stream_epoch), so a
+    replayed epoch (stream restart re-delivers the last uncommitted
+    batch) finds its tag — or the compaction-carried high-water mark —
+    and becomes a no-op instead of double-indexing. The trigram twin of
+    streaming.ingest.append_epoch_to_catalog; because the two stores
+    commit independently, a crash between their commits heals on replay
+    (each skips only its own already-committed half). Returns the segment
+    id, or None for a skipped replay / empty batch."""
+    if trigram_epoch_done(out_dir, stream_id, epoch_id):
+        return None
+    if batch_df.isEmpty():
+        return None
+    return append_trigram_index(
+        spark, out_dir, batch_df, id_col=id_col, text_col=text_col,
+        n_shards=n_shards,
+        tags={"stream_id": str(stream_id), "stream_epoch": int(epoch_id)},
+    )
 
 
 def compact_trigram_index(
@@ -580,22 +705,69 @@ def compact_trigram_index(
     """Merge the base index + every committed segment into ONE full index
     at ``dest_dir`` (the rewrite_data_files analog): per-(gram, shard) the
     segments' sorted id arrays are flattened and re-sorted JVM-side —
-    disjoint doc sets, so this is a pure merge, no dedup pass. Publishing
-    is the caller's atomic rename/path-flip, same contract as
-    ``write_trigram_index``."""
+    disjoint doc sets, so this is a pure merge, no dedup pass. Merge-on-
+    read tombstones are APPLIED here (rewrite_position_deletes in the same
+    pass): posting entries are exploded, anti-joined against the broadcast
+    delete set, and re-aggregated, so the compacted index carries no
+    delete files, its per-gram df is exact again, and fully-deleted grams
+    vanish. Publishing is the caller's atomic rename/path-flip, same
+    contract as ``write_trigram_index``.
+
+    Corpus-side contract: once compacted, the index has no tombstones
+    left to mask the FULL-SCAN fallback with — the ``docs`` view handed
+    to regex_search/grep_lines must itself exclude the deleted docs (a
+    snapshot-catalog read does this automatically; a raw table that still
+    contains deleted text can resurface it through the fallback, exactly
+    as it would for any doc that was never indexed)."""
     idx = read_trigram_index(spark, out_dir)
-    merged = idx.postings.groupBy("gram", "shard").agg(
-        F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias("doc_ids"),
-        F.sum("df").alias("df"),
-    )
+    n_docs = idx.n_docs
+    if idx.deletes is not None and len(idx.deletes):
+        dels = spark.createDataFrame(
+            [(int(x),) for x in idx.deletes], "doc_id long"
+        )
+        # explode -> anti-join -> ONE re-aggregation merges base+segments
+        # and drops tombstoned entries in the same exchange
+        merged = (
+            idx.postings.select(
+                "gram", "shard", F.explode("doc_ids").alias("doc_id")
+            )
+            .join(F.broadcast(dels), "doc_id", "left_anti")
+            .groupBy("gram", "shard")
+            .agg(
+                F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+                F.count("*").alias("df"),
+            )
+        )
+        # delete ids reference live docs (the delete_docs contract), so
+        # the surviving corpus size is exact arithmetic
+        n_docs = n_docs - int(len(idx.deletes))
+    else:
+        merged = idx.postings.groupBy("gram", "shard").agg(
+            F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias("doc_ids"),
+            F.sum("df").alias("df"),
+        )
     stats = merged.groupBy("gram").agg(F.sum("df").alias("df"))
     out = TrigramIndex(
         postings=merged,
         stats=stats,
-        n_docs=idx.n_docs,
+        n_docs=n_docs,
         fold_case=idx.fold_case,
     )
     write_trigram_index(out, dest_dir, n_buckets=idx.n_buckets or N_GRAM_BUCKETS)
+    # carry the stream-epoch high-water marks: the merged-away segments'
+    # markers were the exactly-once bookkeeping, so a replayed epoch
+    # arriving AFTER compaction must still be recognized as committed
+    hwm = _trigram_stream_hwm(out_dir)
+    if hwm:
+        import json
+        import os
+
+        tmp = os.path.join(dest_dir, "_stream_epochs.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(hwm, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(dest_dir, "_stream_epochs.json"))
     return read_trigram_index(spark, dest_dir)
 
 
@@ -643,6 +815,22 @@ def estimate_candidates(q, df_map: dict[str, int]) -> int:
     return min(ests) if kind == "and" else sum(ests)
 
 
+def _mask_docs(docs: DataFrame, id_col: str, deletes) -> DataFrame:
+    """Corpus view with merge-on-read tombstones removed — the full-scan
+    fallback's half of the delete mask (the indexed path masks candidate
+    ids driver-side instead). Small delete sets become a NOT IN conjunct
+    the parquet scan can evaluate per row group; larger ones a broadcast
+    anti-join, so the plan never carries a multi-MB literal list."""
+    if deletes is None or not len(deletes):
+        return docs
+    if len(deletes) <= 10_000:
+        return docs.filter(~F.col(id_col).isin([int(x) for x in deletes]))
+    dels = docs.sparkSession.createDataFrame(
+        [(int(x),) for x in deletes], f"{id_col} long"
+    )
+    return docs.join(F.broadcast(dels), id_col, "left_anti")
+
+
 def _prune_to_candidates(
     index: TrigramIndex,
     docs: DataFrame,
@@ -682,11 +870,15 @@ def _prune_to_candidates(
     ~corpus anyway, so ONE verification scan is strictly cheaper. Common
     on tiny-vocabulary corpora and for patterns made of stop-grams."""
     verify = f"(?i){pattern}" if case_insensitive else pattern
+    # merge-on-read tombstones: the fallback scan filters them out of the
+    # corpus; the indexed path masks the collected candidate ids instead
+    # (cheaper — a driver-side searchsorted over an already-small set)
+    fallback = _mask_docs(docs, id_col, index.deletes)
     if case_insensitive and not index.fold_case:
-        return docs, verify
+        return fallback, verify
     q = trigram_query(pattern, fold=index.fold_case)
     if q is None:
-        return docs, verify
+        return fallback, verify
     df_map = index.df_map(sorted(query_grams(q)))
     if prune_keep:
         q = prune_and(q, df_map, keep=prune_keep)
@@ -695,14 +887,21 @@ def _prune_to_candidates(
         and estimate_candidates(q, df_map)
         > max_candidate_frac * index.n_docs
     ):
-        return docs, verify
+        return fallback, verify
     ids = regex_candidates(index, q)
     cand_rows = ids.limit(max_candidate_ids + 1).collect()
     if len(cand_rows) > max_candidate_ids:
-        return docs, verify
-    if not cand_rows:
-        return docs.filter(F.lit(False)), verify
+        return fallback, verify
     cand_ids = [r["doc_id"] for r in cand_rows]
+    if index.deletes is not None and len(index.deletes):
+        import numpy as np
+
+        from google_spark.functions.codec import not_deleted_mask
+
+        arr = np.asarray(cand_ids, dtype=np.int64)
+        cand_ids = [int(x) for x in arr[not_deleted_mask(arr, index.deletes)]]
+    if not cand_ids:
+        return docs.filter(F.lit(False)), verify
     return docs.filter(F.col(id_col).isin(cand_ids)), verify
 
 

@@ -297,6 +297,8 @@ class SearchEngine:
         docs: DataFrame | None = None,
         mode: str = "simple",
         word_vectors: DataFrame | None = None,
+        fielded_index=None,
+        trigram_index=None,
     ) -> "SearchEngine":
         """Serve the HEAD snapshot of a SnapshotCatalog, tracking its
         version: every public query entry point first stats the catalog's
@@ -304,7 +306,11 @@ class SearchEngine:
         and, when a writer has committed since this engine resolved its
         snapshot, re-resolves the index and drops every derived cache
         (trie/vocab/suggester/result/postings) — so autocomplete and
-        suggest can never silently miss terms an append just indexed."""
+        suggest can never silently miss terms an append just indexed.
+        Optional auxiliary indexes (``fielded_index``/``trigram_index``,
+        typically built from the same snapshot's docs) inherit the
+        snapshot's merge-on-read delete files on every (re-)resolve, so a
+        catalog delete can never resurface through grep/regex or BM25F."""
         # capture the version BEFORE resolving: a commit landing between
         # read() and head() would otherwise mark the engine current while
         # it serves the older snapshot — permanently stale if that commit
@@ -313,10 +319,12 @@ class SearchEngine:
         eng = cls(
             catalog.read(spark, version=v), ranks, doc_meta, docs,
             mode=mode, word_vectors=word_vectors,
+            fielded_index=fielded_index, trigram_index=trigram_index,
         )
         eng._catalog = catalog
         eng._catalog_spark = spark
         eng._catalog_version = v
+        eng._propagate_catalog_deletes()
         return eng
 
     def refresh(self) -> None:
@@ -329,6 +337,21 @@ class SearchEngine:
             v = self._catalog.head()
             self.index = self._catalog.read(self._catalog_spark, version=v)
             self._catalog_version = v
+        if (
+            self.trigram_index is not None
+            and self.trigram_index.disk_path is not None
+        ):
+            # disk-backed trigram index: re-open so segments appended
+            # since (streaming epochs, append_trigram_index) and new
+            # bundle tombstones join the read-time union
+            from google_spark.operators.trigram import read_trigram_index
+
+            spark = self._catalog_spark or self.index.postings.sparkSession
+            self.trigram_index = read_trigram_index(
+                spark, self.trigram_index.disk_path
+            )
+        if self._catalog is not None:
+            self._propagate_catalog_deletes()
         self._cache.clear()
         self._postings_cache.clear()
         self._trie = None
@@ -346,6 +369,26 @@ class SearchEngine:
             and self._catalog.head() != self._catalog_version
         ):
             self.refresh()
+
+    def _propagate_catalog_deletes(self) -> None:
+        """Attach the resolved snapshot's merge-on-read delete files to
+        the auxiliary trigram/fielded indexes. UNION semantics (not
+        assignment): after catalog.compact() the snapshot's delete list
+        empties because the WORD postings were rewritten — but these
+        auxiliary indexes were not, so their accumulated tombstones must
+        survive the compaction. Attaching is idempotent, so repeated
+        refreshes don't grow anything."""
+        dels = self.index.deletes
+        if dels is None or not len(dels):
+            return
+        if self.trigram_index is not None:
+            from google_spark.operators.trigram import with_deletes
+
+            self.trigram_index = with_deletes(self.trigram_index, dels)
+        if self.fielded_index is not None:
+            from google_spark.operators.fielded import apply_deletes
+
+            self.fielded_index = apply_deletes(self.fielded_index, dels)
 
     def save(self, out_dir: str) -> None:
         """Publish the full serving bundle: bucket-partitioned postings
@@ -595,6 +638,14 @@ class SearchEngine:
         docs = self.docs.select(
             F.col("doc_id"), F.col("content").alias("text")
         )
+        if self.index.deletes is not None and len(self.index.deletes):
+            # catalog merge-on-read tombstones: the docstore DataFrame is
+            # the caller's raw table, so deleted docs must be filtered
+            # here (the trigram path also masks via its own deletes —
+            # redundant but cheap; the full-scan path has only this)
+            from google_spark.operators.trigram import _mask_docs
+
+            docs = _mask_docs(docs, "doc_id", self.index.deletes)
         if self.trigram_index is not None:
             from google_spark.operators.trigram import grep_lines, regex_search
 
@@ -605,7 +656,6 @@ class SearchEngine:
             )
         else:
             verify = f"(?i){pattern}" if case_insensitive else pattern
-            base = docs.filter(F.col("text").rlike(verify))
             if lines:
                 df = (
                     docs.select(
@@ -625,7 +675,8 @@ class SearchEngine:
                 )
             else:
                 df = (
-                    base.select(
+                    docs.filter(F.col("text").rlike(verify))
+                    .select(
                         "doc_id",
                         F.regexp_extract("text", verify, 0).alias("match"),
                     )

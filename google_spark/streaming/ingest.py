@@ -504,6 +504,7 @@ def stream_to_catalog(
     n_shards: int = 8,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 4,
+    trigram_dir: str | None = None,
 ) -> StreamingQuery:
     """Continuous ingestion INTO the snapshot catalog: each micro-batch of
     new parquet files becomes one tagged catalog append (see
@@ -513,6 +514,14 @@ def stream_to_catalog(
     on its next query via the HEAD-version check — streaming ingest to
     live serving with no coordination beyond the catalog itself.
 
+    With ``trigram_dir`` (an existing trigram bundle,
+    write_trigram_index), each epoch ALSO lands as a trigram segment with
+    its own (stream_id, epoch) tag — so grep/regex search stays fresh in
+    lockstep with word search. The two stores commit independently and
+    each skips its own already-committed epochs on replay, so a crash
+    between the two commits heals exactly-once on restart (see
+    operators.trigram.append_epoch_to_trigram).
+
     The catalog must already hold a base snapshot (commit_build an empty
     or seed corpus first); epoch doc_ids must be disjoint from live docs
     (append_docs' standard contract — content-hash ids satisfy it)."""
@@ -521,6 +530,18 @@ def stream_to_catalog(
     )
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if trigram_dir is not None:
+            from google_spark.operators.trigram import append_epoch_to_trigram
+
+            # trigram first: if the catalog commit below then crashes, the
+            # replayed epoch re-runs this (skipped via its tag) and retries
+            # the catalog half — either order heals, this one just keeps
+            # the test-visible invariant "catalog epoch implies trigram
+            # epoch" true at every instant
+            append_epoch_to_trigram(
+                batch_df.sparkSession, trigram_dir, batch_df, epoch_id,
+                id_col=id_col, text_col=text_col, n_shards=n_shards,
+            )
         append_epoch_to_catalog(
             catalog, batch_df, epoch_id,
             id_col=id_col, text_col=text_col, n_shards=n_shards,

@@ -305,3 +305,52 @@ def test_fielded_code_mode_query_tokenization(spark):
     # the failure the fix removes: simple-mode tokenization of the same
     # query finds nothing in a code-mode index
     assert bm25f_index_topk(findex, "parseJsonFile", k=5).count() == 0
+
+
+def test_fielded_deletes_mask_both_query_paths(spark, corpus_df, tmp_path):
+    """VERDICT r4 #4: a doc tombstoned AFTER the fielded index was built
+    must vanish from bm25f_index_topk AND bm25f_local_topk — in memory via
+    apply_deletes, and on a published bundle via delete_from_fielded_index
+    (+ read round trip)."""
+    from google_spark.operators.fielded import (
+        apply_deletes,
+        bm25f_index_topk,
+        bm25f_local_topk,
+        build_fielded_index,
+        delete_from_fielded_index,
+        read_fielded_index,
+        write_fielded_index,
+    )
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    findex = build_fielded_index(spark, docs)
+    q = "def hash"
+    before = [r["doc_id"] for r in bm25f_index_topk(findex, q, k=10).collect()]
+    assert before
+    victim = before[0]
+
+    masked = apply_deletes(findex, [victim])
+    assert findex.fields["body"].deletes is None  # functional: original kept
+    after = [r["doc_id"] for r in bm25f_index_topk(masked, q, k=10).collect()]
+    assert victim not in after
+    local = [d for d, _ in bm25f_local_topk(masked, q, k=10)]
+    assert victim not in local
+    # both fielded query paths derive df/idf from the DECODED (masked)
+    # candidates, so they stay score-identical to each other post-delete
+    idxp = [
+        (r["doc_id"], r["score"])
+        for r in bm25f_index_topk(masked, q, k=10).collect()
+    ]
+    assert idxp == bm25f_local_topk(masked, q, k=10) and idxp
+
+    out = str(tmp_path / "fielded_del")
+    write_fielded_index(findex, out)
+    assert delete_from_fielded_index(out, [victim]) == 1
+    assert delete_from_fielded_index(out, [victim]) == 0  # idempotent
+    loaded = read_fielded_index(spark, out)
+    assert list(loaded.fields["body"].deletes) == [victim]
+    got = [r["doc_id"] for r in bm25f_index_topk(loaded, q, k=10).collect()]
+    assert got == after

@@ -415,3 +415,50 @@ def test_grep_facade_trigram_vs_fallback(spark, corpus_df, tmp_path):
     loaded = SearchEngine.load(spark, out)
     assert loaded.trigram_index is not None
     assert loaded.grep(pat, limit=10) == got_plain
+
+
+def test_catalog_delete_propagates_to_aux_indexes(spark, corpus_df, tmp_path):
+    """VERDICT r4 #4: a doc deleted via SnapshotCatalog must vanish from
+    the TRIGRAM surface (grep/regex) and the FIELDED surface (BM25F) even
+    though those indexes were built BEFORE the delete committed — the
+    engine propagates the snapshot's merge-on-read delete files onto both
+    auxiliary indexes at every (re-)resolve."""
+    from google_spark.operators.catalog import SnapshotCatalog
+    from google_spark.operators.fielded import build_fielded_index
+    from google_spark.operators.trigram import build_trigram_index
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    store = docs.select("doc_id", "content")
+    cat = SnapshotCatalog(str(tmp_path / "cat_aux"))
+    cat.commit_build(spark, docs, id_col="doc_id", text_col="content")
+    tindex = build_trigram_index(
+        spark, store, id_col="doc_id", text_col="content", n_shards=2
+    )
+    findex = build_fielded_index(
+        spark, store, id_col="doc_id", text_col="content"
+    )
+    eng = SearchEngine.from_catalog(
+        spark, cat, docs=store, trigram_index=tindex, fielded_index=findex
+    )
+
+    q = "def hash"
+    fielded_before = [r.doc_id for r in eng.search(q, k=5, fielded=True)]
+    assert fielded_before
+    victim = fielded_before[0]
+    vic_text = store.filter(F.col("doc_id") == victim).collect()[0]["content"]
+    token = next(w for w in vic_text.split() if len(w) >= 4 and w.isalnum())
+    grep_before = {r["doc_id"] for r in eng.grep(token, limit=100)}
+    assert victim in grep_before
+
+    cat.delete_docs([victim])
+
+    # word path (already covered elsewhere), fielded path, trigram path
+    assert victim not in [r.doc_id for r in eng.search(q, k=5)]
+    assert victim not in [r.doc_id for r in eng.search(q, k=5, fielded=True)]
+    grep_after = {r["doc_id"] for r in eng.grep(token, limit=100)}
+    # limit-capped: dropping the victim can admit one new doc past the cap,
+    # so assert exclusion + no survivor lost rather than set equality
+    assert victim not in grep_after
+    assert grep_before - {victim} <= grep_after

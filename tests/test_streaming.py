@@ -561,3 +561,111 @@ def test_rollback_resets_stream_marks_and_replays(spark, corpus_df, tmp_path):
     assert cat.manifest().summary["stream_epochs"] == {"s1": 0}
     # and the guard still dedupes once re-appended
     assert append_epoch_to_catalog(cat, replay, 0, stream_id="s1") is None
+
+
+def test_stream_to_catalog_keeps_trigram_fresh(spark, corpus_df, tmp_path):
+    """VERDICT r4 #5: with ``trigram_dir``, every streamed epoch also
+    lands as a tagged trigram segment — grep/regex search sees the new
+    docs after the epoch commit, a replayed epoch is exactly-once, the
+    high-water mark survives compaction, and a catalog-backed engine
+    re-opens the disk trigram index on refresh."""
+    from google_spark.operators.catalog import SnapshotCatalog
+    from google_spark.operators.trigram import (
+        append_epoch_to_trigram,
+        build_trigram_index,
+        compact_trigram_index,
+        read_trigram_index,
+        regex_search,
+        trigram_epoch_done,
+        trigram_segments,
+        write_trigram_index,
+    )
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+    from google_spark.streaming.ingest import stream_to_catalog
+
+    seed = with_doc_identity(corpus_df).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    cat = SnapshotCatalog(str(tmp_path / "tcat"))
+    cat.commit_build(spark, seed, id_col="doc_id", text_col="text")
+    tri_dir = str(tmp_path / "tri_stream")
+    write_trigram_index(
+        build_trigram_index(spark, seed, text_col="text", n_shards=2),
+        tri_dir, n_buckets=8,
+    )
+    eng = SearchEngine.from_catalog(
+        spark, cat, trigram_index=read_trigram_index(spark, tri_dir)
+    )
+
+    in_dir = str(tmp_path / "tri_in")
+    os.makedirs(in_dir)
+    epochs = [
+        [(910000001, "first epoch carries qqzzgrepfresh marker text")],
+        [(910000002, "second epoch also says qqzzgrepfresh loudly")],
+    ]
+    for i, rows in enumerate(epochs):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(f"{in_dir}/f{i}.parquet")
+    q = stream_to_catalog(
+        spark, f"{in_dir}/*", cat,
+        checkpoint_dir=str(tmp_path / "tri_ckpt"),
+        max_files_per_trigger=1,
+        trigram_dir=tri_dir,
+    )
+    q.awaitTermination(240)
+
+    streamed = spark.createDataFrame(
+        [r for rows in epochs for r in rows], "doc_id long, text string"
+    )
+    all_docs = seed.unionByName(streamed)
+    idx = read_trigram_index(spark, tri_dir)
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx, all_docs, r"qqzzgrepfresh", limit=10
+        ).collect()
+    }
+    assert got == {910000001, 910000002}
+    n_segs = len(trigram_segments(tri_dir))
+    assert n_segs == 2
+
+    # a catalog-backed engine re-opens the disk index on refresh (the
+    # stream moved HEAD, so its next query triggers exactly that)
+    eng.refresh()
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, eng.trigram_index, all_docs, r"qqzzgrepfresh", limit=10
+        ).collect()
+    }
+    assert got == {910000001, 910000002}
+
+    # replayed epoch = no-op (segment-marker tag)
+    replay = spark.createDataFrame(epochs[0], "doc_id long, text string")
+    assert append_epoch_to_trigram(spark, tri_dir, replay, 0) is None
+    assert len(trigram_segments(tri_dir)) == n_segs
+
+    # compaction folds the segments away but carries the epoch HWM
+    dest = str(tmp_path / "tri_compacted")
+    compact_trigram_index(spark, tri_dir, dest)
+    assert trigram_segments(dest) == []
+    assert trigram_epoch_done(dest, "stream", 0)
+    assert trigram_epoch_done(dest, "stream", 1)
+    assert not trigram_epoch_done(dest, "stream", 2)
+    assert append_epoch_to_trigram(spark, dest, replay, 1) is None
+    # a genuinely NEW epoch still lands post-compaction
+    nxt = spark.createDataFrame(
+        [(910000003, "third epoch qqzzgrepfresh after compaction")],
+        "doc_id long, text string",
+    )
+    assert append_epoch_to_trigram(spark, dest, nxt, 2) == 1
+    idx2 = read_trigram_index(spark, dest)
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx2,
+            all_docs.unionByName(nxt), r"qqzzgrepfresh", limit=10,
+        ).collect()
+    }
+    assert got == {910000001, 910000002, 910000003}

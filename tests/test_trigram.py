@@ -610,3 +610,119 @@ def test_nonascii_folded_pattern_falls_back():
     assert trigram_query("strasse", fold=True) is not None
     # unfolded (case-sensitive, exact grams) stays indexed for non-ASCII
     assert trigram_query("straße", fold=False) is not None
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (VERDICT r4 #4: catalog deletes must not resurface
+# through the trigram surface)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_masks_indexed_and_fallback_paths(
+    spark, tri_docs, tri_index, tmp_path
+):
+    from google_spark.operators.trigram import delete_from_trigram_index
+
+    out = str(tmp_path / "tri_del")
+    write_trigram_index(tri_index, out, n_buckets=8)
+    assert delete_from_trigram_index(out, [1]) == 1
+    assert delete_from_trigram_index(out, [1]) == 0  # idempotent
+    idx = read_trigram_index(spark, out)
+    assert list(idx.deletes) == [1]
+    # indexed path: was {1, 2, 3} pre-delete (test_disk_round_trip)
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx, tri_docs, r"data (group|row)", limit=100
+        ).collect()
+    }
+    assert got == {2, 3}
+    # full-scan fallback path (no trigram constraint): doc 1 matches
+    # [a-z]+ but is tombstoned
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, idx, tri_docs, r"[a-z]+", limit=100
+        ).collect()
+    }
+    assert 1 not in got and {2, 3, 4, 5, 6} <= got
+
+
+def test_with_deletes_write_read_round_trip(spark, tri_docs, tri_index, tmp_path):
+    from google_spark.operators.trigram import with_deletes
+
+    idx = with_deletes(tri_index, [2])
+    idx = with_deletes(idx, [2, 6])  # union, idempotent
+    assert list(idx.deletes) == [2, 6]
+    assert tri_index.deletes is None  # functional: original untouched
+    out = str(tmp_path / "tri_wd")
+    write_trigram_index(idx, out, n_buckets=8)
+    loaded = read_trigram_index(spark, out)
+    assert list(loaded.deletes) == [2, 6]
+    got = {
+        r.doc_id
+        for r in substring_search(
+            spark, loaded, tri_docs, "window window", limit=10
+        ).collect()
+    }
+    assert got == set()  # both matching docs (2, 6) tombstoned
+
+
+def test_compact_applies_deletes(spark, tri_docs, tri_index, tmp_path):
+    from google_spark.operators.trigram import (
+        compact_trigram_index,
+        delete_from_trigram_index,
+    )
+
+    out = str(tmp_path / "tri_cd")
+    write_trigram_index(tri_index, out, n_buckets=8)
+    delete_from_trigram_index(out, [5])
+    dest = str(tmp_path / "tri_cd2")
+    compacted = compact_trigram_index(spark, out, dest)
+    assert compacted.deletes is None  # tombstones physically applied
+    assert compacted.n_docs == tri_index.n_docs - 1
+    # the only doc containing 'zzz' is gone: its grams vanished entirely
+    assert compacted.stats.filter(F.col("gram") == "zzz").count() == 0
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, compacted, tri_docs, r"zzz", limit=10
+        ).collect()
+    }
+    assert got == set()
+    # survivors unaffected, exact parity with pre-delete results minus 5
+    got = {
+        r.doc_id
+        for r in regex_search(
+            spark, compacted, tri_docs, r"data (group|row)", limit=100
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+
+
+def test_grep_lines_excludes_deleted(spark, code_docs, tmp_path):
+    from google_spark.operators.trigram import (
+        delete_from_trigram_index,
+        grep_lines,
+    )
+
+    idx = build_trigram_index(spark, code_docs, n_shards=2)
+    out = str(tmp_path / "tri_gd")
+    write_trigram_index(idx, out, n_buckets=8)
+    before = {
+        r.doc_id
+        for r in grep_lines(
+            spark, read_trigram_index(spark, out), code_docs, r"data group",
+            limit=100,
+        ).collect()
+    }
+    assert 1 in before
+    delete_from_trigram_index(out, [1])
+    after = {
+        r.doc_id
+        for r in grep_lines(
+            spark, read_trigram_index(spark, out), code_docs, r"data group",
+            limit=100,
+        ).collect()
+    }
+    assert after == before - {1}
