@@ -135,6 +135,8 @@ def __getattr__(name):
         "asof_join": ("google_spark.operators.joins", "asof_join"),
         "range_join": ("google_spark.operators.joins", "range_join"),
         "train_bpe": ("google_spark.functions.bpe", "train_bpe"),
+        "save_bpe": ("google_spark.functions.bpe", "save_bpe"),
+        "load_bpe": ("google_spark.functions.bpe", "load_bpe"),
         "bpe_encode": ("google_spark.functions.bpe", "bpe_encode"),
         "bpe_token_count": (
             "google_spark.functions.bpe",

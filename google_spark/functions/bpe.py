@@ -134,6 +134,64 @@ def train_bpe(
     )
 
 
+class StaleBpeModelError(ValueError):
+    """A persisted BPE model's training metadata does not match what the
+    caller expects (different corpus snapshot, merge count, …) — encoding
+    with it would silently mis-budget tokens."""
+
+
+def save_bpe(path: str, merges: list[tuple[str, str]], meta: dict | None = None) -> None:
+    """Persist the ordered merge list + training metadata as ONE json
+    artifact (tmp + fsync + atomic rename — same publish discipline as
+    the catalog's manifests), so a trained tokenizer is reproducible
+    across sessions and shippable alongside the corpus snapshot it was
+    trained on. ``meta`` should record at least n_merges / max_words and
+    the corpus snapshot version when one exists (the keys
+    :func:`load_bpe` can then pin)."""
+    import json
+    import os
+
+    payload = {
+        "format": 1,
+        "merges": [[a, b] for a, b in merges],
+        "meta": dict(meta or {}),
+    }
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def load_bpe(
+    path: str, expect: dict | None = None
+) -> tuple[list[tuple[str, str]], dict]:
+    """Load a persisted BPE model -> (merges, meta). ``expect`` pins
+    metadata keys (e.g. ``{"corpus_version": catalog.head()}``): any
+    present-but-different value raises :class:`StaleBpeModelError` naming
+    the mismatches, so a tokenizer trained on an older corpus snapshot
+    can't silently drive today's token accounting."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    merges = [tuple(m) for m in payload["merges"]]
+    meta = payload.get("meta", {})
+    if expect:
+        bad = [
+            f"{k}: model={meta.get(k)!r} expected={v!r}"
+            for k, v in expect.items()
+            if meta.get(k) != v
+        ]
+        if bad:
+            raise StaleBpeModelError(
+                f"stale BPE model at {path}: " + "; ".join(bad)
+            )
+    return merges, meta
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply merges to one word, lowest-rank-first (the canonical BPE
     encode loop)."""
@@ -156,11 +214,14 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, tokens array<string>, n_tokens) — the merge table rides to
+    """(id_col, tokens array<string>, n_tokens) — the merge table rides to
     executors inside the serialized kernel (it is n_merges rows, KBs);
     per-word encodes are memoized per batch, so hot words cost one encode
-    per Arrow batch, not one per occurrence."""
+    per Arrow batch, not one per occurrence. The id column keeps its
+    input name AND type (string ids, ints, … all pass through the Arrow
+    schema unchanged)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def kernel(batches):
         import pandas as pd
@@ -180,14 +241,14 @@ def bpe_encode(
                 counts.append(len(toks))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "tokens": toks_col,
                     "n_tokens": counts,
                 }
             )
 
     return docs.mapInPandas(
-        kernel, "doc_id long, tokens array<string>, n_tokens long"
+        kernel, f"`{id_col}` {id_type}, tokens array<string>, n_tokens long"
     )
 
 
@@ -197,8 +258,8 @@ def bpe_token_count(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, n_tokens) — the trained-tokenizer budget line for packing
+    """(id_col, n_tokens) — the trained-tokenizer budget line for packing
     and mix planning (upgrade over text_analysis.token_estimate)."""
     return bpe_encode(
         docs, merges, id_col=id_col, text_col=text_col
-    ).select("doc_id", "n_tokens")
+    ).select(id_col, "n_tokens")

@@ -62,6 +62,7 @@ def prepare_corpus(
     decontaminate=None,
     pack_budget: int | None = None,
     bpe_merges: int | None = None,
+    bpe_model: str | None = None,
 ):
     """Run stages 0-8 (everything except the index build); returns
     (prepared DataFrame, accounting dict). Importable so tests drive it
@@ -71,7 +72,13 @@ def prepare_corpus(
     ``bpe_merges`` switches token accounting (and therefore packing) from
     the regex estimate to a BPE tokenizer TRAINED on the surviving docs
     (functions/bpe.py) — the budget line a real pretraining mix uses;
-    the learned rules are returned in the accounting dict."""
+    the learned rules are returned in the accounting dict.
+    ``bpe_model`` makes those runs reproducible across sessions: an
+    existing model file at that path is LOADED instead of retraining
+    (load_bpe pins n_merges — a file trained with a different
+    --bpe-merges raises StaleBpeModelError rather than silently
+    mis-budgeting); a missing file is written after training
+    (save_bpe, atomic)."""
     from pyspark.sql import functions as F
 
     from google_spark.operators.dedup import exact_dedup, minhash_near_dups
@@ -226,14 +233,37 @@ def prepare_corpus(
     if bpe_merges:
         # train on the SURVIVORS (post-gates), so the learned subwords
         # reflect what the mix will actually feed the model
-        from google_spark.functions.bpe import bpe_token_count, train_bpe
+        import os
 
-        merges = train_bpe(docs, text_col=text_col, n_merges=bpe_merges)
+        from google_spark.functions.bpe import (
+            bpe_token_count,
+            load_bpe,
+            save_bpe,
+            train_bpe,
+        )
+
+        if bpe_model and os.path.exists(bpe_model):
+            merges, _meta = load_bpe(
+                bpe_model, expect={"n_merges": int(bpe_merges)}
+            )
+            acct["bpe_model"] = f"loaded:{bpe_model}"
+        else:
+            merges = train_bpe(docs, text_col=text_col, n_merges=bpe_merges)
+            if bpe_model:
+                save_bpe(
+                    bpe_model, merges,
+                    meta={
+                        "n_merges": int(bpe_merges),
+                        "text_col": text_col,
+                        "trained_on_docs": int(acct["input"]),
+                    },
+                )
+                acct["bpe_model"] = f"saved:{bpe_model}"
         acct["bpe_n_merges"] = len(merges)
         acct["bpe_merges"] = ["".join(m) for m in merges[:50]]
         counts = bpe_token_count(
             docs, merges, id_col=id_col, text_col=text_col
-        ).withColumnRenamed("doc_id", id_col)
+        )
         docs = docs.join(counts, id_col).persist()
     else:
         docs = docs.join(
@@ -313,6 +343,14 @@ def main() -> None:
         help="train a BPE tokenizer on the survivors and use its subword "
         "counts for token accounting and packing",
     )
+    ap.add_argument(
+        "--bpe-model",
+        default=None,
+        metavar="PATH",
+        help="persisted BPE model json: loaded if present (reproducible "
+        "re-runs; mismatched --bpe-merges is an error), written after "
+        "training otherwise",
+    )
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
     mix = None
@@ -352,6 +390,7 @@ def main() -> None:
         ),
         pack_budget=args.pack_budget,
         bpe_merges=args.bpe_merges,
+        bpe_model=args.bpe_model,
     )
     prepared.write.mode("overwrite").parquet(f"{args.out}/corpus.parquet")
     prepared_back = spark.read.parquet(f"{args.out}/corpus.parquet")

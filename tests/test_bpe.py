@@ -165,3 +165,81 @@ def test_oracle_replace_chain_equals_kernel_on_testdata_vocab():
 
     for w in words:
         assert encode_word(w, ranks) == sql_replay(w), w
+
+
+def test_save_load_round_trip_identical_counts(spark, tmp_path):
+    """VERDICT r4 #6: train -> persist -> re-load must reproduce the exact
+    merge list and therefore identical bpe_token_count; pinned metadata
+    mismatches raise instead of silently mis-budgeting."""
+    from google_spark.functions.bpe import (
+        StaleBpeModelError,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+
+    rows = [
+        (1, "low lower newest newest"),
+        (2, "widest lowest low low wider"),
+        (3, "newest newer new knew"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=20)
+    path = str(tmp_path / "bpe" / "model.json")
+    save_bpe(path, merges, meta={"n_merges": 20, "corpus_version": 3})
+
+    loaded, meta = load_bpe(path, expect={"n_merges": 20, "corpus_version": 3})
+    assert loaded == merges
+    assert meta["corpus_version"] == 3
+    before = {r.doc_id: r.n_tokens for r in bpe_token_count(docs, merges).collect()}
+    after = {r.doc_id: r.n_tokens for r in bpe_token_count(docs, loaded).collect()}
+    assert before == after
+
+    with pytest.raises(StaleBpeModelError, match="corpus_version"):
+        load_bpe(path, expect={"corpus_version": 4})
+    with pytest.raises(StaleBpeModelError, match="never_recorded"):
+        load_bpe(path, expect={"never_recorded": 1})  # absent key = stale
+
+
+def test_encode_preserves_id_name_and_type(spark):
+    """ADVICE r4: the encode schema must derive from the input id column —
+    string ids (and a non-doc_id name) pass through unchanged."""
+    docs = spark.createDataFrame(
+        [("a-1", "low lower"), ("b-2", "newest")], "file_id string, text string"
+    )
+    merges = train_bpe_from_freqs(FREQS, 10)
+    out = bpe_encode(docs, merges, id_col="file_id")
+    assert dict(out.dtypes)["file_id"] == "string"
+    got = {r.file_id: r.n_tokens for r in out.collect()}
+    assert set(got) == {"a-1", "b-2"} and all(v > 0 for v in got.values())
+    cnt = bpe_token_count(docs, merges, id_col="file_id")
+    assert {r.file_id: r.n_tokens for r in cnt.collect()} == got
+
+
+def test_prepare_corpus_bpe_model_reuse(spark, tmp_path):
+    """prepare_corpus(bpe_model=...) trains+saves on first run, loads on
+    re-run (identical token accounting), and refuses a mismatched
+    --bpe-merges."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from jobs.prepare_corpus import prepare_corpus
+
+    from google_spark.functions.bpe import StaleBpeModelError
+
+    rows = [
+        (i, f"document {i} about spark window join merge data lower newest "
+            + ("alpha beta " * (i % 3)))
+        for i in range(1, 21)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = str(tmp_path / "model.json")
+    _, acct1 = prepare_corpus(spark, docs, bpe_merges=15, bpe_model=model)
+    assert acct1["bpe_model"] == f"saved:{model}"
+    _, acct2 = prepare_corpus(spark, docs, bpe_merges=15, bpe_model=model)
+    assert acct2["bpe_model"] == f"loaded:{model}"
+    assert acct2["total_tokens"] == acct1["total_tokens"]
+    assert acct2["bpe_merges"] == acct1["bpe_merges"]
+    with pytest.raises(StaleBpeModelError, match="n_merges"):
+        prepare_corpus(spark, docs, bpe_merges=99, bpe_model=model)
