@@ -621,6 +621,7 @@ class SearchEngine:
         limit: int = 20,
         lines: bool = False,
         case_insensitive: bool = False,
+        check_fresh: bool = True,
     ) -> list[dict]:
         """Regex retrieval over the corpus content (the Code-Search
         surface): with a bundled trigram index (``build(trigram=True)`` or
@@ -630,8 +631,12 @@ class SearchEngine:
         word-query paths this IS a distributed job per call — substring
         semantics cannot be served from the word postings. ``lines=True``
         returns grep -n rows (doc_id, line_no, line) instead of
-        (doc_id, match)."""
-        self._maybe_refresh()
+        (doc_id, match). ``check_fresh=False`` skips the catalog HEAD
+        check — for callers (the HTTP layer) that already ran
+        :meth:`_maybe_refresh` under their engine lock and want the
+        long-running Spark job itself outside it."""
+        if check_fresh:
+            self._maybe_refresh()
         if self.docs is None:
             raise ValueError("grep needs the docstore (docs=) to verify")
         spark = self.index.postings.sparkSession
@@ -722,6 +727,184 @@ class SearchEngine:
             return []
         hits = self.search(" ".join(salient), k=k + 1)
         return [r for r in hits if r.doc_id != doc_id][:k]
+
+    def boolean(
+        self,
+        query: str | None = None,
+        k: int = 10,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Boolean-filtered BM25 top-k [(doc_id, score)] through the
+        serving point-read tier — the facade twin of
+        index_query.boolean_topk (same +must / -must_not / bare-should
+        query syntax, same scoring: BM25 over must+should with query
+        multiplicity, AND = every must term present, must_not as an
+        exclusion set). All work is driver-side NumPy over the decoded
+        posting cache; zero Spark jobs on a published bundle once the
+        terms are hot."""
+        self._maybe_refresh()
+        import math
+        from collections import Counter
+
+        import numpy as np
+
+        from google_spark.functions.codec import not_deleted_mask
+        from google_spark.operators.index_query import (
+            BM25_B,
+            BM25_K1,
+            _entries_for,
+            parse_boolean_query,
+        )
+
+        if query is not None:
+            must, should, must_not = parse_boolean_query(query, mode=self.mode)
+        must = list(must or [])
+        should = list(should or [])
+        must_not = list(must_not or [])
+        pos_terms = must + should
+        if not pos_terms:
+            return []
+        qf = Counter(pos_terms)
+        must_set = set(must)
+        entries = _entries_for(
+            self.index, sorted(qf), self._postings_cache
+        )
+        if not entries:
+            return []
+        df_total: dict[str, int] = {}
+        for e in entries:
+            df_total[e["term"]] = df_total.get(e["term"], 0) + e["df"]
+        n = self.index.n_docs
+        avgdl = self.index.avgdl
+        d_parts, s_parts, m_parts = [], [], []
+        for e in entries:
+            d = df_total[e["term"]]
+            w = float(qf[e["term"]]) * math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+            tf = e["tf"].astype(np.float64)
+            dl = e["dl"].astype(np.float64)
+            s = (
+                w
+                * tf
+                * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            )
+            d_parts.append(e["docs"])
+            s_parts.append(s)
+            m_parts.append(
+                np.full(
+                    len(e["docs"]),
+                    1 if e["term"] in must_set else 0,
+                    dtype=np.int64,
+                )
+            )
+        docs = np.concatenate(d_parts)
+        u, inv = np.unique(docs, return_inverse=True)
+        ssum = np.bincount(inv, weights=np.concatenate(s_parts))
+        # each (term, doc) posting appears exactly once across shards, so
+        # the per-doc sum of is_must counts DISTINCT must terms present
+        msum = np.bincount(inv, weights=np.concatenate(m_parts).astype(np.float64))
+        keep = (
+            msum == len(must_set)
+            if must_set
+            else np.ones(len(u), dtype=bool)
+        )
+        if must_not:
+            ex_entries = _entries_for(
+                self.index, sorted(set(must_not)), self._postings_cache
+            )
+            if ex_entries:
+                excl = np.unique(
+                    np.concatenate([e["docs"] for e in ex_entries])
+                )
+                keep &= not_deleted_mask(u, excl)  # membership mask reuse
+        u, ssum = u[keep], ssum[keep]
+        order = np.lexsort((u, -ssum))[:k]
+        return [(int(u[i]), float(ssum[i])) for i in order]
+
+    def fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        max_dist: int = 1,
+        decay: float = 0.5,
+        max_expand: int = 16,
+    ) -> list[tuple[int, float]]:
+        """Typo-tolerant top-k [(doc_id, score)] through the serving tier:
+        each query term expands against the CAPPED serving vocabulary (the
+        suggester's bigram shortlist — zero Spark jobs per call once the
+        vocab is primed), expansions weighted ``decay ** dist`` with max
+        weight on collision, scored by the same decoded-postings core as
+        plain queries. The exhaustive distributed twin (full-vocabulary
+        expansion, exact in-vocab neighborhoods) is spelling.fuzzy_topk;
+        this path returns an exact-hit term unexpanded — serving the typo
+        case without paying a per-request vocabulary scan."""
+        self._maybe_refresh()
+        from google_spark.functions.tokenizer import tokenize
+        from google_spark.operators.index_query import local_topk_core
+        from google_spark.operators.spelling import NgramSuggester
+
+        if self._suggester is None:
+            self._suggester = NgramSuggester(self._top_vocab())
+        terms = list(
+            dict.fromkeys(t for t, _ in tokenize(query, mode=self.mode))
+        )
+        weights: dict[str, float] = {}
+        for t in terms:
+            cands = self._suggester.suggest(
+                t, limit=max_expand, max_dist=max_dist
+            )
+            for term, _df, dist in cands:
+                w = decay ** dist
+                if w > weights.get(term, 0.0):
+                    weights[term] = w
+        if not weights:
+            return []
+        return local_topk_core(self.index, weights, k, self._postings_cache)
+
+    def facets(
+        self,
+        query: str,
+        facet_cols: list[str] | None = None,
+        max_candidates: int = 100_000,
+    ) -> dict[str, list[tuple[str | None, int]]]:
+        """Facet sidebar counts {facet -> [(value, n_docs)]} over the docs
+        matching ANY query term — the facade twin of
+        index_query.facet_counts. Candidate ids come from the decoded
+        posting cache (merge-on-read deletes already masked); their meta
+        rows are pyarrow point reads on a published bundle. Bounded by the
+        query terms' posting sizes and capped at ``max_candidates`` ids
+        (sorted, so the cap is deterministic); values ordered (NULL first,
+        then value asc) like the distributed operator."""
+        self._maybe_refresh()
+        from collections import Counter
+
+        from google_spark.operators.index_query import (
+            docs_containing,
+            query_terms,
+        )
+
+        terms = sorted(set(query_terms(query, mode=self.mode)))
+        if not terms or self.doc_meta is None:
+            return {}
+        ids = docs_containing(self.index, terms, self._postings_cache)
+        if not len(ids):
+            return {}
+        meta = self._meta_for([int(x) for x in ids[:max_candidates]])
+        if facet_cols is None:
+            sample = next(iter(meta.values()), {})
+            facet_cols = [c for c in ("lang", "repo") if c in sample]
+        out: dict[str, list[tuple[str | None, int]]] = {}
+        for c in facet_cols:
+            cnt: Counter = Counter(
+                (str(m[c]) if m.get(c) is not None else None)
+                for m in meta.values()
+            )
+            out[c] = sorted(
+                cnt.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+            )
+        return out
 
     def _idf_for(self, terms: list[str]) -> dict[str, float]:
         """idf for the given terms via a driver-side cache (bounded by the

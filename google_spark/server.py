@@ -35,6 +35,13 @@ def _result_json(r) -> dict:
 
 def make_handler(engine):
     lock = threading.Lock()
+    # /grep is the one route that runs a distributed Spark job; holding the
+    # shared engine lock for its duration would stall every concurrent
+    # /search//autocomplete/… for seconds. The staleness check (which can
+    # mutate engine state) stays under the shared lock; the job itself
+    # runs under this separate lock — greps serialize among themselves
+    # (Spark driver scheduling) but never block the point-read routes.
+    grep_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj) -> None:
@@ -138,12 +145,69 @@ def make_handler(engine):
                     lines = (qs.get("lines") or ["false"])[0] == "true"
                     ci = (qs.get("i") or ["false"])[0] == "true"
                     with lock:
+                        engine._maybe_refresh()
+                    with grep_lock:
                         rows = engine.grep(
                             pattern, limit=limit, lines=lines,
-                            case_insensitive=ci,
+                            case_insensitive=ci, check_fresh=False,
                         )
                     return self._json(
                         200, {"pattern": pattern, "results": rows}
+                    )
+                if u.path == "/boolean":
+                    # +term = must, -term = exclude, bare = optional scorer
+                    if not q.strip():
+                        return self._json(400, {"error": "empty query"})
+                    k = int((qs.get("limit") or ["10"])[0])
+                    with lock:
+                        hits = engine.boolean(q, k=k)
+                    return self._json(
+                        200,
+                        {
+                            "query": q,
+                            "results": [
+                                {"doc_id": d, "score": s} for d, s in hits
+                            ],
+                        },
+                    )
+                if u.path == "/fuzzy":
+                    if not q.strip():
+                        return self._json(400, {"error": "empty query"})
+                    k = int((qs.get("limit") or ["10"])[0])
+                    max_dist = int((qs.get("maxDist") or ["1"])[0])
+                    with lock:
+                        hits = engine.fuzzy(q, k=k, max_dist=max_dist)
+                    return self._json(
+                        200,
+                        {
+                            "query": q,
+                            "results": [
+                                {"doc_id": d, "score": s} for d, s in hits
+                            ],
+                        },
+                    )
+                if u.path == "/facets":
+                    if not q.strip():
+                        return self._json(400, {"error": "empty query"})
+                    cols = None
+                    if qs.get("cols"):
+                        cols = [
+                            c for c in qs["cols"][0].split(",") if c
+                        ]
+                    with lock:
+                        fac = engine.facets(q, facet_cols=cols)
+                    return self._json(
+                        200,
+                        {
+                            "query": q,
+                            "facets": {
+                                f: [
+                                    {"value": v, "n_docs": n}
+                                    for v, n in vals
+                                ]
+                                for f, vals in fac.items()
+                            },
+                        },
                     )
                 if u.path == "/history":
                     limit = int((qs.get("limit") or ["5"])[0])

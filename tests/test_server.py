@@ -158,3 +158,74 @@ def test_grep_route(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base, "/grep")
     assert ei.value.code == 400
+
+
+def test_boolean_route_matches_engine_and_operator(served):
+    """/boolean mirrors engine.boolean, which must match the distributed
+    boolean_topk operator on the same bundle (same +/- query syntax)."""
+    from google_spark.operators.index_query import boolean_topk
+
+    eng, base = served
+    q = "+data partition -merge"
+    status, body = _get(base, "/boolean?query=%2Bdata+partition+-merge&limit=5")
+    assert status == 200
+    direct = eng.boolean(q, k=5)
+    assert [(r["doc_id"], pytest.approx(r["score"])) for r in body["results"]] == [
+        (d, pytest.approx(s)) for d, s in direct
+    ]
+    op = [
+        (r["doc_id"], r["score"])
+        for r in boolean_topk(eng.index, q, k=5).collect()
+    ]
+    assert [d for d, _ in direct] == [d for d, _ in op]
+    for (_, a), (_, b) in zip(direct, op):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_fuzzy_route_finds_typo_matches(served):
+    eng, base = served
+    term = eng._top_vocab()[0][0]
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y")
+    status, body = _get(base, f"/fuzzy?query={typo}&limit=5")
+    assert status == 200
+    direct = eng.fuzzy(typo, k=5)
+    assert [(r["doc_id"], pytest.approx(r["score"])) for r in body["results"]] == [
+        (d, pytest.approx(s)) for d, s in direct
+    ]
+    # the typo's neighbor is a hot vocabulary term: fuzzy must find docs
+    assert body["results"]
+    # exact queries still work through the same route
+    status, body = _get(base, f"/fuzzy?query={term}")
+    assert status == 200 and body["results"]
+
+
+def test_facets_route_counts_match_meta(served):
+    eng, base = served
+    status, body = _get(base, "/facets?query=data&cols=repo")
+    assert status == 200
+    direct = eng.facets("data", facet_cols=["repo"])
+    got = {
+        f: [(v["value"], v["n_docs"]) for v in vals]
+        for f, vals in body["facets"].items()
+    }
+    assert got == {f: list(vals) for f, vals in direct.items()}
+    assert sum(n for _, n in got["repo"]) > 0
+    # counts agree with a hand count over matching docs' meta
+    from google_spark.operators.index_query import docs_containing, query_terms
+
+    ids = docs_containing(eng.index, sorted(set(query_terms("data"))))
+    meta = eng._meta_for([int(x) for x in ids])
+    from collections import Counter
+
+    want = Counter(str(m["repo"]) for m in meta.values() if m.get("repo") is not None)
+    assert dict(got["repo"]) == dict(want)
+
+
+def test_empty_query_new_routes(served):
+    _, base = served
+    import urllib.error
+
+    for path in ("/boolean?query=", "/fuzzy?query=", "/facets"):
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _get(base, path)
+        assert err.value.code == 400
