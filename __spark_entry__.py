@@ -24,8 +24,9 @@ dedup_containment, catalog_changelog, dedup_lines_global, the four trigram
 rows, text_bpe_count, join_asof, join_range, op_cube, op_pivot,
 op_semi_join, op_anti_join, op_unpivot) — keeping 17 flagships and
 demoting 33 rows that are green in CORRECTNESS_r04.json. Union driver
-coverage r03 ∪ r04 ∪ r05 = all 106 contract rows; every demoted row stays
-oracle-checked in the local gate.
+coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows (107 total
+with the new round-5 wildcard_search_topk, local-gate-checked); every
+demoted row stays oracle-checked in the local gate.
 """
 
 from __future__ import annotations
@@ -1519,6 +1520,18 @@ def q_prefix_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(df, "score")
 
 
+def q_wildcard_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General wildcard query 's?a*' (`?` = one char, `*` = any run —
+    matches scan/small/spark in this corpus, NOT stream/sort/slow, so both
+    metacharacters decide): literal prefix 's' pushed into the dictionary
+    scan, anchored-regex verify, expansion capped at the 2 highest-df
+    matches (cap exercised: 3 terms match), OR-scored weight 1 per term."""
+    from google_spark.operators.index_query import wildcard_topk
+
+    df = wildcard_topk(_index(spark, sf_dir), "s?a*", k=10, max_expand=2)
+    return _round4(df, "score")
+
+
 def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by tf*ln(N/df); rank window collapses to
     WindowGroupLimit (per-partition top-k heap), ties term-asc on the
@@ -1920,11 +1933,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
     output). These run in the LOCAL contract gate (tools/check_contract.py
-    merges them) with the same oracles. ROUND-5 ROTATION: every row here is
-    driver-green in CORRECTNESS_r03.json and/or CORRECTNESS_r04.json —
-    demoted this round so the 33 rows that only had local coverage in
+    merges them) with the same oracles. ROUND-5 ROTATION: every demoted row
+    here is driver-green in CORRECTNESS_r03.json and/or CORRECTNESS_r04.json
+    — demoted this round so the 33 rows that only had local coverage in
     round 4 earn driver rows (see the module docstring); union driver
-    coverage r03 ∪ r04 ∪ r05 = all 106 contract rows."""
+    coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows. Rows
+    marked "new in round 5" are local-gate-only (the 50 driver slots are
+    spoken for this round)."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
         "bm25_topk_code": q_bm25_topk_code,
@@ -1984,6 +1999,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_intersect": q_op_intersect,
         "op_sample": q_op_sample,
         "tpch_partagg": q_tpch_partagg,
+        # new in round 5 ----------------------------------------------------
+        "wildcard_search_topk": q_wildcard_search_topk,
     }
 
 
@@ -3323,6 +3340,14 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "prefix_search_topk": _bm25_sql(
             "q AS (SELECT term, 1.0 AS w FROM dft WHERE term LIKE 's%' "
             "ORDER BY df DESC, term ASC LIMIT 4)"
+        ),
+        # Wildcard 's?a*' (same anchored regex wildcard_regex builds):
+        # dictionary expansion capped at 2 by (df desc, term asc), then
+        # weight-1 BM25 over the expanded OR query
+        "wildcard_search_topk": _bm25_sql(
+            "q AS (SELECT term, 1.0 AS w FROM dft "
+            "WHERE regexp_matches(term, '^s.a.*$') "
+            "ORDER BY df DESC, term ASC LIMIT 2)"
         ),
         "text_keywords": f"""
 WITH toks AS (

@@ -69,6 +69,7 @@ def __getattr__(name):
         "streaming_near_dedup": ("google_spark.streaming.ingest", "streaming_near_dedup"),
         "boolean_topk": ("google_spark.operators.index_query", "boolean_topk"),
         "prefix_topk": ("google_spark.operators.index_query", "prefix_topk"),
+        "wildcard_topk": ("google_spark.operators.index_query", "wildcard_topk"),
         "weighted_topk": ("google_spark.operators.index_query", "weighted_topk"),
         "keywords_tfidf": ("google_spark.operators.text_analysis", "keywords_tfidf"),
         "pmi_bigrams": ("google_spark.operators.text_analysis", "pmi_bigrams"),

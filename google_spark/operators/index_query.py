@@ -339,6 +339,64 @@ def prefix_topk(
     return weighted_topk(index, {r["term"]: 1.0 for r in rows}, k=k)
 
 
+def wildcard_regex(pattern: str) -> str:
+    """Anchored regex for a wildcard term pattern: ``*`` matches any run
+    (including empty), ``?`` exactly one character, everything else is a
+    literal (regex metacharacters escaped). Shared by the engine probe
+    and exposed so oracles can reproduce the exact expansion."""
+    import re
+
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return "^" + "".join(parts) + "$"
+
+
+def wildcard_topk(
+    index: IndexTables,
+    pattern: str,
+    k: int = 10,
+    max_expand: int = 32,
+) -> DataFrame:
+    """General wildcard term query (the Lucene WildcardQuery analog,
+    generalizing :func:`prefix_topk`): ``*`` matches any run of
+    characters, ``?`` exactly one. Matching terms from the dictionary —
+    capped at the ``max_expand`` highest-df (ties term asc), the
+    MultiTermQuery rewrite cap — score as an OR query through
+    :func:`weighted_topk`.
+
+    Scale shape: the longest literal prefix before the first wildcard is
+    pushed into the (term, df) dictionary scan as a StartsWith parquet
+    filter, then the anchored regex verifies the survivors — so
+    ``spar?`` touches one dictionary range while the corpus is never
+    scanned at all. A LEADING-wildcard pattern (``*ing``) degrades to a
+    full dictionary scan: O(vocab), still corpus-independent (Lucene's
+    reversed-term field is the escape hatch when the dictionary itself
+    is huge; unnecessary here — a 100 TB corpus has a vocabulary orders
+    of magnitude smaller than its postings)."""
+    spark = index.postings.sparkSession
+    rx = wildcard_regex(pattern)
+    terms = index.terms
+    lit_prefix = pattern.split("*", 1)[0].split("?", 1)[0]
+    if lit_prefix:
+        terms = terms.filter(F.col("term").startswith(lit_prefix))
+    rows = (
+        terms.filter(F.col("term").rlike(rx))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expand)
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return weighted_topk(index, {r["term"]: 1.0 for r in rows}, k=k)
+
+
 def facet_counts(
     index: IndexTables,
     meta: DataFrame,

@@ -863,6 +863,34 @@ class SearchEngine:
             return []
         return local_topk_core(self.index, weights, k, self._postings_cache)
 
+    def wildcard(
+        self, pattern: str, k: int = 10, max_expand: int = 32
+    ) -> list[tuple[int, float]]:
+        """Wildcard top-k [(doc_id, score)] through the serving tier
+        (``*`` any run, ``?`` one char — the facade twin of
+        index_query.wildcard_topk): the pattern expands against the CAPPED
+        serving vocabulary (shared with autocomplete/fuzzy — one small
+        Spark job ever), keeping the ``max_expand`` highest-df matches
+        (ties term asc), scored weight-1.0 by the same decoded-postings
+        core as plain queries. A term outside the df-capped vocabulary is
+        invisible here; wildcard_topk against the full dictionary is the
+        exhaustive distributed twin."""
+        self._maybe_refresh()
+        import re
+
+        from google_spark.operators.index_query import (
+            local_topk_core,
+            wildcard_regex,
+        )
+
+        rx = re.compile(wildcard_regex(pattern))
+        matches = [(t, df) for t, df in self._top_vocab() if rx.match(t)]
+        matches.sort(key=lambda td: (-td[1], td[0]))
+        weights = {t: 1.0 for t, _df in matches[:max_expand]}
+        if not weights:
+            return []
+        return local_topk_core(self.index, weights, k, self._postings_cache)
+
     def facets(
         self,
         query: str,

@@ -186,6 +186,23 @@ def make_handler(engine):
                             ],
                         },
                     )
+                if u.path == "/wildcard":
+                    # * = any run, ? = one char; expansion over the capped
+                    # serving vocabulary, zero Spark jobs per call
+                    if not q.strip():
+                        return self._json(400, {"error": "empty query"})
+                    k = int((qs.get("limit") or ["10"])[0])
+                    with lock:
+                        hits = engine.wildcard(q, k=k)
+                    return self._json(
+                        200,
+                        {
+                            "query": q,
+                            "results": [
+                                {"doc_id": d, "score": s} for d, s in hits
+                            ],
+                        },
+                    )
                 if u.path == "/facets":
                     if not q.strip():
                         return self._json(400, {"error": "empty query"})

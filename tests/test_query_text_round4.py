@@ -103,6 +103,67 @@ def test_prefix_no_match_is_empty(index):
     assert prefix_topk(index, "zzz", k=10).count() == 0
 
 
+# --------------------------------------------------------------- wildcard
+
+
+def test_wildcard_regex_translation():
+    from google_spark.operators.index_query import wildcard_regex
+
+    assert wildcard_regex("s?a*") == "^s.a.*$"
+    # regex metacharacters in the pattern are literals
+    assert wildcard_regex("sc.n") == r"^sc\.n$"
+    assert wildcard_regex("a+b") == r"^a\+b$"
+
+
+def test_wildcard_expansion_scores_like_weighted_or(index):
+    from google_spark.operators.index_query import weighted_topk, wildcard_topk
+
+    # '?ash' (leading single-char wildcard) -> hash only
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         wildcard_topk(index, "?ash", k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         weighted_topk(index, {"hash": 1.0}, k=10).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_wildcard_leading_star_scans_dictionary(index):
+    from google_spark.operators.index_query import weighted_topk, wildcard_topk
+
+    # '*ort' has no literal prefix to push -> full dictionary scan -> sort
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         wildcard_topk(index, "*ort", k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         weighted_topk(index, {"sort": 1.0}, k=10).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_wildcard_cap_keeps_highest_df(index):
+    from google_spark.operators.index_query import weighted_topk, wildcard_topk
+
+    # 's*' terms: scan(df 2: docs 1,4), sort(df 1: doc 2) -> cap 1 keeps scan
+    a = {r["doc_id"] for r in
+         wildcard_topk(index, "s*", k=10, max_expand=1).collect()}
+    b = {r["doc_id"] for r in weighted_topk(index, {"scan": 1.0}, k=10).collect()}
+    assert a == b == {1, 4}
+
+
+def test_wildcard_metachars_are_literal(index):
+    from google_spark.operators.index_query import wildcard_topk
+
+    # '.' is a literal, not any-char: 'sc.n' matches nothing, 'sc?n' = scan
+    assert wildcard_topk(index, "sc.n", k=10).count() == 0
+    assert {r["doc_id"] for r in wildcard_topk(index, "sc?n", k=10).collect()} == {
+        1,
+        4,
+    }
+
+
+def test_wildcard_no_match_is_empty(index):
+    from google_spark.operators.index_query import wildcard_topk
+
+    assert wildcard_topk(index, "zz*", k=10).count() == 0
+
+
 # --------------------------------------------------------------- keywords
 
 

@@ -199,6 +199,29 @@ def test_fuzzy_route_finds_typo_matches(served):
     assert status == 200 and body["results"]
 
 
+def test_wildcard_route_matches_engine_and_operator(served):
+    """/wildcard mirrors engine.wildcard (serving-vocab expansion), which
+    must rank like the distributed full-dictionary wildcard_topk here
+    (the test corpus fits the capped vocabulary)."""
+    from google_spark.operators.index_query import wildcard_topk
+
+    eng, base = served
+    status, body = _get(base, "/wildcard?query=dat%3F&limit=5")  # 'dat?'
+    assert status == 200
+    direct = eng.wildcard("dat?", k=5)
+    assert [(r["doc_id"], pytest.approx(r["score"])) for r in body["results"]] == [
+        (d, pytest.approx(s)) for d, s in direct
+    ]
+    assert body["results"]
+    op = [
+        (r["doc_id"], r["score"])
+        for r in wildcard_topk(eng.index, "dat?", k=5).collect()
+    ]
+    assert [d for d, _ in direct] == [d for d, _ in op]
+    for (_, a), (_, b) in zip(direct, op):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
 def test_facets_route_counts_match_meta(served):
     eng, base = served
     status, body = _get(base, "/facets?query=data&cols=repo")
@@ -225,7 +248,7 @@ def test_empty_query_new_routes(served):
     _, base = served
     import urllib.error
 
-    for path in ("/boolean?query=", "/fuzzy?query=", "/facets"):
+    for path in ("/boolean?query=", "/fuzzy?query=", "/facets", "/wildcard?query="):
         with pytest.raises(urllib.error.HTTPError) as err:
             _get(base, path)
         assert err.value.code == 400
