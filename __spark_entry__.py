@@ -1532,6 +1532,20 @@ def q_wildcard_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(df, "score")
 
 
+def q_near_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity query 'hash NEAR/2 join' (Lucene SpanNearQuery analog):
+    docs where the terms occur within 2 token positions (either order),
+    ranked by BM25 over the two terms; min_gap from the positional
+    postings. The oracle recomputes gaps with a per-position self-join
+    over the tokenization and the same restricted BM25."""
+    from google_spark.operators.index_query import near_topk
+
+    df = near_topk(_index(spark, sf_dir), "hash", "join", max_gap=2, k=10)
+    return df.select(
+        "doc_id", "min_gap", F.round("score", 4).alias("score")
+    )
+
+
 def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by tf*ln(N/df); rank window collapses to
     WindowGroupLimit (per-partition top-k heap), ties term-asc on the
@@ -2001,6 +2015,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_partagg": q_tpch_partagg,
         # new in round 5 ----------------------------------------------------
         "wildcard_search_topk": q_wildcard_search_topk,
+        "near_search_topk": q_near_search_topk,
     }
 
 
@@ -3349,6 +3364,44 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
             "WHERE regexp_matches(term, '^s.a.*$') "
             "ORDER BY df DESC, term ASC LIMIT 2)"
         ),
+        # 'hash NEAR/2 join': per-position self-join recomputes the min
+        # pairwise gap (positions = 1-based ordinals of the filtered token
+        # list, zipped unnest), BM25 restricted to the two terms ranks the
+        # survivors
+        "near_search_topk": f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+pos AS (
+  SELECT doc_id, unnest(ts) AS term,
+         unnest(range(1, len(ts) + 1)) AS p, len(ts) AS dl
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM pos GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+gaps AS (
+  SELECT a.doc_id, CAST(min(abs(a.p - b.p)) AS INT) AS min_gap
+  FROM pos a JOIN pos b USING (doc_id)
+  WHERE a.term = 'hash' AND b.term = 'join'
+  GROUP BY a.doc_id
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN stats s
+  WHERE tf.term IN ('hash', 'join')
+  GROUP BY tf.doc_id
+)
+SELECT g.doc_id, g.min_gap, round(sc.score, 4) AS score
+FROM gaps g JOIN scored sc USING (doc_id)
+WHERE g.min_gap <= 2
+ORDER BY sc.score DESC, g.doc_id ASC LIMIT 10
+""",
         "text_keywords": f"""
 WITH toks AS (
   SELECT doc_id, {_TOK_SQL} AS ts FROM documents

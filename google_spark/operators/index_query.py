@@ -397,6 +397,155 @@ def wildcard_topk(
     return weighted_topk(index, {r["term"]: 1.0 for r in rows}, k=k)
 
 
+def positional_postings(index: IndexTables, terms: list[str]) -> DataFrame:
+    """(term, doc_id, tf, dl, positions) decoded from the pruned posting
+    scan — the positional twin of the scoring decode: the term filter is
+    pushed to the parquet scan (+ bucket partition pruning on disk), the
+    Arrow kernel emits one row per (term, doc) with the full position
+    list, and merge-on-read deletes are masked inside the kernel. Doc
+    shards partition the doc_id universe, so each (term, doc_id) appears
+    exactly once. Cost follows the queried terms' posting lists, never
+    the corpus."""
+    from google_spark.functions.codec import decode_postings_full_np
+
+    deletes = index.deletes
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t_out, d_out, tf_out, dl_out, p_out = [], [], [], [], []
+            for term, blob in zip(pdf["term"].values, pdf["postings"].values):
+                doc_ids, tfs, dls, pos = decode_postings_full_np(bytes(blob))
+                if deletes is not None and len(deletes):
+                    keep = not_deleted_mask(doc_ids, deletes)
+                    doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                    pos = [p for p, kp in zip(pos, keep) if kp]
+                t_out.extend([term] * len(doc_ids))
+                d_out.extend(doc_ids)
+                tf_out.extend(tfs)
+                dl_out.extend(dls)
+                p_out.extend(list(p) for p in pos)
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(t_out, dtype="object"),
+                    "doc_id": pd.Series(d_out, dtype="int64"),
+                    "tf": pd.Series(tf_out, dtype="int32"),
+                    "dl": pd.Series(dl_out, dtype="int32"),
+                    "positions": pd.Series(p_out, dtype="object"),
+                }
+            )
+
+    return index.matching(terms).select("term", "postings").mapInPandas(
+        gen, schema="term string, doc_id long, tf int, dl int, positions array<int>"
+    )
+
+
+def near_topk(
+    index: IndexTables,
+    term_a: str,
+    term_b: str,
+    max_gap: int,
+    k: int = 10,
+    ordered: bool = False,
+) -> DataFrame:
+    """Proximity query ``term_a NEAR/max_gap term_b`` (the Lucene
+    SpanNearQuery analog): top-k (doc_id, min_gap, score) over docs where
+    the two DISTINCT terms occur within ``max_gap`` token positions —
+    ``ordered=True`` additionally requires ``term_a`` BEFORE ``term_b``
+    (min_gap is then the minimal forward distance). Survivors rank by
+    BM25 over the two terms (score desc, doc_id asc).
+
+    Scale shape: positions come from :func:`positional_postings` — a scan
+    of the TWO terms' posting lists only (term filter + bucket pruning
+    pushed down), never the corpus; the doc-grain equi-join is between
+    those two decoded lists; the pairwise min-gap is a nested JVM
+    higher-order function over the position arrays (cost tf_a * tf_b per
+    co-occurring doc, no explode); scoring needs no second scan — tf/dl
+    ride along the decode, idf is a 2-row query-side constant."""
+    if term_a == term_b:
+        raise ValueError("near_topk needs two distinct terms")
+    if max_gap < 1:
+        raise ValueError("max_gap must be >= 1")
+    import math
+
+    spark = index.postings.sparkSession
+    out_schema = "doc_id long, min_gap int, score double"
+    rel = positional_postings(index, sorted({term_a, term_b}))
+    df_rows = (
+        index.matching([term_a, term_b])
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    dfm = {r["term"]: int(r["df"]) for r in df_rows}
+    if term_a not in dfm or term_b not in dfm:
+        return spark.createDataFrame([], out_schema)
+    n = index.n_docs
+    idf = {
+        t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfm.items()
+    }
+    avgdl = index.avgdl
+
+    def bm25(tf_col: str, w: float) -> F.Column:
+        tf = F.col(tf_col).cast("double")
+        return (
+            F.lit(w)
+            * tf
+            * (BM25_K1 + 1.0)
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+            )
+        )
+
+    a = rel.filter(F.col("term") == term_a).select(
+        "doc_id",
+        F.col("tf").alias("tf_a"),
+        "dl",
+        F.col("positions").alias("pa"),
+    )
+    b = rel.filter(F.col("term") == term_b).select(
+        "doc_id",
+        F.col("tf").alias("tf_b"),
+        F.col("positions").alias("pb"),
+    )
+    if ordered:
+        # minimal forward distance y - x over pairs with y AFTER x;
+        # array_min ignores the nulls the when() leaves for y <= x
+        gap = F.array_min(
+            F.flatten(
+                F.transform(
+                    "pa",
+                    lambda x: F.transform(
+                        "pb", lambda y: F.when(y > x, y - x)
+                    ),
+                )
+            )
+        )
+    else:
+        gap = F.array_min(
+            F.flatten(
+                F.transform(
+                    "pa",
+                    lambda x: F.transform("pb", lambda y: F.abs(y - x)),
+                )
+            )
+        )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            gap.alias("min_gap"),
+            (bm25("tf_a", idf[term_a]) + bm25("tf_b", idf[term_b])).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("min_gap").isNotNull() & (F.col("min_gap") <= max_gap))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def facet_counts(
     index: IndexTables,
     meta: DataFrame,

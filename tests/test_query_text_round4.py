@@ -164,6 +164,62 @@ def test_wildcard_no_match_is_empty(index):
     assert wildcard_topk(index, "zz*", k=10).count() == 0
 
 
+# ------------------------------------------------------------------- near
+
+
+def test_near_gap_and_candidates(index):
+    from google_spark.operators.index_query import near_topk
+
+    # doc 1: hash@1,3 join@2,4 (gap 1); doc 5: hash@1 join@2 (gap 1);
+    # doc 2 has hash but no join; doc 3 has join but no hash
+    rows = near_topk(index, "hash", "join", max_gap=1, k=10).collect()
+    assert {(r["doc_id"], r["min_gap"]) for r in rows} == {(1, 1), (5, 1)}
+
+
+def test_near_scores_match_weighted_or(index):
+    from google_spark.operators.index_query import near_topk, weighted_topk
+
+    near = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in near_topk(index, "hash", "join", max_gap=10, k=10).collect()
+    }
+    full = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in weighted_topk(index, {"hash": 1.0, "join": 1.0}, k=10).collect()
+    }
+    # every near candidate scores exactly its two-term BM25
+    assert near and all(full[d] == s for d, s in near.items())
+    # wide gap -> exactly the docs containing BOTH terms
+    assert set(near) == {1, 5}
+
+
+def test_near_ordered_direction(index):
+    from google_spark.operators.index_query import near_topk
+
+    # 'join ... hash': doc 1 has join@2 before hash@3; doc 5 has join@2
+    # but no hash after it
+    rows = near_topk(index, "join", "hash", max_gap=1, k=10, ordered=True).collect()
+    assert {(r["doc_id"], r["min_gap"]) for r in rows} == {(1, 1)}
+    # unordered sees both docs
+    rows = near_topk(index, "join", "hash", max_gap=1, k=10).collect()
+    assert {r["doc_id"] for r in rows} == {1, 5}
+
+
+def test_near_rejects_bad_args(index):
+    from google_spark.operators.index_query import near_topk
+
+    with pytest.raises(ValueError):
+        near_topk(index, "hash", "hash", max_gap=1)
+    with pytest.raises(ValueError):
+        near_topk(index, "hash", "join", max_gap=0)
+
+
+def test_near_absent_term_is_empty(index):
+    from google_spark.operators.index_query import near_topk
+
+    assert near_topk(index, "hash", "zzzz", max_gap=5, k=10).count() == 0
+
+
 # --------------------------------------------------------------- keywords
 
 

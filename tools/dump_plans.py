@@ -485,6 +485,29 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.index_query import wildcard_regex
+
+    sections.append(
+        (
+            "Wildcard dictionary probe (term expansion before OR scoring)",
+            "wildcard_topk's expansion scan: the pattern's literal prefix "
+            "is pushed into the (term, df) dictionary parquet scan as "
+            "StartsWith and the anchored wildcard regex verifies the "
+            "survivors in the same Filter (PushedFilters shows "
+            "StringStartsWith(term)); the TakeOrderedAndProject caps the "
+            "rewrite at max_expand rows. Cost follows the dictionary "
+            "range, never the corpus — the postings are only touched by "
+            "the subsequent weighted_topk over the capped expansion.",
+            fmt(
+                loaded.terms.filter(F.col("term").startswith("s"))
+                .filter(F.col("term").rlike(wildcard_regex("s?a*")))
+                .select("term", "df")
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(4)
+            ),
+        )
+    )
+
     from google_spark.functions.bpe import bpe_encode, train_bpe
 
     merges = train_bpe(docs, n_merges=30)
