@@ -1546,6 +1546,26 @@ def q_near_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene explain() analog for 'hash join' top-5: one row per
+    (doc, matched term) with the full BM25 breakdown (weight, tf, dl, idf,
+    additive contribution, doc total). The doc totals must equal the
+    flagship bm25_topk scores exactly; the oracle recomputes every column."""
+    from google_spark.operators.index_query import explain_topk
+
+    df = explain_topk(_index(spark, sf_dir), "hash join", k=5)
+    return df.select(
+        "doc_id",
+        "term",
+        "weight",
+        "tf",
+        "dl",
+        F.round("idf", 4).alias("idf"),
+        F.round("contribution", 4).alias("contribution"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by tf*ln(N/df); rank window collapses to
     WindowGroupLimit (per-partition top-k heap), ties term-asc on the
@@ -2016,6 +2036,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 ----------------------------------------------------
         "wildcard_search_topk": q_wildcard_search_topk,
         "near_search_topk": q_near_search_topk,
+        "explain_topk": q_explain_topk,
     }
 
 
@@ -3364,6 +3385,39 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
             "WHERE regexp_matches(term, '^s.a.*$') "
             "ORDER BY df DESC, term ASC LIMIT 2)"
         ),
+        # Lucene-explain breakdown for 'hash join' top-5: per-(doc, term)
+        # BM25 ingredients; doc totals are the flagship scores
+        "explain_topk": f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM
+  (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0)),
+parts AS (
+  SELECT tf.doc_id, tf.term, CAST(q.w AS DOUBLE) AS weight,
+         CAST(tf.tf AS INT) AS tf, CAST(tf.dl AS INT) AS dl,
+         ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0) AS idf,
+         q.w * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * tf.tf * {BM25_K1 + 1.0}
+           / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+           AS contribution
+  FROM tf JOIN q USING (term) JOIN dft USING (term) CROSS JOIN stats s
+),
+totals AS (
+  SELECT doc_id, sum(contribution) AS score FROM parts GROUP BY doc_id
+),
+top AS (SELECT doc_id, score FROM totals ORDER BY score DESC, doc_id ASC LIMIT 5)
+SELECT p.doc_id, p.term, p.weight, p.tf, p.dl,
+       round(p.idf, 4) AS idf,
+       round(p.contribution, 4) AS contribution,
+       round(t.score, 4) AS score
+FROM parts p JOIN top t USING (doc_id)
+ORDER BY t.score DESC, p.doc_id ASC, p.term ASC
+""",
         # 'hash NEAR/2 join': per-position self-join recomputes the min
         # pairwise gap (positions = 1-based ordinals of the filtered token
         # list, zipped unnest), BM25 restricted to the two terms ranks the

@@ -71,6 +71,7 @@ def __getattr__(name):
         "prefix_topk": ("google_spark.operators.index_query", "prefix_topk"),
         "wildcard_topk": ("google_spark.operators.index_query", "wildcard_topk"),
         "near_topk": ("google_spark.operators.index_query", "near_topk"),
+        "explain_topk": ("google_spark.operators.index_query", "explain_topk"),
         "weighted_topk": ("google_spark.operators.index_query", "weighted_topk"),
         "keywords_tfidf": ("google_spark.operators.text_analysis", "keywords_tfidf"),
         "pmi_bigrams": ("google_spark.operators.text_analysis", "pmi_bigrams"),

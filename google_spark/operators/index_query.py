@@ -397,6 +397,92 @@ def wildcard_topk(
     return weighted_topk(index, {r["term"]: 1.0 for r in rows}, k=k)
 
 
+def explain_topk(
+    index: IndexTables,
+    query: str,
+    k: int = 10,
+    mode: str = "simple",
+) -> DataFrame:
+    """Score explanation for the query's top-k docs (the Lucene
+    ``explain()`` analog, the relevance-debugging surface): one row per
+    (doc, matched term) with every ingredient of the BM25 contribution —
+    (doc_id, term, weight, tf, dl, idf, contribution, score) — where
+    ``weight`` is the term's query multiplicity, ``contribution`` the
+    term's additive share, and ``score`` the doc total (= the exact score
+    exhaustive_topk/wand_topk assign). Ordered (score desc, doc_id asc,
+    term asc).
+
+    Scale shape: ONE pruned posting scan feeds both the top-k selection
+    and the breakdown — the decoded (term, doc_id, tf, dl) relation gets
+    the contribution as a JVM column (idf/weight ride in as a small
+    CASE map over the query's terms), the doc total is a window sum over
+    the doc grain, and the top-k cut is a semi-join against the k winning
+    ids. Cost follows the query terms' posting lists, never the corpus."""
+    from pyspark.sql import Window
+
+    spark = index.postings.sparkSession
+    out_schema = (
+        "doc_id long, term string, weight double, tf int, dl int, "
+        "idf double, contribution double, score double"
+    )
+    qf = Counter(query_terms(query, mode=mode))
+    if not qf:
+        return spark.createDataFrame([], out_schema)
+    import math
+
+    matching = index.matching(sorted(qf))
+    df_rows = matching.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    n = index.n_docs
+    idf = {
+        r["term"]: math.log(
+            (n - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5) + 1.0
+        )
+        for r in df_rows
+    }
+    if not idf:
+        return spark.createDataFrame([], out_schema)
+    decoded = _decode_matching(matching, sorted(qf))
+    deletes = index.deletes
+    if deletes is not None and len(deletes):
+        del_df = spark.createDataFrame(
+            [(int(x),) for x in deletes], "doc_id long"
+        )
+        decoded = decoded.join(F.broadcast(del_df), "doc_id", "left_anti")
+    idf_col = F.lit(None).cast("double")
+    w_col = F.lit(None).cast("double")
+    for t in sorted(idf):
+        idf_col = F.when(F.col("term") == t, F.lit(idf[t])).otherwise(idf_col)
+        w_col = F.when(F.col("term") == t, F.lit(float(qf[t]))).otherwise(w_col)
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl") / F.lit(index.avgdl)
+    )
+    rows = decoded.select(
+        "doc_id",
+        "term",
+        w_col.alias("weight"),
+        "tf",
+        "dl",
+        idf_col.alias("idf"),
+        (w_col * idf_col * tf * F.lit(BM25_K1 + 1.0) / denom).alias(
+            "contribution"
+        ),
+    ).withColumn(
+        "score", F.sum("contribution").over(Window.partitionBy("doc_id"))
+    )
+    top = (
+        rows.select("doc_id", "score")
+        .distinct()
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id")
+    )
+    return rows.join(F.broadcast(top), "doc_id").orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("term")
+    )
+
+
 def positional_postings(index: IndexTables, terms: list[str]) -> DataFrame:
     """(term, doc_id, tf, dl, positions) decoded from the pruned posting
     scan — the positional twin of the scoring decode: the term filter is

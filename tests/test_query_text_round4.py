@@ -164,6 +164,59 @@ def test_wildcard_no_match_is_empty(index):
     assert wildcard_topk(index, "zz*", k=10).count() == 0
 
 
+# ---------------------------------------------------------------- explain
+
+
+def test_explain_totals_match_exhaustive(index):
+    from google_spark.operators.index_query import exhaustive_topk, explain_topk
+
+    exp = explain_topk(index, "hash join", k=10).collect()
+    want = [
+        (r["doc_id"], r["score"])
+        for r in exhaustive_topk(index, "hash join", k=10).collect()
+    ]
+    got = []
+    for r in exp:
+        if not got or got[-1][0] != r["doc_id"]:
+            got.append((r["doc_id"], r["score"]))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-12)
+    # contributions are an exact additive decomposition of the doc score
+    from collections import defaultdict
+
+    by_doc = defaultdict(float)
+    for r in exp:
+        by_doc[r["doc_id"]] += r["contribution"]
+    for d, s in want:
+        assert by_doc[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_explain_weight_is_query_multiplicity(index):
+    from google_spark.operators.index_query import explain_topk
+
+    rows = explain_topk(index, "hash hash join", k=10).collect()
+    weights = {r["term"]: r["weight"] for r in rows}
+    assert weights == {"hash": 2.0, "join": 1.0}
+    # doubling a term's weight doubles exactly its contributions
+    single = {
+        (r["doc_id"], r["term"]): r["contribution"]
+        for r in explain_topk(index, "hash join", k=10).collect()
+    }
+    for r in rows:
+        factor = 2.0 if r["term"] == "hash" else 1.0
+        assert r["contribution"] == pytest.approx(
+            factor * single[(r["doc_id"], r["term"])], rel=1e-12
+        )
+
+
+def test_explain_empty_and_absent(index):
+    from google_spark.operators.index_query import explain_topk
+
+    assert explain_topk(index, "", k=5).count() == 0
+    assert explain_topk(index, "zzzzqq", k=5).count() == 0
+
+
 # ------------------------------------------------------------------- near
 
 
