@@ -1532,6 +1532,16 @@ def q_wildcard_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(df, "score")
 
 
+def q_regexp_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene RegexpQuery analog: dictionary terms fully matching
+    '(ha.h|jo.n)' (alternation + any-char -> hash, join), df-capped,
+    OR-scored — so the result must equal the flagship 'hash join' BM25."""
+    from google_spark.operators.index_query import regexp_term_topk
+
+    df = regexp_term_topk(_index(spark, sf_dir), "(ha.h|jo.n)", k=10)
+    return _round4(df, "score")
+
+
 def q_near_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity query 'hash NEAR/2 join' (Lucene SpanNearQuery analog):
     docs where the terms occur within 2 token positions (either order),
@@ -2037,6 +2047,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search_topk": q_wildcard_search_topk,
         "near_search_topk": q_near_search_topk,
         "explain_topk": q_explain_topk,
+        "regexp_term_topk": q_regexp_term_topk,
     }
 
 
@@ -3384,6 +3395,12 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
             "q AS (SELECT term, 1.0 AS w FROM dft "
             "WHERE regexp_matches(term, '^s.a.*$') "
             "ORDER BY df DESC, term ASC LIMIT 2)"
+        ),
+        # Regexp term query '(ha.h|jo.n)' -> {hash, join}, weight 1 each
+        "regexp_term_topk": _bm25_sql(
+            "q AS (SELECT term, 1.0 AS w FROM dft "
+            "WHERE regexp_matches(term, '^(ha.h|jo.n)$') "
+            "ORDER BY df DESC, term ASC LIMIT 32)"
         ),
         # Lucene-explain breakdown for 'hash join' top-5: per-(doc, term)
         # BM25 ingredients; doc totals are the flagship scores

@@ -72,6 +72,10 @@ def __getattr__(name):
         "wildcard_topk": ("google_spark.operators.index_query", "wildcard_topk"),
         "near_topk": ("google_spark.operators.index_query", "near_topk"),
         "explain_topk": ("google_spark.operators.index_query", "explain_topk"),
+        "regexp_term_topk": (
+            "google_spark.operators.index_query",
+            "regexp_term_topk",
+        ),
         "weighted_topk": ("google_spark.operators.index_query", "weighted_topk"),
         "keywords_tfidf": ("google_spark.operators.text_analysis", "keywords_tfidf"),
         "pmi_bigrams": ("google_spark.operators.text_analysis", "pmi_bigrams"),

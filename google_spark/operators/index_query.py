@@ -397,6 +397,40 @@ def wildcard_topk(
     return weighted_topk(index, {r["term"]: 1.0 for r in rows}, k=k)
 
 
+def regexp_term_topk(
+    index: IndexTables,
+    regex: str,
+    k: int = 10,
+    max_expand: int = 32,
+) -> DataFrame:
+    """Regex TERM query (the Lucene RegexpQuery analog, completing the
+    MultiTermQuery family with :func:`prefix_topk`/:func:`wildcard_topk`):
+    dictionary terms fully matching ``regex`` (it is anchored both ends,
+    Lucene-style — pass ``.*`` explicitly for contains semantics), capped
+    at the ``max_expand`` highest-df (ties term asc), OR-scored through
+    :func:`weighted_topk`. This matches against the VOCABULARY — for
+    regex over document CONTENT use the trigram-index regex_search.
+
+    The dictionary probe is one (term, df) scan with the anchored rlike
+    in the scan's Filter — O(vocab), corpus-independent (regex literals
+    are not extracted into a StartsWith here; anchor-aware prefix
+    extraction is what :func:`wildcard_topk` does for its grammar)."""
+    spark = index.postings.sparkSession
+    anchored = regex if regex.startswith("^") else "^" + regex
+    if not anchored.endswith("$"):
+        anchored = anchored + "$"
+    rows = (
+        index.terms.filter(F.col("term").rlike(anchored))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expand)
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return weighted_topk(index, {r["term"]: 1.0 for r in rows}, k=k)
+
+
 def explain_topk(
     index: IndexTables,
     query: str,

@@ -164,6 +164,44 @@ def test_wildcard_no_match_is_empty(index):
     assert wildcard_topk(index, "zz*", k=10).count() == 0
 
 
+# ----------------------------------------------------------- regexp terms
+
+
+def test_regexp_term_matches_exhaustive(index):
+    from google_spark.operators.index_query import (
+        exhaustive_topk,
+        regexp_term_topk,
+    )
+
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         regexp_term_topk(index, "(hash|join)", k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         exhaustive_topk(index, "hash join", k=10).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_regexp_term_is_anchored(index):
+    from google_spark.operators.index_query import regexp_term_topk
+
+    # 'as' appears inside 'hash' and 'fast' but matches no WHOLE term
+    assert regexp_term_topk(index, "as", k=10).count() == 0
+    # explicit .* opts into contains semantics
+    assert regexp_term_topk(index, ".*as.*", k=10).count() > 0
+
+
+def test_regexp_term_cap_keeps_highest_df(index):
+    from google_spark.operators.index_query import (
+        regexp_term_topk,
+        weighted_topk,
+    )
+
+    # s-terms: scan(df 2) beats sort(df 1) under cap 1
+    a = {r["doc_id"] for r in
+         regexp_term_topk(index, "s.*", k=10, max_expand=1).collect()}
+    b = {r["doc_id"] for r in weighted_topk(index, {"scan": 1.0}, k=10).collect()}
+    assert a == b == {1, 4}
+
+
 # ---------------------------------------------------------------- explain
 
 
