@@ -863,6 +863,79 @@ class SearchEngine:
             return []
         return local_topk_core(self.index, weights, k, self._postings_cache)
 
+    def explain(self, query: str, k: int = 10) -> list[dict]:
+        """Score explanation through the serving tier (the facade twin of
+        index_query.explain_topk, Lucene ``explain()`` semantics): for the
+        query's top-``k`` docs, one dict per (doc, matched term) with the
+        full BM25 breakdown — doc_id, term, weight (query multiplicity),
+        tf, dl, idf, contribution, score (the doc total, exactly what
+        search/wand assign the text leg). Ordered (score desc, doc_id asc,
+        term asc). Driver-side NumPy over the decoded posting cache —
+        zero Spark jobs on a published bundle once the terms are hot."""
+        self._maybe_refresh()
+        import math
+        from collections import Counter
+
+        import numpy as np
+
+        from google_spark.functions.tokenizer import tokenize
+        from google_spark.operators.index_query import _entries_for
+
+        qf = Counter(t for t, _ in tokenize(query, mode=self.mode))
+        if not qf:
+            return []
+        entries = _entries_for(
+            self.index, sorted(qf), self._postings_cache
+        )
+        if not entries:
+            return []
+        df_total: dict[str, int] = {}
+        for e in entries:
+            df_total[e["term"]] = df_total.get(e["term"], 0) + e["df"]
+        n = self.index.n_docs
+        avgdl = self.index.avgdl
+        idf = {
+            t: math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+            for t, d in df_total.items()
+        }
+        from google_spark.operators.index_query import BM25_B, BM25_K1
+
+        parts: list[tuple] = []
+        totals: dict[int, float] = {}
+        for e in entries:
+            t = e["term"]
+            w = float(qf[t])
+            tf = e["tf"].astype(np.float64)
+            dl = e["dl"].astype(np.float64)
+            contrib = (
+                w
+                * idf[t]
+                * tf
+                * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            )
+            for d, tfi, dli, c in zip(e["docs"], e["tf"], e["dl"], contrib):
+                parts.append((int(d), t, w, int(tfi), int(dli), idf[t], float(c)))
+                totals[int(d)] = totals.get(int(d), 0.0) + float(c)
+        top = sorted(totals, key=lambda d: (-totals[d], d))[:k]
+        keep = set(top)
+        rows = [
+            {
+                "doc_id": d,
+                "term": t,
+                "weight": w,
+                "tf": tfi,
+                "dl": dli,
+                "idf": i,
+                "contribution": c,
+                "score": totals[d],
+            }
+            for d, t, w, tfi, dli, i, c in parts
+            if d in keep
+        ]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"], r["term"]))
+        return rows
+
     def wildcard(
         self, pattern: str, k: int = 10, max_expand: int = 32
     ) -> list[tuple[int, float]]:

@@ -186,6 +186,15 @@ def make_handler(engine):
                             ],
                         },
                     )
+                if u.path == "/explain":
+                    # per-(doc, term) BM25 breakdown for the top-k docs;
+                    # zero Spark jobs on a published bundle
+                    if not q.strip():
+                        return self._json(400, {"error": "empty query"})
+                    k = int((qs.get("limit") or ["10"])[0])
+                    with lock:
+                        rows = engine.explain(q, k=k)
+                    return self._json(200, {"query": q, "results": rows})
                 if u.path == "/wildcard":
                     # * = any run, ? = one char; expansion over the capped
                     # serving vocabulary, zero Spark jobs per call

@@ -199,6 +199,30 @@ def test_fuzzy_route_finds_typo_matches(served):
     assert status == 200 and body["results"]
 
 
+def test_explain_route_matches_engine_and_operator(served):
+    """/explain mirrors engine.explain, whose breakdowns must equal the
+    distributed explain_topk rows on the same bundle."""
+    from google_spark.operators.index_query import explain_topk
+
+    eng, base = served
+    status, body = _get(base, "/explain?query=data+partition&limit=5")
+    assert status == 200
+    direct = eng.explain("data partition", k=5)
+    assert body["results"] == [
+        {**r, "score": pytest.approx(r["score"]),
+         "contribution": pytest.approx(r["contribution"]),
+         "idf": pytest.approx(r["idf"])}
+        for r in direct
+    ]
+    op = explain_topk(eng.index, "data partition", k=5).collect()
+    assert [(r["doc_id"], r["term"], r["tf"], r["dl"]) for r in op] == [
+        (r["doc_id"], r["term"], r["tf"], r["dl"]) for r in direct
+    ]
+    for a, b in zip(op, direct):
+        assert a["contribution"] == pytest.approx(b["contribution"], rel=1e-9)
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+
+
 def test_wildcard_route_matches_engine_and_operator(served):
     """/wildcard mirrors engine.wildcard (serving-vocab expansion), which
     must rank like the distributed full-dictionary wildcard_topk here
@@ -248,7 +272,13 @@ def test_empty_query_new_routes(served):
     _, base = served
     import urllib.error
 
-    for path in ("/boolean?query=", "/fuzzy?query=", "/facets", "/wildcard?query="):
+    for path in (
+        "/boolean?query=",
+        "/fuzzy?query=",
+        "/facets",
+        "/wildcard?query=",
+        "/explain?query=",
+    ):
         with pytest.raises(urllib.error.HTTPError) as err:
             _get(base, path)
         assert err.value.code == 400
