@@ -1532,6 +1532,24 @@ def q_wildcard_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(df, "score")
 
 
+def q_pagerank_personalized3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-sensitive PageRank (Haveliwala 2002), 3 exact iterations:
+    teleport mass lands on the seed set (doc_id % 10 == 0, weight 1),
+    scaled to mean 1 over the graph so the classic rule is the uniform
+    special case. Same synthetic graph as pagerank_fixed3; the oracle
+    unrolls the identical 3 rounds with the tele column."""
+    from google_spark.operators.pagerank import pagerank, synthetic_doc_graph
+
+    docs = _docs(spark, sf_dir)
+    edges = synthetic_doc_graph(docs)
+    seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("node"), F.lit(1.0).alias("weight")
+    )
+    return _round4(
+        pagerank(edges, exact_iters=3, personalization=seeds), "rank"
+    )
+
+
 def q_regexp_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene RegexpQuery analog: dictionary terms fully matching
     '(ha.h|jo.n)' (alternation + any-char -> hash, join), df-capped,
@@ -2048,6 +2066,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_search_topk": q_near_search_topk,
         "explain_topk": q_explain_topk,
         "regexp_term_topk": q_regexp_term_topk,
+        "pagerank_personalized3": q_pagerank_personalized3,
     }
 
 
@@ -3396,6 +3415,49 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
             "WHERE regexp_matches(term, '^s.a.*$') "
             "ORDER BY df DESC, term ASC LIMIT 2)"
         ),
+        # Personalized PageRank, 3 unrolled rounds: teleport = 0.15 * tele
+        # with tele = seed weight * N / sum(seed weights), init rank = tele
+        "pagerank_personalized3": """
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            edges AS (
+              SELECT d.doc_id AS src, (d.doc_id * 17 + k.k) % nn.c AS dst
+              FROM documents d CROSS JOIN nn
+              CROSS JOIN (VALUES (1), (5), (11)) k(k)
+              WHERE (d.doc_id * 17 + k.k) % nn.c <> d.doc_id
+            ),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            seeds AS (
+              SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS w
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            gseeds AS (SELECT s.* FROM seeds s JOIN nodes USING (node)),
+            nsc AS (SELECT count(*) AS n FROM nodes),
+            sw AS (SELECT sum(w) AS s FROM gseeds),
+            tele AS (
+              SELECT n.node,
+                     COALESCE(g.w, 0) * nsc.n / sw.s AS tele
+              FROM nodes n LEFT JOIN gseeds g USING (node)
+              CROSS JOIN nsc CROSS JOIN sw
+            ),
+            r0 AS (SELECT node, tele AS rank FROM tele),
+            c1 AS (SELECT e.dst, sum(r.rank / dg.deg) AS s
+                   FROM edges e JOIN r0 r ON e.src = r.node
+                   JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+            r1 AS (SELECT t.node, 0.15 * t.tele + 0.85 * COALESCE(c1.s, 0) AS rank
+                   FROM tele t LEFT JOIN c1 ON t.node = c1.dst),
+            c2 AS (SELECT e.dst, sum(r.rank / dg.deg) AS s
+                   FROM edges e JOIN r1 r ON e.src = r.node
+                   JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+            r2 AS (SELECT t.node, 0.15 * t.tele + 0.85 * COALESCE(c2.s, 0) AS rank
+                   FROM tele t LEFT JOIN c2 ON t.node = c2.dst),
+            c3 AS (SELECT e.dst, sum(r.rank / dg.deg) AS s
+                   FROM edges e JOIN r2 r ON e.src = r.node
+                   JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+            r3 AS (SELECT t.node, 0.15 * t.tele + 0.85 * COALESCE(c3.s, 0) AS rank
+                   FROM tele t LEFT JOIN c3 ON t.node = c3.dst)
+            SELECT node, round(rank, 4) AS rank FROM r3
+        """,
         # Regexp term query '(ha.h|jo.n)' -> {hash, join}, weight 1 each
         "regexp_term_topk": _bm25_sql(
             "q AS (SELECT term, 1.0 AS w FROM dft "

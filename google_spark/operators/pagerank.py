@@ -75,13 +75,24 @@ def pagerank(
     exact_iters: int | None = None,
     nodes: DataFrame | None = None,
     checkpoint_interval: int = 4,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame[node, rank] with the reference's update rule.
 
     ``exact_iters`` forces a fixed number of iterations (no convergence
     checks) — used by the SQL-oracle contract queries where the oracle
     unrolls the same number of rounds.
-    """
+
+    ``personalization`` (node, weight) switches to topic-sensitive
+    PageRank (Haveliwala 2002, public): the teleport mass lands on the
+    seed nodes in proportion to their weights instead of uniformly —
+    rank = (1-d)·tele(node) + d·Σ shares, with tele scaled so its mean
+    over the graph's nodes is 1 (uniform seeds over all nodes therefore
+    recover the classic rule EXACTLY, keeping the reference's
+    un-normalized 0.15 + 0.85·Σ convention). Seeds outside the graph are
+    ignored; ranks start at tele. One extra broadcast-sized join per
+    iteration on the node grain — the per-iteration shuffle count is
+    unchanged."""
     spark = edges.sparkSession
     if nodes is None:
         nodes = (
@@ -95,7 +106,27 @@ def pagerank(
     # persist — the first iteration materializes it, no extra warm-up job.
     edges_deg = edges.join(deg, "src").persist()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    if personalization is not None:
+        p = personalization.select(
+            "node", F.col("weight").cast("double").alias("weight")
+        ).join(nodes, "node", "left_semi")
+        tot = p.agg(F.sum("weight").alias("s")).collect()[0]["s"]
+        if not tot or tot <= 0:
+            raise ValueError(
+                "personalization needs positive total weight on graph nodes"
+            )
+        scale = nodes.count() / float(tot)
+        base = nodes.join(p, "node", "left").select(
+            "node",
+            (
+                F.coalesce(F.col("weight"), F.lit(0.0)) * F.lit(scale)
+            ).alias("tele"),
+        )
+    else:
+        base = nodes.withColumn("tele", F.lit(1.0))
+    base = base.persist()
+
+    ranks = base.select("node", F.col("tele").alias("rank")).localCheckpoint()
     # n_nodes only gates convergence; fixed-iteration mode skips the job
     n_nodes = nodes.count() if exact_iters is None else 0
     n_rounds = exact_iters if exact_iters is not None else max_iter
@@ -106,10 +137,10 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        new_ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        new_ranks = base.join(contrib, base.node == contrib.dst, "left").select(
             "node",
             (
-                F.lit(1.0 - damping)
+                F.lit(1.0 - damping) * F.col("tele")
                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("rank"),
         )
@@ -139,6 +170,7 @@ def pagerank(
             ranks = new_ranks
     edges_deg.unpersist()
     nodes.unpersist()
+    base.unpersist()
     return ranks
 
 

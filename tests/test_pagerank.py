@@ -79,6 +79,69 @@ def test_pagerank_sink_nodes_receive_teleport(spark):
     assert got["c"] > 0.15
 
 
+def test_personalized_uniform_equals_classic(spark):
+    """Uniform weights over all nodes recover the classic rule EXACTLY
+    (tele scales to 1 everywhere)."""
+    from google_spark.operators.pagerank import pagerank
+
+    e = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a", 7.0), ("b", 7.0), ("c", 7.0)], "node string, weight double"
+    )
+    classic = {
+        r["node"]: r["rank"] for r in pagerank(edges, exact_iters=4).collect()
+    }
+    pers = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, exact_iters=4, personalization=seeds).collect()
+    }
+    assert pers == pytest.approx(classic)
+
+
+def test_personalized_teleport_prefers_seeds(spark):
+    """On a symmetric cycle the seed node must outrank the others, and
+    only seeds get teleport mass (non-seed rank is pure inflow)."""
+    from google_spark.operators.pagerank import pagerank
+
+    e = [("a", "b"), ("b", "c"), ("c", "a")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    seeds = spark.createDataFrame([("a", 1.0)], "node string, weight double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, exact_iters=60, personalization=seeds).collect()
+    }
+    # converged fixed point of a = 0.45 + 0.85c, b = 0.85a, c = 0.85b
+    # (tele = (3, 0, 0); 0.85^60 ~ 6e-5 of the start is long gone)
+    a = 0.45 / (1.0 - 0.85**3)
+    want = {"a": a, "b": 0.85 * a, "c": 0.85**2 * a}
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-3)
+    assert got["a"] > got["b"] > got["c"]
+    # hand-rolled power iteration parity at a non-converged cut too
+    got8 = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, exact_iters=8, personalization=seeds).collect()
+    }
+    tele = {"a": 3.0, "b": 0.0, "c": 0.0}
+    r = dict(tele)
+    nxt = {"b": "a", "c": "b", "a": "c"}  # each node's sole in-neighbor
+    for _ in range(8):
+        r = {n: 0.15 * tele[n] + 0.85 * r[nxt[n]] for n in r}
+    for n in r:
+        assert got8[n] == pytest.approx(r[n], abs=1e-9)
+
+
+def test_personalized_rejects_empty_weight(spark):
+    from google_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    # seed outside the graph -> zero total weight on graph nodes
+    seeds = spark.createDataFrame([("z", 1.0)], "node string, weight double")
+    with pytest.raises(ValueError):
+        pagerank(edges, exact_iters=2, personalization=seeds)
+
+
 def test_synthetic_doc_graph_deterministic(spark):
     from google_spark.operators.pagerank import synthetic_doc_graph
 
