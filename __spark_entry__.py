@@ -1532,6 +1532,19 @@ def q_wildcard_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(df, "score")
 
 
+def q_sample_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mix over lang (alpha=0.5, the XLM-R rule):
+    quota_g = floor(300 * sqrt(p_g)/Σsqrt(p)), capped at the group
+    population, md5-ordered rows within each group. The oracle recomputes
+    quotas and the identical deterministic sample in SQL."""
+    from google_spark.operators.sampling import mix_by_temperature
+
+    df = mix_by_temperature(
+        _docs(spark, sf_dir), "lang", n_total=300, alpha=0.5
+    )
+    return df.select("doc_id", "lang")
+
+
 def q_pagerank_personalized3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-sensitive PageRank (Haveliwala 2002), 3 exact iterations:
     teleport mass lands on the seed set (doc_id % 10 == 0, weight 1),
@@ -2067,6 +2080,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_topk": q_explain_topk,
         "regexp_term_topk": q_regexp_term_topk,
         "pagerank_personalized3": q_pagerank_personalized3,
+        "sample_mix_temperature": q_sample_mix_temperature,
     }
 
 
@@ -3415,6 +3429,30 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
             "WHERE regexp_matches(term, '^s.a.*$') "
             "ORDER BY df DESC, term ASC LIMIT 2)"
         ),
+        # Temperature mix (alpha=0.5): quotas from sqrt-flattened shares
+        # (same 1e-9 floor nudge as the engine), md5-ordered within group
+        "sample_mix_temperature": """
+WITH counts AS (SELECT lang AS g, count(*) AS c FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+w AS (SELECT g, c, pow(c / t.n, 0.5) AS w FROM counts CROSS JOIN tot t),
+sw AS (SELECT sum(w) AS s FROM w),
+quota AS (
+  SELECT g, least(CAST(c AS BIGINT),
+                  CAST(floor(300 * w.w / sw.s + 1e-9) AS BIGINT)) AS q
+  FROM w CROSS JOIN sw
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN quota ON r.lang = quota.g
+WHERE r.rk <= quota.q
+""",
         # Personalized PageRank, 3 unrolled rounds: teleport = 0.15 * tele
         # with tele = seed weight * N / sum(seed weights), init rank = tele
         "pagerank_personalized3": """

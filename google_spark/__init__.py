@@ -65,6 +65,10 @@ def __getattr__(name):
         "pack_sequences": ("google_spark.operators.sampling", "pack_sequences"),
         "pack_corpus": ("google_spark.operators.sampling", "pack_corpus"),
         "sample_stratified": ("google_spark.operators.sampling", "sample_stratified"),
+        "mix_by_temperature": (
+            "google_spark.operators.sampling",
+            "mix_by_temperature",
+        ),
         "stream_to_catalog": ("google_spark.streaming.ingest", "stream_to_catalog"),
         "streaming_near_dedup": ("google_spark.streaming.ingest", "streaming_near_dedup"),
         "boolean_topk": ("google_spark.operators.index_query", "boolean_topk"),

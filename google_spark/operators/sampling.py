@@ -59,6 +59,50 @@ def sample_stratified(
     return ranked.filter(keep).drop("_rk")
 
 
+def mix_by_temperature(
+    df: DataFrame,
+    group_col: str,
+    n_total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened corpus mix (the multilingual-pretraining
+    sampling rule, public: Conneau & Lample 2019 / XLM-R): group ``g``
+    with population share ``p_g`` gets quota
+    ``floor(n_total * p_g^alpha / Σ p^alpha)`` — ``alpha < 1`` upweights
+    small groups (languages, sources), ``alpha = 1`` is proportional,
+    ``alpha = 0`` is uniform. Quotas cap at the group's population
+    (without replacement — upsampling by repetition is a writer concern),
+    so the result can undershoot ``n_total`` when a flattened quota
+    exceeds a tiny group. Rows inside each group are the deterministic
+    md5-ordered sample.
+
+    Scale shape: one tiny groupBy count (collected — one row per group),
+    quotas computed driver-side, then :func:`sample_stratified`'s
+    WindowGroupLimit path — a hot group ships at most quota rows per
+    task, never its population."""
+    if n_total < 0:
+        raise ValueError("n_total must be >= 0")
+    counts = {
+        r["g"]: int(r["c"])
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    n = sum(counts.values())
+    if not n or not n_total:
+        return df.limit(0)
+    weights = {g: (c / n) ** float(alpha) for g, c in counts.items()}
+    sw = sum(weights.values())
+    # the 1e-9 nudge keeps floor() stable when n_total * w / sw lands a
+    # rounding ulp under an integer (the oracle applies the same nudge)
+    quotas = {
+        g: min(counts[g], int(n_total * w / sw + 1e-9))
+        for g, w in weights.items()
+    }
+    return sample_stratified(df, group_col, quotas, id_col=id_col)
+
+
 def quality_bins(
     df: DataFrame,
     score_col: str,

@@ -77,6 +77,81 @@ def test_rank_pushdown_in_plan(spark):
     assert "WindowGroupLimit" in plan_of({"en": 5, "de": 2})
 
 
+def _mk_skewed(spark):
+    # 80 en / 16 de / 4 es — a skewed language mix
+    rows = (
+        [(i, "en", f"t{i}") for i in range(80)]
+        + [(100 + i, "de", f"t{i}") for i in range(16)]
+        + [(200 + i, "es", f"t{i}") for i in range(4)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_mix_temperature_flattens_shares(spark):
+    from google_spark.operators.sampling import mix_by_temperature
+
+    docs = _mk_skewed(spark)
+    out = mix_by_temperature(docs, "lang", n_total=50, alpha=0.5).collect()
+    by = {}
+    for r in out:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    # sqrt-flattened shares: sqrt(.8)=.894, sqrt(.16)=.4, sqrt(.04)=.2
+    # sum=1.494 -> quotas floor(50 * w/sum) = 29 / 13 / 6, es caps at 4
+    assert by == {"en": 29, "de": 13, "es": 4}
+
+
+def test_mix_temperature_alpha_one_is_proportional(spark):
+    from google_spark.operators.sampling import mix_by_temperature
+
+    out = mix_by_temperature(
+        _mk_skewed(spark), "lang", n_total=50, alpha=1.0
+    ).collect()
+    by = {}
+    for r in out:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert by == {"en": 40, "de": 8, "es": 2}
+
+
+def test_mix_temperature_alpha_zero_is_uniform(spark):
+    from google_spark.operators.sampling import mix_by_temperature
+
+    out = mix_by_temperature(
+        _mk_skewed(spark), "lang", n_total=9, alpha=0.0
+    ).collect()
+    by = {}
+    for r in out:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert by == {"en": 3, "de": 3, "es": 3}
+
+
+def test_mix_temperature_matches_stratified_sample(spark):
+    """The within-group rows are exactly sample_stratified's md5 sample."""
+    from google_spark.operators.sampling import (
+        mix_by_temperature,
+        sample_stratified,
+    )
+
+    docs = _mk_skewed(spark)
+    mix = {
+        r["doc_id"] for r in mix_by_temperature(docs, "lang", 50, 0.5).collect()
+    }
+    strat = {
+        r["doc_id"]
+        for r in sample_stratified(
+            docs, "lang", {"en": 29, "de": 13, "es": 6}
+        ).collect()
+    }
+    assert mix == strat
+
+
+def test_mix_temperature_empty_and_zero(spark):
+    from google_spark.operators.sampling import mix_by_temperature
+
+    docs = _mk_skewed(spark)
+    assert mix_by_temperature(docs, "lang", 0).count() == 0
+    assert mix_by_temperature(docs.limit(0), "lang", 10).count() == 0
+
+
 def test_quality_bins_quartiles(spark):
     from google_spark.operators.sampling import quality_bins
 
