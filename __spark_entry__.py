@@ -24,9 +24,10 @@ dedup_containment, catalog_changelog, dedup_lines_global, the four trigram
 rows, text_bpe_count, join_asof, join_range, op_cube, op_pivot,
 op_semi_join, op_anti_join, op_unpivot) — keeping 17 flagships and
 demoting 33 rows that are green in CORRECTNESS_r04.json. Union driver
-coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows (107 total
-with the new round-5 wildcard_search_topk, local-gate-checked); every
-demoted row stays oracle-checked in the local gate.
+coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows; the six NEW
+round-5 rows (wildcard_search_topk, near_search_topk, explain_topk,
+regexp_term_topk, pagerank_personalized3, sample_mix_temperature — 112
+total) are local-gate-checked, the 50 driver slots being spoken for.
 """
 
 from __future__ import annotations

@@ -508,6 +508,22 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.index_query import near_topk
+
+    sections.append(
+        (
+            "NEAR/k proximity query (positional postings, two-list join)",
+            "near_topk('hash' NEAR/2 'join'): the scan touches ONLY the "
+            "two terms' posting rows (pushed term IN filter + bucket "
+            "partition pruning), the Arrow kernel decodes positions, the "
+            "doc-grain equi-join is between those two decoded lists, and "
+            "the pairwise min-gap is a nested JVM higher-order function "
+            "over the position arrays — no explode, no corpus access; "
+            "tf/dl ride the decode so scoring needs no second scan.",
+            fmt(near_topk(loaded, "hash", "join", max_gap=2, k=10)),
+        )
+    )
+
     from google_spark.functions.bpe import bpe_encode, train_bpe
 
     merges = train_bpe(docs, n_merges=30)
