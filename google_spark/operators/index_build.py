@@ -366,8 +366,21 @@ def read_delete_file(del_dir: str):
         return None
     import pyarrow.parquet as pq
 
+    # enumerate committed parts explicitly: pyarrow's directory discovery
+    # only skips '.'/'_' basename PREFIXES, so a crashed writer's torn
+    # '*.parquet.tmp' staging file would be read as parquet and poison
+    # every subsequent bundle read
+    parts = sorted(
+        e.path
+        for e in os.scandir(del_dir)
+        if e.is_file()
+        and e.name.endswith(".parquet")
+        and not e.name.startswith((".", "_"))
+    )
+    if not parts:
+        return None
     ids = np.unique(
-        pq.read_table(del_dir, columns=["doc_id"])
+        pq.read_table(parts, columns=["doc_id"])
         .column("doc_id")
         .to_numpy()
         .astype(np.int64)
@@ -399,11 +412,20 @@ def append_delete_file(del_dir: str, doc_ids) -> int:
     if not len(ids):
         return 0
     os.makedirs(del_dir, exist_ok=True)
+    import uuid
+
+    # unique part name: a scandir-count name would let two concurrent
+    # deleters compute the SAME path and the later rename silently clobber
+    # the earlier writer's tombstones (lost deletes). The count prefix
+    # stays as a readability hint only. The staging file is '_'-prefixed
+    # so even a raw directory read never sees a torn write.
     n_parts = sum(
         1 for e in os.scandir(del_dir) if e.name.startswith("part-del-")
     )
-    final = os.path.join(del_dir, f"part-del-{n_parts:05d}.parquet")
-    tmp = final + ".tmp"
+    final = os.path.join(
+        del_dir, f"part-del-{n_parts:05d}-{uuid.uuid4().hex[:8]}.parquet"
+    )
+    tmp = os.path.join(del_dir, "_" + os.path.basename(final) + ".tmp")
     pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
     os.replace(tmp, final)
     return int(len(ids))

@@ -416,9 +416,11 @@ def regexp_term_topk(
     are not extracted into a StartsWith here; anchor-aware prefix
     extraction is what :func:`wildcard_topk` does for its grammar)."""
     spark = index.postings.sparkSession
-    anchored = regex if regex.startswith("^") else "^" + regex
-    if not anchored.endswith("$"):
-        anchored = anchored + "$"
+    # wrap in a non-capturing group so the anchors bind the WHOLE pattern:
+    # naive "^" + regex + "$" breaks on top-level alternation ("foo|bar"
+    # would become "^foo|bar$", full-matching neither side under rlike's
+    # find() semantics — "food" and "rebar" would both expand)
+    anchored = f"^(?:{regex})$"
     rows = (
         index.terms.filter(F.col("term").rlike(anchored))
         .select("term", "df")

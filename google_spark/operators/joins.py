@@ -108,7 +108,15 @@ def asof_join(
     rcols = right.columns
     out_r = [(c, c + suffix if c in lcols else c) for c in rcols]
     on_dtype = dict(left.dtypes).get(on, "")
-    num = _exact_num(on_dtype)
+    # mixed-typed on columns (int left, double right) promote in the
+    # union below; a decimal(38,0) view of the PROMOTED __t would round
+    # fractional values, so fall back to the double view unless both
+    # sides are integral
+    r_on_dtype = dict(right.dtypes).get(on, "")
+    if on_dtype in _INTEGRAL and r_on_dtype not in _INTEGRAL:
+        num = _exact_num(r_on_dtype)
+    else:
+        num = _exact_num(on_dtype)
 
     keyed = by is not None
     key = by if keyed else "__asof_all"
@@ -299,10 +307,13 @@ def range_join(
     icols = intervals.columns
     out_i = [(c, c + suffix if c in pcols else c) for c in icols]
 
+    # each bound's exact view derives from its OWN dtype: casting a
+    # fractional double hi through lo's decimal(38,0) view would ROUND
+    # the bound (5.7 -> 6) and admit points outside the interval
+    idt = dict(intervals.dtypes)
     pnum = _exact_num(dict(points.dtypes).get(point_col, ""))
-    inum = _exact_num(dict(intervals.dtypes).get(lo_col, ""))
-    lov_x = inum(F.col(lo_col))
-    hiv_x = inum(F.col(hi_col))
+    lov_x = _exact_num(idt.get(lo_col, ""))(F.col(lo_col))
+    hiv_x = _exact_num(idt.get(hi_col, ""))(F.col(hi_col))
 
     p = points.select(
         _payload(points, pcols).alias("__p"),

@@ -107,9 +107,18 @@ def pagerank(
     edges_deg = edges.join(deg, "src").persist()
 
     if personalization is not None:
-        p = personalization.select(
-            "node", F.col("weight").cast("double").alias("weight")
-        ).join(nodes, "node", "left_semi")
+        # sum duplicate seed rows (a union of topic lists may repeat a
+        # node): without the groupBy the nodes left-join below would fan
+        # out one rank row PER duplicate, double-counting that node's
+        # outgoing mass every iteration
+        p = (
+            personalization.select(
+                "node", F.col("weight").cast("double").alias("weight")
+            )
+            .groupBy("node")
+            .agg(F.sum("weight").alias("weight"))
+            .join(nodes, "node", "left_semi")
+        )
         tot = p.agg(F.sum("weight").alias("s")).collect()[0]["s"]
         if not tot or tot <= 0:
             raise ValueError(

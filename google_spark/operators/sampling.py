@@ -48,10 +48,18 @@ def sample_stratified(
         ranked = ranked.filter(
             F.col("_rk") <= int(max(n_per_stratum.values()))
         )
+        # NULL is a legal stratum (rows with no language tag are still a
+        # group a mix may quota): sort None-last so mixed-type keys don't
+        # TypeError, and compare null-safely so a None key actually
+        # matches NULL rows (plain == is never true against NULL)
         quota = F.lit(None).cast("int")
-        for value, n in sorted(n_per_stratum.items()):
+        items = sorted(
+            n_per_stratum.items(),
+            key=lambda kv: (kv[0] is None, repr(kv[0])),
+        )
+        for value, n in items:
             quota = F.when(
-                F.col(strata_col) == F.lit(value), F.lit(int(n))
+                F.col(strata_col).eqNullSafe(F.lit(value)), F.lit(int(n))
             ).otherwise(quota)
         keep = F.col("_rk") <= quota  # null quota -> false -> dropped
     else:

@@ -738,9 +738,19 @@ def compact_trigram_index(
                 F.count("*").alias("df"),
             )
         )
-        # delete ids reference live docs (the delete_docs contract), so
-        # the surviving corpus size is exact arithmetic
-        n_docs = n_docs - int(len(idx.deletes))
+        # count the tombstones that actually hit indexed docs:
+        # delete_from_trigram_index accepts arbitrary ids, so subtracting
+        # len(deletes) would undercount n_docs (even negative) on stray
+        # ids and skew the cost-based fallback of every later query.
+        # Docs deleted before ever producing a gram (sub-3-char text)
+        # keep n_docs a hair high — harmless for the cost estimate.
+        n_masked = (
+            idx.postings.select(F.explode("doc_ids").alias("doc_id"))
+            .join(F.broadcast(dels), "doc_id", "left_semi")
+            .agg(F.count_distinct("doc_id").alias("c"))
+            .collect()[0]["c"]
+        )
+        n_docs = max(0, n_docs - int(n_masked))
     else:
         merged = idx.postings.groupBy("gram", "shard").agg(
             F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias("doc_ids"),

@@ -215,6 +215,12 @@ class SearchEngine:
         self._catalog = None
         self._catalog_spark: SparkSession | None = None
         self._catalog_version: int | None = None
+        # every catalog tombstone ever propagated to the aux indexes in
+        # this engine's lifetime: catalog.compact() EMPTIES the snapshot's
+        # delete list (word postings were rewritten), but the aux bundles
+        # were not rewritten — without this accumulator a disk-backed
+        # trigram re-open after compaction would resurrect deleted docs
+        self._aux_tombstones = None  # np.int64 array | None
 
     # -- construction -----------------------------------------------------
 
@@ -371,24 +377,38 @@ class SearchEngine:
             self.refresh()
 
     def _propagate_catalog_deletes(self) -> None:
-        """Attach the resolved snapshot's merge-on-read delete files to
-        the auxiliary trigram/fielded indexes. UNION semantics (not
-        assignment): after catalog.compact() the snapshot's delete list
-        empties because the WORD postings were rewritten — but these
-        auxiliary indexes were not, so their accumulated tombstones must
-        survive the compaction. Attaching is idempotent, so repeated
-        refreshes don't grow anything."""
+        """Attach every catalog tombstone seen in this engine's lifetime
+        to the auxiliary trigram/fielded indexes. The engine-level
+        accumulator (``_aux_tombstones``) is what makes the union survive
+        BOTH hazards: catalog.compact() emptying the snapshot's delete
+        list, and refresh() re-opening a disk-backed trigram bundle
+        (which discards any in-memory ``with_deletes`` attachment).
+        Attaching is idempotent, so repeated refreshes don't grow
+        anything. In-process only: a NEW process serving the same stale
+        aux bundle needs the tombstones persisted into it
+        (delete_from_trigram_index / delete_from_fielded_index) or the
+        bundle rebuilt from the compacted snapshot."""
+        import numpy as np
+
         dels = self.index.deletes
-        if dels is None or not len(dels):
+        if dels is not None and len(dels):
+            got = np.asarray(dels, dtype=np.int64)
+            self._aux_tombstones = (
+                np.unique(got)
+                if self._aux_tombstones is None
+                else np.union1d(self._aux_tombstones, got)
+            )
+        acc = self._aux_tombstones
+        if acc is None or not len(acc):
             return
         if self.trigram_index is not None:
             from google_spark.operators.trigram import with_deletes
 
-            self.trigram_index = with_deletes(self.trigram_index, dels)
+            self.trigram_index = with_deletes(self.trigram_index, acc)
         if self.fielded_index is not None:
             from google_spark.operators.fielded import apply_deletes
 
-            self.fielded_index = apply_deletes(self.fielded_index, dels)
+            self.fielded_index = apply_deletes(self.fielded_index, acc)
 
     def save(self, out_dir: str) -> None:
         """Publish the full serving bundle: bucket-partitioned postings
@@ -643,14 +663,22 @@ class SearchEngine:
         docs = self.docs.select(
             F.col("doc_id"), F.col("content").alias("text")
         )
-        if self.index.deletes is not None and len(self.index.deletes):
+        dels = (
+            self._aux_tombstones
+            if self._aux_tombstones is not None
+            else self.index.deletes
+        )
+        if dels is not None and len(dels):
             # catalog merge-on-read tombstones: the docstore DataFrame is
             # the caller's raw table, so deleted docs must be filtered
             # here (the trigram path also masks via its own deletes —
-            # redundant but cheap; the full-scan path has only this)
+            # redundant but cheap; the full-scan path has only this).
+            # The lifetime accumulator covers post-compaction grep: the
+            # snapshot's own delete list empties when postings rewrite,
+            # but the raw docstore still contains the deleted text.
             from google_spark.operators.trigram import _mask_docs
 
-            docs = _mask_docs(docs, "doc_id", self.index.deletes)
+            docs = _mask_docs(docs, "doc_id", dels)
         if self.trigram_index is not None:
             from google_spark.operators.trigram import grep_lines, regex_search
 

@@ -403,3 +403,41 @@ def test_range_join_bigint_exact_buckets(spark):
     rows = range_join(points, iv, "v", "lo", "hi", bucket_width=1000).collect()
     got = sorted((r.pid, r.iid) for r in rows)
     assert got == [(1, 10), (2, 10)]  # base+1000 is OUTSIDE [lo, hi]
+
+
+def test_range_join_fractional_upper_bound_not_rounded(spark):
+    """Round-5 review finding: the hi bound's exact view must derive from
+    hi_col's OWN dtype — casting a fractional double hi through an
+    integral lo's decimal(38,0) view rounds 5.7 up to 6 and admits points
+    outside the interval."""
+    points = spark.createDataFrame([(1, 6), (2, 5)], "pid long, v long")
+    iv = spark.createDataFrame([(10, 2, 5.7)], "iid long, lo long, hi double")
+    got = {
+        r["pid"]
+        for r in range_join(
+            points, iv, "v", "lo", "hi", bucket_width=10.0
+        ).collect()
+    }
+    assert got == {2}  # 6 > 5.7 must NOT match; 5 is inside
+
+
+def test_asof_mixed_on_dtypes_no_decimal_rounding(spark):
+    """Round-5 review finding: with an integral left `on` and a double
+    right `on`, the union promotes __t to double — a decimal(38,0) gap
+    view of the PROMOTED values would round 9.6/10.3 to 10 and tie-break
+    the wrong way. Mixed integral/fractional must fall back to doubles."""
+    left = spark.createDataFrame([(1, 10)], "id long, t long")
+    right = spark.createDataFrame(
+        [(7, 9.6), (8, 10.3)], "rid long, t double"
+    )
+    got = asof_join(
+        left, right, on="t", direction="nearest", n_partitions=1
+    ).collect()[0]
+    assert got.rid == 8  # gap 0.3 forward beats 0.4 backward
+    # tolerance is exact at the fractional boundary too
+    assert (
+        asof_join(
+            left, right, on="t", tolerance=0.3, n_partitions=1
+        ).collect()[0].rid
+        is None  # backward gap is 0.4 > 0.3
+    )

@@ -152,3 +152,28 @@ def test_synthetic_doc_graph_deterministic(spark):
         if (d * 17 + k) % 10 != d
     )
     assert edges == want
+
+
+def test_personalized_duplicate_seeds_summed(spark):
+    """Round-5 review finding: duplicate seed rows (a union of topic
+    lists repeating a node) must SUM, not fan the node's rank row out per
+    duplicate — fan-out double-counts its outgoing mass every iteration
+    and emits duplicate result rows."""
+    from google_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    dup = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.5)], "node string, weight double"
+    )
+    one = spark.createDataFrame([("a", 1.0)], "node string, weight double")
+    rows = pagerank(edges, exact_iters=8, personalization=dup).collect()
+    assert len(rows) == 3  # one row per node, no fan-out
+    got_dup = {r["node"]: r["rank"] for r in rows}
+    got_one = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, exact_iters=8, personalization=one).collect()
+    }
+    for n, want in got_one.items():
+        assert got_dup[n] == pytest.approx(want, rel=1e-12)

@@ -458,3 +458,15 @@ def test_semantic_dedup_cluster_partition_blocks_cross_pairs(spark):
     # beats the near-tie only by the tie-break; both orderings are valid
     # one-per-cluster outcomes) — the invariant is that nothing is dropped
     assert got[0][1] is True and got[1][1] is True
+
+
+def test_regexp_term_alternation_fully_anchored(index):
+    """Round-5 review finding: naive '^' + regex + '$' binds the anchors
+    to the first/last ALTERNATIVE only ('^as|can$' lets 'scan' in via
+    'can$'); the anchors must wrap the whole pattern."""
+    from google_spark.operators.index_query import regexp_term_topk
+
+    # neither 'as' nor 'can' is a whole term ('fast'/'scan' contain them)
+    assert regexp_term_topk(index, "as|can", k=10).count() == 0
+    # whole-term alternation still expands and scores
+    assert regexp_term_topk(index, "scan|join", k=10).count() > 0

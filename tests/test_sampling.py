@@ -227,3 +227,27 @@ def test_pack_corpus_materializes_ordered_packs(spark):
         for r in pack_corpus(docs.repartition(7), budget=5, by="lang").collect()
     }
     assert again == {k: v["text"] for k, v in rows.items()}
+
+
+def test_mix_temperature_null_stratum(spark):
+    """Round-5 review finding: a NULL group must be a legal stratum — the
+    quota dict gets a None key (sorted() on mixed None/str keys used to
+    TypeError) and plain == never matches NULL rows (needs eqNullSafe)."""
+    from google_spark.operators.sampling import (
+        mix_by_temperature,
+        sample_stratified,
+    )
+
+    rows = [(i, "en" if i % 3 == 0 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # alpha=1 is proportional: quotas floor(10 * 10/30) = 3 en,
+    # floor(10 * 20/30) = 6 null
+    got = mix_by_temperature(df, "lang", 10, alpha=1.0).collect()
+    by: dict = {}
+    for r in got:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert by == {"en": 3, None: 6}
+    # and directly through the stratified sampler with a None key
+    direct = sample_stratified(df, "lang", {None: 2, "en": 1}).collect()
+    langs = sorted((r["lang"] is None) for r in direct)
+    assert len(direct) == 3 and langs == [False, True, True]

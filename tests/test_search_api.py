@@ -462,3 +462,57 @@ def test_catalog_delete_propagates_to_aux_indexes(spark, corpus_df, tmp_path):
     # so assert exclusion + no survivor lost rather than set equality
     assert victim not in grep_after
     assert grep_before - {victim} <= grep_after
+
+
+def test_aux_tombstones_survive_compaction_and_reopen(
+    spark, corpus_df, tmp_path
+):
+    """Round-5 review finding: refresh() re-opens a DISK-backed trigram
+    bundle, discarding the in-memory with_deletes attachment; after
+    catalog.compact() the snapshot's delete list is empty, so without the
+    engine-lifetime tombstone accumulator the deleted doc would resurface
+    through grep (its grams are still in the stale bundle and its text in
+    the raw docstore)."""
+    from google_spark.operators.catalog import SnapshotCatalog
+    from google_spark.operators.trigram import (
+        build_trigram_index,
+        read_trigram_index,
+        write_trigram_index,
+    )
+    from google_spark.search import SearchEngine
+    from google_spark.sources.tables import with_doc_identity
+
+    docs = with_doc_identity(corpus_df)
+    store = docs.select("doc_id", "content")
+    cat = SnapshotCatalog(str(tmp_path / "cat_resurrect"))
+    cat.commit_build(spark, docs, id_col="doc_id", text_col="content")
+    tdir = str(tmp_path / "tri_resurrect")
+    write_trigram_index(
+        build_trigram_index(
+            spark, store, id_col="doc_id", text_col="content", n_shards=2
+        ),
+        tdir,
+        n_buckets=8,
+    )
+    eng = SearchEngine.from_catalog(
+        spark, cat, docs=store,
+        trigram_index=read_trigram_index(spark, tdir),
+    )
+    assert eng.trigram_index.disk_path is not None
+
+    victim_row = store.orderBy("doc_id").limit(1).collect()[0]
+    victim = victim_row["doc_id"]
+    token = next(
+        w for w in victim_row["content"].split() if len(w) >= 4 and w.isalnum()
+    )
+    assert victim in {r["doc_id"] for r in eng.grep(token, limit=200)}
+
+    cat.delete_docs([victim])
+    assert victim not in {r["doc_id"] for r in eng.grep(token, limit=200)}
+
+    # compaction empties the snapshot's delete list AND bumps HEAD, so the
+    # next query refreshes: the trigram bundle is re-read from disk with
+    # no tombstones of its own
+    cat.compact(spark)
+    assert victim not in {r["doc_id"] for r in eng.grep(token, limit=200)}
+    assert eng.index.deletes is None or victim not in set(eng.index.deletes)

@@ -726,3 +726,52 @@ def test_grep_lines_excludes_deleted(spark, code_docs, tmp_path):
         ).collect()
     }
     assert after == before - {1}
+
+
+def test_compact_ignores_stray_tombstones(spark, tri_docs, tri_index, tmp_path):
+    """Round-5 review finding: delete ids that never hit an indexed doc
+    (typos, ids from another bundle) must not decrement the compacted
+    n_docs — the undercount would skew the cost-based fallback of every
+    later query."""
+    from google_spark.operators.trigram import (
+        compact_trigram_index,
+        delete_from_trigram_index,
+    )
+
+    out = str(tmp_path / "tri_stray")
+    write_trigram_index(tri_index, out, n_buckets=8)
+    # one real victim + two strays far outside the corpus
+    delete_from_trigram_index(out, [5, 10**9, 10**9 + 1])
+    compacted = compact_trigram_index(spark, out, str(tmp_path / "tri_stray2"))
+    assert compacted.n_docs == tri_index.n_docs - 1
+
+
+def test_torn_tmp_delete_file_is_invisible(tmp_path):
+    """Round-5 review finding: pyarrow directory discovery only skips
+    '.'/'_' basename PREFIXES, so a crashed writer's torn staging file
+    must never be readable as a delete part — reads enumerate committed
+    '*.parquet' parts explicitly and staging names are '_'-prefixed."""
+    from google_spark.operators.index_build import (
+        append_delete_file,
+        read_delete_file,
+    )
+
+    d = str(tmp_path / "deletes.parquet")
+    assert append_delete_file(d, [3, 1, 2]) == 3
+    # simulate torn writes from BOTH naming generations
+    for torn in ("part-del-99999.parquet.tmp", "_part-del-x.parquet.tmp"):
+        with open(f"{d}/{torn}", "wb") as f:
+            f.write(b"PAR1\x00garbage")  # parquet magic, torn body
+    got = read_delete_file(d)
+    assert list(got) == [1, 2, 3]
+    # appends land in fresh uniquely-named parts (no clobber possible)
+    assert append_delete_file(d, [2, 7]) == 1
+    import os
+
+    parts = [
+        e
+        for e in os.listdir(d)
+        if e.endswith(".parquet") and not e.startswith(("_", "."))
+    ]
+    assert len(parts) == 2 and len(set(parts)) == 2
+    assert list(read_delete_file(d)) == [1, 2, 3, 7]
