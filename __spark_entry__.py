@@ -24,10 +24,11 @@ dedup_containment, catalog_changelog, dedup_lines_global, the four trigram
 rows, text_bpe_count, join_asof, join_range, op_cube, op_pivot,
 op_semi_join, op_anti_join, op_unpivot) — keeping 17 flagships and
 demoting 33 rows that are green in CORRECTNESS_r04.json. Union driver
-coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows; the six NEW
+coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows; the eight NEW
 round-5 rows (wildcard_search_topk, near_search_topk, explain_topk,
-regexp_term_topk, pagerank_personalized3, sample_mix_temperature — 112
-total) are local-gate-checked, the 50 driver slots being spoken for.
+regexp_term_topk, pagerank_personalized3, sample_mix_temperature,
+dedup_spans, dedup_spans_clean — 114 total) are local-gate-checked, the
+50 driver slots being spoken for.
 """
 
 from __future__ import annotations
@@ -853,6 +854,50 @@ def q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text")
     )
     return global_line_dedup(grouped, id_col="gid", text_col="text")
+
+
+_SPAN_BOILER = (
+    "the quick brown fox jumps over the lazy dog again and again"
+)  # 12 tokens, survives the engine tokenizer verbatim
+
+
+def _span_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 5th document gets the same 12-token sentence appended — a
+    cross-document duplicated RUN that line dedup can't see (it's inside a
+    line) and document dedup can't see (the docs differ elsewhere)."""
+    docs = _docs(spark, sf_dir)
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)),
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-window detection through ENGINE code
+    (dedup.duplicate_spans; Lee et al. 2021 at token-window grain): every
+    occurrence of an 8-token window whose md5 key repeats corpus-wide,
+    with the globally-first occurrence flagged canonical. The oracle
+    replays the planting, tokenization, window hashing, and the
+    canonical-occurrence window in SQL."""
+    from google_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_span_planted(spark, sf_dir), window=8)
+
+
+def q_dedup_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span REMOVAL through ENGINE code
+    (dedup.remove_duplicate_spans): tokens covered by any non-canonical
+    duplicated 8-token window are excised and the surviving token stream
+    rejoined — the planted boilerplate survives only in its
+    globally-first document. The oracle replays detection plus the
+    coverage anti-join and ordered rebuild in SQL, so clean_text must
+    match byte-for-byte."""
+    from google_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_span_planted(spark, sf_dir), window=8)
 
 
 def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2082,6 +2127,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_term_topk": q_regexp_term_topk,
         "pagerank_personalized3": q_pagerank_personalized3,
         "sample_mix_temperature": q_sample_mix_temperature,
+        "dedup_spans": q_dedup_spans,
+        "dedup_spans_clean": q_dedup_spans_clean,
     }
 
 
@@ -4088,6 +4135,77 @@ FROM best
         # trimmed line occurring >= 2 times survives only at the globally
         # first (gid, pos); blank lines are never keys. string_agg(CASE...)
         # skips NULLs exactly like Spark's collect_list skips them.
+        "dedup_spans": f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' {_SPAN_BOILER}'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM planted),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(t) - 7, 0))) AS pos,
+         unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+                i -> md5(array_to_string(t[i + 1 : i + 8], ' ')))) AS key
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id, pos, key,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM wins
+)
+SELECT doc_id, pos, key, n, (rn = 1) AS is_canonical
+FROM ranked WHERE n >= 2
+""",
+        "dedup_spans_clean": f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' {_SPAN_BOILER}'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM planted),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(t) - 7, 0))) AS pos,
+         unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+                i -> md5(array_to_string(t[i + 1 : i + 8], ' ')))) AS key
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id, pos, key,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM wins
+),
+drops AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rn > 1),
+tokrows AS (
+  SELECT doc_id, unnest(range(0, len(t))) AS i, unnest(t) AS tok FROM toks
+),
+kept AS (
+  SELECT tr.doc_id, tr.i, tr.tok
+  FROM tokrows tr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM drops d
+    WHERE d.doc_id = tr.doc_id AND d.pos <= tr.i AND tr.i < d.pos + 8
+  )
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0) AS n_kept,
+       len(t.t) - coalesce(a.n_kept, 0) AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+""",
         "dedup_lines_global": """
 WITH grouped AS (
   SELECT doc_id % 50 AS gid,

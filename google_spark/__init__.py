@@ -58,6 +58,11 @@ def __getattr__(name):
         "cluster_dedup": ("google_spark.operators.components", "cluster_dedup"),
         "contamination_flags": ("google_spark.operators.dedup", "contamination_flags"),
         "global_line_dedup": ("google_spark.operators.dedup", "global_line_dedup"),
+        "duplicate_spans": ("google_spark.operators.dedup", "duplicate_spans"),
+        "remove_duplicate_spans": (
+            "google_spark.operators.dedup",
+            "remove_duplicate_spans",
+        ),
         "incremental_near_dups": ("google_spark.operators.dedup", "incremental_near_dups"),
         "write_signature_store": ("google_spark.operators.dedup", "write_signature_store"),
         "compact_signature_store": ("google_spark.operators.dedup", "compact_signature_store"),

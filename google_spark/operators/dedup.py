@@ -1175,3 +1175,140 @@ def global_line_dedup(
         )
         .select(F.col("_gld_id").alias(id_col), "clean_text", "n_kept", "n_dropped")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Every occurrence of a duplicated token window (ExactSubstr-style
+    span detection; Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — the token-window approximation of their
+    suffix-array substring match, at granularity ``window`` tokens).
+
+    A span is a ``window``-token run of the engine token stream
+    (:func:`tokens_col`); its key is md5 of the space-joined tokens —
+    i.e. exactly a k=``window`` shingle, sharing the MinHash family's
+    shingle contract. Returns one row per occurrence of any key seen
+    ``min_count``+ times corpus-wide:
+    ``(id, pos, key, n, is_canonical)`` with ``pos`` the 0-based token
+    offset of the window start, ``n`` the key's corpus-wide occurrence
+    count, and ``is_canonical`` true for the globally-first occurrence
+    (smallest ``(id, pos)``) — the one :func:`remove_duplicate_spans`
+    keeps.
+
+    Scale shape (100 TB): windows are built scan-side with JVM HOFs (one
+    md5 per window row after posexplode — the minhash signature shape);
+    the canonical-occurrence relation is ONE hash aggregate on the
+    fixed-width md5 key with map-side partial min/count (a
+    billion-occurrence boilerplate span still partially aggregates per
+    task before the exchange); occurrences rejoin on the same fixed-width
+    key (AQE skew split applies). No raw text ever shuffles.
+    """
+    wins = F.transform(
+        shingles_col(tokens_col(text_col), k=window), F.md5
+    )
+    occ = docs.select(
+        F.col(id_col).alias("_ds_id"),
+        F.posexplode(wins).alias("_ds_pos", "_ds_key"),
+    ).select(
+        "_ds_id",
+        F.col("_ds_pos").cast("long").alias("_ds_pos"),
+        "_ds_key",
+    )
+    canon = (
+        occ.groupBy("_ds_key")
+        .agg(
+            F.min(F.struct("_ds_id", "_ds_pos")).alias("_ds_first"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= int(min_count))
+    )
+    return occ.join(canon, "_ds_key").select(
+        F.col("_ds_id").alias(id_col),
+        F.col("_ds_pos").alias("pos"),
+        F.col("_ds_key").alias("key"),
+        "n",
+        (
+            (F.col("_ds_first._ds_id") == F.col("_ds_id"))
+            & (F.col("_ds_first._ds_pos") == F.col("_ds_pos"))
+        ).alias("is_canonical"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (Lee et al. 2021): drop every token
+    covered by a non-canonical occurrence of a duplicated window
+    (:func:`duplicate_spans`), keeping the globally-first occurrence
+    intact, and rebuild each document from the surviving tokens. Returns
+    ``(id, clean_text, n_kept, n_removed)`` — one row per input document
+    (``n_removed`` 0 and ``clean_text`` the full token stream when
+    nothing duplicated). ``clean_text`` is the surviving engine TOKEN
+    stream space-rejoined (lowercased, punctuation collapsed) — the same
+    granularity Lee et al. operate at; this is the training-data path,
+    not a display path.
+
+    This is the span-granular complement of :func:`global_line_dedup`
+    (line granularity) and :func:`minhash_near_dups` (document
+    granularity): it removes repeated boilerplate RUNS — license
+    headers, generated preambles, copy-pasted functions — that neither
+    line dedup (spans cross line breaks) nor document dedup (documents
+    differ elsewhere) catches.
+
+    Scale shape: detection as in :func:`duplicate_spans`; the drop
+    positions come back as ONE array per affected document (groupBy(id)
+    state bounded by document size), joined to the corpus on the id key;
+    the rebuild is a scan-side HOF mask. The mask costs
+    O(tokens x drop-spans) per document — bounded by document length
+    squared/window in the pathological all-duplicate case, and by a few
+    probes per token in real corpora where drops are sparse.
+    """
+    spans = duplicate_spans(
+        docs, id_col=id_col, text_col=text_col,
+        window=window, min_count=min_count,
+    )
+    drops = (
+        spans.filter(~F.col("is_canonical"))
+        .groupBy(F.col(id_col).alias("_ds_id"))
+        .agg(F.array_sort(F.collect_list("pos")).alias("_ds_drops"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("_ds_id"),
+        tokens_col(text_col).alias("_ds_toks"),
+    )
+    joined = base.join(drops, "_ds_id", "left").withColumn(
+        "_ds_drops",
+        F.coalesce(F.col("_ds_drops"), F.array().cast("array<long>")),
+    )
+    n = F.size("_ds_toks")
+    # sequence(0, -1) would COUNT DOWN (Spark infers step -1), so the
+    # empty-token case needs an explicit empty array
+    idxs = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    w = F.lit(int(window))
+    kept = F.filter(
+        idxs,
+        lambda i: ~F.exists(
+            F.col("_ds_drops"), lambda p: (p <= i) & (i < p + w)
+        ),
+    )
+    return joined.select(
+        F.col("_ds_id").alias(id_col),
+        F.array_join(
+            # F.get is 0-based and null-safe (element_at raises in Spark 4)
+            F.transform(kept, lambda i: F.get(F.col("_ds_toks"), i)),
+            " ",
+        ).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+    )

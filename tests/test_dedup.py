@@ -550,3 +550,89 @@ class TestGlobalLineDedup:
         # every line occurs < 3 times except "repeat me"? it occurs twice ->
         # nothing is dropped at min_count=3
         assert all(r["n_dropped"] == 0 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicate spans (Lee et al. 2021, token-window grain)
+# ---------------------------------------------------------------------------
+
+
+def _span_docs(spark):
+    boiler = "alpha bravo charlie delta echo foxtrot"
+    return spark.createDataFrame(
+        [
+            (1, "unique one two " + boiler + " tail1 xx"),
+            (2, "other prefix words here " + boiler + " tail2 yy"),
+            (3, "totally unrelated content nothing shared at all"),
+            (4, boiler + " middle filler " + boiler),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_spans_detects_and_canonicalizes(spark):
+    from google_spark.operators.dedup import duplicate_spans
+
+    rows = sorted(
+        (r.doc_id, r.pos, r.is_canonical)
+        for r in duplicate_spans(_span_docs(spark), window=6).collect()
+    )
+    # 4 occurrences of the shared 6-token run; canonical = smallest (id, pos)
+    assert rows == [(1, 3, True), (2, 4, False), (4, 0, False), (4, 8, False)]
+
+
+def test_remove_duplicate_spans_keeps_globally_first_only(spark):
+    from google_spark.operators.dedup import remove_duplicate_spans
+
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(_span_docs(spark), window=6).collect()
+    }
+    assert len(out) == 5  # one row per input doc, clean docs included
+    # canonical occurrence survives verbatim in the token stream
+    assert out[1].n_removed == 0
+    assert "alpha bravo charlie delta echo foxtrot" in out[1].clean_text
+    # the cross-document copy is excised, surroundings survive
+    assert out[2].n_removed == 6
+    assert out[2].clean_text == "other prefix words here tail2 yy"
+    # clean doc untouched
+    assert out[3].n_removed == 0 and out[3].n_kept == 7
+    # BOTH of doc 4's occurrences are non-canonical -> both removed
+    assert out[4].n_removed == 12 and out[4].clean_text == "middle filler"
+    # empty doc: zero tokens, zero removed, empty rebuild (no crash)
+    assert out[5].n_kept == 0 and out[5].n_removed == 0
+    assert out[5].clean_text == ""
+
+
+def test_duplicate_spans_below_min_count_kept(spark):
+    from google_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = _span_docs(spark)
+    # min_count=5 exceeds the 4 occurrences: nothing flagged, nothing cut
+    assert duplicate_spans(docs, window=6, min_count=5).count() == 0
+    out = remove_duplicate_spans(docs, window=6, min_count=5).collect()
+    assert all(r.n_removed == 0 for r in out)
+
+
+def test_remove_duplicate_spans_overlapping_windows_merge(spark):
+    from google_spark.operators.dedup import remove_duplicate_spans
+
+    # a 7-token shared run with window=6 yields two OVERLAPPING duplicate
+    # windows (pos p and p+1) in the copy; coverage must union, removing
+    # exactly the 7 run tokens, not 12
+    run = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, "head " + run + " tail"), (2, "pre xx " + run + " post yy")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, window=6).collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 7
+    assert out[2].clean_text == "pre xx post yy"
