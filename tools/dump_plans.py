@@ -301,6 +301,23 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.dedup import remove_duplicate_spans
+
+    sections.append(
+        (
+            "Duplicated-span removal (ExactSubstr-style, token-window grain)",
+            "Window keys are built scan-side with HOFs (shingle -> md5, one "
+            "hash per window row after posexplode); the canonical-occurrence "
+            "relation is ONE partial-aggregating hash exchange on the "
+            "fixed-width md5 key; occurrences rejoin on the same key; the "
+            "per-doc drop positions come back as one bounded array and the "
+            "rebuild is a scan-side coverage mask — raw text never "
+            "shuffles, and the heaviest exchange carries (md5, id, pos) "
+            "triples.",
+            fmt(remove_duplicate_spans(docs, window=8)),
+        )
+    )
+
     sections.append(
         (
             "Per-doc keyword extraction (tf-idf top-k)",
