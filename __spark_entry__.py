@@ -24,11 +24,11 @@ dedup_containment, catalog_changelog, dedup_lines_global, the four trigram
 rows, text_bpe_count, join_asof, join_range, op_cube, op_pivot,
 op_semi_join, op_anti_join, op_unpivot) — keeping 17 flagships and
 demoting 33 rows that are green in CORRECTNESS_r04.json. Union driver
-coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows; the eight NEW
+coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows; the nine NEW
 round-5 rows (wildcard_search_topk, near_search_topk, explain_topk,
 regexp_term_topk, pagerank_personalized3, sample_mix_temperature,
-dedup_spans, dedup_spans_clean — 114 total) are local-gate-checked, the
-50 driver slots being spoken for.
+dedup_spans, dedup_spans_clean, anchor_texts — 115 total) are
+local-gate-checked, the 50 driver slots being spoken for.
 """
 
 from __future__ import annotations
@@ -898,6 +898,33 @@ def q_dedup_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from google_spark.operators.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(_span_planted(spark, sf_dir), window=8)
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation through ENGINE code (pagerank.anchor_texts):
+    every 7th document gets a descriptive comment + import of one of five
+    synthetic modules appended; the comment line above each import is
+    attributed to the imported module and concatenated per module in
+    (referrer, position) order — the code-search analog of web anchor
+    text. The oracle replays the planting, line pairing, import regex,
+    and ordered aggregation in SQL."""
+    from google_spark.operators.pagerank import anchor_texts
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit("\n// doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" relies on dep hashing utilities\nimport dep_"),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return anchor_texts(planted, repo_col="doc_id", content_col="text")
 
 
 def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2129,6 +2156,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix_temperature": q_sample_mix_temperature,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_clean": q_dedup_spans_clean,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -4135,6 +4163,35 @@ FROM best
         # trimmed line occurring >= 2 times survives only at the globally
         # first (gid, pos); blank lines are never keys. string_agg(CASE...)
         # skips NULLs exactly like Spark's collect_list skips them.
+        "anchor_texts": r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN text || chr(10) || '// doc ' || CAST(doc_id AS VARCHAR)
+                   || ' relies on dep hashing utilities' || chr(10)
+                   || 'import dep_' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id AS src, generate_subscripts(l, 1) - 1 AS pos,
+         unnest(l) AS line, l
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)
+),
+hits AS (
+  SELECT src, pos,
+         regexp_extract(line,
+           '^\s*import\s+([A-Za-z_][A-Za-z0-9_]*)\s*$', 1) AS dst,
+         CASE WHEN pos > 0 THEN trim(l[pos]) ELSE '' END AS ctx
+  FROM lines
+)
+SELECT dst,
+       string_agg(ctx, ' ' ORDER BY src, pos) AS anchor_text,
+       count(*) AS n_refs
+FROM hits
+WHERE dst <> '' AND ctx <> ''
+GROUP BY dst
+""",
         "dedup_spans": f"""
 WITH planted AS (
   SELECT doc_id,

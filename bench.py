@@ -157,6 +157,13 @@ def main() -> None:
     t0 = time.perf_counter()
     simhash_near_dups(simhash_fingerprints(docs), max_hamming=8).count()
     timings["simhash_neardup"] = round(time.perf_counter() - t0, 4)
+    from google_spark.operators.dedup import remove_duplicate_spans
+
+    t0 = time.perf_counter()
+    remove_duplicate_spans(docs, window=20).agg(
+        F.sum("n_removed")
+    ).collect()
+    timings["spans_dedup"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
     pagerank(synthetic_doc_graph(docs), exact_iters=3).count()
     timings["pagerank_3it"] = round(time.perf_counter() - t0, 4)

@@ -59,6 +59,7 @@ def __getattr__(name):
         "contamination_flags": ("google_spark.operators.dedup", "contamination_flags"),
         "global_line_dedup": ("google_spark.operators.dedup", "global_line_dedup"),
         "duplicate_spans": ("google_spark.operators.dedup", "duplicate_spans"),
+        "anchor_texts": ("google_spark.operators.pagerank", "anchor_texts"),
         "remove_duplicate_spans": (
             "google_spark.operators.dedup",
             "remove_duplicate_spans",

@@ -69,6 +69,7 @@ def build_fielded_index(
     mode: str = "simple",
     stem: bool = False,
     n_shards: int = 8,
+    extra_fields: dict[str, DataFrame] | None = None,
 ) -> FieldedIndex:
     """Build (title, body) field indexes in two build passes. The title is
     the docstore first-non-empty-line heuristic (D1); the body is the full
@@ -77,7 +78,16 @@ def build_fielded_index(
     its cost is a small fraction of the body pass. Pass the SAME
     ``mode``/``stem`` to the query functions (bm25f_index_topk /
     bm25f_local_topk) — a code-mode index queried with simple-mode
-    tokenization silently misses the vocabulary."""
+    tokenization silently misses the vocabulary.
+
+    ``extra_fields`` maps a field name to a DataFrame of
+    ``(id_col, <text>)`` — the second column is the field text, whatever
+    its name (e.g. ``anchor_texts(...)`` joined onto doc ids). Each extra
+    field is indexed against the SHARED corpus size (docs absent from the
+    field DataFrame simply have an empty field), so its avgdl denominator
+    matches the scan-path convention, and is scored by
+    :func:`bm25f_index_topk` with weight (1.0, 0.75) unless overridden
+    via its ``weights`` argument."""
     from google_spark.operators.docstore import title_col
 
     total = docs.count()
@@ -92,7 +102,21 @@ def build_fielded_index(
         spark, title_docs, id_col=id_col, text_col="_title_text", mode=mode,
         stem=stem, n_shards=n_shards, total_docs=total,
     )
-    return FieldedIndex(fields={"title": title, "body": body}, n_docs=total)
+    fields = {"title": title, "body": body}
+    for name, fdocs in (extra_fields or {}).items():
+        if name in fields:
+            raise ValueError(f"extra field {name!r} shadows a built-in field")
+        fcol = [c for c in fdocs.columns if c != id_col]
+        if len(fcol) != 1:
+            raise ValueError(
+                f"extra field {name!r} needs exactly ({id_col}, text) "
+                f"columns, got {fdocs.columns}"
+            )
+        fields[name] = build_index(
+            spark, fdocs, id_col=id_col, text_col=fcol[0], mode=mode,
+            stem=stem, n_shards=n_shards, total_docs=total,
+        )
+    return FieldedIndex(fields=fields, n_docs=total)
 
 
 def write_fielded_index(findex: FieldedIndex, out_dir: str) -> None:
@@ -225,6 +249,7 @@ def bm25f_local_topk(
     mode: str = "simple",
     stem: bool = False,
     row_caches: dict[str, dict] | None = None,
+    weights: dict[str, tuple[float, float]] | None = None,
 ) -> list[tuple[int, float]]:
     """Interactive BM25F serving path: fetch ONLY the query terms' posting
     rows from each field's index through the point-read tier
@@ -248,7 +273,8 @@ def bm25f_local_topk(
         return []
     qf = Counter(terms)
     uniq = sorted(qf)
-    weights = {"title": (w_title, b_title), "body": (w_body, b_body)}
+    wb = {"title": (w_title, b_title), "body": (w_body, b_body)}
+    wb.update(weights or {})
 
     # per term: (docs, comp) arrays from every field, same float op order
     # as the distributed kernels
@@ -258,7 +284,7 @@ def bm25f_local_topk(
     for name, idx in findex.fields.items():
         if idx.avgdl <= 0:
             continue
-        w_f, b_f = weights.get(name, (1.0, 0.75))
+        w_f, b_f = wb.get(name, (1.0, 0.75))
         cache = row_caches.get(name) if row_caches is not None else None
         if row_caches is not None and cache is None:
             cache = row_caches.setdefault(name, {})
@@ -304,12 +330,16 @@ def bm25f_index_topk(
     b_body: float = BM25F_B,
     mode: str = "simple",
     stem: bool = False,
+    weights: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """DataFrame[doc_id, score] — BM25F top-k from the FIELDED INDEX,
     rank- and score-identical to ranking.bm25f_topk over the same corpus
     (same field weights, same float op order; per-term idf uses the exact
     document frequency of "term appears in ANY field", computed from the
-    decoded candidate relation)."""
+    decoded candidate relation). ``weights`` maps extra-field names to
+    their ``(w_f, b_f)`` pair (anchors, etc.); unlisted extra fields
+    default to ``(1.0, 0.75)``, and title/body keep their dedicated
+    keyword arguments."""
     import math
     from collections import Counter
 
@@ -324,10 +354,11 @@ def bm25f_index_topk(
     qf = Counter(terms)
     uniq = sorted(qf)
 
-    weights = {"title": (w_title, b_title), "body": (w_body, b_body)}
+    wb = {"title": (w_title, b_title), "body": (w_body, b_body)}
+    wb.update(weights or {})
     parts = []
     for name, idx in findex.fields.items():
-        w_f, b_f = weights.get(name, (1.0, 0.75))
+        w_f, b_f = wb.get(name, (1.0, 0.75))
         if idx.avgdl <= 0:
             continue  # all-empty field contributes 0 (matches the scan path)
         parts.append(_field_component_rows(idx, uniq, w_f, b_f))

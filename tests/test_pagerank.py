@@ -5,6 +5,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from google_spark.corpus import repo_of_module
 from google_spark.oracle import pagerank_power_iteration
@@ -177,3 +178,104 @@ def test_personalized_duplicate_seeds_summed(spark):
     }
     for n, want in got_one.items():
         assert got_dup[n] == pytest.approx(want, rel=1e-12)
+
+
+def test_anchor_texts_context_attribution(spark):
+    """The non-empty line directly above an import is attributed to the
+    imported module; imports with no context (first line, or a blank line
+    above) contribute nothing; referrers concatenate in (src, pos) order."""
+    from google_spark.operators.pagerank import anchor_texts
+
+    docs = spark.createDataFrame(
+        [
+            # comment -> import: attributed
+            ("r1", "// fast streaming hash utility\nimport dep_a\ncode();"),
+            # blank line above the import: no context, excluded
+            ("r2", "something\n\nimport dep_a"),
+            # import on the FIRST line: no previous line, excluded
+            ("r3", "import dep_b\n// too late, below the import"),
+            # second referrer of dep_a, sorts after r1
+            ("r4", "// bloom filter sidecar\nimport dep_a"),
+            # indented import with trailing spaces still matches
+            ("r5", "// vector math helpers\n  import dep_b  "),
+        ],
+        "repo string, content string",
+    )
+    got = {
+        r["dst"]: (r["anchor_text"], r["n_refs"])
+        for r in anchor_texts(docs).collect()
+    }
+    assert got == {
+        "dep_a": (
+            "// fast streaming hash utility // bloom filter sidecar",
+            2,
+        ),
+        "dep_b": ("// vector math helpers", 1),
+    }
+
+
+def test_anchor_texts_multi_context_lines(spark):
+    from google_spark.operators.pagerank import anchor_texts
+
+    docs = spark.createDataFrame(
+        [("r1", "line one\nline two\nimport dep_c")],
+        "repo string, content string",
+    )
+    got = anchor_texts(docs, context_lines=2).collect()[0]
+    # oldest-first: the two lines read in document order
+    assert got["dst"] == "dep_c"
+    assert got["anchor_text"] == "line one line two"
+
+
+def test_anchor_field_makes_docs_findable_by_referrer_vocabulary(spark):
+    """End-to-end anchor-text win: a doc that never contains the query
+    term is retrieved because REFERRING sites describe it with that term
+    — the anchors field indexes what others say, weighted via
+    bm25f_index_topk(weights=...)."""
+    from google_spark.operators.fielded import (
+        bm25f_index_topk,
+        build_fielded_index,
+    )
+    from google_spark.operators.pagerank import anchor_texts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "module alpha provides arithmetic routines"),
+            (2, "module beta does other things entirely"),
+            (3, "// the zigzag encoder everyone wants\nimport mod_1"),
+            (4, "// more zigzag praise for the encoder\nimport mod_1"),
+        ],
+        "doc_id long, text string",
+    )
+    anchors = anchor_texts(
+        docs, repo_col="doc_id", content_col="text"
+    ).select(
+        F.regexp_extract("dst", r"mod_(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("anchor_text"),
+    )
+    findex = build_fielded_index(
+        spark, docs, extra_fields={"anchors": anchors}
+    )
+    assert set(findex.fields) == {"title", "body", "anchors"}
+    rows = bm25f_index_topk(
+        findex, "zigzag", k=4, weights={"anchors": (3.0, 0.75)}
+    ).collect()
+    # doc 1 never says 'zigzag'; it is retrieved because its REFERRERS do
+    # (they rank too — the term sits in their own body text, as a linking
+    # page's anchor text always does)
+    assert 1 in {r["doc_id"] for r in rows}
+    plain = build_fielded_index(spark, docs)
+    without = {
+        r["doc_id"] for r in bm25f_index_topk(plain, "zigzag", k=4).collect()
+    }
+    assert 1 not in without  # invisible without the anchors field
+
+    # extra-field validation: shadowing and wrong shape both refuse
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        build_fielded_index(spark, docs, extra_fields={"body": anchors})
+    with _pt.raises(ValueError):
+        build_fielded_index(
+            spark, docs, extra_fields={"a": anchors.withColumn("x", F.lit(1))}
+        )
