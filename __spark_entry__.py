@@ -24,11 +24,12 @@ dedup_containment, catalog_changelog, dedup_lines_global, the four trigram
 rows, text_bpe_count, join_asof, join_range, op_cube, op_pivot,
 op_semi_join, op_anti_join, op_unpivot) — keeping 17 flagships and
 demoting 33 rows that are green in CORRECTNESS_r04.json. Union driver
-coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows; the nine NEW
-round-5 rows (wildcard_search_topk, near_search_topk, explain_topk,
+coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows; the eleven
+NEW round-5 rows (wildcard_search_topk, near_search_topk, explain_topk,
 regexp_term_topk, pagerank_personalized3, sample_mix_temperature,
-dedup_spans, dedup_spans_clean, anchor_texts — 115 total) are
-local-gate-checked, the 50 driver slots being spoken for.
+dedup_spans, dedup_spans_clean, anchor_texts, symbol_defs,
+symbol_search_topk — 117 total) are local-gate-checked, the 50 driver
+slots being spoken for.
 """
 
 from __future__ import annotations
@@ -925,6 +926,59 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return anchor_texts(planted, repo_col="doc_id", content_col="text")
+
+
+def _symbol_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit("\ndef helper_"),
+                (F.col("doc_id") % 11).cast("string"),
+                F.lit("(x):\n    return x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit("\nclass Widget"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(":\n    pass"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+def q_symbol_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Go-to-definition extraction through ENGINE code
+    (docstore.extract_symbols): python/go/rust/js definition-keyword
+    lines planted over the corpus; every (doc, line, kind, symbol)
+    definition site, 0-based lines. The oracle replays the planting and
+    the line-anchored regex in SQL."""
+    from google_spark.operators.docstore import extract_symbols
+
+    return extract_symbols(_symbol_planted(spark, sf_dir))
+
+
+def q_symbol_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition lookup through ENGINE code (docstore.symbol_search):
+    prefix query 'helper_' over the planted definition table,
+    rarest-symbol-first with deterministic (symbol, doc, line) site
+    order, k=12. The oracle replays extraction, the per-symbol def
+    counts, and the ordered limit in SQL."""
+    from google_spark.operators.docstore import extract_symbols, symbol_search
+
+    return symbol_search(
+        extract_symbols(_symbol_planted(spark, sf_dir)),
+        "helper_",
+        k=12,
+        prefix=True,
+    )
 
 
 def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2157,6 +2211,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_spans_clean": q_dedup_spans_clean,
         "anchor_texts": q_anchor_texts,
+        "symbol_defs": q_symbol_defs,
+        "symbol_search_topk": q_symbol_search_topk,
     }
 
 
@@ -4163,6 +4219,71 @@ FROM best
         # trimmed line occurring >= 2 times survives only at the globally
         # first (gid, pos); blank lines are never keys. string_agg(CASE...)
         # skips NULLs exactly like Spark's collect_list skips them.
+        "symbol_defs": r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1
+              THEN text || chr(10) || 'def helper_'
+                   || CAST(doc_id % 11 AS VARCHAR) || '(x):'
+                   || chr(10) || '    return x'
+              WHEN doc_id % 3 = 2
+              THEN text || chr(10) || 'class Widget'
+                   || CAST(doc_id % 7 AS VARCHAR) || ':'
+                   || chr(10) || '    pass'
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS line_no,
+         unnest(l) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)
+),
+defs AS (
+  SELECT doc_id, line_no,
+         regexp_extract(line, '^\s*(def|class|func|fn|function|struct|interface|trait)\s+([A-Za-z_][A-Za-z0-9_]*)', 1) AS kind,
+         regexp_extract(line, '^\s*(def|class|func|fn|function|struct|interface|trait)\s+([A-Za-z_][A-Za-z0-9_]*)', 2) AS symbol
+  FROM lines
+)
+SELECT doc_id, line_no, kind, symbol
+FROM defs WHERE kind <> '' AND symbol <> ''
+""",
+        "symbol_search_topk": r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1
+              THEN text || chr(10) || 'def helper_'
+                   || CAST(doc_id % 11 AS VARCHAR) || '(x):'
+                   || chr(10) || '    return x'
+              WHEN doc_id % 3 = 2
+              THEN text || chr(10) || 'class Widget'
+                   || CAST(doc_id % 7 AS VARCHAR) || ':'
+                   || chr(10) || '    pass'
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS line_no,
+         unnest(l) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)
+),
+defs AS (
+  SELECT doc_id, line_no,
+         regexp_extract(line, '^\s*(def|class|func|fn|function|struct|interface|trait)\s+([A-Za-z_][A-Za-z0-9_]*)', 1) AS kind,
+         regexp_extract(line, '^\s*(def|class|func|fn|function|struct|interface|trait)\s+([A-Za-z_][A-Za-z0-9_]*)', 2) AS symbol
+  FROM lines
+),
+hits AS (
+  SELECT * FROM defs
+  WHERE kind <> '' AND symbol <> '' AND starts_with(symbol, 'helper_')
+),
+counts AS (SELECT symbol, count(*) AS n_defs FROM hits GROUP BY symbol)
+SELECT h.symbol, h.kind, c.n_defs, h.doc_id, h.line_no
+FROM hits h JOIN counts c USING (symbol)
+ORDER BY c.n_defs, h.symbol, h.doc_id, h.line_no
+LIMIT 12
+""",
         "anchor_texts": r"""
 WITH planted AS (
   SELECT doc_id,

@@ -60,6 +60,8 @@ def __getattr__(name):
         "global_line_dedup": ("google_spark.operators.dedup", "global_line_dedup"),
         "duplicate_spans": ("google_spark.operators.dedup", "duplicate_spans"),
         "anchor_texts": ("google_spark.operators.pagerank", "anchor_texts"),
+        "extract_symbols": ("google_spark.operators.docstore", "extract_symbols"),
+        "symbol_search": ("google_spark.operators.docstore", "symbol_search"),
         "remove_duplicate_spans": (
             "google_spark.operators.dedup",
             "remove_duplicate_spans",

@@ -61,3 +61,78 @@ def build_docstore(
         title_col(text_col).alias("title"),
         content_clean_col(text_col).alias("content_clean"),
     )
+
+
+# definition-keyword grammar shared across the languages the corpus
+# carries (python def/class, go func, rust fn/struct/trait, js function,
+# java-ish interface) — deliberately line-anchored and keyword-explicit so
+# the same regex is exactly reproducible in the DuckDB oracle
+SYMBOL_RE = (
+    r"^\s*(def|class|func|fn|function|struct|interface|trait)"
+    r"\s+([A-Za-z_][A-Za-z0-9_]*)"
+)
+
+
+def extract_symbols(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The go-to-definition table: ``(id, line_no, kind, symbol)`` for
+    every line that DEFINES a named symbol (``def``/``class``/``func``/
+    ``fn``/``function``/``struct``/``interface``/``trait`` followed by an
+    identifier), 0-based line numbers. This is the code-search structural
+    complement of the token index: the word index finds every MENTION of
+    a name, this table finds where it is introduced — the reference has
+    no analog (its corpus is web pages), but no code-search engine ships
+    without one.
+
+    Scale shape: pure scan-side work — split, posexplode, one JVM regexp
+    evaluated twice for the two capture groups, filter — with NO exchange
+    at all; whatever the caller does next (aggregate, join to PageRank,
+    write) sees a definition table ~10^3 times smaller than the corpus.
+    """
+    rows = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "_sym_line"
+        ),
+    )
+    return rows.select(
+        F.col(id_col),
+        F.col("line_no").cast("long").alias("line_no"),
+        F.regexp_extract("_sym_line", SYMBOL_RE, 1).alias("kind"),
+        F.regexp_extract("_sym_line", SYMBOL_RE, 2).alias("symbol"),
+    ).filter((F.col("kind") != "") & (F.col("symbol") != ""))
+
+
+def symbol_search(
+    symbols: DataFrame,
+    query: str,
+    k: int = 10,
+    prefix: bool = False,
+) -> DataFrame:
+    """Definition lookup over an :func:`extract_symbols` table: exact
+    (or ``prefix=True``) identifier match, rarest-symbol-first —
+    ``n_defs`` counts the symbol's definition sites corpus-wide, so a
+    name defined once (the thing you actually want to jump to) outranks
+    boilerplate names defined everywhere (``main``, ``test``). Ties and
+    sites order deterministically by (symbol, id, line). Returns
+    ``(symbol, kind, n_defs, <id>, line_no)`` rows, ``k`` sites total.
+
+    Scale shape: the match predicate prunes FIRST (an equality — or
+    StartsWith, both pushable to a parquet scan of a materialized symbol
+    table), then one hash aggregate on the surviving symbol names
+    (candidate-sized, not corpus-sized) rejoined to the sites.
+    """
+    id_col = [c for c in symbols.columns if c not in ("line_no", "kind", "symbol")][0]
+    pred = (
+        F.col("symbol").startswith(query) if prefix
+        else F.col("symbol") == F.lit(query)
+    )
+    hits = symbols.filter(pred)
+    counts = hits.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_defs"))
+    return (
+        hits.join(counts, "symbol")
+        .orderBy("n_defs", "symbol", id_col, "line_no")
+        .select("symbol", "kind", "n_defs", id_col, "line_no")
+        .limit(int(k))
+    )

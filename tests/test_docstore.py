@@ -116,3 +116,58 @@ def test_builtin_sample_bounds_and_subset(spark):
     assert a == b
     assert 700 <= len(a) <= 1300
     assert set(a) <= set(range(10_000))
+
+
+def test_extract_symbols_grammar(spark):
+    from google_spark.operators.docstore import extract_symbols
+
+    docs = spark.createDataFrame(
+        [
+            (1, "def alpha(x):\n    return x\nclass Beta:\n    pass"),
+            (2, "  func gamma() {\n}\nfn delta_2() {}"),
+            (3, "function epsilon(a, b) {}\nstruct Zeta {}\ntrait Eta {}"),
+            # NON-definitions: mention mid-line, keyword without name,
+            # identifier starting with a digit
+            (4, "x = def\ncall(def alpha)\ndef \ndef 9bad\nundefined token"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.line_no, r.kind, r.symbol)
+        for r in extract_symbols(docs).collect()
+    )
+    assert got == [
+        (1, 0, "def", "alpha"),
+        (1, 2, "class", "Beta"),
+        (2, 0, "func", "gamma"),
+        (2, 2, "fn", "delta_2"),
+        (3, 0, "function", "epsilon"),
+        (3, 1, "struct", "Zeta"),
+        (3, 2, "trait", "Eta"),
+    ]
+
+
+def test_symbol_search_rarity_ranking(spark):
+    from google_spark.operators.docstore import (
+        extract_symbols,
+        symbol_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "def main():\ndef unique_helper():"),
+            (2, "def main():"),
+            (3, "def main():"),
+        ],
+        "doc_id long, text string",
+    )
+    syms = extract_symbols(docs)
+    # exact match: only the asked-for symbol
+    exact = symbol_search(syms, "main", k=10).collect()
+    assert [r.symbol for r in exact] == ["main"] * 3
+    assert [r.n_defs for r in exact] == [3, 3, 3]
+    assert [r.doc_id for r in exact] == [1, 2, 3]  # deterministic site order
+    # prefix match ranks the once-defined symbol ABOVE the boilerplate one
+    pre = symbol_search(syms, "", k=10, prefix=True).collect()
+    assert pre[0].symbol == "unique_helper" and pre[0].n_defs == 1
+    assert {r.symbol for r in pre[1:]} == {"main"}
