@@ -718,6 +718,47 @@ class SearchEngine:
                 )
         return [r.asDict() for r in df.collect()]
 
+    def symbols(
+        self,
+        name: str,
+        limit: int = 10,
+        prefix: bool = False,
+        check_fresh: bool = True,
+    ) -> list[dict]:
+        """Go-to-definition lookup over the docstore (the /symbol route):
+        extract definition sites (docstore.extract_symbols) and rank them
+        rarest-symbol-first (docstore.symbol_search). Like :meth:`grep`
+        this IS a distributed job per call — definition grammar can't be
+        served from the word postings (the tokenizer folds ``def foo`` and
+        ``foo`` mentions together). Catalog tombstones mask exactly as in
+        grep. ``check_fresh=False`` skips the catalog HEAD check for
+        callers already holding the engine lock."""
+        if check_fresh:
+            self._maybe_refresh()
+        if self.docs is None:
+            raise ValueError("symbols needs the docstore (docs=)")
+        from google_spark.operators.docstore import (
+            extract_symbols,
+            symbol_search,
+        )
+
+        docs = self.docs.select(
+            F.col("doc_id"), F.col("content").alias("text")
+        )
+        dels = (
+            self._aux_tombstones
+            if self._aux_tombstones is not None
+            else self.index.deletes
+        )
+        if dels is not None and len(dels):
+            from google_spark.operators.trigram import _mask_docs
+
+            docs = _mask_docs(docs, "doc_id", dels)
+        rows = symbol_search(
+            extract_symbols(docs), name, k=limit, prefix=prefix
+        )
+        return [r.asDict() for r in rows.collect()]
+
     def related(
         self, doc_id: int, k: int = 10, n_query_terms: int = 5
     ) -> list[SearchResult]:

@@ -154,6 +154,24 @@ def make_handler(engine):
                     return self._json(
                         200, {"pattern": pattern, "results": rows}
                     )
+                if u.path == "/symbol":
+                    # go-to-definition — a Spark job per request like
+                    # /grep, so it shares grep_lock (outside the engine
+                    # lock; definition grammar can't be served from the
+                    # word postings)
+                    name = (qs.get("name") or [q or ""])[0]
+                    if not name:
+                        return self._json(400, {"error": "name required"})
+                    limit = int((qs.get("limit") or ["10"])[0])
+                    prefix = (qs.get("prefix") or ["false"])[0] == "true"
+                    with lock:
+                        engine._maybe_refresh()
+                    with grep_lock:
+                        rows = engine.symbols(
+                            name, limit=limit, prefix=prefix,
+                            check_fresh=False,
+                        )
+                    return self._json(200, {"name": name, "results": rows})
                 if u.path == "/boolean":
                     # +term = must, -term = exclude, bare = optional scorer
                     if not q.strip():

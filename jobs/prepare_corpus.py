@@ -15,6 +15,10 @@ any scale):
   2. near dedup         — MinHash+LSH candidates, exact-Jaccard verified;
                           drop the larger id of each verified pair, or one
                           canonical per connected component (--cluster-dedup)
+  2b. span filter       — drop docs whose duplicated-span token fraction
+                          (ExactSubstr-style W-token windows repeated
+                          corpus-wide, non-canonical occurrences) exceeds
+                          --max-dup-span-frac (window via --span-window)
   3. language filter    — n-gram heuristic language_id
   4. quality filter     — length/punct/stopword composite score
   5. repetition filter  — Gopher-style dup-line / top-bigram / char-run
@@ -51,6 +55,8 @@ def prepare_corpus(
     text_col: str = "text",
     near_dup_threshold: float = 0.85,
     cluster_dedup: bool = False,
+    max_dup_span_frac: float | None = None,
+    span_window: int = 20,
     min_quality: float = 0.0,
     langs: list[str] | None = None,
     max_dup_line_frac: float | None = None,
@@ -148,6 +154,28 @@ def prepare_corpus(
     docs = docs.persist()
     acct["after_near_dedup"] = docs.count()
     _dedup_barrier = docs
+
+    if max_dup_span_frac is not None:
+        # ExactSubstr-style gate: a doc dominated by token runs that
+        # repeat corpus-wide (boilerplate, generated preambles) is more
+        # duplicate than document — drop it rather than rewrite it (the
+        # rewrite path, dedup.remove_duplicate_spans, emits the token
+        # stream, which would be lossy for code). Empty docs pass.
+        from google_spark.operators.dedup import remove_duplicate_spans
+
+        spans = remove_duplicate_spans(
+            docs, id_col=id_col, text_col=text_col, window=span_window
+        )
+        keep_ids = spans.filter(
+            (F.col("n_kept") + F.col("n_removed") == 0)
+            | (
+                F.col("n_removed")
+                / (F.col("n_kept") + F.col("n_removed"))
+                <= F.lit(float(max_dup_span_frac))
+            )
+        ).select(id_col)
+        docs = docs.join(keep_ids, id_col, "left_semi").persist()
+        acct["after_span_filter"] = docs.count()
 
     # metric operators emit (doc_id, metrics...) projections; join them on
     # so the prepared corpus carries its provenance columns
@@ -316,6 +344,8 @@ def main() -> None:
         help="per-language quota, e.g. --mix en=1000 --mix de=500; "
         "unlisted languages are dropped",
     )
+    ap.add_argument("--max-dup-span-frac", type=float, default=None)
+    ap.add_argument("--span-window", type=int, default=20)
     ap.add_argument(
         "--scrub-pii",
         action="store_true",
@@ -383,6 +413,8 @@ def main() -> None:
         min_logprob=args.min_logprob,
         mix=mix,
         scrub=args.scrub_pii,
+        max_dup_span_frac=args.max_dup_span_frac,
+        span_window=args.span_window,
         decontaminate=(
             read_corpus(spark, args.decontaminate)
             if args.decontaminate

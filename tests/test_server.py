@@ -282,3 +282,21 @@ def test_empty_query_new_routes(served):
         with pytest.raises(urllib.error.HTTPError) as err:
             _get(base, path)
         assert err.value.code == 400
+
+
+def test_symbol_route(served):
+    loaded, base = served
+    import urllib.error
+    import urllib.parse
+
+    # prefix lookup mirrors the facade exactly
+    status, body = _get(base, "/symbol?name=open_&prefix=true&limit=5")
+    assert status == 200
+    direct = loaded.symbols("open_", limit=5, prefix=True)
+    assert body["results"] == direct
+    if direct:  # corpus-dependent; shape is the contract
+        r = direct[0]
+        assert set(r) == {"symbol", "kind", "n_defs", "doc_id", "line_no"}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base, "/symbol")
+    assert ei.value.code == 400
