@@ -1283,7 +1283,14 @@ def remove_duplicate_spans(
     )
     base = docs.select(
         F.col(id_col).alias("_ds_id"),
-        tokens_col(text_col).alias("_ds_toks"),
+        # null text -> empty token list, NOT a null array: F.size(NULL)
+        # is NULL under ANSI (-1 legacy), which would poison n_removed
+        # and make downstream null-unsafe predicates (the prepare_corpus
+        # span gate) silently drop the doc — same guard convention as
+        # build_index / text_analysis
+        F.coalesce(
+            tokens_col(text_col), F.array().cast("array<string>")
+        ).alias("_ds_toks"),
     )
     joined = base.join(drops, "_ds_id", "left").withColumn(
         "_ds_drops",

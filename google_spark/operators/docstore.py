@@ -109,6 +109,7 @@ def symbol_search(
     query: str,
     k: int = 10,
     prefix: bool = False,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Definition lookup over an :func:`extract_symbols` table: exact
     (or ``prefix=True``) identifier match, rarest-symbol-first —
@@ -123,7 +124,6 @@ def symbol_search(
     table), then one hash aggregate on the surviving symbol names
     (candidate-sized, not corpus-sized) rejoined to the sites.
     """
-    id_col = [c for c in symbols.columns if c not in ("line_no", "kind", "symbol")][0]
     pred = (
         F.col("symbol").startswith(query) if prefix
         else F.col("symbol") == F.lit(query)

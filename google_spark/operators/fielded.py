@@ -44,6 +44,18 @@ from google_spark.operators.index_build import (
     write_index,
 )
 
+def _merge_extra_weights(wb: dict, weights: dict | None) -> None:
+    """Fold EXTRA-field weights into the built-in map. title/body have
+    dedicated keyword arguments on every query entry point; accepting
+    them here too would let two call sites disagree silently."""
+    for name, pair in (weights or {}).items():
+        if name in ("title", "body"):
+            raise ValueError(
+                f"pass {name!r} weights via w_{name}/b_{name}, not weights="
+            )
+        wb[name] = pair
+
+
 BM25F_W_TITLE = 2.0
 BM25F_W_BODY = 1.0
 BM25F_K1 = 1.2
@@ -259,7 +271,8 @@ def bm25f_local_topk(
     [(doc_id, score)] with scores rounded to 4 decimals, rank- and
     score-identical to bm25f_topk / bm25f_index_topk. ``row_caches`` maps
     field name -> a decoded-row cache dict (e.g. search.PostingsCache) for
-    hot-term reuse across queries."""
+    hot-term reuse across queries. ``weights`` maps EXTRA-field names to
+    (w_f, b_f) — title/body only through their dedicated kwargs."""
     import math
     from collections import Counter
 
@@ -274,7 +287,7 @@ def bm25f_local_topk(
     qf = Counter(terms)
     uniq = sorted(qf)
     wb = {"title": (w_title, b_title), "body": (w_body, b_body)}
-    wb.update(weights or {})
+    _merge_extra_weights(wb, weights)
 
     # per term: (docs, comp) arrays from every field, same float op order
     # as the distributed kernels
@@ -355,7 +368,7 @@ def bm25f_index_topk(
     uniq = sorted(qf)
 
     wb = {"title": (w_title, b_title), "body": (w_body, b_body)}
-    wb.update(weights or {})
+    _merge_extra_weights(wb, weights)
     parts = []
     for name, idx in findex.fields.items():
         w_f, b_f = wb.get(name, (1.0, 0.75))

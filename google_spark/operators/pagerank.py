@@ -284,15 +284,18 @@ def anchor_texts(
     text (the reference ranks on link structure via PageRank; web engines
     additionally score the TEXT of referring links, ref:
     src/cis5550/jobs/RankScore.java's rank blend). For every import
-    statement, the ``context_lines`` non-empty lines directly above it
+    statement, the LITERAL ``context_lines`` lines directly above it
     (typically the comment explaining WHY the dependency is used) are
-    attributed to the imported module; per module this returns
+    attributed to the imported module — a blank line immediately above
+    contributes nothing; the scan does NOT skip upward hunting for prose.
+    Per module this returns
 
         (dst, anchor_text, n_refs)
 
-    with ``anchor_text`` the trimmed context lines of ALL referring sites
-    corpus-wide, concatenated in (referrer, line position) order, and
-    ``n_refs`` the number of contributing context lines. Feed it to
+    with ``anchor_text`` the trimmed non-empty context of ALL referring
+    sites corpus-wide, concatenated in (referrer, line position) order,
+    and ``n_refs`` the number of contributing import SITES (a site whose
+    window spans several lines still counts once). Feed it to
     :func:`~google_spark.operators.fielded.build_fielded_index` as an
     ``extra_fields`` entry to make referring-site vocabulary searchable
     with its own BM25F weight — documents become findable by what OTHERS

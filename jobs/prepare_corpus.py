@@ -176,6 +176,10 @@ def prepare_corpus(
         ).select(id_col)
         docs = docs.join(keep_ids, id_col, "left_semi").persist()
         acct["after_span_filter"] = docs.count()
+        # the span-filtered cache supersedes the dedup barrier: release
+        # the old one now and let the shared unpersist below release this
+        _dedup_barrier.unpersist()
+        _dedup_barrier = docs
 
     # metric operators emit (doc_id, metrics...) projections; join them on
     # so the prepared corpus carries its provenance columns

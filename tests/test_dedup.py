@@ -636,3 +636,18 @@ def test_remove_duplicate_spans_overlapping_windows_merge(spark):
     assert out[1].n_removed == 0
     assert out[2].n_removed == 7
     assert out[2].clean_text == "pre xx post yy"
+
+
+def test_remove_duplicate_spans_null_text(spark):
+    """Review finding: null text must behave as an empty token list —
+    F.size(NULL) is NULL under ANSI, which would emit n_removed=NULL and
+    make null-unsafe downstream gates silently drop the doc."""
+    from google_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "regular words here")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, window=6).collect()}
+    assert out[1].n_kept == 0 and out[1].n_removed == 0
+    assert out[1].clean_text == ""
+    assert out[2].n_removed == 0

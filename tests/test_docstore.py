@@ -171,3 +171,22 @@ def test_symbol_search_rarity_ranking(spark):
     pre = symbol_search(syms, "", k=10, prefix=True).collect()
     assert pre[0].symbol == "unique_helper" and pre[0].n_defs == 1
     assert {r.symbol for r in pre[1:]} == {"main"}
+
+
+def test_symbol_search_explicit_id_col_with_extra_columns(spark):
+    """Review finding: the id column is an explicit parameter, so an
+    enriched symbol table (extra columns) can't silently hijack the sort
+    key / output id."""
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.docstore import (
+        extract_symbols,
+        symbol_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "def solo():")], "doc_id long, text string"
+    )
+    enriched = extract_symbols(docs).withColumn("rank", F.lit(0.5))
+    got = symbol_search(enriched, "solo", k=5, id_col="doc_id").collect()
+    assert len(got) == 1 and got[0].doc_id == 1 and got[0].symbol == "solo"

@@ -279,3 +279,19 @@ def test_anchor_field_makes_docs_findable_by_referrer_vocabulary(spark):
         build_fielded_index(
             spark, docs, extra_fields={"a": anchors.withColumn("x", F.lit(1))}
         )
+
+
+def test_bm25f_weights_reject_builtin_fields(spark):
+    """Review finding: weights= is for EXTRA fields only — a 'title' or
+    'body' key would silently shadow the dedicated kwargs."""
+    from google_spark.operators.fielded import (
+        bm25f_index_topk,
+        build_fielded_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    findex = build_fielded_index(spark, docs)
+    with pytest.raises(ValueError, match="w_title"):
+        bm25f_index_topk(findex, "beta", weights={"title": (1.0, 0.5)})
