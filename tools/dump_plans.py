@@ -318,6 +318,42 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.docstore import extract_symbols, symbol_search
+    from google_spark.operators.pagerank import anchor_texts
+
+    sections.append(
+        (
+            "Anchor-text aggregation (import-context -> imported module)",
+            "The line/previous-line pairing is built scan-side by zipping "
+            "the split line array with a shifted copy of itself (no window "
+            "function — note the absence of any Window/Sort node); import "
+            "lines filter BEFORE any exchange; the only shuffle is the "
+            "final partial-aggregating hash aggregate on the module key.",
+            fmt(
+                anchor_texts(
+                    docs.select(
+                        F.col("doc_id").alias("repo"),
+                        F.col("text").alias("content"),
+                    )
+                )
+            ),
+        )
+    )
+
+    sections.append(
+        (
+            "Symbol definition search (go-to-definition)",
+            "Extraction is pure scan-side JVM regex (split -> posexplode -> "
+            "regexp_extract x2 -> filter) with ZERO exchanges; the lookup "
+            "filters to the queried name FIRST, so the def-count aggregate "
+            "and the rejoin are candidate-sized, and the final "
+            "TakeOrderedAndProject caps the result without a global sort.",
+            fmt(
+                symbol_search(extract_symbols(docs), "helper_", prefix=True)
+            ),
+        )
+    )
+
     sections.append(
         (
             "Per-doc keyword extraction (tf-idf top-k)",
