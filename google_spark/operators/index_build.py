@@ -352,6 +352,14 @@ def write_index(
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{out_dir}/deletes.parquet"
         )
+    else:
+        # OVERWRITE semantics for the whole bundle: a same-path rewrite
+        # from a tombstone-free index must clear any stale deletes.parquet
+        # left by an earlier delete_from_index, or the rebuilt docs stay
+        # invisibly masked forever (write_trigram_index has the same rule)
+        import shutil
+
+        shutil.rmtree(f"{out_dir}/deletes.parquet", ignore_errors=True)
 
 
 def read_delete_file(del_dir: str):

@@ -182,9 +182,18 @@ def asof_join(
     )
     if tolerance is not None:
         gap = F.abs(num(F.col("__t")) - num(F.col(f"__m.{on}")))
-        out = out.withColumn(
-            "__m", F.when(gap <= float(tolerance), F.col("__m"))
-        )
+        if on_dtype in _INTEGRAL and r_on_dtype in _INTEGRAL:
+            # the gap view is decimal(38,0); comparing it to a DOUBLE
+            # literal would coerce the decimal back to double and round
+            # above 2^53 (a ~104-day gap at ns grain would pass a
+            # tolerance one ns below it). The gap is integer-valued, so
+            # gap <= t  <=>  gap <= floor(t), decided exactly in decimal.
+            import math
+
+            tol = F.lit(math.floor(tolerance)).cast("decimal(38,0)")
+        else:
+            tol = F.lit(float(tolerance))
+        out = out.withColumn("__m", F.when(gap <= tol, F.col("__m")))
     return out.select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__m.{src}").alias(dst) for src, dst in out_r],

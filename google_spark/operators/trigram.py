@@ -455,11 +455,21 @@ def write_trigram_index(
         [(index.n_docs, n_buckets, index.fold_case)],
         "n_docs long, n_buckets int, fold_case boolean",
     ).write.mode("overwrite").parquet(f"{out_dir}/gram_meta.parquet")
-    # overwrite semantics for the whole bundle, tombstones included: a
-    # rewrite into the same path must not inherit stale delete files
+    # overwrite semantics for the WHOLE bundle: a rewrite into the same
+    # path must not inherit stale delete files, stale appended segments
+    # (read_trigram_index would union resurrected pre-rewrite docs back
+    # in), or a stale streaming high-water mark (_stream_epochs.json —
+    # trigram_epoch_done would report replayed epochs as committed and
+    # append_epoch_to_trigram would silently drop new micro-batches)
+    import os
     import shutil
 
     shutil.rmtree(f"{out_dir}/deletes.parquet", ignore_errors=True)
+    shutil.rmtree(_tri_seg_root(out_dir), ignore_errors=True)
+    try:
+        os.remove(os.path.join(out_dir, "_stream_epochs.json"))
+    except FileNotFoundError:
+        pass
     if index.deletes is not None and len(index.deletes):
         # tombstones travel with the bundle, same contract as write_index:
         # a published trigram index can never resurrect deleted documents

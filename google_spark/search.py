@@ -635,6 +635,29 @@ class SearchEngine:
         terms = list(dict.fromkeys(normalize_query(query, mode=self.mode)))
         return expand_query(terms, self._syn[0], self._syn[1], topn=topn)
 
+    def _masked_docstore(self):
+        """The raw docstore as (doc_id, text) with every known tombstone
+        masked — the engine-lifetime accumulator when present (it survives
+        catalog compaction emptying the snapshot's own delete list), else
+        the snapshot deletes. Shared by every corpus-scanning surface
+        (grep, symbols): the delete-source precedence must never diverge
+        between them."""
+        if self.docs is None:
+            raise ValueError("this surface needs the docstore (docs=)")
+        docs = self.docs.select(
+            F.col("doc_id"), F.col("content").alias("text")
+        )
+        dels = (
+            self._aux_tombstones
+            if self._aux_tombstones is not None
+            else self.index.deletes
+        )
+        if dels is not None and len(dels):
+            from google_spark.operators.trigram import _mask_docs
+
+            docs = _mask_docs(docs, "doc_id", dels)
+        return docs
+
     def grep(
         self,
         pattern: str,
@@ -660,25 +683,10 @@ class SearchEngine:
         if self.docs is None:
             raise ValueError("grep needs the docstore (docs=) to verify")
         spark = self.index.postings.sparkSession
-        docs = self.docs.select(
-            F.col("doc_id"), F.col("content").alias("text")
-        )
-        dels = (
-            self._aux_tombstones
-            if self._aux_tombstones is not None
-            else self.index.deletes
-        )
-        if dels is not None and len(dels):
-            # catalog merge-on-read tombstones: the docstore DataFrame is
-            # the caller's raw table, so deleted docs must be filtered
-            # here (the trigram path also masks via its own deletes —
-            # redundant but cheap; the full-scan path has only this).
-            # The lifetime accumulator covers post-compaction grep: the
-            # snapshot's own delete list empties when postings rewrite,
-            # but the raw docstore still contains the deleted text.
-            from google_spark.operators.trigram import _mask_docs
-
-            docs = _mask_docs(docs, "doc_id", dels)
+        # tombstone masking shared with symbols(): the trigram path ALSO
+        # masks via its own deletes (redundant but cheap); the full-scan
+        # path has only this
+        docs = self._masked_docstore()
         if self.trigram_index is not None:
             from google_spark.operators.trigram import grep_lines, regex_search
 
@@ -735,25 +743,12 @@ class SearchEngine:
         callers already holding the engine lock."""
         if check_fresh:
             self._maybe_refresh()
-        if self.docs is None:
-            raise ValueError("symbols needs the docstore (docs=)")
         from google_spark.operators.docstore import (
             extract_symbols,
             symbol_search,
         )
 
-        docs = self.docs.select(
-            F.col("doc_id"), F.col("content").alias("text")
-        )
-        dels = (
-            self._aux_tombstones
-            if self._aux_tombstones is not None
-            else self.index.deletes
-        )
-        if dels is not None and len(dels):
-            from google_spark.operators.trigram import _mask_docs
-
-            docs = _mask_docs(docs, "doc_id", dels)
+        docs = self._masked_docstore()
         rows = symbol_search(
             extract_symbols(docs), name, k=limit, prefix=prefix
         )

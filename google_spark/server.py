@@ -35,12 +35,20 @@ def _result_json(r) -> dict:
 
 def make_handler(engine):
     lock = threading.Lock()
-    # /grep is the one route that runs a distributed Spark job; holding the
-    # shared engine lock for its duration would stall every concurrent
+    # /grep and /symbol ALWAYS run a distributed Spark job; holding the
+    # shared engine lock for their duration would stall every concurrent
     # /search//autocomplete/… for seconds. The staleness check (which can
     # mutate engine state) stays under the shared lock; the job itself
-    # runs under this separate lock — greps serialize among themselves
+    # runs under this separate lock — they serialize among themselves
     # (Spark driver scheduling) but never block the point-read routes.
+    # They can run lock-free because they read only immutable engine
+    # state (docstore DataFrame, tombstone arrays). The OTHER routes stay
+    # under the engine lock even on their cold paths (/facets or /fuzzy
+    # on an engine with NO published bundle fall back to Spark jobs /
+    # vocabulary builds) because those paths mutate the shared caches
+    # (_postings_cache, meta, suggester) — the serving deployment this
+    # server is documented for (a published bundle) keeps them point-read
+    # fast; an in-memory engine accepts head-of-line blocking there.
     grep_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):

@@ -441,3 +441,23 @@ def test_asof_mixed_on_dtypes_no_decimal_rounding(spark):
         ).collect()[0].rid
         is None  # backward gap is 0.4 > 0.3
     )
+
+
+def test_asof_tolerance_exact_beyond_double_precision(spark):
+    """Review finding: the tolerance predicate must compare in decimal
+    when both on-columns are integral — a double literal would round
+    2^53 up and wrongly keep a gap of 2^53+1."""
+    big = 2**53
+    left = spark.createDataFrame([(1, 0)], "id long, t long")
+    right = spark.createDataFrame([(7, -(big + 1))], "rid long, t long")
+    # gap = 2^53+1, tolerance 2^53: must NOT match
+    got = asof_join(
+        left, right, on="t", tolerance=big, n_partitions=1
+    ).collect()[0]
+    assert got.rid is None
+    # gap exactly at the bound: matches
+    right2 = spark.createDataFrame([(8, -big)], "rid long, t long")
+    got2 = asof_join(
+        left, right2, on="t", tolerance=big, n_partitions=1
+    ).collect()[0]
+    assert got2.rid == 8
