@@ -22,14 +22,13 @@ sim_semantic_dedup, hybrid_rrf_topk, facet_counts, fuzzy_search_topk,
 graph_hits, rank_eval_metrics, sim_centroid_classify, sim_mmr_rerank,
 dedup_containment, catalog_changelog, dedup_lines_global, the four trigram
 rows, text_bpe_count, join_asof, join_range, op_cube, op_pivot,
-op_semi_join, op_anti_join, op_unpivot) — keeping 17 flagships and
-demoting 33 rows that are green in CORRECTNESS_r04.json. Union driver
-coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows; the eleven
-NEW round-5 rows (wildcard_search_topk, near_search_topk, explain_topk,
-regexp_term_topk, pagerank_personalized3, sample_mix_temperature,
-dedup_spans, dedup_spans_clean, anchor_texts, symbol_defs,
-symbol_search_topk — 117 total) are local-gate-checked, the 50 driver
-slots being spoken for.
+op_semi_join, op_anti_join, op_unpivot) PLUS the eleven NEW round-5 rows
+(wildcard_search_topk, near_search_topk, explain_topk, regexp_term_topk,
+pagerank_personalized3, sample_mix_temperature, dedup_spans,
+dedup_spans_clean, anchor_texts, symbol_defs, symbol_search_topk) —
+keeping 6 flagships and demoting 44 rows that are green in
+CORRECTNESS_r04.json (most also in r03). Union driver coverage
+r03 ∪ r04 ∪ r05 = all 117 contract rows.
 """
 
 from __future__ import annotations
@@ -1225,29 +1224,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROUND-5 ROTATION (see module docstring): 17 retained flagships +
+    # ROUND-5 ROTATION (see module docstring): 6 retained flagships +
     # the 33 rows that were local-gate-only in round 4 (the whole round-4
-    # operator wave). Exactly 50 rows — the driver's budget. Union driver
-    # coverage r03 ∪ r04 ∪ r05 = all 106 contract rows.
+    # operator wave) + the 11 NEW round-5 rows. Exactly 50 rows — the
+    # driver's budget. Union driver coverage r03 ∪ r04 ∪ r05 = all 117
+    # contract rows (the 11 demoted flagships are all driver-green in
+    # CORRECTNESS_r04, most also in CORRECTNESS_r03).
     return {
-        # -- retained flagships (driver-green in CORRECTNESS_r04) ----------
+        # -- retained flagships (driver-green in CORRECTNESS_r03 + r04) ----
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_wand": q_bm25_topk_wand,
         "pagerank_fixed3": q_pagerank_fixed3,
         "tpch_q1": q_tpch_q1,
         "tokenize_tf": q_tokenize_tf,
         "corpus_stats": q_corpus_stats,
-        "serve_priority_topk": q_serve_priority_topk,
-        "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
-        "batch_bm25_topk": q_batch_bm25_topk,
-        "bm25f_index_topk": q_bm25f_index_topk,
-        "index_stats": q_index_stats,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_incremental": q_dedup_incremental,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
+        # -- promoted: the NEW round-5 operators (local-gate-only so far) ---
+        "wildcard_search_topk": q_wildcard_search_topk,
+        "near_search_topk": q_near_search_topk,
+        "explain_topk": q_explain_topk,
+        "regexp_term_topk": q_regexp_term_topk,
+        "pagerank_personalized3": q_pagerank_personalized3,
+        "sample_mix_temperature": q_sample_mix_temperature,
+        "dedup_spans": q_dedup_spans,
+        "dedup_spans_clean": q_dedup_spans_clean,
+        "anchor_texts": q_anchor_texts,
+        "symbol_defs": q_symbol_defs,
+        "symbol_search_topk": q_symbol_search_topk,
         # -- promoted: the round-4 operator wave (local-gate-only in r04) ---
         "bm25f_local_topk": q_bm25f_local_topk,
         "text_scrub_pii": q_text_scrub_pii,
@@ -2138,10 +2140,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merges them) with the same oracles. ROUND-5 ROTATION: every demoted row
     here is driver-green in CORRECTNESS_r03.json and/or CORRECTNESS_r04.json
     — demoted this round so the 33 rows that only had local coverage in
-    round 4 earn driver rows (see the module docstring); union driver
-    coverage r03 ∪ r04 ∪ r05 = all 106 pre-round-5 contract rows. Rows
-    marked "new in round 5" are local-gate-only (the 50 driver slots are
-    spoken for this round)."""
+    round 4 AND the 11 new round-5 rows earn driver rows (see the module
+    docstring); union driver coverage r03 ∪ r04 ∪ r05 = all 117 contract
+    rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
         "bm25_topk_code": q_bm25_topk_code,
@@ -2201,18 +2202,20 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_intersect": q_op_intersect,
         "op_sample": q_op_sample,
         "tpch_partagg": q_tpch_partagg,
-        # new in round 5 ----------------------------------------------------
-        "wildcard_search_topk": q_wildcard_search_topk,
-        "near_search_topk": q_near_search_topk,
-        "explain_topk": q_explain_topk,
-        "regexp_term_topk": q_regexp_term_topk,
-        "pagerank_personalized3": q_pagerank_personalized3,
-        "sample_mix_temperature": q_sample_mix_temperature,
-        "dedup_spans": q_dedup_spans,
-        "dedup_spans_clean": q_dedup_spans_clean,
-        "anchor_texts": q_anchor_texts,
-        "symbol_defs": q_symbol_defs,
-        "symbol_search_topk": q_symbol_search_topk,
+        # demoted late in round 5 to free driver slots for the 11 NEW
+        # round-5 rows (each of these is driver-green in CORRECTNESS_r04,
+        # most also in CORRECTNESS_r03) -------------------------------------
+        "serve_priority_topk": q_serve_priority_topk,
+        "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
+        "batch_bm25_topk": q_batch_bm25_topk,
+        "bm25f_index_topk": q_bm25f_index_topk,
+        "index_stats": q_index_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_incremental": q_dedup_incremental,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
     }
 
 
