@@ -980,6 +980,99 @@ def q_symbol_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic 127-row web snapshot planted from documents.doc_id
+    (i < 120 are pages across 3 hosts; 120-124 are robots-blocked /priv
+    pages; 125/126 are the robots.txt rows). Pages carry absolute
+    (portless + with-port), domain-absolute + fragment, extension-filtered,
+    depth-filtered, robots-blocked and protocol-filtered links, plus
+    redirects (i%17==3 -> 301 to (i+6)%120 on the same host), 404s
+    (i%37==11), text/plain rows (i%31==9), non-English Content-Language
+    headers (i%19==7) and non-English lang attributes (i%23==5)."""
+    i = F.col("i")
+
+    def s(c):  # noqa: ANN001 - tiny local cast helper
+        return c.cast("string")
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 127)
+        .select(F.col("doc_id").cast("bigint").alias("i"))
+    )
+    host = F.concat(F.lit("http://h"), s(i % 3), F.lit(".example:80"))
+    url = F.concat(host, F.lit("/p"), s(i))
+    k1, k2, k3 = (2 * i + 1) % 120, (3 * i + 2) % 120, (i + 3) % 120
+
+    def a(href):  # noqa: ANN001
+        return F.concat(F.lit('<a href="'), href, F.lit('">x</a>'))
+
+    links = F.concat(
+        a(F.concat(F.lit("http://h"), s(k1 % 3), F.lit(".example/p"), s(k1))),
+        a(F.concat(F.lit("http://h"), s(k2 % 3), F.lit(".example:80/p"), s(k2))),
+        a(F.concat(F.lit("/p"), s(k3), F.lit("#sec"))),
+        a(F.concat(F.lit("/img"), s(i), F.lit(".png"))),
+        a(F.concat(F.lit("/a/b/c/d/e/f/p"), s(i))),
+        a(F.concat(F.lit("http://h1.example/priv/q"), s(i % 5))),
+        a(F.lit("ftp://h0.example/x")),
+    )
+    lang_attr = F.when(i % 23 == 5, F.lit("fr")).otherwise(F.lit("en"))
+    page_content = F.concat(
+        F.lit('<html lang="'),
+        lang_attr,
+        F.lit('"><body>thing stuff words '),
+        links,
+        F.lit("</body></html>"),
+    )
+    status = F.when(i % 17 == 3, 301).when(i % 37 == 11, 404).otherwise(200)
+    location = F.when(i % 17 == 3, F.concat(host, F.lit("/p"), s((i + 6) % 120)))
+    ctype = F.when(i % 31 == 9, F.lit("text/plain")).otherwise(F.lit("text/html"))
+    clang = F.when(i % 19 == 7, F.lit("fr"))
+
+    page, priv, robots0 = i < 120, (i >= 120) & (i < 125), i == 125
+    return docs.select(
+        F.when(page, url)
+        .when(priv, F.concat(F.lit("http://h1.example:80/priv/q"), s(i - 120)))
+        .when(robots0, F.lit("http://h0.example:80/robots.txt"))
+        .otherwise(F.lit("http://h1.example:80/robots.txt"))
+        .alias("url"),
+        F.when(page, status).otherwise(F.lit(200)).cast("int").alias("status"),
+        F.when(page, location).alias("location"),
+        F.when(page, ctype)
+        .when(priv, F.lit("text/html"))
+        .otherwise(F.lit("text/plain"))
+        .alias("content_type"),
+        F.when(page, clang).alias("content_language"),
+        F.when(page, page_content)
+        .when(priv, F.lit('<html lang="en"><body>private stuff</body></html>'))
+        .when(robots0, F.lit("User-agent: *\nDisallow: /private\nCrawl-delay: 2"))
+        .otherwise(F.lit("User-agent: gs-crawler\nDisallow: /priv"))
+        .alias("content"),
+    )
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29 crawler through ENGINE code (crawler.crawl): 6-round frontier
+    BFS over the planted web snapshot from two seeds — normalization
+    (ports, fragments, protocol/extension/depth filters), robots prefix
+    rules, redirect following, Content-Language and lang-attribute
+    give-ups, text/plain dead ends. The oracle replays the link formulas
+    and record rules and walks the same BFS with a recursive CTE."""
+    from google_spark.operators.crawler import crawl
+
+    out = crawl(
+        spark,
+        _crawl_web(spark, sf_dir),
+        ["http://h0.example/p0", "http://h2.example:80/p2"],
+        max_rounds=6,
+    )
+    return out.select(
+        "url",
+        F.col("depth").cast("bigint").alias("depth"),
+        F.col("response_code").cast("int").alias("response_code"),
+        "content_type",
+    )
+
+
 def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget sequence packing through ENGINE code
     (sampling.pack_sequences): concatenate each language's stream in
@@ -1236,9 +1329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "pagerank_fixed3": q_pagerank_fixed3,
         "tpch_q1": q_tpch_q1,
-        "tokenize_tf": q_tokenize_tf,
         "corpus_stats": q_corpus_stats,
         # -- promoted: the NEW round-5 operators (local-gate-only so far) ---
+        "crawl_frontier": q_crawl_frontier,
         "wildcard_search_topk": q_wildcard_search_topk,
         "near_search_topk": q_near_search_topk,
         "explain_topk": q_explain_topk,
@@ -2205,6 +2298,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted late in round 5 to free driver slots for the 11 NEW
         # round-5 rows (each of these is driver-green in CORRECTNESS_r04,
         # most also in CORRECTNESS_r03) -------------------------------------
+        "tokenize_tf": q_tokenize_tf,
         "serve_priority_topk": q_serve_priority_topk,
         "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
         "batch_bm25_topk": q_batch_bm25_topk,
@@ -4422,5 +4516,70 @@ SELECT gid,
        CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
 FROM flagged
 GROUP BY gid
+""",
+        # D29 crawler: the oracle replays the planting formulas (which
+        # link targets survive normalization/filtering), the reference's
+        # record rules (robots by construction — /priv pages are not in
+        # the pages CTE; Content-Language; lang-attr give-up; redirects
+        # and non-200/non-html recorded as dead ends) and walks the same
+        # 6-round BFS with a recursive CTE, taking min depth per URL.
+        "crawl_frontier": r"""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 120
+),
+pages AS (
+  SELECT i,
+    'http://h' || CAST(i % 3 AS VARCHAR) || '.example:80/p'
+      || CAST(i AS VARCHAR) AS url,
+    CASE WHEN i % 17 = 3 THEN 301
+         WHEN i % 37 = 11 THEN 404 ELSE 200 END AS status,
+    CASE WHEN i % 31 = 9 THEN 'text/plain' ELSE 'text/html' END
+      AS content_type,
+    CASE WHEN i % 19 = 7 THEN 'fr' END AS content_language,
+    CASE WHEN i % 23 = 5 THEN 'fr' ELSE 'en' END AS lang_attr,
+    'http://h' || CAST(i % 3 AS VARCHAR) || '.example:80/p'
+      || CAST((i + 6) % 120 AS VARCHAR) AS loc
+  FROM base
+),
+html_en AS (
+  SELECT * FROM pages
+  WHERE content_language IS NULL AND status = 200
+    AND content_type = 'text/html' AND lang_attr = 'en'
+),
+edges AS (
+  -- redirect Location (followed only when the header give-up passes)
+  SELECT url AS src, loc AS dst FROM pages
+  WHERE content_language IS NULL AND status = 301
+  UNION ALL  -- portless absolute link -> default port made explicit
+  SELECT url, 'http://h' || CAST(((2*i+1) % 120) % 3 AS VARCHAR)
+         || '.example:80/p' || CAST((2*i+1) % 120 AS VARCHAR)
+  FROM html_en
+  UNION ALL  -- absolute link with explicit port
+  SELECT url, 'http://h' || CAST(((3*i+2) % 120) % 3 AS VARCHAR)
+         || '.example:80/p' || CAST((3*i+2) % 120 AS VARCHAR)
+  FROM html_en
+  UNION ALL  -- domain-absolute link, #fragment stripped
+  SELECT url, 'http://h' || CAST(i % 3 AS VARCHAR) || '.example:80/p'
+         || CAST((i + 3) % 120 AS VARCHAR)
+  FROM html_en
+  -- .png / 6-deep / ftp links normalize away; /priv/q links are planted
+  -- pages but robots-disallowed, so they are never fetched or recorded
+),
+bfs AS (
+  SELECT 'http://h0.example:80/p0' AS url, CAST(0 AS BIGINT) AS depth
+  UNION
+  SELECT 'http://h2.example:80/p2' AS url, CAST(0 AS BIGINT) AS depth
+  UNION
+  SELECT e.dst AS url, b.depth + 1 AS depth
+  FROM bfs b JOIN edges e ON e.src = b.url
+  WHERE b.depth + 1 <= 5
+),
+reached AS (SELECT url, MIN(depth) AS depth FROM bfs GROUP BY url)
+SELECT r.url, r.depth,
+       CAST(p.status AS INTEGER) AS response_code, p.content_type
+FROM reached r JOIN pages p ON p.url = r.url
+WHERE p.content_language IS NULL
+  AND (p.status <> 200 OR p.content_type <> 'text/html'
+       OR p.lang_attr = 'en')
 """,
     }

@@ -1,0 +1,487 @@
+"""Batch-iterative web crawler (SURVEY.md §2.3 D29 — the last reference
+surface; ref: src/cis5550/jobs/Crawler.java).
+
+The reference crawls the live web with a Flame ``flatMap`` loop: each
+round takes the URL frontier, fetches every URL over HTTP (HEAD, then GET
+for 200 text/html), applies robots.txt prefix rules and a per-host
+crawl-delay, records fetched pages in a KVS ``crawl`` table, extracts and
+normalizes ``<a href>`` links, and loops until the frontier is empty
+(ref: Crawler.java:91-98 for the loop, 104-215 for the per-URL lambda).
+
+Spark-first restatement — the sandbox has no network, and at 10^12-file
+scale a production crawl reads a *fetched snapshot* anyway (a WARC/Common
+Crawl-style table), so "fetch" is a key join of the frontier against a
+``web`` DataFrame with columns::
+
+    url            string  -- normalized (what normalize_url produces)
+    status         int     -- HTTP response code (200 / 301 / 404 / ...)
+    location       string  -- redirect target for 3xx rows (may be null)
+    content_type   string  -- 'text/html', 'text/plain', ...
+    content_language string -- the Content-Language response header
+    content        string  -- the page body (parsed only for 200 text/html)
+
+One BFS round is one declarative plan: frontier ⋈ web on url (the HEAD +
+GET), broadcast-joined to per-host robots rules, classified with the
+reference's exact precedence (robots → Content-Language give-up →
+redirect → non-200 → html/lang give-up → link extraction), then a
+distinct + anti-join against the visited set produces the next frontier.
+Everything is JVM-side (regexp + higher-order functions inside
+whole-stage codegen; no Python in the path). Per round there are exactly
+two key shuffles (fetch join on url, children distinct) plus one
+broadcast; frontier/visited are ``localCheckpoint``-ed so lineage stays
+O(1) across rounds, and with ``state_dir`` every completed round is
+persisted behind a commit marker so a killed crawl resumes exactly where
+it stopped (the reference's persistent ``urlFrontier`` table,
+Crawler.java:51-53,386-398).
+
+Reference semantics carried over exactly:
+- URL normalization (Crawler.java:417-486): fragment strip, http/https
+  only, default ports 80/443, domain-absolute and relative resolution
+  with ``..`` collapse, drop '' and '/'.
+- URL filtering (Crawler.java:490-511): jpg/jpeg/gif/png/txt extensions
+  and paths with more than 5 slashes are dropped.
+- robots.txt (Crawler.java:284-356): the crawler's own User-agent section
+  if present else ``User-agent: *``, rules read in order until a blank or
+  colon-less line, first matching Allow/Disallow prefix wins, default
+  allow; ``Crawl-delay`` feeds politeness.
+- Give-up rules: a non-English Content-Language header (Crawler.java:
+  143-148) and a non-English page (lang attribute, else >70% ASCII
+  letters after tag/punct strip, Crawler.java:514-543) are marked visited
+  but never recorded and never expanded.
+- Redirects 301/302/303/307/308 are recorded and their Location is
+  followed (Crawler.java:162-173); other non-200 rows are recorded as
+  dead ends; 200 non-html rows are recorded without link extraction
+  (Crawler.java:183-201).
+- Politeness: the reference sleeps crawl-delay seconds per host
+  (Crawler.java:316-333); the batch analog is a per-round per-host fetch
+  cap — ``per_host_cap`` divided by the host's Crawl-delay — with
+  deferred URLs carrying over to the next round at their original depth.
+
+A URL the snapshot doesn't contain is a dead link: visited, producing
+nothing — the reference's connect-exception path (Crawler.java:209-214).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_USER_AGENT = "gs-crawler"
+REDIRECT_CODES = (301, 302, 303, 307, 308)
+FILTERED_EXTENSIONS = ("jpg", "jpeg", "gif", "png", "txt")
+MAX_PATH_SLASHES = 5
+# How many '..' segments relative resolution collapses (the reference
+# loops unboundedly, Crawler.java:468-479; real link graphs nest a few
+# levels — anything deeper normalizes to null and is skipped).
+MAX_DOTDOT = 4
+ENGLISH_LETTER_RATIO = 0.7
+
+_SCHEME_RE = r"^(https?)://"
+_HOST_RE = r"^https?://([^/:]+)"
+_PORT_RE = r"^https?://[^/:]+:(\d+)"
+_PATH_RE = r"^https?://[^/]+(/.*)$"
+_ANY_PROTO_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+_HREF_RE = "(?i)<a\\s+(?:[^>]*?\\s+)?href=\"([^\"]*)\""
+_LANG_ATTR_RE = "(?i)<html[^>]*lang=\"(.*?)\""
+
+
+def _parts(url: Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, host, port-or-'', path-or-'') of an absolute http(s) URL."""
+    return (
+        F.regexp_extract(url, _SCHEME_RE, 1),
+        F.regexp_extract(url, _HOST_RE, 1),
+        F.regexp_extract(url, _PORT_RE, 1),
+        F.regexp_extract(url, _PATH_RE, 1),
+    )
+
+
+def _default_port(scheme: Column) -> Column:
+    return F.when(scheme == "https", F.lit("443")).otherwise(F.lit("80"))
+
+
+def _filtered_path(path: Column) -> Column:
+    """True when the reference's filterURL drops this path (ref:
+    Crawler.java:490-511): a filtered file extension, or >5 slashes."""
+    ext = F.lower(F.regexp_extract(path, r"\.([^./]+)$", 1))
+    return ext.isin(*FILTERED_EXTENSIONS) | (
+        F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+        > MAX_PATH_SLASHES
+    )
+
+
+def normalize_url(link: Column | str, base: Column | None = None) -> Column:
+    """The reference's normalizeURL + filterURL as one JVM expression
+    (ref: Crawler.java:417-486,490-511): strip the #fragment; drop '' and
+    '/'; absolute http(s) URLs get their default port made explicit and
+    any other protocol is dropped; '/path' resolves against the base's
+    host; relative paths resolve against the base directory (the base's
+    last segment is dropped when it looks like a file, and each leading
+    '..' pops one directory, up to MAX_DOTDOT). Returns NULL for links
+    that normalize away. ``base`` must already be normalized
+    (scheme://host:port/path)."""
+    link = F.col(link) if isinstance(link, str) else link
+    frag = F.regexp_replace(link, "#.*$", "")
+    scheme, host, port, path = _parts(frag)
+
+    absolute = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.lit(":"),
+        F.when(port != "", port).otherwise(_default_port(scheme)),
+        F.when(path != "", path).otherwise(F.lit("/")),
+    )
+    abs_path = F.when(path != "", path).otherwise(F.lit("/"))
+
+    out = (
+        F.when(frag == "", F.lit(None).cast("string"))
+        .when(frag == "/", F.lit(None).cast("string"))
+        .when(frag.rlike(_ANY_PROTO_RE) & (scheme == ""), F.lit(None).cast("string"))
+        .when(scheme != "", F.when(_filtered_path(abs_path), None).otherwise(absolute))
+    )
+    if base is None:
+        return out.otherwise(F.lit(None).cast("string"))
+
+    bscheme, bhost, bport, bpath = _parts(base)
+    borigin = F.concat(
+        bscheme,
+        F.lit("://"),
+        bhost,
+        F.lit(":"),
+        F.when(bport != "", bport).otherwise(_default_port(bscheme)),
+    )
+    # domain-absolute: '/x' -> base origin + '/x'
+    domain_abs = F.when(_filtered_path(frag), None).otherwise(F.concat(borigin, frag))
+
+    # relative: base dir = base path minus trailing '/', minus a last
+    # segment that contains '.' (a file); then collapse leading '..'s.
+    bdir = F.regexp_replace(F.when(bpath != "", bpath).otherwise(F.lit("/")), "/$", "")
+    last_seg = F.regexp_extract(bdir, r"/([^/]*)$", 1)
+    bdir = F.when(last_seg.contains("."), F.regexp_replace(bdir, r"/[^/]*$", "")).otherwise(bdir)
+    # The reference loops: each '..' pops one base directory and cuts the
+    # url through that '..' (Crawler.java:468-479). Closed form (keeps the
+    # expression tree small enough for whole-stage codegen): the surviving
+    # tail is everything after the LAST '..', and the base directory is
+    # popped once per '..'; deeper than MAX_DOTDOT normalizes to null.
+    n_dots = (
+        (F.length(frag) - F.length(F.replace(frag, F.lit(".."), F.lit("")))) / 2
+    ).cast("int")
+    rel = F.when(n_dots > 0, F.substring_index(frag, "..", -1)).otherwise(frag)
+    popped = F.when(n_dots == 0, bdir)
+    for k in range(1, MAX_DOTDOT + 1):
+        popped = popped.when(
+            n_dots == k, F.regexp_replace(bdir, r"(/[^/]*){%d}$" % k, "")
+        )
+    bdir = popped  # null when n_dots > MAX_DOTDOT
+    relative = F.concat(
+        borigin, bdir, F.when(rel.startswith("/"), F.lit("")).otherwise(F.lit("/")), rel
+    )
+    rel_path = F.concat(bdir, F.when(rel.startswith("/"), F.lit("")).otherwise(F.lit("/")), rel)
+    relative = F.when(_filtered_path(rel_path), None).otherwise(relative)
+
+    return (
+        out.when(frag.startswith("/"), domain_abs)
+        .otherwise(relative)
+    )
+
+
+def host_of(url: Column | str) -> Column:
+    """scheme://host[:port] — the robots/politeness grouping key (the
+    reference keys its hosts table the same way, Crawler.java:251)."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(url, r"^(https?://[^/]+)", 1)
+
+
+def parse_robots(
+    web: DataFrame, user_agent: str = DEFAULT_USER_AGENT
+) -> DataFrame:
+    """Per-host robots rules from the snapshot's ``/robots.txt`` rows:
+    DataFrame[host, rules array<struct<allow boolean, prefix string>>,
+    crawl_delay double]. Mirrors the reference's parser (Crawler.java:
+    284-312): the crawler's own User-agent section if present, else the
+    ``*`` section, else no rules; lines are read in order until a blank
+    or colon-less line; Allow/Disallow become ordered prefix rules and
+    Crawl-delay is captured (default 1.0). Hosts without a robots row
+    simply don't appear (callers treat absence as allow-all)."""
+    robots = web.filter(F.col("url").rlike(r"^https?://[^/]+:\d+/robots\.txt$"))
+    own = f"User-agent: {user_agent}"
+    star = "User-agent: *"
+    marker = F.when(F.col("content").contains(own), F.lit(own)).otherwise(F.lit(star))
+    has_section = F.col("content").contains(F.col("marker"))
+    sec = F.expr("substring(content, instr(content, marker) + length(marker))")
+    lines = F.slice(F.split(sec, "\n"), 2, 100000)  # drop the UA-line remnant
+    # stop at the first blank or colon-less line (Crawler.java:299-309);
+    # the binary transform lambda receives (element, 0-based index)
+    stop = F.array_min(
+        F.transform(
+            lines,
+            lambda l, i: F.when((F.trim(l) == "") | ~l.contains(":"), i + 1),
+        )
+    )
+    valid = F.when(stop.isNotNull(), F.slice(lines, 1, stop - 1)).otherwise(lines)
+    valid = F.when(has_section, valid).otherwise(F.expr("array()").cast("array<string>"))
+    rules = F.filter(
+        F.transform(
+            valid,
+            lambda l: F.struct(
+                F.when(F.trim(F.substring_index(l, ":", 1)) == "Allow", True)
+                .when(F.trim(F.substring_index(l, ":", 1)) == "Disallow", False)
+                .alias("allow"),
+                F.trim(F.substring_index(l, ":", -1)).alias("prefix"),
+            ),
+        ),
+        lambda r: r["allow"].isNotNull(),
+    )
+    delay_line = F.get(
+        F.filter(valid, lambda l: l.startswith("Crawl-delay:")), 0
+    )
+    delay = F.coalesce(
+        F.trim(F.substring_index(delay_line, ":", -1)).cast("double"), F.lit(1.0)
+    )
+    return robots.withColumn("marker", marker).select(
+        host_of("url").alias("host"),
+        rules.alias("rules"),
+        delay.alias("crawl_delay"),
+    )
+
+
+def allowed_col(path: Column, rules: Column) -> Column:
+    """First matching Allow/Disallow prefix rule wins, default allow
+    (ref: Crawler.java:346-356); NULL rules (no robots row) = allow."""
+    matched = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+    return rules.isNull() | (F.size(matched) == 0) | F.get(matched, 0)["allow"]
+
+
+def is_english_page(content: Column) -> Column:
+    """The reference's isInEnglish (Crawler.java:514-543): trust an
+    ``<html lang="...">`` attribute when present, else strip script
+    blocks, tags, whitespace and punctuation and require >70% ASCII
+    letters."""
+    lang = F.regexp_extract(content, _LANG_ATTR_RE, 1)
+    stripped = F.regexp_replace(content, "(?s)<script.*?>.*?</script>", "")
+    stripped = F.regexp_replace(stripped, "<[^>]*>", "")
+    stripped = F.regexp_replace(stripped, r"[\s\p{Punct}]", "")
+    letters = F.length(F.regexp_replace(stripped, "[^a-zA-Z]", ""))
+    return F.when(lang != "", lang.contains("en")).otherwise(
+        (F.length(stripped) > 0)
+        & (letters / F.length(stripped) > F.lit(ENGLISH_LETTER_RATIO))
+    )
+
+
+def extract_links(url: Column, content: Column) -> Column:
+    """Normalized, filtered out-links of a page as an array column —
+    ``<a href="...">`` targets (the reference's extractURLs regex,
+    Crawler.java:404) resolved against the page URL."""
+    hrefs = F.regexp_extract_all(content, F.lit(_HREF_RE), 1)
+    return F.array_distinct(
+        F.filter(
+            F.transform(hrefs, lambda h: normalize_url(h, base=url)),
+            lambda u: u.isNotNull(),
+        )
+    )
+
+
+def _classify(fetched: DataFrame) -> DataFrame:
+    """Adds the per-URL verdict columns to a frontier ⋈ web ⋈ robots
+    frame: ``_allowed``, ``_recorded``, ``_children`` (array of child
+    URLs). Precedence is the reference's (Crawler.java:112-206)."""
+    raw_path = F.regexp_extract(F.col("url"), _PATH_RE, 1)
+    path = F.when(raw_path != "", raw_path).otherwise(F.lit("/"))
+    allowed = allowed_col(path, F.col("rules"))
+    exists = F.col("status").isNotNull()
+    lang_hdr_ok = F.col("content_language").isNull() | F.col(
+        "content_language"
+    ).contains("en")
+    is_redirect = F.col("status").isin(*REDIRECT_CODES)
+    is_html = F.col("content_type").startswith("text/html")
+    page_en = is_english_page(F.coalesce(F.col("content"), F.lit("")))
+
+    recorded = (
+        exists
+        & allowed
+        & lang_hdr_ok
+        & (is_redirect | (F.col("status") != 200) | ~is_html | page_en)
+    )
+    redirect_child = F.filter(
+        F.array(normalize_url(F.coalesce(F.col("location"), F.lit("")), base=F.col("url"))),
+        lambda u: u.isNotNull(),
+    )
+    html_children = extract_links(F.col("url"), F.coalesce(F.col("content"), F.lit("")))
+    children = (
+        F.when(~exists | ~allowed | ~lang_hdr_ok, F.expr("array()").cast("array<string>"))
+        .when(is_redirect, redirect_child)
+        .when((F.col("status") == 200) & is_html & page_en, html_children)
+        .otherwise(F.expr("array()").cast("array<string>"))
+    )
+    return fetched.withColumn("_allowed", allowed).withColumn(
+        "_recorded", recorded
+    ).withColumn("_children", children)
+
+
+def _atomic_mark(path: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(time.time_ns()))
+    os.replace(tmp, path)
+
+
+def crawl(
+    spark: SparkSession,
+    web: DataFrame,
+    seeds: list[str],
+    user_agent: str = DEFAULT_USER_AGENT,
+    max_rounds: int = 8,
+    per_host_cap: int | None = None,
+    state_dir: str | None = None,
+    resume: bool = False,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Frontier BFS over the web snapshot; returns the crawl table
+    DataFrame[url, depth, response_code, content_type, page] — one row
+    per URL the reference would have put in its ``crawl`` KVS table
+    (page is NULL for everything but 200 text/html English pages).
+
+    ``depth`` is the BFS link distance from the seed set. With
+    ``per_host_cap`` (politeness: at most cap/Crawl-delay fetches per
+    host per round, deferred URLs carry over) depth remains the distance
+    at *discovery* time, which can exceed the true link distance when a
+    shorter path's page was deferred — the trade a batch crawler makes
+    for not hammering a host. ``state_dir`` + ``resume=True`` continue a
+    killed crawl from its last committed round (the reference's
+    persistent urlFrontier, Crawler.java:72-87)."""
+    norm_seeds = [
+        u
+        for (u,) in spark.createDataFrame(
+            [(s,) for s in seeds], "u string"
+        ).select(normalize_url("u")).collect()
+        if u is not None
+    ]
+    frontier = spark.createDataFrame(
+        [(u, 0) for u in dict.fromkeys(norm_seeds)], "url string, depth bigint"
+    )
+    visited = frontier.select("url")
+    crawled_schema = (
+        "url string, depth bigint, response_code int, content_type string, page string"
+    )
+    crawled = spark.createDataFrame([], crawled_schema)
+    start_round = 0
+
+    if state_dir and resume:
+        done = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("round=")
+            and os.path.exists(os.path.join(state_dir, d, "_COMMIT"))
+        ) if os.path.isdir(state_dir) else []
+        if done:
+            last = done[-1]
+            base = os.path.join(state_dir, f"round={last}")
+            frontier = spark.read.parquet(os.path.join(base, "frontier"))
+            visited = spark.read.parquet(os.path.join(base, "visited"))
+            crawled = spark.read.parquet(os.path.join(base, "crawled"))
+            start_round = last + 1
+
+    robots = parse_robots(web, user_agent=user_agent)
+
+    for rnd in range(start_round, max_rounds):
+        if not frontier.take(1):
+            break
+        fetch_now, deferred = frontier, None
+        if per_host_cap is not None:
+            from pyspark.sql.window import Window
+
+            by_host = (
+                frontier.withColumn("_host", host_of("url"))
+                .join(
+                    F.broadcast(
+                        robots.select(
+                            F.col("host").alias("_host"), "crawl_delay"
+                        )
+                    ),
+                    "_host",
+                    "left",
+                )
+                .withColumn(
+                    "_cap",
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(
+                            F.lit(per_host_cap)
+                            / F.coalesce(F.col("crawl_delay"), F.lit(1.0))
+                        ),
+                    ),
+                )
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("_host").orderBy("url")
+                    ),
+                )
+            )
+            fetch_now = by_host.filter(F.col("_rn") <= F.col("_cap")).select(
+                "url", "depth"
+            )
+            deferred = by_host.filter(F.col("_rn") > F.col("_cap")).select(
+                "url", "depth"
+            )
+
+        fetched = (
+            fetch_now.join(web, "url", "left")
+            .withColumn("_host", host_of("url"))
+            .join(
+                F.broadcast(robots.select(F.col("host").alias("_host"), "rules")),
+                "_host",
+                "left",
+            )
+        )
+        verdicts = _classify(fetched)
+
+        round_rows = verdicts.filter("_recorded").select(
+            "url",
+            "depth",
+            F.col("status").cast("int").alias("response_code"),
+            "content_type",
+            F.when(
+                (F.col("status") == 200)
+                & F.col("content_type").startswith("text/html"),
+                F.col("content"),
+            ).alias("page"),
+        )
+        crawled = crawled.unionByName(round_rows)
+
+        children = (
+            verdicts.select(
+                F.explode("_children").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+            .join(visited, "url", "left_anti")
+        )
+        frontier = children
+        if deferred is not None:
+            frontier = frontier.unionByName(deferred)
+            # a deferred URL may also be someone's child; keep min depth
+            frontier = frontier.groupBy("url").agg(F.min("depth").alias("depth"))
+        frontier = frontier.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier.select("url")).distinct()
+        if (rnd + 1) % checkpoint_interval == 0:
+            visited = visited.localCheckpoint(eager=True)
+            crawled = crawled.localCheckpoint(eager=True)
+
+        if state_dir:
+            base = os.path.join(state_dir, f"round={rnd}")
+            frontier.write.mode("overwrite").parquet(os.path.join(base, "frontier"))
+            visited.write.mode("overwrite").parquet(os.path.join(base, "visited"))
+            crawled.write.mode("overwrite").parquet(os.path.join(base, "crawled"))
+            _atomic_mark(os.path.join(base, "_COMMIT"))
+            # re-read so later rounds build on durable state, not lineage
+            frontier = spark.read.parquet(os.path.join(base, "frontier"))
+            visited = spark.read.parquet(os.path.join(base, "visited"))
+            crawled = spark.read.parquet(os.path.join(base, "crawled"))
+
+    return crawled

@@ -1,0 +1,73 @@
+"""spark-submit entry: batch frontier crawl over a web snapshot table.
+
+    spark-submit --py-files google_spark.zip jobs/crawl_job.py \
+        --web /data/web_snapshot.parquet --out /data/crawl \
+        --seed http://host/start [--seed ...] \
+        [--max-rounds 8] [--per-host-cap 100] \
+        [--state-dir /data/crawl_state] [--resume]
+
+The web snapshot must carry (url, status, location, content_type,
+content_language, content) — a fetched-capture table (WARC-style); the
+crawl replays the reference crawler's frontier BFS over it (ref:
+src/cis5550/jobs/Crawler.java:38-100) and writes the crawl table
+(url, depth, response_code, content_type, page).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--web", required=True, help="web snapshot parquet")
+    ap.add_argument("--out", required=True, help="output parquet (crawl table)")
+    ap.add_argument("--seed", action="append", required=True, dest="seeds")
+    ap.add_argument("--user-agent", default="gs-crawler")
+    ap.add_argument("--max-rounds", type=int, default=8)
+    ap.add_argument("--per-host-cap", type=int, default=None)
+    ap.add_argument("--state-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from google_spark.session import get_spark
+
+    spark = get_spark(app="crawl", cores=args.cores)
+    from google_spark.operators.crawler import crawl
+
+    t0 = time.perf_counter()
+    web = spark.read.parquet(args.web)
+    crawled = crawl(
+        spark,
+        web,
+        args.seeds,
+        user_agent=args.user_agent,
+        max_rounds=args.max_rounds,
+        per_host_cap=args.per_host_cap,
+        state_dir=args.state_dir,
+        resume=args.resume,
+    )
+    crawled.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "job": "crawl",
+                "n_crawled": out.count(),
+                "max_depth": out.agg({"depth": "max"}).collect()[0][0],
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,284 @@
+"""Batch-iterative crawler (operators/crawler.py) — URL normalization and
+filtering parity with the reference's normalizeURL/filterURL, robots.txt
+section/rule parsing, the give-up rules, BFS over a planted web snapshot
+with redirects and dead links, per-host politeness, and checkpoint/resume."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from google_spark.operators.crawler import (
+    crawl,
+    extract_links,
+    is_english_page,
+    normalize_url,
+    parse_robots,
+)
+
+WEB_SCHEMA = (
+    "url string, status int, location string, content_type string, "
+    "content_language string, content string"
+)
+
+
+def _page(url, links=(), lang="en", status=200, loc=None, ctype="text/html", clang=None):
+    body = "".join(f'<a href="{l}">x</a>' for l in links)
+    return (
+        url,
+        status,
+        loc,
+        ctype,
+        clang,
+        f'<html lang="{lang}"><body>thing stuff words {body}</body></html>',
+    )
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    rows = [
+        (
+            "http://a.com:80/robots.txt",
+            200,
+            None,
+            "text/plain",
+            None,
+            "User-agent: *\nDisallow: /secret",
+        ),
+        _page(
+            "http://a.com:80/p1",
+            links=[
+                "/p2",
+                "http://a.com/p3#x",
+                "/img.png",
+                "ftp://z/x",
+                "/secret/s1",
+                "http://b.com/q1",
+            ],
+        ),
+        _page("http://a.com:80/p2", links=["/p1", "rel4"]),
+        _page("http://a.com:80/p3", status=301, loc="/p5"),
+        _page(
+            "http://a.com:80/p5", links=["/p1/fr", "/plain", "/p404", "/dead"]
+        ),
+        _page("http://a.com:80/p2/rel4", links=[]),
+        _page("http://a.com:80/secret/s1", links=["/p9"]),
+        _page("http://a.com:80/p9", links=[]),
+        _page("http://b.com:80/q1", links=["/q2"], clang="fr"),
+        _page("http://b.com:80/q2", links=[]),
+        _page("http://a.com:80/p1/fr", lang="fr"),
+        ("http://a.com:80/plain", 200, None, "text/plain", None, "no links"),
+        _page("http://a.com:80/p404", status=404),
+    ]
+    return spark.createDataFrame(rows, WEB_SCHEMA)
+
+
+# ---------------------------------------------------------------- normalize
+
+
+def test_normalize_absolute_and_filters(spark):
+    cases = [
+        ("http://a.com/x#frag", "http://a.com:80/x"),
+        ("https://a.com/x", "https://a.com:443/x"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),
+        ("http://a.com", "http://a.com:80/"),
+        ("ftp://a.com/x", None),  # protocol filter
+        ("", None),
+        ("/", None),
+        ("http://a.com/img.PNG", None),  # extension filter, case-folded
+        ("http://a.com/doc.txt", None),
+        ("http://a.com/a/b/c/d/e/f", None),  # 6 slashes > 5 (ref comment's example)
+        ("http://a.com/a/b/c/d/e", "http://a.com:80/a/b/c/d/e"),  # 5 slashes kept
+    ]
+    df = spark.createDataFrame([(l,) for l, _ in cases], "link string")
+    got = [r[0] for r in df.select(normalize_url("link")).collect()]
+    for (link, exp), g in zip(cases, got):
+        assert g == exp, (link, g, exp)
+
+
+def test_normalize_relative_resolution(spark):
+    cases = [
+        ("/y", "http://a.com:80/dir/page.html", "http://a.com:80/y"),
+        ("y", "http://a.com:80/dir/page.html", "http://a.com:80/dir/y"),
+        ("y", "http://a.com:80/dir/sub", "http://a.com:80/dir/sub/y"),
+        ("../y", "http://a.com:80/dir/sub/", "http://a.com:80/dir/y"),
+        ("../../y", "http://a.com:80/a/b/c/", "http://a.com:80/a/y"),
+        ("/y#z", "http://a.com:80/p", "http://a.com:80/y"),
+        ("/img.png", "http://a.com:80/p", None),
+        ("../../../../../x", "http://a.com:80/a/", None),  # beyond MAX_DOTDOT
+    ]
+    df = spark.createDataFrame(
+        [(l, b) for l, b, _ in cases], "link string, base string"
+    )
+    got = [
+        r[0] for r in df.select(normalize_url("link", F.col("base"))).collect()
+    ]
+    for (link, base, exp), g in zip(cases, got):
+        assert g == exp, (link, base, g, exp)
+
+
+def test_extract_links_dedups_and_resolves(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "http://a.com:80/p",
+                '<a href="/x">1</a><A HREF="/x">2</A><a class="z" href="/y#f">3</a>',
+            )
+        ],
+        "url string, content string",
+    )
+    [row] = df.select(
+        extract_links(F.col("url"), F.col("content")).alias("ls")
+    ).collect()
+    assert sorted(row.ls) == ["http://a.com:80/x", "http://a.com:80/y"]
+
+
+# ------------------------------------------------------------------- robots
+
+
+def test_parse_robots_sections_and_order(spark):
+    web = spark.createDataFrame(
+        [
+            (
+                "http://h0.example:80/robots.txt",
+                200,
+                None,
+                "text/plain",
+                None,
+                "User-agent: gs-crawler\nDisallow: /priv\nCrawl-delay: 2\n"
+                "\nUser-agent: *\nDisallow: /",
+            ),
+            (
+                "http://h1.example:80/robots.txt",
+                200,
+                None,
+                "text/plain",
+                None,
+                "User-agent: *\nAllow: /p\nDisallow: /",
+            ),
+            (
+                "http://h2.example:80/robots.txt",
+                200,
+                None,
+                "text/plain",
+                None,
+                "User-agent: somebody-else\nDisallow: /",
+            ),
+        ],
+        WEB_SCHEMA,
+    )
+    got = {r.host: r for r in parse_robots(web).collect()}
+    # own section wins over *, stops at the blank line before the * section
+    assert [(x.allow, x.prefix) for x in got["http://h0.example:80"].rules] == [
+        (False, "/priv")
+    ]
+    assert got["http://h0.example:80"].crawl_delay == 2.0
+    # first-match-wins ordering is preserved
+    assert [(x.allow, x.prefix) for x in got["http://h1.example:80"].rules] == [
+        (True, "/p"),
+        (False, "/"),
+    ]
+    # no matching section -> no rules (default allow)
+    assert got["http://h2.example:80"].rules == []
+
+
+def test_is_english_page(spark):
+    cases = [
+        ('<html lang="en-US"><body>abc</body></html>', True),
+        ('<html lang="fr"><body>abc</body></html>', False),
+        ("<html><body>plain english words here</body></html>", True),
+        ("<html><body>1234 5678 90123 45678</body></html>", False),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "content string")
+    got = [r[0] for r in df.select(is_english_page(F.col("content"))).collect()]
+    assert got == [e for _, e in cases]
+
+
+# --------------------------------------------------------------------- BFS
+
+
+EXPECTED = sorted(
+    [
+        ("http://a.com:80/p1", 0, 200, "text/html"),
+        ("http://a.com:80/p2", 1, 200, "text/html"),
+        ("http://a.com:80/p3", 1, 301, "text/html"),
+        ("http://a.com:80/p5", 2, 200, "text/html"),
+        ("http://a.com:80/p2/rel4", 2, 200, "text/html"),
+        ("http://a.com:80/plain", 3, 200, "text/plain"),
+        ("http://a.com:80/p404", 3, 404, "text/html"),
+    ]
+)
+
+
+def _rows(df):
+    return sorted(
+        (r.url, r.depth, r.response_code, r.content_type) for r in df.collect()
+    )
+
+
+def test_crawl_bfs_semantics(spark, web):
+    out = crawl(spark, web, ["http://a.com/p1"], max_rounds=8)
+    rows = _rows(out)
+    assert rows == EXPECTED
+    # robots-blocked URLs and everything behind them never surface
+    urls = {r[0] for r in rows}
+    assert "http://a.com:80/secret/s1" not in urls
+    assert "http://a.com:80/p9" not in urls
+    # give-up 1 (Content-Language header) and give-up 2 (lang attr):
+    # visited but unrecorded, links not followed
+    assert "http://b.com:80/q1" not in urls
+    assert "http://b.com:80/q2" not in urls
+    assert "http://a.com:80/p1/fr" not in urls
+    # page text is kept only for 200 text/html
+    pages = {r.url: r.page for r in out.collect()}
+    assert pages["http://a.com:80/p1"] is not None
+    assert pages["http://a.com:80/plain"] is None
+    assert pages["http://a.com:80/p3"] is None
+
+
+def test_crawl_depth_cap(spark, web):
+    out = crawl(spark, web, ["http://a.com/p1"], max_rounds=2)
+    assert _rows(out) == [e for e in EXPECTED if e[1] < 2]
+
+
+def test_crawl_politeness_cap_defers_not_drops(spark, web):
+    # cap 1 fetch/host/round: same final set, just more rounds needed
+    out = crawl(
+        spark, web, ["http://a.com/p1"], max_rounds=12, per_host_cap=1
+    )
+    assert _rows(out) == EXPECTED
+    # with too few rounds the deferred tail is genuinely not crawled yet
+    partial = crawl(
+        spark, web, ["http://a.com/p1"], max_rounds=3, per_host_cap=1
+    )
+    assert len(_rows(partial)) < len(EXPECTED)
+
+
+def test_crawl_resume_from_checkpoint(spark, web, tmp_path):
+    state = str(tmp_path / "crawlstate")
+    first = crawl(
+        spark, web, ["http://a.com/p1"], max_rounds=2, state_dir=state
+    )
+    assert _rows(first) == [e for e in EXPECTED if e[1] < 2]
+    assert os.path.exists(os.path.join(state, "round=1", "_COMMIT"))
+    resumed = crawl(
+        spark,
+        web,
+        ["http://a.com/p1"],
+        max_rounds=8,
+        state_dir=state,
+        resume=True,
+    )
+    assert _rows(resumed) == EXPECTED
+
+
+def test_crawl_seed_normalization_and_dedup(spark, web):
+    out = crawl(
+        spark,
+        web,
+        ["http://a.com/p1#frag", "http://a.com:80/p1", "ftp://nope/x"],
+        max_rounds=1,
+    )
+    assert _rows(out) == [e for e in EXPECTED if e[1] == 0]

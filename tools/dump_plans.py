@@ -592,6 +592,58 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.crawler import (
+        _classify,
+        host_of,
+        parse_robots,
+    )
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "_entry", Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+    )
+    _entry = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_entry)
+    web = _entry._crawl_web(spark, sf_dir)
+    robots = parse_robots(web)
+    frontier = spark.createDataFrame(
+        [("http://h0.example:80/p0", 0)], "url string, depth bigint"
+    )
+    fetched = (
+        frontier.join(web, "url", "left")
+        .withColumn("_host", host_of("url"))
+        .join(
+            F.broadcast(robots.select(F.col("host").alias("_host"), "rules")),
+            "_host",
+            "left",
+        )
+    )
+    round_children = (
+        _classify(fetched)
+        .select(F.explode("_children").alias("url"), (F.col("depth") + 1).alias("depth"))
+        .groupBy("url")
+        .agg(F.min("depth").alias("depth"))
+        .join(frontier.select("url"), "url", "left_anti")
+    )
+    sections.append(
+        (
+            "Crawler round (fetch join -> classify -> next frontier)",
+            "One BFS round of crawler.crawl: the 'fetch' is a key join of "
+            "the frontier against the web snapshot, robots rules arrive "
+            "via an explicit broadcast, and the next frontier is one hash "
+            "aggregate (min depth per child) plus an anti-join against the "
+            "visited set — two key exchanges per round total, independent "
+            "of corpus size. The link-normalization expression tree is "
+            "large enough that janino may fall back to interpreted "
+            "evaluation for that one projection (a logged warning); the "
+            "regex work dominates either way and the fallback is local to "
+            "the expression, not the stage.",
+            fmt(round_children),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
