@@ -1019,7 +1019,12 @@ def _crawl_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     page_content = F.concat(
         F.lit('<html lang="'),
         lang_attr,
-        F.lit('"><body>thing stuff words '),
+        F.lit('"><title>page '),
+        s(i),
+        F.lit("</title><body>thing stuff words "),
+        F.repeat(
+            F.concat(F.lit("w"), s(i % 7), F.lit(" ")), ((i % 4) + 1).cast("int")
+        ),
         links,
         F.lit("</body></html>"),
     )
@@ -1071,6 +1076,34 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("response_code").cast("int").alias("response_code"),
         "content_type",
     )
+
+
+def q_crawl_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full pipeline in one row — Crawler -> Indexer ->
+    query (ref: Crawler.java + Indexer.java + SearchApi.java): crawl the
+    planted web, strip HTML exactly as the reference indexer does
+    (comments/DOCTYPE out, lowercase, tags to spaces), build the inverted
+    index over the crawled pages, and answer a BM25 top-10 with WAND. The
+    oracle replays the crawl's recorded set with the recursive-CTE BFS,
+    reconstructs each page's visible text from the planting formulas, and
+    recomputes BM25 in SQL."""
+    from google_spark.operators.crawler import crawl
+    from google_spark.operators.docstore import html_text_col
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import wand_topk
+
+    crawled = crawl(
+        spark,
+        _crawl_web(spark, sf_dir),
+        ["http://h0.example/p0", "http://h2.example:80/p2"],
+        max_rounds=6,
+    )
+    docs = crawled.filter(F.col("page").isNotNull()).select(
+        F.regexp_extract("url", r"/p(\d+)$", 1).cast("bigint").alias("doc_id"),
+        html_text_col("page").alias("text"),
+    )
+    idx = build_index(spark, docs)
+    return _round4(wand_topk(idx, "stuff w3", k=10), "score")
 
 
 def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,9 +1362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "pagerank_fixed3": q_pagerank_fixed3,
         "tpch_q1": q_tpch_q1,
-        "corpus_stats": q_corpus_stats,
         # -- promoted: the NEW round-5 operators (local-gate-only so far) ---
         "crawl_frontier": q_crawl_frontier,
+        "crawl_index_topk": q_crawl_index_topk,
         "wildcard_search_topk": q_wildcard_search_topk,
         "near_search_topk": q_near_search_topk,
         "explain_topk": q_explain_topk,
@@ -2299,6 +2332,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rows (each of these is driver-green in CORRECTNESS_r04,
         # most also in CORRECTNESS_r03) -------------------------------------
         "tokenize_tf": q_tokenize_tf,
+        "corpus_stats": q_corpus_stats,
         "serve_priority_topk": q_serve_priority_topk,
         "catalog_mor_delete_topk": q_catalog_mor_delete_topk,
         "batch_bm25_topk": q_batch_bm25_topk,
@@ -2847,6 +2881,64 @@ SELECT x.doc_id AS a, y.doc_id AS b,
 FROM fp x JOIN fp y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.flo, y.flo)) + bit_count(xor(x.fhi, y.fhi)) <= 12
 """
+
+
+# Shared CTE chain for the two crawler oracles (crawl_frontier and
+# crawl_index_topk): the planted-web formulas of _crawl_web, the
+# reference's eligibility rules, the surviving link targets as edges, and
+# the 6-round BFS (depth <= 5) with min depth per URL. Spliced after a
+# caller-provided WITH RECURSIVE.
+_CRAWL_CTES = r"""base AS (
+  SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 120
+),
+pages AS (
+  SELECT i,
+    'http://h' || CAST(i % 3 AS VARCHAR) || '.example:80/p'
+      || CAST(i AS VARCHAR) AS url,
+    CASE WHEN i % 17 = 3 THEN 301
+         WHEN i % 37 = 11 THEN 404 ELSE 200 END AS status,
+    CASE WHEN i % 31 = 9 THEN 'text/plain' ELSE 'text/html' END
+      AS content_type,
+    CASE WHEN i % 19 = 7 THEN 'fr' END AS content_language,
+    CASE WHEN i % 23 = 5 THEN 'fr' ELSE 'en' END AS lang_attr,
+    'http://h' || CAST(i % 3 AS VARCHAR) || '.example:80/p'
+      || CAST((i + 6) % 120 AS VARCHAR) AS loc
+  FROM base
+),
+html_en AS (
+  SELECT * FROM pages
+  WHERE content_language IS NULL AND status = 200
+    AND content_type = 'text/html' AND lang_attr = 'en'
+),
+edges AS (
+  -- redirect Location (followed only when the header give-up passes)
+  SELECT url AS src, loc AS dst FROM pages
+  WHERE content_language IS NULL AND status = 301
+  UNION ALL  -- portless absolute link -> default port made explicit
+  SELECT url, 'http://h' || CAST(((2*i+1) % 120) % 3 AS VARCHAR)
+         || '.example:80/p' || CAST((2*i+1) % 120 AS VARCHAR)
+  FROM html_en
+  UNION ALL  -- absolute link with explicit port
+  SELECT url, 'http://h' || CAST(((3*i+2) % 120) % 3 AS VARCHAR)
+         || '.example:80/p' || CAST((3*i+2) % 120 AS VARCHAR)
+  FROM html_en
+  UNION ALL  -- domain-absolute link, #fragment stripped
+  SELECT url, 'http://h' || CAST(i % 3 AS VARCHAR) || '.example:80/p'
+         || CAST((i + 3) % 120 AS VARCHAR)
+  FROM html_en
+  -- .png / 6-deep / ftp links normalize away; /priv/q links are planted
+  -- pages but robots-disallowed, so they are never fetched or recorded
+),
+bfs AS (
+  SELECT 'http://h0.example:80/p0' AS url, CAST(0 AS BIGINT) AS depth
+  UNION
+  SELECT 'http://h2.example:80/p2' AS url, CAST(0 AS BIGINT) AS depth
+  UNION
+  SELECT e.dst AS url, b.depth + 1 AS depth
+  FROM bfs b JOIN edges e ON e.src = b.url
+  WHERE b.depth + 1 <= 5
+),
+reached AS (SELECT url, MIN(depth) AS depth FROM bfs GROUP BY url)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4523,58 +4615,8 @@ GROUP BY gid
         # the pages CTE; Content-Language; lang-attr give-up; redirects
         # and non-200/non-html recorded as dead ends) and walks the same
         # 6-round BFS with a recursive CTE, taking min depth per URL.
-        "crawl_frontier": r"""
-WITH RECURSIVE base AS (
-  SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 120
-),
-pages AS (
-  SELECT i,
-    'http://h' || CAST(i % 3 AS VARCHAR) || '.example:80/p'
-      || CAST(i AS VARCHAR) AS url,
-    CASE WHEN i % 17 = 3 THEN 301
-         WHEN i % 37 = 11 THEN 404 ELSE 200 END AS status,
-    CASE WHEN i % 31 = 9 THEN 'text/plain' ELSE 'text/html' END
-      AS content_type,
-    CASE WHEN i % 19 = 7 THEN 'fr' END AS content_language,
-    CASE WHEN i % 23 = 5 THEN 'fr' ELSE 'en' END AS lang_attr,
-    'http://h' || CAST(i % 3 AS VARCHAR) || '.example:80/p'
-      || CAST((i + 6) % 120 AS VARCHAR) AS loc
-  FROM base
-),
-html_en AS (
-  SELECT * FROM pages
-  WHERE content_language IS NULL AND status = 200
-    AND content_type = 'text/html' AND lang_attr = 'en'
-),
-edges AS (
-  -- redirect Location (followed only when the header give-up passes)
-  SELECT url AS src, loc AS dst FROM pages
-  WHERE content_language IS NULL AND status = 301
-  UNION ALL  -- portless absolute link -> default port made explicit
-  SELECT url, 'http://h' || CAST(((2*i+1) % 120) % 3 AS VARCHAR)
-         || '.example:80/p' || CAST((2*i+1) % 120 AS VARCHAR)
-  FROM html_en
-  UNION ALL  -- absolute link with explicit port
-  SELECT url, 'http://h' || CAST(((3*i+2) % 120) % 3 AS VARCHAR)
-         || '.example:80/p' || CAST((3*i+2) % 120 AS VARCHAR)
-  FROM html_en
-  UNION ALL  -- domain-absolute link, #fragment stripped
-  SELECT url, 'http://h' || CAST(i % 3 AS VARCHAR) || '.example:80/p'
-         || CAST((i + 3) % 120 AS VARCHAR)
-  FROM html_en
-  -- .png / 6-deep / ftp links normalize away; /priv/q links are planted
-  -- pages but robots-disallowed, so they are never fetched or recorded
-),
-bfs AS (
-  SELECT 'http://h0.example:80/p0' AS url, CAST(0 AS BIGINT) AS depth
-  UNION
-  SELECT 'http://h2.example:80/p2' AS url, CAST(0 AS BIGINT) AS depth
-  UNION
-  SELECT e.dst AS url, b.depth + 1 AS depth
-  FROM bfs b JOIN edges e ON e.src = b.url
-  WHERE b.depth + 1 <= 5
-),
-reached AS (SELECT url, MIN(depth) AS depth FROM bfs GROUP BY url)
+        "crawl_frontier": f"""
+WITH RECURSIVE {_CRAWL_CTES}
 SELECT r.url, r.depth,
        CAST(p.status AS INTEGER) AS response_code, p.content_type
 FROM reached r JOIN pages p ON p.url = r.url
@@ -4582,4 +4624,19 @@ WHERE p.content_language IS NULL
   AND (p.status <> 200 OR p.content_type <> 'text/html'
        OR p.lang_attr = 'en')
 """,
+        # Crawler -> Indexer -> BM25 pipeline: corpus = the crawl's
+        # recorded 200/html/English pages, text reconstructed from the
+        # planting (what html_text_col's tag strip leaves: the title and
+        # body words plus the 'x' anchors, which tokenize away at len 1)
+        "crawl_index_topk": _bm25_sql(
+            "q(term, w) AS (VALUES ('stuff', 1.0), ('w3', 1.0))",
+            corpus_from=f"""(
+WITH RECURSIVE {_CRAWL_CTES}
+SELECT p.i AS doc_id,
+       'page ' || CAST(p.i AS VARCHAR) || ' thing stuff words '
+       || repeat('w' || CAST(p.i % 7 AS VARCHAR) || ' ',
+                 CAST(p.i % 4 + 1 AS INTEGER))
+       || 'x x x x x x x' AS text
+FROM html_en p JOIN reached r ON r.url = p.url)""",
+        ),
     }

@@ -136,3 +136,37 @@ def symbol_search(
         .select("symbol", "kind", "n_defs", id_col, "line_no")
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML half of D1 (ref: src/cis5550/jobs/Indexer.java:92-133): the reference
+# strips DOCTYPE declarations and comments, lowercases, walks tags replacing
+# each with a space (capturing the first <title> body as the page title),
+# and feeds the remainder to the word splitter. Used on crawler output
+# (operators/crawler.py), where documents are real HTML pages rather than
+# source files. Pure JVM regexp chain, exactly reproducible in ANSI SQL.
+# ---------------------------------------------------------------------------
+
+_HTML_NOISE_RE = r"(?s)(<!DOCTYPE[^>]*>|<!--.*?-->)"
+_HTML_TAG_RE = "<[^>]*>"
+_HTML_TITLE_RE = r"(?s)<title[^>]*>(.*?)<"
+
+
+def html_text_col(content_col: Column | str = "page") -> Column:
+    """Tag-stripped, lowercased page text ready for tokenization — the
+    reference's comment-strip -> toLowerCase -> tag-to-space walk
+    (Indexer.java:93-133; DOCTYPE is matched before lowercasing, as the
+    reference does)."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    c = F.regexp_replace(c, _HTML_NOISE_RE, " ")
+    c = F.lower(c)
+    return F.regexp_replace(c, _HTML_TAG_RE, " ")
+
+
+def html_title_col(content_col: Column | str = "page") -> Column:
+    """First <title> body of the (lowercased, comment-stripped) page,
+    trimmed — the reference captures it mid-walk (Indexer.java:114-127);
+    '' when the page has no title tag."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    c = F.lower(F.regexp_replace(c, _HTML_NOISE_RE, " "))
+    return F.trim(F.regexp_extract(c, _HTML_TITLE_RE, 1))

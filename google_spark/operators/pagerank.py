@@ -353,3 +353,33 @@ def anchor_texts(
         ).alias("anchor_text"),
         F.count(F.lit(1)).alias("n_refs"),
     )
+
+
+def extract_href_edges(
+    crawled: DataFrame,
+    url_col: str = "url",
+    page_col: str = "page",
+) -> DataFrame:
+    """``<a href>`` link-graph edges from crawler output — the reference
+    PageRank's extraction over crawled pages (ref: src/cis5550/jobs/
+    PageRank.java:133-160): hrefs are normalized against the page URL,
+    self-links and duplicates dropped, and targets restricted to pages
+    that were actually crawled (``getRow != null`` at PageRank.java:153
+    ≡ left-semi join). Returns DataFrame[src, dst]. Same scale shape as
+    :func:`extract_import_edges`: scan -> regexp -> explode -> semi join,
+    with ``page`` pruned out of every post-extract exchange."""
+    from google_spark.operators.crawler import extract_links
+
+    edges = (
+        crawled.filter(F.col(page_col).isNotNull())
+        .select(
+            F.col(url_col).alias("src"),
+            F.explode(
+                extract_links(F.col(url_col), F.col(page_col))
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    known = crawled.select(F.col(url_col).alias("dst")).distinct()
+    return edges.join(known, "dst", "left_semi").select("src", "dst")

@@ -282,3 +282,53 @@ def test_crawl_seed_normalization_and_dedup(spark, web):
         max_rounds=1,
     )
     assert _rows(out) == [e for e in EXPECTED if e[1] == 0]
+
+
+# ------------------------------------------------- pipeline: strip + edges
+
+
+def test_html_text_and_title(spark):
+    from google_spark.operators.docstore import html_text_col, html_title_col
+
+    page = (
+        "<!DOCTYPE html><!-- note -->"
+        '<html lang="en"><title>My Page</title>'
+        "<body>Hello <b>World</b></body></html>"
+    )
+    df = spark.createDataFrame([(page,), ("<p>no title</p>",)], "page string")
+    rows = df.select(
+        html_text_col("page").alias("t"), html_title_col("page").alias("ti")
+    ).collect()
+    # tags/comments/doctype become spaces, text is lowercased
+    assert rows[0].t.split() == ["my", "page", "hello", "world"]
+    assert rows[0].ti == "my page"
+    assert rows[1].t.split() == ["no", "title"]
+    assert rows[1].ti == ""
+
+
+def test_extract_href_edges_semi_joins_to_crawled(spark, web):
+    from google_spark.operators.pagerank import extract_href_edges
+
+    crawled = crawl(spark, web, ["http://a.com/p1"], max_rounds=8)
+    edges = {(r.src, r.dst) for r in extract_href_edges(crawled).collect()}
+    # p1 -> p2 survives (both crawled); p1 -> p3 is crawled too
+    assert ("http://a.com:80/p1", "http://a.com:80/p2") in edges
+    assert ("http://a.com:80/p1", "http://a.com:80/p3") in edges
+    # targets that weren't crawled (robots-blocked, foreign-language,
+    # filtered) never appear
+    for _, dst in edges:
+        assert "secret" not in dst and "q1" not in dst and "img" not in dst
+    # only 200 text/html pages contribute out-edges (p3 is a redirect row
+    # with page NULL; plain/p404 have no parseable page)
+    srcs = {s for s, _ in edges}
+    assert "http://a.com:80/p3" not in srcs
+    assert "http://a.com:80/plain" not in srcs
+
+
+def test_crawl_feeds_pagerank(spark, web):
+    from google_spark.operators.pagerank import extract_href_edges, pagerank
+
+    crawled = crawl(spark, web, ["http://a.com/p1"], max_rounds=8)
+    ranks = pagerank(extract_href_edges(crawled), exact_iters=3)
+    got = {r.node: r.rank for r in ranks.collect()}
+    assert len(got) > 0 and all(v > 0 for v in got.values())
