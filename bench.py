@@ -168,6 +168,53 @@ def main() -> None:
     pagerank(synthetic_doc_graph(docs), exact_iters=3).count()
     timings["pagerank_3it"] = round(time.perf_counter() - t0, 4)
 
+    # crawler: 4-round frontier BFS over a generated 8 * n_docs-page web
+    # (3 hosts, 3 out-links per page, one robots host) — measures the
+    # per-round fetch join + link extraction/normalization throughput
+    from google_spark.operators.crawler import crawl
+
+    n_web = n_docs * 8
+    i = F.col("id")
+    host = F.concat(F.lit("http://h"), (i % 3).cast("string"), F.lit(".example:80"))
+    url = F.concat(host, F.lit("/p"), i.cast("string"))
+
+    def _blink(k):
+        return F.concat(
+            F.lit('<a href="http://h'),
+            (k % 3).cast("string"),
+            F.lit(".example/p"),
+            k.cast("string"),
+            F.lit('">x</a>'),
+        )
+
+    web = spark.range(n_web).select(
+        url.alias("url"),
+        F.lit(200).alias("status"),
+        F.lit(None).cast("string").alias("location"),
+        F.lit("text/html").alias("content_type"),
+        F.lit(None).cast("string").alias("content_language"),
+        F.concat(
+            F.lit('<html lang="en"><body>page words '),
+            _blink((2 * i + 1) % n_web),
+            _blink((3 * i + 2) % n_web),
+            _blink((i + 3) % n_web),
+            F.lit("</body></html>"),
+        ).alias("content"),
+    )
+    seeds = [
+        f"http://h{k % 3}.example/p{k}" for k in range(0, n_web, n_web // 2000)
+    ]
+    t0 = time.perf_counter()
+    n_crawled = crawl(spark, web, seeds, max_rounds=4).count()
+    crawl_sec = time.perf_counter() - t0
+    timings["crawl_4rounds"] = round(crawl_sec, 4)
+    meta_crawl = {
+        "n_web": n_web,
+        "n_seeds": len(seeds),
+        "n_crawled": n_crawled,
+        "pages_per_sec": round(n_crawled / crawl_sec, 2),
+    }
+
     # similarity ops at sf scale: IVF disk-index build + partition-pruned
     # probe, and the brute-force cosine baseline it approximates
     from google_spark.operators.similarity import (
@@ -369,6 +416,7 @@ def main() -> None:
         "facade_p50_ms": round(statistics.median(facade_ms), 2),
         "bm25f_local_p50_ms": round(statistics.median(flat_ms), 2),
         "serving": "published disk index, bucket-pruned pyarrow point reads",
+        "crawl": meta_crawl,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "scaling": scaling,  # measured local[2]-vs-local[8]; see BENCH/BASELINE.md
     }

@@ -64,9 +64,11 @@ nothing — the reference's connect-exception path (Crawler.java:209-214).
 from __future__ import annotations
 
 import os
+import re
 import time
 import uuid
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -171,12 +173,16 @@ def normalize_url(link: Column | str, base: Column | None = None) -> Column:
         (F.length(frag) - F.length(F.replace(frag, F.lit(".."), F.lit("")))) / 2
     ).cast("int")
     rel = F.when(n_dots > 0, F.substring_index(frag, "..", -1)).otherwise(frag)
+    # popping past the base root is unresolvable — the reference throws
+    # out of its pop loop and the URL is skipped (Crawler.java:470-475)
+    slashes = F.length(bdir) - F.length(F.replace(bdir, F.lit("/"), F.lit("")))
     popped = F.when(n_dots == 0, bdir)
     for k in range(1, MAX_DOTDOT + 1):
         popped = popped.when(
-            n_dots == k, F.regexp_replace(bdir, r"(/[^/]*){%d}$" % k, "")
+            (n_dots == k) & (slashes >= k),
+            F.regexp_replace(bdir, r"(/[^/]*){%d}$" % k, ""),
         )
-    bdir = popped  # null when n_dots > MAX_DOTDOT
+    bdir = popped  # null when n_dots > MAX_DOTDOT or past the root
     relative = F.concat(
         borigin, bdir, F.when(rel.startswith("/"), F.lit("")).otherwise(F.lit("/")), rel
     )
@@ -187,6 +193,125 @@ def normalize_url(link: Column | str, base: Column | None = None) -> Column:
         out.when(frag.startswith("/"), domain_abs)
         .otherwise(relative)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hot-path normalization kernel. normalize_url above is the semantic spec
+# (and stays on small columns: seeds, tests, the HOF extract_links), but
+# its expression tree exceeds janino's 64 KB method limit, so Catalyst
+# falls back to interpreted evaluation — ~1k links/s/core, which dominates
+# a crawl round. The crawl loop therefore normalizes the exploded
+# (href, base) pairs through an Arrow-batched kernel with compiled
+# regexes (~100x the interpreted expression; the same split the
+# tokenizer makes). tests/test_crawler.py pins kernel ≡ Column on a
+# generated case battery so the two implementations cannot drift.
+# ---------------------------------------------------------------------------
+
+_SCHEME_P = re.compile(_SCHEME_RE)
+_ANY_PROTO_P = re.compile(_ANY_PROTO_RE)
+_HOST_P = re.compile(_HOST_RE)
+_PORT_P = re.compile(_PORT_RE)
+_PATH_P = re.compile(_PATH_RE)
+_EXT_P = re.compile(r"\.([^./]+)$")
+_SEG_P = re.compile(r"/([^/]*)$")
+
+
+def _filtered_path_py(path: str) -> bool:
+    m = _EXT_P.search(path)
+    if m and m.group(1).lower() in FILTERED_EXTENSIONS:
+        return True
+    return path.count("/") > MAX_PATH_SLASHES
+
+
+def normalize_url_py(link: str | None, base: str | None = None) -> str | None:
+    """Pure-Python twin of :func:`normalize_url` (same semantics, pinned
+    by a parity test); ``base`` must already be normalized."""
+    if link is None:
+        return None
+    frag = re.sub("#.*$", "", link)
+    if frag in ("", "/"):
+        return None
+    m = _SCHEME_P.match(frag)
+    if m:
+        scheme = m.group(1)
+        hm = _HOST_P.match(frag)
+        host = hm.group(1) if hm else ""
+        pm = _PORT_P.match(frag)
+        port = pm.group(1) if pm else ("443" if scheme == "https" else "80")
+        pathm = _PATH_P.match(frag)
+        path = pathm.group(1) if pathm else "/"
+        if _filtered_path_py(path):
+            return None
+        return f"{scheme}://{host}:{port}{path}"
+    if _ANY_PROTO_P.match(frag):
+        return None
+    if base is None:
+        return None
+    bm = _SCHEME_P.match(base)
+    bscheme = bm.group(1) if bm else ""
+    bhm = _HOST_P.match(base)
+    bhost = bhm.group(1) if bhm else ""
+    bpm = _PORT_P.match(base)
+    bport = bpm.group(1) if bpm else ("443" if bscheme == "https" else "80")
+    borigin = f"{bscheme}://{bhost}:{bport}"
+    if frag.startswith("/"):
+        if _filtered_path_py(frag):
+            return None
+        return borigin + frag
+    bpathm = _PATH_P.match(base)
+    bdir = (bpathm.group(1) if bpathm else "/").rstrip("/")
+    # NOTE: rstrip strips all trailing '/', the Column strips one; bases
+    # are normalized (never '//'-suffixed) so the two agree.
+    lm = _SEG_P.search(bdir)
+    if lm and "." in lm.group(1):
+        bdir = _SEG_P.sub("", bdir)
+    rel = frag
+    n_dots = frag.count("..")
+    if n_dots:
+        # past MAX_DOTDOT or past the base root: unresolvable (the
+        # reference throws out of its pop loop, Crawler.java:470-475)
+        if n_dots > MAX_DOTDOT or n_dots > bdir.count("/"):
+            return None
+        rel = frag.rsplit("..", 1)[-1]
+        for _ in range(n_dots):
+            bdir = _SEG_P.sub("", bdir)
+    rel_path = bdir + ("" if rel.startswith("/") else "/") + rel
+    if _filtered_path_py(rel_path):
+        return None
+    return borigin + rel_path
+
+
+def _normalize_udf():
+    """Arrow-batched (href, base) -> normalized-or-null kernel; built
+    lazily because executors re-import this module without a session."""
+    from pyspark.sql.functions import pandas_udf
+
+    def kernel(href: pd.Series, base: pd.Series) -> pd.Series:
+        return pd.Series(
+            [normalize_url_py(h, b) for h, b in zip(href, base)],
+            dtype=object,
+        )
+
+    return pandas_udf(kernel, "string")
+
+
+def extract_links_flat(
+    pages: DataFrame, url_col: str = "url", content_col: str = "content"
+) -> DataFrame:
+    """(page rows) -> DataFrame[src, dst]: hrefs exploded by the JVM-side
+    regex, then normalized against their page URL in the Arrow kernel —
+    the scale path the crawl loop and href PageRank use. Unlike the
+    array-valued :func:`extract_links` it does NOT dedup per page; callers
+    aggregate anyway."""
+    hrefs = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.col(content_col), F.lit(_HREF_RE), 1)
+        ).alias("_href"),
+    )
+    return hrefs.select(
+        "src", _normalize_udf()(F.col("_href"), F.col("src")).alias("dst")
+    ).filter(F.col("dst").isNotNull())
 
 
 def host_of(url: Column | str) -> Column:
@@ -287,8 +412,11 @@ def extract_links(url: Column, content: Column) -> Column:
 
 def _classify(fetched: DataFrame) -> DataFrame:
     """Adds the per-URL verdict columns to a frontier ⋈ web ⋈ robots
-    frame: ``_allowed``, ``_recorded``, ``_children`` (array of child
-    URLs). Precedence is the reference's (Crawler.java:112-206)."""
+    frame: ``_allowed``, ``_recorded``, ``_raw_children`` (UN-normalized
+    child candidates — raw hrefs for parsed pages, [Location] for
+    redirects; the crawl loop normalizes them through the Arrow kernel
+    after exploding). Precedence is the reference's
+    (Crawler.java:112-206)."""
     raw_path = F.regexp_extract(F.col("url"), _PATH_RE, 1)
     path = F.when(raw_path != "", raw_path).otherwise(F.lit("/"))
     allowed = allowed_col(path, F.col("rules"))
@@ -306,20 +434,21 @@ def _classify(fetched: DataFrame) -> DataFrame:
         & lang_hdr_ok
         & (is_redirect | (F.col("status") != 200) | ~is_html | page_en)
     )
-    redirect_child = F.filter(
-        F.array(normalize_url(F.coalesce(F.col("location"), F.lit("")), base=F.col("url"))),
-        lambda u: u.isNotNull(),
+    redirect_raw = F.filter(
+        F.array(F.col("location")), lambda u: u.isNotNull()
     )
-    html_children = extract_links(F.col("url"), F.coalesce(F.col("content"), F.lit("")))
-    children = (
+    html_raw = F.regexp_extract_all(
+        F.coalesce(F.col("content"), F.lit("")), F.lit(_HREF_RE), 1
+    )
+    children_raw = (
         F.when(~exists | ~allowed | ~lang_hdr_ok, F.expr("array()").cast("array<string>"))
-        .when(is_redirect, redirect_child)
-        .when((F.col("status") == 200) & is_html & page_en, html_children)
+        .when(is_redirect, redirect_raw)
+        .when((F.col("status") == 200) & is_html & page_en, html_raw)
         .otherwise(F.expr("array()").cast("array<string>"))
     )
     return fetched.withColumn("_allowed", allowed).withColumn(
         "_recorded", recorded
-    ).withColumn("_children", children)
+    ).withColumn("_raw_children", children_raw)
 
 
 def _atomic_mark(path: str) -> None:
@@ -385,7 +514,10 @@ def crawl(
             crawled = spark.read.parquet(os.path.join(base, "crawled"))
             start_round = last + 1
 
-    robots = parse_robots(web, user_agent=user_agent)
+    # robots is tiny (one row per host) and joins into every round's plan
+    # as a broadcast — materialize it once instead of re-deriving it from
+    # the web scan each round
+    robots = parse_robots(web, user_agent=user_agent).localCheckpoint(eager=True)
 
     for rnd in range(start_round, max_rounds):
         if not frontier.take(1):
@@ -438,7 +570,10 @@ def crawl(
                 "left",
             )
         )
-        verdicts = _classify(fetched)
+        # materialize the round's verdicts once: both consumers below
+        # (recorded rows and children) would otherwise re-run the fetch
+        # join — at real page sizes that doubles the round's cost
+        verdicts = _classify(fetched).localCheckpoint(eager=True)
 
         round_rows = verdicts.filter("_recorded").select(
             "url",
@@ -455,9 +590,15 @@ def crawl(
 
         children = (
             verdicts.select(
-                F.explode("_children").alias("url"),
+                F.col("url").alias("_base"),
                 (F.col("depth") + 1).alias("depth"),
+                F.explode("_raw_children").alias("_href"),
             )
+            .select(
+                _normalize_udf()(F.col("_href"), F.col("_base")).alias("url"),
+                "depth",
+            )
+            .filter(F.col("url").isNotNull())
             .groupBy("url")
             .agg(F.min("depth").alias("depth"))
             .join(visited, "url", "left_anti")

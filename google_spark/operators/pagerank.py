@@ -366,18 +366,16 @@ def extract_href_edges(
     self-links and duplicates dropped, and targets restricted to pages
     that were actually crawled (``getRow != null`` at PageRank.java:153
     ≡ left-semi join). Returns DataFrame[src, dst]. Same scale shape as
-    :func:`extract_import_edges`: scan -> regexp -> explode -> semi join,
-    with ``page`` pruned out of every post-extract exchange."""
-    from google_spark.operators.crawler import extract_links
+    :func:`extract_import_edges` — scan -> JVM regexp -> explode -> Arrow
+    normalize kernel -> semi join, with ``page`` pruned out of every
+    post-extract exchange."""
+    from google_spark.operators.crawler import extract_links_flat
 
+    pages = crawled.filter(F.col(page_col).isNotNull())
+    if url_col != "url":
+        pages = pages.withColumnRenamed(url_col, "url")
     edges = (
-        crawled.filter(F.col(page_col).isNotNull())
-        .select(
-            F.col(url_col).alias("src"),
-            F.explode(
-                extract_links(F.col(url_col), F.col(page_col))
-            ).alias("dst"),
-        )
+        extract_links_flat(pages, url_col="url", content_col=page_col)
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )

@@ -332,3 +332,39 @@ def test_crawl_feeds_pagerank(spark, web):
     ranks = pagerank(extract_href_edges(crawled), exact_iters=3)
     got = {r.node: r.rank for r in ranks.collect()}
     assert len(got) > 0 and all(v > 0 for v in got.values())
+
+
+def test_normalize_kernel_matches_column_spec(spark):
+    """normalize_url (Column spec) and normalize_url_py (Arrow-kernel
+    twin used on the hot path) must agree everywhere; generated battery
+    over the link grammar x base shapes."""
+    from google_spark.operators.crawler import normalize_url_py
+
+    links = [
+        "", "/", "#only-frag", "x", "/x", "x/y", "/x/y#f",
+        "http://h.com/x", "https://h.com/x", "http://h.com:91/x",
+        "http://h.com", "HTTP://h.com/x", "ftp://h.com/x", "mailto:a@b",
+        "weird+proto://x", "../x", "../../x", "../../../x",
+        "../../../../../x", "a/../b", "img.png", "/img.png", "/doc.TXT",
+        "http://h.com/a.jpeg", "/a/b/c/d/e", "/a/b/c/d/e/f",
+        "x#f", "..", "/x/", "x/", "a.b/c", "./x",
+    ]
+    bases = [
+        "http://base.com:80/dir/page.html",
+        "http://base.com:80/dir/sub",
+        "https://base.com:443/",
+        "http://base.com:8080/a/b/",
+    ]
+    rows = [(l, b) for l in links for b in bases]
+    df = spark.createDataFrame(rows, "link string, base string")
+    got_col = [
+        r[0] for r in df.select(normalize_url("link", F.col("base"))).collect()
+    ]
+    got_py = [normalize_url_py(l, b) for l, b in rows]
+    for (l, b), c, p in zip(rows, got_col, got_py):
+        assert c == p, (l, b, c, p)
+    # and without a base
+    got_col0 = [r[0] for r in df.select(normalize_url("link")).collect()]
+    got_py0 = [normalize_url_py(l) for l, _ in rows]
+    for (l, _), c, p in zip(rows, got_col0, got_py0):
+        assert c == p, (l, c, p)

@@ -620,26 +620,38 @@ def main() -> None:
             "left",
         )
     )
+    from google_spark.operators.crawler import _normalize_udf
+
     round_children = (
         _classify(fetched)
-        .select(F.explode("_children").alias("url"), (F.col("depth") + 1).alias("depth"))
+        .select(
+            F.col("url").alias("_base"),
+            (F.col("depth") + 1).alias("depth"),
+            F.explode("_raw_children").alias("_href"),
+        )
+        .select(
+            _normalize_udf()(F.col("_href"), F.col("_base")).alias("url"),
+            "depth",
+        )
+        .filter(F.col("url").isNotNull())
         .groupBy("url")
         .agg(F.min("depth").alias("depth"))
         .join(frontier.select("url"), "url", "left_anti")
     )
     sections.append(
         (
-            "Crawler round (fetch join -> classify -> next frontier)",
+            "Crawler round (fetch join -> classify -> kernel -> next frontier)",
             "One BFS round of crawler.crawl: the 'fetch' is a key join of "
             "the frontier against the web snapshot, robots rules arrive "
-            "via an explicit broadcast, and the next frontier is one hash "
-            "aggregate (min depth per child) plus an anti-join against the "
-            "visited set — two key exchanges per round total, independent "
-            "of corpus size. The link-normalization expression tree is "
-            "large enough that janino may fall back to interpreted "
-            "evaluation for that one projection (a logged warning); the "
-            "regex work dominates either way and the fallback is local to "
-            "the expression, not the stage.",
+            "via an explicit broadcast (materialized once per crawl), raw "
+            "hrefs explode JVM-side and are normalized in the Arrow "
+            "kernel (ArrowEvalPython below — the declarative "
+            "normalize_url expression exceeds janino's 64 KB method "
+            "limit and would run interpreted, ~100x slower; the kernel "
+            "is the same split the tokenizer makes), and the next "
+            "frontier is one hash aggregate (min depth per child) plus "
+            "an anti-join against the visited set — two key exchanges "
+            "per round total, independent of corpus size.",
             fmt(round_children),
         )
     )
