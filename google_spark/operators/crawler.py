@@ -451,6 +451,12 @@ def _classify(fetched: DataFrame) -> DataFrame:
     ).withColumn("_raw_children", children_raw)
 
 
+_METRICS_SCHEMA = (
+    "round int, n_fetched bigint, n_recorded bigint, n_blocked bigint, "
+    "n_deferred bigint, n_discovered bigint"
+)
+
+
 def _atomic_mark(path: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -468,6 +474,7 @@ def crawl(
     state_dir: str | None = None,
     resume: bool = False,
     checkpoint_interval: int = 2,
+    with_metrics: bool = False,
 ) -> DataFrame:
     """Frontier BFS over the web snapshot; returns the crawl table
     DataFrame[url, depth, response_code, content_type, page] — one row
@@ -481,7 +488,15 @@ def crawl(
     shorter path's page was deferred — the trade a batch crawler makes
     for not hammering a host. ``state_dir`` + ``resume=True`` continue a
     killed crawl from its last committed round (the reference's
-    persistent urlFrontier, Crawler.java:72-87)."""
+    persistent urlFrontier, Crawler.java:72-87).
+
+    ``with_metrics=True`` returns ``(crawled, metrics)`` where metrics is
+    one row per round — (round, n_fetched, n_recorded, n_blocked,
+    n_deferred, n_discovered) — the reference's crawlLog analog
+    (Crawler.java:359-383); with ``state_dir`` the metrics also persist
+    as ``round=N/metrics.parquet``. The counts read the round's
+    already-materialized verdicts, so the overhead is one cheap
+    aggregate per round."""
     norm_seeds = [
         u
         for (u,) in spark.createDataFrame(
@@ -497,6 +512,7 @@ def crawl(
         "url string, depth bigint, response_code int, content_type string, page string"
     )
     crawled = spark.createDataFrame([], crawled_schema)
+    rounds_meta: list[tuple] = []
     start_round = 0
 
     if state_dir and resume:
@@ -513,6 +529,12 @@ def crawl(
             visited = spark.read.parquet(os.path.join(base, "visited"))
             crawled = spark.read.parquet(os.path.join(base, "crawled"))
             start_round = last + 1
+            for r in done:  # carry completed rounds' metrics forward
+                mp = os.path.join(state_dir, f"round={r}", "metrics")
+                if os.path.isdir(mp):
+                    rounds_meta.extend(
+                        tuple(row) for row in spark.read.parquet(mp).collect()
+                    )
 
     # robots is tiny (one row per host) and joins into every round's plan
     # as a broadcast — materialize it once instead of re-deriving it from
@@ -614,15 +636,41 @@ def crawl(
             visited = visited.localCheckpoint(eager=True)
             crawled = crawled.localCheckpoint(eager=True)
 
+        if with_metrics or state_dir:
+            agg = verdicts.agg(
+                F.count(F.lit(1)).alias("n_fetched"),
+                F.coalesce(
+                    F.sum(F.col("_recorded").cast("int")), F.lit(0)
+                ).alias("n_recorded"),
+                F.coalesce(
+                    F.sum((~F.col("_allowed")).cast("int")), F.lit(0)
+                ).alias("n_blocked"),
+            ).first()
+            rounds_meta.append(
+                (
+                    rnd,
+                    agg["n_fetched"],
+                    int(agg["n_recorded"]),
+                    int(agg["n_blocked"]),
+                    deferred.count() if deferred is not None else 0,
+                    frontier.count(),
+                )
+            )
+
         if state_dir:
             base = os.path.join(state_dir, f"round={rnd}")
             frontier.write.mode("overwrite").parquet(os.path.join(base, "frontier"))
             visited.write.mode("overwrite").parquet(os.path.join(base, "visited"))
             crawled.write.mode("overwrite").parquet(os.path.join(base, "crawled"))
+            spark.createDataFrame(
+                rounds_meta[-1:], _METRICS_SCHEMA
+            ).write.mode("overwrite").parquet(os.path.join(base, "metrics"))
             _atomic_mark(os.path.join(base, "_COMMIT"))
             # re-read so later rounds build on durable state, not lineage
             frontier = spark.read.parquet(os.path.join(base, "frontier"))
             visited = spark.read.parquet(os.path.join(base, "visited"))
             crawled = spark.read.parquet(os.path.join(base, "crawled"))
 
+    if with_metrics:
+        return crawled, spark.createDataFrame(rounds_meta, _METRICS_SCHEMA)
     return crawled

@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--per-host-cap", type=int, default=None)
     ap.add_argument("--state-dir", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--metrics-out", default=None, help="parquet for per-round metrics")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -44,7 +45,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     web = spark.read.parquet(args.web)
-    crawled = crawl(
+    out_df = crawl(
         spark,
         web,
         args.seeds,
@@ -53,7 +54,13 @@ def main() -> None:
         per_host_cap=args.per_host_cap,
         state_dir=args.state_dir,
         resume=args.resume,
+        with_metrics=args.metrics_out is not None,
     )
+    if args.metrics_out is not None:
+        crawled, metrics = out_df
+        metrics.write.mode("overwrite").parquet(args.metrics_out)
+    else:
+        crawled = out_df
     crawled.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
     print(

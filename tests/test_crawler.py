@@ -368,3 +368,30 @@ def test_normalize_kernel_matches_column_spec(spark):
     got_py0 = [normalize_url_py(l) for l, _ in rows]
     for (l, _), c, p in zip(rows, got_col0, got_py0):
         assert c == p, (l, c, p)
+
+
+def test_crawl_metrics_rounds(spark, web, tmp_path):
+    crawled, metrics = crawl(
+        spark, web, ["http://a.com/p1"], max_rounds=8, with_metrics=True
+    )
+    rows = sorted(metrics.collect(), key=lambda r: r.round)
+    # totals agree with the output table
+    assert sum(r.n_recorded for r in rows) == crawled.count()
+    # round 0 fetched exactly the seed
+    assert rows[0].round == 0 and rows[0].n_fetched == 1
+    # the robots-blocked /secret/s1 fetch shows up as blocked
+    assert sum(r.n_blocked for r in rows) == 1
+    assert all(r.n_deferred == 0 for r in rows)
+    # metrics survive checkpoint/resume
+    state = str(tmp_path / "st")
+    crawl(
+        spark, web, ["http://a.com/p1"], max_rounds=2,
+        state_dir=state, with_metrics=True,
+    )
+    resumed, m2 = crawl(
+        spark, web, ["http://a.com/p1"], max_rounds=8,
+        state_dir=state, resume=True, with_metrics=True,
+    )
+    r2 = sorted(m2.collect(), key=lambda r: r.round)
+    assert [tuple(r) for r in r2] == [tuple(r) for r in rows]
+    assert _rows(resumed) == EXPECTED

@@ -220,3 +220,62 @@ def test_trigram_job_lifecycle(spark, corpus_parquet, tmp_path):
         timeout=420,
     )
     assert comp["n_docs"] == 600  # base 300 + appended 300 (plumbing test)
+
+
+def test_crawl_job_lifecycle(spark, tmp_path):
+    """jobs/crawl_job.py as a subprocess: crawl a small parquet web
+    snapshot, write the crawl table + per-round metrics, then resume from
+    the state dir without re-fetching (the reference's persistent
+    urlFrontier, Crawler.java:72-87)."""
+    web_rows = [
+        (
+            "http://a.com:80/robots.txt", 200, None, "text/plain", None,
+            "User-agent: *\nDisallow: /secret",
+        ),
+    ] + [
+        (
+            f"http://a.com:80/p{i}", 200, None, "text/html", None,
+            f'<html lang="en"><body>w{i} '
+            f'<a href="/p{(i + 1) % 12}">x</a>'
+            f'<a href="/p{(2 * i + 3) % 12}">y</a></body></html>',
+        )
+        for i in range(12)
+    ]
+    web_path = tmp_path / "web.parquet"
+    spark.createDataFrame(
+        web_rows,
+        "url string, status int, location string, content_type string, "
+        "content_language string, content string",
+    ).write.mode("overwrite").parquet(str(web_path))
+
+    out = tmp_path / "crawl_out"
+    metrics = tmp_path / "crawl_metrics"
+    state = tmp_path / "crawl_state"
+    res = _run(
+        [
+            sys.executable, "jobs/crawl_job.py",
+            "--web", str(web_path), "--out", str(out),
+            "--seed", "http://a.com/p0",
+            "--max-rounds", "8",
+            "--state-dir", str(state),
+            "--metrics-out", str(metrics),
+        ]
+    )
+    assert res["job"] == "crawl" and res["n_crawled"] > 1
+    got = spark.read.parquet(str(out))
+    assert got.count() == res["n_crawled"]
+    m = spark.read.parquet(str(metrics))
+    assert m.agg({"n_recorded": "sum"}).collect()[0][0] == res["n_crawled"]
+    # resume with more rounds continues from committed state (same set
+    # here since the crawl already drained its frontier)
+    res2 = _run(
+        [
+            sys.executable, "jobs/crawl_job.py",
+            "--web", str(web_path), "--out", str(tmp_path / "crawl_out2"),
+            "--seed", "http://a.com/p0",
+            "--max-rounds", "10",
+            "--state-dir", str(state), "--resume",
+            "--metrics-out", str(tmp_path / "crawl_metrics2"),
+        ]
+    )
+    assert res2["n_crawled"] == res["n_crawled"]
