@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import time
 import uuid
 
@@ -124,7 +125,13 @@ def normalize_url(link: Column | str, base: Column | None = None) -> Column:
     last segment is dropped when it looks like a file, and each leading
     '..' pops one directory, up to MAX_DOTDOT). Returns NULL for links
     that normalize away. ``base`` must already be normalized
-    (scheme://host:port/path)."""
+    (scheme://host:port/path).
+
+    Reference-faithful quirk: '://'-less schemes (mailto:, javascript:,
+    tel:) resolve as RELATIVE paths — the reference's URLParser keys on
+    '//' (URLParser.java:10-11), so 'mailto:a@b' becomes a phantom page
+    path there too; such links surface as dead frontier entries, never
+    crawl rows."""
     link = F.col(link) if isinstance(link, str) else link
     frag = F.regexp_replace(link, "#.*$", "")
     scheme, host, port, path = _parts(frag)
@@ -332,19 +339,39 @@ def parse_robots(
     or colon-less line; Allow/Disallow become ordered prefix rules and
     Crawl-delay is captured (default 1.0). Hosts without a robots row
     simply don't appear (callers treat absence as allow-all)."""
-    robots = web.filter(F.col("url").rlike(r"^https?://[^/]+:\d+/robots\.txt$"))
+    robots = web.filter(
+        F.col("url").rlike(r"^https?://[^/]+:\d+/robots\.txt$")
+    ).withColumn(
+        # HTTP-fetched robots bodies are routinely CRLF; the reference's
+        # String.lines() strips \r terminators, Spark's split("\n") does
+        # not — normalize once so rule prefixes never carry a stray \r
+        "content",
+        F.regexp_replace(F.col("content"), "\r", ""),
+    )
     own = f"User-agent: {user_agent}"
     star = "User-agent: *"
+    # NOTE: substring match, like the reference's indexOf — a LONGER
+    # agent name sharing this prefix ("gs-crawler-images") would also
+    # match, exactly as Crawler.java:287-291 behaves.
     marker = F.when(F.col("content").contains(own), F.lit(own)).otherwise(F.lit(star))
     has_section = F.col("content").contains(F.col("marker"))
     sec = F.expr("substring(content, instr(content, marker) + length(marker))")
     lines = F.slice(F.split(sec, "\n"), 2, 100000)  # drop the UA-line remnant
-    # stop at the first blank or colon-less line (Crawler.java:299-309);
-    # the binary transform lambda receives (element, 0-based index)
+    # stop at the first blank, colon-less, or empty-valued line — the
+    # reference's split(":")-based break (Crawler.java:299-309; Java
+    # split drops trailing empties, so bare 'Disallow:' — the RFC 9309
+    # allow-all idiom — ends the section instead of becoming a
+    # block-everything '' prefix). The binary transform lambda receives
+    # (element, 0-based index).
     stop = F.array_min(
         F.transform(
             lines,
-            lambda l, i: F.when((F.trim(l) == "") | ~l.contains(":"), i + 1),
+            lambda l, i: F.when(
+                (F.trim(l) == "")
+                | ~l.contains(":")
+                | (F.trim(F.substring_index(l, ":", -1)) == ""),
+                i + 1,
+            ),
         )
     )
     valid = F.when(stop.isNotNull(), F.slice(lines, 1, stop - 1)).otherwise(lines)
@@ -359,7 +386,7 @@ def parse_robots(
                 F.trim(F.substring_index(l, ":", -1)).alias("prefix"),
             ),
         ),
-        lambda r: r["allow"].isNotNull(),
+        lambda r: r["allow"].isNotNull() & (r["prefix"] != ""),
     )
     delay_line = F.get(
         F.filter(valid, lambda l: l.startswith("Crawl-delay:")), 0
@@ -515,6 +542,14 @@ def crawl(
     rounds_meta: list[tuple] = []
     start_round = 0
 
+    if state_dir and not resume and os.path.isdir(state_dir):
+        # a fresh crawl must not leave a previous run's higher-numbered
+        # committed rounds behind — a later resume would silently pick up
+        # the OLD crawl's round=N state
+        for d in os.listdir(state_dir):
+            if d.startswith("round="):
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
     if state_dir and resume:
         done = sorted(
             int(d.split("=")[1])
@@ -570,9 +605,12 @@ def crawl(
                     ),
                 )
                 .withColumn(
+                    # oldest discoveries first (depth, then url) so a
+                    # deferred URL cannot be starved forever by newly
+                    # discovered lexicographically-smaller siblings
                     "_rn",
                     F.row_number().over(
-                        Window.partitionBy("_host").orderBy("url")
+                        Window.partitionBy("_host").orderBy("depth", "url")
                     ),
                 )
             )
@@ -630,11 +668,23 @@ def crawl(
             frontier = frontier.unionByName(deferred)
             # a deferred URL may also be someone's child; keep min depth
             frontier = frontier.groupBy("url").agg(F.min("depth").alias("depth"))
-        frontier = frontier.localCheckpoint(eager=True)
         visited = visited.unionByName(frontier.select("url")).distinct()
-        if (rnd + 1) % checkpoint_interval == 0:
-            visited = visited.localCheckpoint(eager=True)
-            crawled = crawled.localCheckpoint(eager=True)
+        if state_dir:
+            # the parquet round commit below already materializes and
+            # re-reads frontier/visited/crawled, so the localCheckpoints
+            # would be a redundant second materialization of each
+            base = os.path.join(state_dir, f"round={rnd}")
+            frontier.write.mode("overwrite").parquet(os.path.join(base, "frontier"))
+            visited.write.mode("overwrite").parquet(os.path.join(base, "visited"))
+            crawled.write.mode("overwrite").parquet(os.path.join(base, "crawled"))
+            frontier = spark.read.parquet(os.path.join(base, "frontier"))
+            visited = spark.read.parquet(os.path.join(base, "visited"))
+            crawled = spark.read.parquet(os.path.join(base, "crawled"))
+        else:
+            frontier = frontier.localCheckpoint(eager=True)
+            if (rnd + 1) % checkpoint_interval == 0:
+                visited = visited.localCheckpoint(eager=True)
+                crawled = crawled.localCheckpoint(eager=True)
 
         if with_metrics or state_dir:
             agg = verdicts.agg(
@@ -658,18 +708,12 @@ def crawl(
             )
 
         if state_dir:
-            base = os.path.join(state_dir, f"round={rnd}")
-            frontier.write.mode("overwrite").parquet(os.path.join(base, "frontier"))
-            visited.write.mode("overwrite").parquet(os.path.join(base, "visited"))
-            crawled.write.mode("overwrite").parquet(os.path.join(base, "crawled"))
             spark.createDataFrame(
                 rounds_meta[-1:], _METRICS_SCHEMA
             ).write.mode("overwrite").parquet(os.path.join(base, "metrics"))
+            # marked last: a kill anywhere above leaves the round
+            # uncommitted and resume redoes it from the previous commit
             _atomic_mark(os.path.join(base, "_COMMIT"))
-            # re-read so later rounds build on durable state, not lineage
-            frontier = spark.read.parquet(os.path.join(base, "frontier"))
-            visited = spark.read.parquet(os.path.join(base, "visited"))
-            crawled = spark.read.parquet(os.path.join(base, "crawled"))
 
     if with_metrics:
         return crawled, spark.createDataFrame(rounds_meta, _METRICS_SCHEMA)

@@ -395,3 +395,72 @@ def test_crawl_metrics_rounds(spark, web, tmp_path):
     r2 = sorted(m2.collect(), key=lambda r: r.round)
     assert [tuple(r) for r in r2] == [tuple(r) for r in rows]
     assert _rows(resumed) == EXPECTED
+
+
+def test_parse_robots_allow_all_and_crlf(spark):
+    """Review fixes: bare 'Disallow:' (RFC 9309 allow-all) must not
+    become a block-everything '' prefix, and CRLF bodies must not leave
+    \\r on rule prefixes."""
+    web = spark.createDataFrame(
+        [
+            (
+                "http://h0.example:80/robots.txt", 200, None, "text/plain",
+                None, "User-agent: *\nDisallow:",
+            ),
+            (
+                "http://h1.example:80/robots.txt", 200, None, "text/plain",
+                None, "User-agent: *\r\nDisallow: /private\r\nAllow: /\r\n",
+            ),
+        ],
+        WEB_SCHEMA,
+    )
+    got = {r.host: r for r in parse_robots(web).collect()}
+    assert got["http://h0.example:80"].rules == []
+    assert [(x.allow, x.prefix) for x in got["http://h1.example:80"].rules] == [
+        (False, "/private"),
+        (True, "/"),
+    ]
+
+
+def test_crawl_fresh_run_clears_stale_state(spark, web, tmp_path):
+    state = str(tmp_path / "st2")
+    crawl(spark, web, ["http://a.com/p1"], max_rounds=8, state_dir=state)
+    n_rounds_full = len(
+        [d for d in os.listdir(state) if d.startswith("round=")]
+    )
+    # a fresh (non-resume) shorter crawl over the same dir must remove the
+    # longer run's higher-numbered committed rounds
+    crawl(spark, web, ["http://a.com/p1"], max_rounds=2, state_dir=state)
+    left = sorted(d for d in os.listdir(state) if d.startswith("round="))
+    assert left == ["round=0", "round=1"] and n_rounds_full > 2
+    resumed = crawl(
+        spark, web, ["http://a.com/p1"], max_rounds=8,
+        state_dir=state, resume=True,
+    )
+    assert _rows(resumed) == EXPECTED
+
+
+def test_politeness_prefers_oldest_discoveries(spark):
+    """With cap 1/host/round, a URL deferred from round 0 must be fetched
+    before later-discovered siblings that sort before it."""
+    pages = [
+        _page("http://a.com:80/zzz", links=[]),
+        _page("http://a.com:80/mid", links=["/aaa"]),
+        _page("http://a.com:80/aaa", links=[]),
+    ]
+    web = spark.createDataFrame(pages, WEB_SCHEMA)
+    out = crawl(
+        spark,
+        web,
+        ["http://a.com/zzz", "http://a.com/mid"],
+        max_rounds=3,
+        per_host_cap=1,
+    )
+    rows = {r.url: r.depth for r in out.collect()}
+    # rounds: 0 -> mid (depth0 tie broken by url), 1 -> zzz (depth 0
+    # beats the newly discovered depth-1 /aaa), 2 -> aaa
+    assert rows == {
+        "http://a.com:80/mid": 0,
+        "http://a.com:80/zzz": 0,
+        "http://a.com:80/aaa": 1,
+    }
