@@ -25,10 +25,11 @@ rows, text_bpe_count, join_asof, join_range, op_cube, op_pivot,
 op_semi_join, op_anti_join, op_unpivot) PLUS the eleven NEW round-5 rows
 (wildcard_search_topk, near_search_topk, explain_topk, regexp_term_topk,
 pagerank_personalized3, sample_mix_temperature, dedup_spans,
-dedup_spans_clean, anchor_texts, symbol_defs, symbol_search_topk) —
-keeping 6 flagships and demoting 44 rows that are green in
-CORRECTNESS_r04.json (most also in r03). Union driver coverage
-r03 ∪ r04 ∪ r05 = all 117 contract rows.
+dedup_spans_clean, anchor_texts, symbol_defs, symbol_search_topk) and
+the two crawler rows added late in round 5 (crawl_frontier,
+crawl_index_topk) — keeping 4 flagships and demoting 46 rows that are
+green in CORRECTNESS_r04.json (most also in r03). Union driver coverage
+r03 ∪ r04 ∪ r05 = all 119 contract rows.
 """
 
 from __future__ import annotations
@@ -1350,12 +1351,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROUND-5 ROTATION (see module docstring): 6 retained flagships +
+    # ROUND-5 ROTATION (see module docstring): 4 retained flagships +
     # the 33 rows that were local-gate-only in round 4 (the whole round-4
-    # operator wave) + the 11 NEW round-5 rows. Exactly 50 rows — the
-    # driver's budget. Union driver coverage r03 ∪ r04 ∪ r05 = all 117
-    # contract rows (the 11 demoted flagships are all driver-green in
-    # CORRECTNESS_r04, most also in CORRECTNESS_r03).
+    # operator wave) + the 11 NEW round-5 rows + the 2 crawler rows.
+    # Exactly 50 rows — the driver's budget. Union driver coverage
+    # r03 ∪ r04 ∪ r05 = all 119 contract rows (the 13 demoted flagships
+    # are all driver-green in CORRECTNESS_r04, most also in r03).
     return {
         # -- retained flagships (driver-green in CORRECTNESS_r03 + r04) ----
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
@@ -2266,9 +2267,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merges them) with the same oracles. ROUND-5 ROTATION: every demoted row
     here is driver-green in CORRECTNESS_r03.json and/or CORRECTNESS_r04.json
     — demoted this round so the 33 rows that only had local coverage in
-    round 4 AND the 11 new round-5 rows earn driver rows (see the module
-    docstring); union driver coverage r03 ∪ r04 ∪ r05 = all 117 contract
-    rows."""
+    round 4, the 11 new round-5 rows, and the 2 crawler rows earn driver
+    rows (see the module docstring); union driver coverage
+    r03 ∪ r04 ∪ r05 = all 119 contract rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
         "bm25_topk_code": q_bm25_topk_code,
