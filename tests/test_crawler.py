@@ -464,3 +464,24 @@ def test_politeness_prefers_oldest_discoveries(spark):
         "http://a.com:80/zzz": 0,
         "http://a.com:80/aaa": 1,
     }
+
+
+def test_politeness_with_resume_and_metrics(spark, web, tmp_path):
+    """Capped crawl killed mid-way resumes with its deferred queue and
+    per-round metrics intact and still reaches the full BFS set."""
+    state = str(tmp_path / "st3")
+    crawl(
+        spark, web, ["http://a.com/p1"], max_rounds=2,
+        per_host_cap=1, state_dir=state, with_metrics=True,
+    )
+    resumed, metrics = crawl(
+        spark, web, ["http://a.com/p1"], max_rounds=12,
+        per_host_cap=1, state_dir=state, resume=True, with_metrics=True,
+    )
+    assert _rows(resumed) == EXPECTED
+    rows = sorted(metrics.collect(), key=lambda r: r.round)
+    # rounds are contiguous from 0 (pre-kill rounds carried forward)
+    assert [r.round for r in rows] == list(range(len(rows)))
+    assert sum(r.n_recorded for r in rows) == len(EXPECTED)
+    # the cap genuinely deferred work at some point
+    assert any(r.n_deferred > 0 for r in rows)
