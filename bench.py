@@ -202,7 +202,8 @@ def main() -> None:
         ).alias("content"),
     )
     seeds = [
-        f"http://h{k % 3}.example/p{k}" for k in range(0, n_web, n_web // 2000)
+        f"http://h{k % 3}.example/p{k}"
+        for k in range(0, n_web, max(1, n_web // 2000))
     ]
     t0 = time.perf_counter()
     n_crawled = crawl(spark, web, seeds, max_rounds=4).count()
