@@ -1801,6 +1801,39 @@ def q_sample_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lang")
 
 
+def q_sample_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mix WITH upsampling by repetition (the Pile/Llama
+    per-source-epochs recipe): weights {de: 4, others 1} over lang,
+    n_total=1200, max_epochs=3 — exercising downsampling (en), whole
+    epochs (zh), a partial remainder epoch (es), and the max_epochs cap
+    (de: quota 600 capped to 3x70). The oracle recomputes quotas and the
+    identical epoch expansion in SQL."""
+    from google_spark.operators.sampling import mix_with_epochs
+
+    df = mix_with_epochs(
+        _docs(spark, sf_dir),
+        "lang",
+        n_total=1200,
+        weights={"de": 4.0},
+        max_epochs=3,
+    )
+    return df.select("doc_id", "lang", "epoch")
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, table A1):
+    per-doc signals (word counts, mean word length, symbol/bullet/
+    ellipsis ratios, alpha-word fraction, required-stopword hits) plus
+    the composite keep verdict, all scan-side JVM expressions.
+    min_stop_hits is relaxed to 1 for this row (the synthetic corpus
+    rarely carries two of Gopher's eight required words — the canonical
+    >=2 default would make keep constant-false and the row vacuous);
+    keep splits 251/500 at sf0.01."""
+    from google_spark.operators.text_analysis import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), min_stop_hits=1)
+
+
 def q_pagerank_personalized3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-sensitive PageRank (Haveliwala 2002), 3 exact iterations:
     teleport mass lands on the seed set (doc_id % 10 == 0, weight 1),
@@ -2345,6 +2378,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
+        # NEW in round 5 (post-rotation; local-gate coverage this round) ----
+        "sample_mix_epochs": q_sample_mix_epochs,
+        "text_gopher_rules": q_text_gopher_rules,
     }
 
 
@@ -4640,4 +4676,88 @@ SELECT p.i AS doc_id,
        || 'x x x x x x x' AS text
 FROM html_en p JOIN reached r ON r.url = p.url)""",
         ),
+        # Pile/Llama-style weighted mix with repetition: quotas
+        # floor(1200 * w / Σw + 1e-9) capped at 3x the group population,
+        # md5-ordered rows cycle with a 0-based epoch index
+        "sample_mix_epochs": """
+WITH pop AS (SELECT lang AS g, count(*) AS p FROM documents GROUP BY lang),
+w AS (SELECT g, p, CASE WHEN g = 'de' THEN 4.0 ELSE 1.0 END AS w FROM pop),
+sw AS (SELECT sum(w) AS s FROM w),
+quota AS (
+  SELECT g, p,
+         least(CAST(floor(1200 * w.w / sw.s + 1e-9) AS BIGINT),
+               p * 3) AS q
+  FROM w CROSS JOIN sw
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS rn
+  FROM documents
+),
+rep AS (
+  SELECT r.doc_id, r.lang,
+         (q.q // q.p) + CASE WHEN r.rn < q.q % q.p THEN 1 ELSE 0 END AS n_rep
+  FROM ranked r JOIN quota q ON r.lang = q.g
+)
+SELECT doc_id, lang, CAST(e AS INT) AS epoch
+FROM (
+  SELECT doc_id, lang, unnest(generate_series(0, n_rep - 1)) AS e
+  FROM rep WHERE n_rep > 0
+)
+""",
+        # Gopher rule set (Rae et al. 2021, table A1): words = non-empty
+        # whitespace runs, lines = non-empty trimmed lines; '...' counted
+        # via non-overlapping replace on both engines; the composite keep
+        # compares the UNROUNDED doubles (identical IEEE arithmetic)
+        "text_gopher_rules": f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), sig AS (
+  SELECT doc_id, t,
+    list_filter(regexp_split_to_array(t, '\\s+'), x -> len(x) > 0) AS words,
+    list_filter(list_transform(regexp_split_to_array(t, '\\n'), x -> trim(x)),
+                x -> len(x) > 0) AS lines,
+    list_filter(regexp_extract_all(lower(t), '[a-z0-9]+'),
+                x -> len(x) BETWEEN 2 AND 40) AS toks
+  FROM base
+), m AS (
+  SELECT doc_id,
+    len(words) AS nw,
+    CASE WHEN len(words) > 0 THEN
+      list_aggregate(list_transform(words, x -> len(x)), 'sum') * 1.0
+        / len(words) ELSE 0.0 END AS mwl,
+    CASE WHEN len(words) > 0 THEN
+      ((len(t) - len(replace(t, '#', '')))
+       + (len(t) - len(replace(t, '...', ''))) / 3) * 1.0
+        / len(words) ELSE 0.0 END AS sym,
+    CASE WHEN len(lines) > 0 THEN
+      len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) * 1.0
+        / len(lines) ELSE 0.0 END AS bf,
+    CASE WHEN len(lines) > 0 THEN
+      len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) * 1.0
+        / len(lines) ELSE 0.0 END AS ef,
+    CASE WHEN len(words) > 0 THEN
+      len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        / len(words) ELSE 0.0 END AS af,
+    len(list_intersect(toks,
+        ['the','be','to','of','and','that','have','with'])) AS sh
+  FROM sig
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       round(mwl, 4) AS mean_word_len,
+       round(sym, 4) AS symbol_ratio,
+       round(bf, 4) AS bullet_frac,
+       round(ef, 4) AS ellipsis_frac,
+       round(af, 4) AS alpha_word_frac,
+       CAST(sh AS INT) AS n_stop_hits,
+       (nw >= 50 AND nw <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0
+        AND sym < 0.1 AND bf < 0.9 AND ef < 0.3
+        AND af > 0.8 AND sh >= 1) AS keep
+FROM m
+""",
     }

@@ -111,6 +111,92 @@ def mix_by_temperature(
     return sample_stratified(df, group_col, quotas, id_col=id_col)
 
 
+def mix_with_epochs(
+    df: DataFrame,
+    group_col: str,
+    n_total: int,
+    weights: dict[str, float] | None = None,
+    default_weight: float = 1.0,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Source-weighted corpus mix WITH upsampling by repetition — the
+    half :func:`mix_by_temperature` deliberately leaves to the writer
+    (its docstring: "upsampling by repetition is a writer concern").
+    This is the Pile/Llama-style recipe (Gao et al. 2020 §2.1 publishes
+    per-source "epochs"; Touvron et al. 2023 table 1 the same): group
+    ``g`` present in the data gets quota
+    ``floor(n_total * w_g / Σ_present w)`` rows, and when the quota
+    exceeds the group's population its rows REPEAT — row ``i`` of the
+    group's deterministic md5 order carries ``epoch`` = 0, 1, ... for
+    each repetition, capped at ``max_epochs`` passes over the group (the
+    degradation guard every published mix applies to small sources).
+    Weights cover present groups only (an absent group never dilutes the
+    denominator); groups missing from ``weights`` get ``default_weight``.
+
+    Output columns = input columns + ``epoch_col`` (int, 0-based pass
+    index); a row selected r times appears as r rows with epochs 0..r-1,
+    so downstream writers can shard-shuffle repetitions apart.
+
+    Scale shape: fully distributed — ONE exchange on the group key
+    serves both the per-group ``row_number`` and the per-group
+    population ``count(*)`` (same window partitioning), quotas fold into
+    a scan-side CASE, and repetition is a per-row
+    ``explode(sequence(...))`` whose length is quota/population — never
+    a driver loop, never a collect. A hot group ships its rows once;
+    the epochs multiply rows only AFTER the exchange."""
+    if n_total < 0:
+        raise ValueError("n_total must be >= 0")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    weights = weights or {}
+    cols = df.columns
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    wp = Window.partitionBy(group_col)
+    # Σ_present w needs only the distinct group VALUES — one tiny
+    # aggregate collected driver-side (one row per group, same shape as
+    # mix_by_temperature's counts collect); per-group quotas then fold
+    # into a scan-side CASE below
+    present = [
+        r["_g"]
+        for r in df.select(F.col(group_col).alias("_g")).distinct().collect()
+    ]
+    wmap = {g: float(weights.get(g, default_weight)) for g in present}
+    sw = sum(wmap.values())
+    if sw <= 0.0 or not n_total or not present:
+        out = df.limit(0).withColumn(epoch_col, F.lit(0).cast("int"))
+        return out.select(*cols, epoch_col)
+    ranked = df.select(
+        *cols,
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_pop"),
+    )
+    # the 1e-9 nudge mirrors mix_by_temperature (floor stability when the
+    # exact quota lands an ulp under an integer; the oracle applies it too)
+    base_quota = F.lit(None).cast("bigint")
+    for g in sorted(wmap, key=repr):
+        base_quota = F.when(
+            F.col(group_col).eqNullSafe(F.lit(g)),
+            F.lit(int(n_total * wmap[g] / sw + 1e-9)),
+        ).otherwise(base_quota)
+    quota = F.least(base_quota, F.col("_pop") * F.lit(int(max_epochs)))
+    rem = quota % F.col("_pop")
+    # (quota - rem) is an exact multiple of _pop, so this double division
+    # is exact for any value below 2^53 (plain quota/_pop truncation
+    # would round first at extreme magnitudes)
+    full = ((quota - rem) / F.col("_pop")).cast("bigint")
+    n_rep = full + F.when(F.col("_rn") < rem, F.lit(1)).otherwise(F.lit(0))
+    # sequence(0, -1) DESCENDS in Spark — guard the zero-repetition case
+    epochs = F.when(
+        n_rep > 0, F.sequence(F.lit(0), (n_rep - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return ranked.select(
+        *cols, F.explode(epochs).alias(epoch_col)
+    )
+
+
 def quality_bins(
     df: DataFrame,
     score_col: str,

@@ -529,3 +529,112 @@ def scrub_pii(
         )
         cleaned = F.regexp_replace(cleaned, pat, repl)
     return docs.select(F.col(id_col), cleaned.alias("text_clean"), *counts)
+
+
+# The 8 Gopher "required words" (Rae et al. 2021, table A1) — at least
+# two must appear for a document to pass the rule set.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1) as ONE scan-side pass: every
+    signal plus the composite ``keep`` verdict, so a pipeline can either
+    gate on ``keep`` or re-threshold the signals without rescanning.
+
+    Signals (words = non-empty whitespace-split runs; lines = non-empty
+    trimmed '\\n'-split lines):
+
+    - ``n_words``, ``mean_word_len`` — length gates (50..100k words,
+      mean word length 3..10)
+    - ``symbol_ratio`` — ('#' occurrences + '...' occurrences) / words
+      (the hash/ellipsis symbol-to-word rule, < 0.1)
+    - ``bullet_frac`` / ``ellipsis_frac`` — fraction of lines starting
+      with a bullet ('-', '*', '•'; < 0.9) / ending with an ellipsis
+      ('...' or '…'; < 0.3)
+    - ``alpha_word_frac`` — fraction of words containing at least one
+      ASCII letter (> 0.8)
+    - ``n_stop_hits`` — how many of the 8 required words appear (>= 2)
+    - ``keep`` — AND of all seven rules
+
+    Empty/NULL documents yield zeroed signals and ``keep = false``.
+
+    Scale shape: pure scan-side higher-order functions and regex counts —
+    whole-stage codegen, zero exchanges, linear in corpus bytes; exactly
+    reproducible in ANSI SQL (the ``text_gopher_rules`` contract row)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda x: F.length(x) > 0)
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(F.transform(words, F.length), F.lit(0), lambda a, x: a + x)
+        .cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellip = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    sym_ratio = F.when(
+        n_words > 0, (n_hash + n_ellip).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike("^[-*•]")))
+    n_ell_end = F.size(
+        F.filter(lines, lambda ln: ln.rlike("(\\.\\.\\.|…)$"))
+    )
+    bullet_frac = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0, n_ell_end.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    n_alpha_w = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, n_alpha_w.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens_col(text)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio < max_symbol_ratio)
+        & (bullet_frac < max_bullet_frac)
+        & (ellipsis_frac < max_ellipsis_frac)
+        & (alpha_frac > min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )

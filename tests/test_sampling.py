@@ -251,3 +251,80 @@ def test_mix_temperature_null_stratum(spark):
     direct = sample_stratified(df, "lang", {None: 2, "en": 1}).collect()
     langs = sorted((r["lang"] is None) for r in direct)
     assert len(direct) == 3 and langs == [False, True, True]
+
+
+# ---------------------------------------------------------------------------
+# mix_with_epochs: weighted quotas, repetition epochs, caps, determinism
+# ---------------------------------------------------------------------------
+
+
+def test_mix_epochs_downsamples_and_upsamples(spark):
+    from google_spark.operators.sampling import mix_with_epochs
+
+    # en: 60 rows, de: 10 rows; weights equal -> quota 50 each
+    rows = [(i, "en" if i < 60 else "de") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_with_epochs(df, "lang", n_total=100, max_epochs=10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r)
+    # en downsampled: 50 distinct rows, all epoch 0
+    assert len(by["en"]) == 50
+    assert all(r["epoch"] == 0 for r in by["en"])
+    assert len({r["doc_id"] for r in by["en"]}) == 50
+    # de upsampled: quota 50 over 10 rows -> every row exactly 5 epochs
+    assert len(by["de"]) == 50
+    per_doc = {}
+    for r in by["de"]:
+        per_doc.setdefault(r["doc_id"], set()).add(r["epoch"])
+    assert all(e == {0, 1, 2, 3, 4} for e in per_doc.values())
+
+
+def test_mix_epochs_partial_remainder_and_cap(spark):
+    from google_spark.operators.sampling import mix_with_epochs
+
+    rows = [(i, "a") for i in range(4)] + [(100 + i, "b") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # weights a=3, b=1 over 20 total: quota a=15 -> capped at 4*2=8;
+    # quota b=5 over pop 4 -> full=1, rem=1 (first md5-ordered row twice)
+    out = mix_with_epochs(
+        df, "lang", n_total=20, weights={"a": 3.0}, max_epochs=2
+    ).collect()
+    a = [r for r in out if r["lang"] == "a"]
+    b = [r for r in out if r["lang"] == "b"]
+    assert len(a) == 8  # cap: every row exactly max_epochs times
+    assert sorted(r["epoch"] for r in a) == [0, 0, 0, 0, 1, 1, 1, 1]
+    assert len(b) == 5
+    reps = {}
+    for r in b:
+        reps[r["doc_id"]] = reps.get(r["doc_id"], 0) + 1
+    assert sorted(reps.values()) == [1, 1, 1, 2]
+
+
+def test_mix_epochs_deterministic_across_partitionings(spark):
+    from google_spark.operators.sampling import mix_with_epochs
+
+    rows = [(i, ["en", "de"][i % 2]) for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, lang string")
+    df8 = df1.repartition(8)
+    kw = dict(n_total=30, weights={"de": 2.0}, max_epochs=3)
+    r1 = sorted(
+        (r["doc_id"], r["lang"], r["epoch"])
+        for r in mix_with_epochs(df1, "lang", **kw).collect()
+    )
+    r8 = sorted(
+        (r["doc_id"], r["lang"], r["epoch"])
+        for r in mix_with_epochs(df8, "lang", **kw).collect()
+    )
+    assert r1 == r8 and len(r1) > 0
+
+
+def test_mix_epochs_empty_and_zero_total(spark):
+    from google_spark.operators.sampling import mix_with_epochs
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    assert mix_with_epochs(df, "lang", n_total=0).count() == 0
+    empty = spark.createDataFrame([], "doc_id long, lang string")
+    out = mix_with_epochs(empty, "lang", n_total=10)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "epoch"]

@@ -251,3 +251,65 @@ def test_ivf_disk_index_roundtrip_and_pruning(spark, emb_df, tmp_path):
     assert [d for d, _ in disk] == [d for d, _ in mem]
     for (_, a), (_, b) in zip(disk, mem):
         assert abs(a - b) < 1e-5
+
+
+def test_gopher_rules_signals_and_verdict(spark):
+    from google_spark.operators.text_analysis import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over and rests with care of that be"] * 6
+    )  # 78 words, mean len ~3.8, no symbols, plenty of stopwords
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = " ".join(["### tag"] * 30)
+    ellipses = "\n".join(f"line {i} trails ..." for i in range(10))
+    short = "tiny doc"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, bullets),
+            (3, symbols),
+            (4, ellipses),
+            (5, short),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+
+    assert out[1]["keep"] is True
+    assert out[1]["n_words"] == 78
+    assert out[1]["n_stop_hits"] >= 2
+    assert out[1]["symbol_ratio"] == 0.0
+
+    # bullet doc: every line starts with '-', fails the bullet rule
+    assert out[2]["bullet_frac"] == 1.0
+    assert out[2]["keep"] is False
+
+    # symbol doc: 90 '#' over 60 words -> ratio 1.5 >= 0.1
+    assert out[3]["symbol_ratio"] > 0.1
+    assert out[3]["keep"] is False
+
+    # ellipsis doc: every line ends with '...'
+    assert out[4]["ellipsis_frac"] == 1.0
+    assert out[4]["keep"] is False
+
+    # short doc: under the 50-word floor
+    assert out[5]["n_words"] == 2
+    assert out[5]["keep"] is False
+
+    # NULL text: zeroed signals, dropped
+    assert out[6]["n_words"] == 0
+    assert out[6]["keep"] is False
+
+
+def test_gopher_rules_thresholds_are_parameters(spark):
+    from google_spark.operators.text_analysis import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(1, "the dog and the cat have fun with that toy of the day be")],
+        "doc_id long, text string",
+    )
+    strict = gopher_rules(docs).collect()[0]
+    assert strict["keep"] is False  # 14 words < default 50-word floor
+    relaxed = gopher_rules(docs, min_words=5).collect()[0]
+    assert relaxed["keep"] is True
