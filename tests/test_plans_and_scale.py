@@ -365,3 +365,24 @@ def test_no_cartesian_in_core_candidate_plans(spark, corpus_df):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mix_epochs_single_exchange_no_collect_of_rows(spark):
+    """mix_with_epochs shuffles the data exactly ONCE (the group-key
+    exchange shared by the rank window and the population count); quotas
+    fold into scan-side CASE literals and the epoch expansion explodes
+    AFTER the exchange, so a hot group's rows cross the network once."""
+    from google_spark.operators.sampling import mix_with_epochs
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "es"][i % 3]) for i in range(90)],
+        "doc_id long, lang string",
+    )
+    out = mix_with_epochs(df, "lang", n_total=200, weights={"de": 2.0}, max_epochs=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert "CartesianProduct" not in plan
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    # the explode (epoch expansion) must sit ABOVE the window, not below
+    assert plan.index("Generate explode") < plan.index("Window"), plan
