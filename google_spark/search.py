@@ -1028,6 +1028,143 @@ class SearchEngine:
             return []
         return local_topk_core(self.index, weights, k, self._postings_cache)
 
+    def regexp_term(
+        self, regex: str, k: int = 10, max_expand: int = 32
+    ) -> list[tuple[int, float]]:
+        """Regex TERM query through the serving tier (the facade twin of
+        index_query.regexp_term_topk, Lucene RegexpQuery semantics): the
+        pattern — anchored both ends, wrapped in a non-capturing group so
+        top-level alternation can't escape the anchors — matches against
+        the CAPPED serving vocabulary (shared with wildcard/fuzzy; zero
+        Spark jobs once primed), keeping the ``max_expand`` highest-df
+        matches (ties term asc), OR-scored weight 1.0 by the decoded-
+        postings core. Content regex is the trigram path (``grep``)."""
+        self._maybe_refresh()
+        import re
+
+        from google_spark.operators.index_query import local_topk_core
+
+        rx = re.compile(f"^(?:{regex})$")
+        matches = [(t, df) for t, df in self._top_vocab() if rx.match(t)]
+        matches.sort(key=lambda td: (-td[1], td[0]))
+        weights = {t: 1.0 for t, _df in matches[:max_expand]}
+        if not weights:
+            return []
+        return local_topk_core(self.index, weights, k, self._postings_cache)
+
+    def near(
+        self,
+        term_a: str,
+        term_b: str,
+        max_gap: int,
+        k: int = 10,
+        ordered: bool = False,
+    ) -> list[dict]:
+        """Proximity NEAR/k through the serving tier (the facade twin of
+        index_query.near_topk, Lucene SpanNearQuery semantics): docs
+        where the two terms — each normalized through the engine
+        tokenizer — co-occur within ``max_gap`` token positions
+        (``ordered=True`` requires ``term_a`` before ``term_b``), ranked
+        by BM25 over the pair. Returns dicts (doc_id, min_gap, score),
+        (score desc, doc_id asc), score-identical to the distributed
+        operator by the shared formula.
+
+        Serving shape: the two terms' posting rows come through the same
+        point-read/decode cache as plain queries; candidates are the
+        NumPy intersection of their doc arrays; positions are fetched
+        ONLY for the co-occurring docs (positions_for filters
+        executor-side). Same one-machine assumption as the rest of the
+        serving tier — the distributed near_topk is the scale path."""
+        self._maybe_refresh()
+        import math
+
+        import numpy as np
+
+        from google_spark.functions.tokenizer import tokenize
+        from google_spark.operators.index_query import (
+            BM25_B,
+            BM25_K1,
+            _entries_for,
+            positions_for,
+        )
+
+        def norm(t: str) -> str:
+            toks = [w for w, _ in tokenize(t, mode=self.mode)]
+            if len(toks) != 1:
+                raise ValueError(
+                    f"near() needs single-token terms; {t!r} -> {toks}"
+                )
+            return toks[0]
+
+        a, b = norm(term_a), norm(term_b)
+        if a == b:
+            raise ValueError("near() needs two distinct terms")
+        if max_gap < 1:
+            raise ValueError("max_gap must be >= 1")
+        entries = _entries_for(self.index, [a, b], self._postings_cache)
+        by_term: dict[str, list] = {a: [], b: []}
+        df_total: dict[str, int] = {a: 0, b: 0}
+        for e in entries:
+            by_term[e["term"]].append(e)
+            df_total[e["term"]] += e["df"]
+        if not by_term[a] or not by_term[b]:
+            return []
+        docs_a = np.concatenate([e["docs"] for e in by_term[a]])
+        docs_b = np.concatenate([e["docs"] for e in by_term[b]])
+        cand = np.intersect1d(docs_a, docs_b)
+        if not len(cand):
+            return []
+        pos = positions_for(self.index, [a, b], set(int(x) for x in cand))
+        n = self.index.n_docs
+        idf = {
+            t: math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+            for t, d in df_total.items()
+        }
+        avgdl = self.index.avgdl
+        # per-doc tf/dl via searchsorted over each term's decoded arrays
+        tfdl: dict[str, dict[int, tuple[float, float]]] = {a: {}, b: {}}
+        for t in (a, b):
+            for e in by_term[t]:
+                idxs = np.searchsorted(e["docs"], cand)
+                idxs = np.minimum(idxs, len(e["docs"]) - 1)
+                hit = np.flatnonzero(e["docs"][idxs] == cand)
+                for i in hit:
+                    d = int(cand[i])
+                    tfdl[t][d] = (
+                        float(e["tf"][idxs[i]]),
+                        float(e["dl"][idxs[i]]),
+                    )
+        out = []
+        for d in cand.tolist():
+            pa = pos[a].get(d)
+            pb = pos[b].get(d)
+            if not pa or not pb:
+                continue
+            xa = np.asarray(pa, dtype=np.int64)
+            xb = np.asarray(pb, dtype=np.int64)
+            diff = xb[None, :] - xa[:, None]
+            if ordered:
+                fwd = diff[diff > 0]
+                if not len(fwd):
+                    continue
+                gap = int(fwd.min())
+            else:
+                gap = int(np.abs(diff).min())
+            if gap > max_gap:
+                continue
+            score = 0.0
+            for t in (a, b):
+                tf, dl = tfdl[t][d]
+                score += (
+                    idf[t]
+                    * tf
+                    * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+                )
+            out.append({"doc_id": d, "min_gap": gap, "score": score})
+        out.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return out[:k]
+
     def facets(
         self,
         query: str,

@@ -16,6 +16,7 @@ beats a microsecond of handler concurrency.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -237,6 +238,49 @@ def make_handler(engine):
                                 {"doc_id": d, "score": s} for d, s in hits
                             ],
                         },
+                    )
+                if u.path == "/regexpterm":
+                    # anchored regex over the capped serving vocabulary
+                    # (Lucene RegexpQuery analog); zero Spark jobs per
+                    # call — content regex is /grep
+                    if not q.strip():
+                        return self._json(400, {"error": "empty query"})
+                    k = int((qs.get("limit") or ["10"])[0])
+                    try:
+                        with lock:
+                            hits = engine.regexp_term(q, k=k)
+                    except re.error as exc:
+                        return self._json(400, {"error": f"bad regex: {exc}"})
+                    return self._json(
+                        200,
+                        {
+                            "query": q,
+                            "results": [
+                                {"doc_id": d, "score": s} for d, s in hits
+                            ],
+                        },
+                    )
+                if u.path == "/near":
+                    # NEAR/k proximity over positional postings; zero
+                    # Spark jobs on a published bundle once terms are hot
+                    a = (qs.get("a") or [""])[0]
+                    b = (qs.get("b") or [""])[0]
+                    if not a.strip() or not b.strip():
+                        return self._json(
+                            400, {"error": "a and b terms required"}
+                        )
+                    gap = int((qs.get("gap") or ["5"])[0])
+                    k = int((qs.get("limit") or ["10"])[0])
+                    ordered = (qs.get("ordered") or ["false"])[0] == "true"
+                    try:
+                        with lock:
+                            rows = engine.near(
+                                a, b, max_gap=gap, k=k, ordered=ordered
+                            )
+                    except ValueError as exc:
+                        return self._json(400, {"error": str(exc)})
+                    return self._json(
+                        200, {"a": a, "b": b, "gap": gap, "results": rows}
                     )
                 if u.path == "/facets":
                     if not q.strip():

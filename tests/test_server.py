@@ -300,3 +300,61 @@ def test_symbol_route(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base, "/symbol")
     assert ei.value.code == 400
+
+
+def test_regexpterm_route_matches_engine_and_operator(served):
+    """/regexpterm mirrors engine.regexp_term (serving-vocab expansion),
+    which must rank like the distributed full-dictionary regexp_term_topk
+    here (the test corpus fits the capped vocabulary)."""
+    from google_spark.operators.index_query import regexp_term_topk
+
+    eng, base = served
+    status, body = _get(base, "/regexpterm?query=dat.%2A&limit=5")  # 'dat.*'
+    assert status == 200
+    direct = eng.regexp_term("dat.*", k=5)
+    assert [(r["doc_id"], pytest.approx(r["score"])) for r in body["results"]] == [
+        (d, pytest.approx(s)) for d, s in direct
+    ]
+    assert body["results"]
+    op = [
+        (r["doc_id"], r["score"])
+        for r in regexp_term_topk(eng.index, "dat.*", k=5).collect()
+    ]
+    assert [d for d, _ in direct] == [d for d, _ in op]
+    for (_, a), (_, b) in zip(direct, op):
+        assert a == pytest.approx(b, rel=1e-9)
+    # invalid regex -> 400, not a 500
+    with pytest.raises(urllib.error.HTTPError) as e400:
+        _get(base, "/regexpterm?query=%28unclosed")
+    assert e400.value.code == 400
+
+
+def test_near_route_matches_engine_and_operator(served):
+    """/near mirrors engine.near, whose rows must equal the distributed
+    near_topk's (doc_id, min_gap, score) on the same index."""
+    from google_spark.operators.index_query import near_topk
+
+    eng, base = served
+    status, body = _get(base, "/near?a=data&b=partition&gap=8&limit=5")
+    assert status == 200
+    direct = eng.near("data", "partition", max_gap=8, k=5)
+    assert [
+        (r["doc_id"], r["min_gap"], pytest.approx(r["score"]))
+        for r in body["results"]
+    ] == [
+        (r["doc_id"], r["min_gap"], pytest.approx(r["score"]))
+        for r in direct
+    ]
+    assert body["results"]
+    op = near_topk(eng.index, "data", "partition", max_gap=8, k=5).collect()
+    assert [(r["doc_id"], r["min_gap"]) for r in op] == [
+        (r["doc_id"], r["min_gap"]) for r in direct
+    ]
+    for a, b in zip(op, direct):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+    # ordered variant flows through; identical terms -> 400, not a 500
+    status, body = _get(base, "/near?a=data&b=partition&gap=8&ordered=true")
+    assert status == 200
+    with pytest.raises(urllib.error.HTTPError) as e400:
+        _get(base, "/near?a=data&b=data&gap=8")
+    assert e400.value.code == 400
