@@ -656,6 +656,44 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.sampling import mix_with_epochs
+
+    sections.append(
+        (
+            "Epoch-repetition corpus mix (one exchange, explode above it)",
+            "mix_with_epochs(lang, n_total=1200, weights={de: 4}, "
+            "max_epochs=3): quotas fold into a scan-side CASE (the tiny "
+            "distinct-groups collect happens at plan-build time), ONE "
+            "hash exchange on the group key serves both the rank window "
+            "and the population count, and the epoch expansion is a "
+            "Generate explode ABOVE the window — a hot group's rows "
+            "cross the network once; repetitions multiply after.",
+            fmt(
+                mix_with_epochs(
+                    docs.select("doc_id", "lang"),
+                    "lang",
+                    n_total=1200,
+                    weights={"de": 4.0},
+                    max_epochs=3,
+                )
+            ),
+        )
+    )
+
+    from google_spark.operators.text_analysis import gopher_rules
+
+    sections.append(
+        (
+            "Gopher rule-set quality gate (pure scan, zero exchanges)",
+            "gopher_rules: every table-A1 signal (word/line fractions, "
+            "symbol ratios, required-word hits) and the composite keep "
+            "verdict compute as higher-order functions and regex counts "
+            "inside ONE whole-stage-codegen'd projection over the scan — "
+            "no exchange, no Python; cost is linear in corpus bytes.",
+            fmt(gopher_rules(docs)),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
