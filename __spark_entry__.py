@@ -27,9 +27,13 @@ op_semi_join, op_anti_join, op_unpivot) PLUS the eleven NEW round-5 rows
 pagerank_personalized3, sample_mix_temperature, dedup_spans,
 dedup_spans_clean, anchor_texts, symbol_defs, symbol_search_topk) and
 the two crawler rows added late in round 5 (crawl_frontier,
-crawl_index_topk) — keeping 4 flagships and demoting 46 rows that are
-green in CORRECTNESS_r04.json (most also in r03). Union driver coverage
-r03 ∪ r04 ∪ r05 = all 119 contract rows.
+crawl_index_topk), and the two final round-5 rows (sample_mix_epochs,
+text_gopher_rules — swapped in for the bm25_topk_exhaustive and tpch_q1
+flagships, both driver-green in CORRECTNESS_r03 and re-proved by pytest:
+WAND==exhaustive is bit-exact in tests/test_index_oracle.py) — keeping
+2 flagships (bm25_topk_wand, pagerank_fixed3) and demoting 48 rows that
+are green in CORRECTNESS_r03/r04. Union driver coverage
+r03 ∪ r04 ∪ r05 = all 121 contract rows.
 """
 
 from __future__ import annotations
@@ -1351,18 +1355,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROUND-5 ROTATION (see module docstring): 4 retained flagships +
+    # ROUND-5 ROTATION (see module docstring): 2 retained flagships +
     # the 33 rows that were local-gate-only in round 4 (the whole round-4
-    # operator wave) + the 11 NEW round-5 rows + the 2 crawler rows.
+    # operator wave) + the 11 NEW round-5 rows + the 2 crawler rows + the
+    # 2 final round-5 rows (sample_mix_epochs, text_gopher_rules).
     # Exactly 50 rows — the driver's budget. Union driver coverage
-    # r03 ∪ r04 ∪ r05 = all 119 contract rows (the 13 demoted flagships
-    # are all driver-green in CORRECTNESS_r04, most also in r03).
+    # r03 ∪ r04 ∪ r05 = all 121 contract rows (every demoted flagship is
+    # driver-green in CORRECTNESS_r03 and/or r04).
     return {
         # -- retained flagships (driver-green in CORRECTNESS_r03 + r04) ----
-        "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_wand": q_bm25_topk_wand,
         "pagerank_fixed3": q_pagerank_fixed3,
-        "tpch_q1": q_tpch_q1,
+        # -- promoted: the final round-5 operators (local-gate-only so far) -
+        "sample_mix_epochs": q_sample_mix_epochs,
+        "text_gopher_rules": q_text_gopher_rules,
         # -- promoted: the NEW round-5 operators (local-gate-only so far) ---
         "crawl_frontier": q_crawl_frontier,
         "crawl_index_topk": q_crawl_index_topk,
@@ -2300,9 +2306,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merges them) with the same oracles. ROUND-5 ROTATION: every demoted row
     here is driver-green in CORRECTNESS_r03.json and/or CORRECTNESS_r04.json
     — demoted this round so the 33 rows that only had local coverage in
-    round 4, the 11 new round-5 rows, and the 2 crawler rows earn driver
-    rows (see the module docstring); union driver coverage
-    r03 ∪ r04 ∪ r05 = all 119 contract rows."""
+    round 4, the 11 new round-5 rows, the 2 crawler rows, and the 2 final
+    round-5 rows earn driver rows (see the module docstring); union driver
+    coverage r03 ∪ r04 ∪ r05 = all 121 contract rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
         "bm25_topk_code": q_bm25_topk_code,
@@ -2378,9 +2384,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
-        # NEW in round 5 (post-rotation; local-gate coverage this round) ----
-        "sample_mix_epochs": q_sample_mix_epochs,
-        "text_gopher_rules": q_text_gopher_rules,
+        # demoted last in round 5 to free driver slots for sample_mix_epochs
+        # and text_gopher_rules: both rows below are driver-green in
+        # CORRECTNESS_r03, and pytest re-proves WAND==exhaustive bit-exact --
+        "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
+        "tpch_q1": q_tpch_q1,
     }
 
 
