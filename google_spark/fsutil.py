@@ -1,0 +1,32 @@
+"""Crash-safe local-filesystem publish, single-sourced.
+
+Every sidecar/marker writer in the package (crawl round ``_COMMIT``
+markers, BPE merge artifacts, trigram segment ``_COMMITTED`` markers and
+stream-epoch high-water marks) publishes with the same discipline:
+write to a uniquely-named temp file, flush + fsync the contents, then
+``os.replace`` into the final name. Readers that see the final name see
+complete contents; a crash mid-write leaves only a ``.tmp.*`` orphan
+that is never read. The uuid temp name makes concurrent writers safe:
+the last ``os.replace`` wins atomically, and no writer can truncate
+another's in-flight temp file.
+
+This targets LOCAL/POSIX-rename filesystems (the driver-side state
+dirs these artifacts live in). Object stores have no rename; the
+parquet data itself goes through Spark committers instead.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+
+def atomic_write(path: str, data: str) -> None:
+    """Atomically publish ``data`` (text) at ``path``."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)

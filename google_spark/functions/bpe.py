@@ -149,20 +149,15 @@ def save_bpe(path: str, merges: list[tuple[str, str]], meta: dict | None = None)
     the corpus snapshot version when one exists (the keys
     :func:`load_bpe` can then pin)."""
     import json
-    import os
+
+    from google_spark.fsutil import atomic_write
 
     payload = {
         "format": 1,
         "merges": [[a, b] for a, b in merges],
         "meta": dict(meta or {}),
     }
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    atomic_write(path, json.dumps(payload))
 
 
 def load_bpe(

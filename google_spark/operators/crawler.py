@@ -67,11 +67,12 @@ import os
 import re
 import shutil
 import time
-import uuid
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from google_spark.fsutil import atomic_write
 
 DEFAULT_USER_AGENT = "gs-crawler"
 REDIRECT_CODES = (301, 302, 303, 307, 308)
@@ -122,16 +123,26 @@ def normalize_url(link: Column | str, base: Column | None = None) -> Column:
     '/'; absolute http(s) URLs get their default port made explicit and
     any other protocol is dropped; '/path' resolves against the base's
     host; relative paths resolve against the base directory (the base's
-    last segment is dropped when it looks like a file, and each leading
-    '..' pops one directory, up to MAX_DOTDOT). Returns NULL for links
+    last segment is dropped when it looks like a file, and each '..'
+    pops one directory, up to MAX_DOTDOT). Returns NULL for links
     that normalize away. ``base`` must already be normalized
     (scheme://host:port/path).
 
-    Reference-faithful quirk: '://'-less schemes (mailto:, javascript:,
-    tel:) resolve as RELATIVE paths — the reference's URLParser keys on
-    '//' (URLParser.java:10-11), so 'mailto:a@b' becomes a phantom page
-    path there too; such links surface as dead frontier entries, never
-    crawl rows."""
+    Reference-faithful quirk #1: '..' pops a directory wherever it
+    appears, not just in leading path segments — the reference loops
+    ``indexOf("..")`` over the WHOLE url, cutting through each match
+    (Crawler.java:468-479), so 'page..v2.html' pops a dir and resolves
+    to '<parent>/v2.html' and 'a/../b' to '<parent>/b'. We reproduce
+    that with a closed form (tail after the last '..', one pop per
+    non-overlapping '..'); the only divergence is overlapping runs of
+    3+ dots ('...x'), where the reference scans left-to-right and we
+    split at the rightmost occurrence — both still pop once.
+
+    Reference-faithful quirk #2: '://'-less schemes (mailto:,
+    javascript:, tel:) resolve as RELATIVE paths — the reference's
+    URLParser keys on '//' (URLParser.java:10-11), so 'mailto:a@b'
+    becomes a phantom page path there too; such links surface as dead
+    frontier entries, never crawl rows."""
     link = F.col(link) if isinstance(link, str) else link
     frag = F.regexp_replace(link, "#.*$", "")
     scheme, host, port, path = _parts(frag)
@@ -357,19 +368,27 @@ def parse_robots(
     has_section = F.col("content").contains(F.col("marker"))
     sec = F.expr("substring(content, instr(content, marker) + length(marker))")
     lines = F.slice(F.split(sec, "\n"), 2, 100000)  # drop the UA-line remnant
+
+    # The value of a rule line is the text between the FIRST and SECOND
+    # colon — the reference does line.split(":") and reads rule[1]
+    # (Crawler.java:301-304), so 'Disallow: /search:v2' yields '/search',
+    # NOT the text after the last colon.
+    def _field2(l: Column) -> Column:
+        return F.trim(F.substring_index(F.substring_index(l, ":", 2), ":", -1))
+
     # stop at the first blank, colon-less, or empty-valued line — the
     # reference's split(":")-based break (Crawler.java:299-309; Java
     # split drops trailing empties, so bare 'Disallow:' — the RFC 9309
     # allow-all idiom — ends the section instead of becoming a
-    # block-everything '' prefix). The binary transform lambda receives
+    # block-everything '' prefix; note a trailing-colon path like
+    # 'Disallow: /a:' still has a non-empty rule[1] and does NOT stop
+    # the section). The binary transform lambda receives
     # (element, 0-based index).
     stop = F.array_min(
         F.transform(
             lines,
             lambda l, i: F.when(
-                (F.trim(l) == "")
-                | ~l.contains(":")
-                | (F.trim(F.substring_index(l, ":", -1)) == ""),
+                (F.trim(l) == "") | ~l.contains(":") | (_field2(l) == ""),
                 i + 1,
             ),
         )
@@ -383,7 +402,7 @@ def parse_robots(
                 F.when(F.trim(F.substring_index(l, ":", 1)) == "Allow", True)
                 .when(F.trim(F.substring_index(l, ":", 1)) == "Disallow", False)
                 .alias("allow"),
-                F.trim(F.substring_index(l, ":", -1)).alias("prefix"),
+                _field2(l).alias("prefix"),
             ),
         ),
         lambda r: r["allow"].isNotNull() & (r["prefix"] != ""),
@@ -391,9 +410,7 @@ def parse_robots(
     delay_line = F.get(
         F.filter(valid, lambda l: l.startswith("Crawl-delay:")), 0
     )
-    delay = F.coalesce(
-        F.trim(F.substring_index(delay_line, ":", -1)).cast("double"), F.lit(1.0)
-    )
+    delay = F.coalesce(_field2(delay_line).cast("double"), F.lit(1.0))
     return robots.withColumn("marker", marker).select(
         host_of("url").alias("host"),
         rules.alias("rules"),
@@ -485,10 +502,7 @@ _METRICS_SCHEMA = (
 
 
 def _atomic_mark(path: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(time.time_ns()))
-    os.replace(tmp, path)
+    atomic_write(path, str(time.time_ns()))
 
 
 def crawl(
@@ -613,6 +627,11 @@ def crawl(
                         Window.partitionBy("_host").orderBy("depth", "url")
                     ),
                 )
+                .select("url", "depth", "_rn", "_cap")
+                # three consumers (the fetch join, the deferred frontier
+                # union, and the metrics count) would each re-run the
+                # frontier shuffle + robots join + window otherwise
+                .localCheckpoint(eager=True)
             )
             fetch_now = by_host.filter(F.col("_rn") <= F.col("_cap")).select(
                 "url", "depth"

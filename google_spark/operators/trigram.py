@@ -45,6 +45,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from google_spark.fsutil import atomic_write
 from google_spark.operators.index_build import term_bucket_col
 
 try:  # Python 3.11+ moved sre_parse; both expose the same parse()
@@ -634,15 +635,10 @@ def append_trigram_index(
     )
     seg_idx.postings.unpersist()
     seg_idx.stats.unpersist()
-    tmp = os.path.join(seg_dir, "_COMMITTED.tmp")
     marker = {"segment": k, "n_docs": n_new}
     if tags:
         marker.update(tags)
-    with open(tmp, "w") as f:
-        json.dump(marker, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(seg_dir, "_COMMITTED"))
+    atomic_write(os.path.join(seg_dir, "_COMMITTED"), json.dumps(marker))
     return k
 
 
@@ -782,12 +778,9 @@ def compact_trigram_index(
         import json
         import os
 
-        tmp = os.path.join(dest_dir, "_stream_epochs.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(hwm, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(dest_dir, "_stream_epochs.json"))
+        atomic_write(
+            os.path.join(dest_dir, "_stream_epochs.json"), json.dumps(hwm)
+        )
     return read_trigram_index(spark, dest_dir)
 
 

@@ -1125,6 +1125,10 @@ class SearchEngine:
         tfdl: dict[str, dict[int, tuple[float, float]]] = {a: {}, b: {}}
         for t in (a, b):
             for e in by_term[t]:
+                if not len(e["docs"]):
+                    # a merge-on-read delete can mask every doc of a shard's
+                    # posting row; clamping into an empty array would IndexError
+                    continue
                 idxs = np.searchsorted(e["docs"], cand)
                 idxs = np.minimum(idxs, len(e["docs"]) - 1)
                 hit = np.flatnonzero(e["docs"][idxs] == cand)

@@ -61,6 +61,28 @@ def make_handler(engine):
             self.end_headers()
             self.wfile.write(body)
 
+        def _scored_hits(self, q, qs, fn) -> None:
+            """Shared envelope for the term-level retrieval routes
+            (/boolean /fuzzy /wildcard /regexpterm): empty-query check,
+            limit parse, engine call under the lock, and the
+            {query, results:[{doc_id, score}]} serialization. A bad
+            user pattern (wildcard or regexp) surfaces as 400."""
+            if not q.strip():
+                return self._json(400, {"error": "empty query"})
+            k = int((qs.get("limit") or ["10"])[0])
+            try:
+                with lock:
+                    hits = fn(q, k)
+            except re.error as exc:
+                return self._json(400, {"error": f"bad regex: {exc}"})
+            return self._json(
+                200,
+                {
+                    "query": q,
+                    "results": [{"doc_id": d, "score": s} for d, s in hits],
+                },
+            )
+
         def do_GET(self) -> None:  # noqa: N802 — http.server API
             u = urlparse(self.path)
             qs = parse_qs(u.query)
@@ -183,35 +205,14 @@ def make_handler(engine):
                     return self._json(200, {"name": name, "results": rows})
                 if u.path == "/boolean":
                     # +term = must, -term = exclude, bare = optional scorer
-                    if not q.strip():
-                        return self._json(400, {"error": "empty query"})
-                    k = int((qs.get("limit") or ["10"])[0])
-                    with lock:
-                        hits = engine.boolean(q, k=k)
-                    return self._json(
-                        200,
-                        {
-                            "query": q,
-                            "results": [
-                                {"doc_id": d, "score": s} for d, s in hits
-                            ],
-                        },
+                    return self._scored_hits(
+                        q, qs, lambda q, k: engine.boolean(q, k=k)
                     )
                 if u.path == "/fuzzy":
-                    if not q.strip():
-                        return self._json(400, {"error": "empty query"})
-                    k = int((qs.get("limit") or ["10"])[0])
                     max_dist = int((qs.get("maxDist") or ["1"])[0])
-                    with lock:
-                        hits = engine.fuzzy(q, k=k, max_dist=max_dist)
-                    return self._json(
-                        200,
-                        {
-                            "query": q,
-                            "results": [
-                                {"doc_id": d, "score": s} for d, s in hits
-                            ],
-                        },
+                    return self._scored_hits(
+                        q, qs,
+                        lambda q, k: engine.fuzzy(q, k=k, max_dist=max_dist),
                     )
                 if u.path == "/explain":
                     # per-(doc, term) BM25 breakdown for the top-k docs;
@@ -225,40 +226,15 @@ def make_handler(engine):
                 if u.path == "/wildcard":
                     # * = any run, ? = one char; expansion over the capped
                     # serving vocabulary, zero Spark jobs per call
-                    if not q.strip():
-                        return self._json(400, {"error": "empty query"})
-                    k = int((qs.get("limit") or ["10"])[0])
-                    with lock:
-                        hits = engine.wildcard(q, k=k)
-                    return self._json(
-                        200,
-                        {
-                            "query": q,
-                            "results": [
-                                {"doc_id": d, "score": s} for d, s in hits
-                            ],
-                        },
+                    return self._scored_hits(
+                        q, qs, lambda q, k: engine.wildcard(q, k=k)
                     )
                 if u.path == "/regexpterm":
                     # anchored regex over the capped serving vocabulary
                     # (Lucene RegexpQuery analog); zero Spark jobs per
                     # call — content regex is /grep
-                    if not q.strip():
-                        return self._json(400, {"error": "empty query"})
-                    k = int((qs.get("limit") or ["10"])[0])
-                    try:
-                        with lock:
-                            hits = engine.regexp_term(q, k=k)
-                    except re.error as exc:
-                        return self._json(400, {"error": f"bad regex: {exc}"})
-                    return self._json(
-                        200,
-                        {
-                            "query": q,
-                            "results": [
-                                {"doc_id": d, "score": s} for d, s in hits
-                            ],
-                        },
+                    return self._scored_hits(
+                        q, qs, lambda q, k: engine.regexp_term(q, k=k)
                     )
                 if u.path == "/near":
                     # NEAR/k proximity over positional postings; zero

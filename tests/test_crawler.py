@@ -422,6 +422,45 @@ def test_parse_robots_allow_all_and_crlf(spark):
     ]
 
 
+def test_parse_robots_colon_in_path(spark):
+    """Round-5 review finding: the rule value is the text between the
+    FIRST and SECOND colon — the reference does line.split(':') and
+    reads rule[1] (Crawler.java:301-304). 'Disallow: /search:v2' must
+    yield prefix '/search' (last-colon extraction gave 'v2', which
+    never matches a path, silently crawling the disallowed subtree);
+    a trailing-colon path 'Disallow: /a:' still has a non-empty
+    rule[1] and must NOT terminate the section."""
+    web = spark.createDataFrame(
+        [
+            (
+                "http://h0.example:80/robots.txt", 200, None, "text/plain",
+                None,
+                "User-agent: *\nDisallow: /search:v2\nAllow: /ok",
+            ),
+            (
+                "http://h1.example:80/robots.txt", 200, None, "text/plain",
+                None,
+                "User-agent: *\nDisallow: /a:\nDisallow: /b\n"
+                "Crawl-delay: 2.5",
+            ),
+        ],
+        WEB_SCHEMA,
+    )
+    got = {r.host: r for r in parse_robots(web).collect()}
+    assert [(x.allow, x.prefix) for x in got["http://h0.example:80"].rules] == [
+        (False, "/search"),
+        (True, "/ok"),
+    ]
+    h1 = got["http://h1.example:80"]
+    # rule[1] of 'Disallow: /a:' is ' /a' (the trailing colon starts a
+    # dropped empty field, exactly as Java split(':') behaves)
+    assert [(x.allow, x.prefix) for x in h1.rules] == [
+        (False, "/a"),
+        (False, "/b"),
+    ]
+    assert h1.crawl_delay == 2.5
+
+
 def test_crawl_fresh_run_clears_stale_state(spark, web, tmp_path):
     state = str(tmp_path / "st2")
     crawl(spark, web, ["http://a.com/p1"], max_rounds=8, state_dir=state)

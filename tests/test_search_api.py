@@ -516,3 +516,35 @@ def test_aux_tombstones_survive_compaction_and_reopen(
     cat.compact(spark)
     assert victim not in {r["doc_id"] for r in eng.grep(token, limit=200)}
     assert eng.index.deletes is None or victim not in set(eng.index.deletes)
+
+
+def test_near_survives_fully_masked_shard_row(spark):
+    """Round-5 review finding: a merge-on-read delete masking EVERY doc
+    of one shard's posting row for a near() term leaves an empty docs
+    array in the per-term tf/dl loop; the clamped searchsorted index
+    (len-1 = -1) then indexed into the empty array and raised
+    IndexError. near() must skip empty shard rows and keep serving the
+    surviving docs."""
+    import numpy as np
+
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import _entries_for
+    from google_spark.search import SearchEngine
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta filler{i} words here") for i in range(16)],
+        "doc_id long, text string",
+    )
+    index = build_index(spark, docs, n_shards=4)
+    entries = _entries_for(index, ["alpha"])
+    assert len(entries) > 1, "need alpha postings spread over >1 shard"
+    # tombstone every doc of ONE shard's posting row
+    masked = sorted(int(d) for d in entries[0]["docs"])
+    index.deletes = np.asarray(masked, dtype=np.int64)
+
+    eng = SearchEngine(index)
+    rows = eng.near("alpha", "beta", max_gap=3, k=20)
+    got = {r["doc_id"] for r in rows}
+    assert got, "surviving shards must still answer"
+    assert got.isdisjoint(masked)
+    assert got == set(range(16)) - set(masked)
