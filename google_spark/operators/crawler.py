@@ -410,7 +410,11 @@ def parse_robots(
     delay_line = F.get(
         F.filter(valid, lambda l: l.startswith("Crawl-delay:")), 0
     )
-    delay = F.coalesce(_field2(delay_line).cast("double"), F.lit(1.0))
+    # try_cast, not cast: junk robots files ('Crawl-delay: 1s', 'abc',
+    # '0,5') are routine at crawl scale, and under the session's default
+    # ANSI mode a plain cast throws CAST_INVALID_INPUT before the
+    # coalesce default could ever apply
+    delay = F.coalesce(_field2(delay_line).try_cast("double"), F.lit(1.0))
     return robots.withColumn("marker", marker).select(
         host_of("url").alias("host"),
         rules.alias("rules"),
@@ -469,7 +473,13 @@ def _classify(fetched: DataFrame) -> DataFrame:
         "content_language"
     ).contains("en")
     is_redirect = F.col("status").isin(*REDIRECT_CODES)
-    is_html = F.col("content_type").startswith("text/html")
+    # coalesce: a 200 row with a NULL content_type is a recorded dead end
+    # (the reference records any 200 whose contentType isn't text/html);
+    # without it the NULL propagates through ~is_html and the filter
+    # silently drops the row
+    is_html = F.coalesce(
+        F.col("content_type").startswith("text/html"), F.lit(False)
+    )
     page_en = is_english_page(F.coalesce(F.col("content"), F.lit("")))
 
     recorded = (
@@ -575,8 +585,22 @@ def crawl(
             last = done[-1]
             base = os.path.join(state_dir, f"round={last}")
             frontier = spark.read.parquet(os.path.join(base, "frontier"))
-            visited = spark.read.parquet(os.path.join(base, "visited"))
-            crawled = spark.read.parquet(os.path.join(base, "crawled"))
+            if os.path.isdir(os.path.join(base, "crawled_delta")):
+                # delta layout: accumulated tables = union of every
+                # committed round's delta; visited = seeds ∪ frontiers
+                for r in done:
+                    rb = os.path.join(state_dir, f"round={r}")
+                    crawled = crawled.unionByName(
+                        spark.read.parquet(os.path.join(rb, "crawled_delta"))
+                    )
+                    visited = visited.unionByName(
+                        spark.read.parquet(
+                            os.path.join(rb, "frontier")
+                        ).select("url")
+                    )
+            else:  # legacy full-table layout (pre-delta state dirs)
+                visited = spark.read.parquet(os.path.join(base, "visited"))
+                crawled = spark.read.parquet(os.path.join(base, "crawled"))
             start_round = last + 1
             for r in done:  # carry completed rounds' metrics forward
                 mp = os.path.join(state_dir, f"round={r}", "metrics")
@@ -610,12 +634,22 @@ def crawl(
                 )
                 .withColumn(
                     "_cap",
-                    F.greatest(
-                        F.lit(1),
-                        F.floor(
-                            F.lit(per_host_cap)
-                            / F.coalesce(F.col("crawl_delay"), F.lit(1.0))
-                        ),
+                    # 'Crawl-delay: 0' (a routine real-world value) means
+                    # no politeness wait -> uncapped, NOT a division by
+                    # zero (which ANSI mode turns into a job-killing
+                    # SparkArithmeticException); negative junk gets the
+                    # same no-delay reading
+                    F.when(
+                        F.coalesce(F.col("crawl_delay"), F.lit(1.0)) <= 0.0,
+                        F.lit(2**62),
+                    ).otherwise(
+                        F.greatest(
+                            F.lit(1),
+                            F.floor(
+                                F.lit(per_host_cap)
+                                / F.coalesce(F.col("crawl_delay"), F.lit(1.0))
+                            ),
+                        )
                     ),
                 )
                 .withColumn(
@@ -665,7 +699,6 @@ def crawl(
                 F.col("content"),
             ).alias("page"),
         )
-        crawled = crawled.unionByName(round_rows)
 
         children = (
             verdicts.select(
@@ -687,19 +720,30 @@ def crawl(
             frontier = frontier.unionByName(deferred)
             # a deferred URL may also be someone's child; keep min depth
             frontier = frontier.groupBy("url").agg(F.min("depth").alias("depth"))
-        visited = visited.unionByName(frontier.select("url")).distinct()
         if state_dir:
-            # the parquet round commit below already materializes and
-            # re-reads frontier/visited/crawled, so the localCheckpoints
-            # would be a redundant second materialization of each
+            # per-round DELTA commit: write only this round's new state —
+            # the frontier (next round's work list) and the round's
+            # recorded rows. Re-writing the full accumulated crawled/
+            # visited tables each round would be O(rounds x corpus) write
+            # amplification (the last rounds of a big crawl re-serialize
+            # every previously committed page body); resume reconstructs
+            # the accumulated tables by unioning the committed rounds'
+            # deltas, the same append-only pattern the trigram segments
+            # and catalog epochs use. The visited set needs no file of
+            # its own: visited = seeds ∪ (every committed frontier).
             base = os.path.join(state_dir, f"round={rnd}")
             frontier.write.mode("overwrite").parquet(os.path.join(base, "frontier"))
-            visited.write.mode("overwrite").parquet(os.path.join(base, "visited"))
-            crawled.write.mode("overwrite").parquet(os.path.join(base, "crawled"))
+            round_rows.write.mode("overwrite").parquet(
+                os.path.join(base, "crawled_delta")
+            )
             frontier = spark.read.parquet(os.path.join(base, "frontier"))
-            visited = spark.read.parquet(os.path.join(base, "visited"))
-            crawled = spark.read.parquet(os.path.join(base, "crawled"))
-        else:
+            round_rows = spark.read.parquet(os.path.join(base, "crawled_delta"))
+        crawled = crawled.unionByName(round_rows)
+        # no per-round distinct: children are anti-joined against visited
+        # already, so the only duplicates are carried-over deferred URLs,
+        # and the anti-join is insensitive to duplicates in its right side
+        visited = visited.unionByName(frontier.select("url"))
+        if not state_dir:
             frontier = frontier.localCheckpoint(eager=True)
             if (rnd + 1) % checkpoint_interval == 0:
                 visited = visited.localCheckpoint(eager=True)

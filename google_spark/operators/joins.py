@@ -242,33 +242,55 @@ def _keyless_windows(
         pid = F.lit(0)
     u = u.withColumn("__pid", pid)
 
+    # build only the direction(s) the caller will read — a plain
+    # backward/forward join skips the other side's window pass and
+    # carry aggregate entirely
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
     w = Window.partitionBy("__pid").orderBy("__t", "__tag")
-    back_in = F.last("__r", ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
+    back_in = (
+        F.last("__r", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        if need_back
+        else None
     )
-    fwd_in = F.first("__r", ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
+    fwd_in = (
+        F.first("__r", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+        if need_fwd
+        else None
     )
 
     rights = u.filter(F.col("__tag") == F.lit(r_tag))
-    per_bucket = rights.groupBy("__pid").agg(
-        F.max_by("__r", F.struct("__t")).alias("__last_r"),
-        F.min_by("__r", F.struct("__t")).alias("__first_r"),
-    )
+    aggs = []
+    if need_back:
+        aggs.append(F.max_by("__r", F.struct("__t")).alias("__last_r"))
+    if need_fwd:
+        aggs.append(F.min_by("__r", F.struct("__t")).alias("__first_r"))
+    per_bucket = rights.groupBy("__pid").agg(*aggs)
     spine = u.select("__pid").distinct().join(per_bucket, "__pid", "left")
     ws = Window.orderBy("__pid")
-    carry = spine.select(
-        "__pid",
-        F.last("__last_r", ignorenulls=True)
-        .over(ws.rowsBetween(Window.unboundedPreceding, -1))
-        .alias("__carry_back"),
-        F.first("__first_r", ignorenulls=True)
-        .over(ws.rowsBetween(1, Window.unboundedFollowing))
-        .alias("__carry_fwd"),
-    )
+    carry_cols = [F.col("__pid")]
+    if need_back:
+        carry_cols.append(
+            F.last("__last_r", ignorenulls=True)
+            .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("__carry_back")
+        )
+    if need_fwd:
+        carry_cols.append(
+            F.first("__first_r", ignorenulls=True)
+            .over(ws.rowsBetween(1, Window.unboundedFollowing))
+            .alias("__carry_fwd")
+        )
+    carry = spine.select(*carry_cols)
     u = u.join(F.broadcast(carry), "__pid", "left")
-    back = F.coalesce(back_in, F.col("__carry_back"))
-    fwd = F.coalesce(fwd_in, F.col("__carry_fwd"))
+    back = (
+        F.coalesce(back_in, F.col("__carry_back")) if need_back else None
+    )
+    fwd = F.coalesce(fwd_in, F.col("__carry_fwd")) if need_fwd else None
     return u, back, fwd
 
 

@@ -337,27 +337,41 @@ class SearchEngine:
         """Drop every derived cache (results, decoded postings, vocab,
         trie, suggester, synonym table, autocomplete memos); catalog-backed
         engines also re-resolve the HEAD snapshot. Call after the
-        underlying index/meta tables changed out from under the engine."""
+        underlying index/meta tables changed out from under the engine.
+
+        Build-then-publish: the new index objects are fully assembled in
+        locals — catalog tombstones already attached — before any ``self``
+        attribute is reassigned. The lock-free /grep//symbol handlers read
+        ``trigram_index``/``_aux_tombstones`` concurrently with a refresh
+        triggered under the engine lock, so no published object may ever
+        be visible in a tombstone-less intermediate state (a deleted doc
+        must not transiently resurface)."""
+        new_index = self.index
         if self._catalog is not None:
             # version first, then resolve THAT version (see from_catalog)
             v = self._catalog.head()
-            self.index = self._catalog.read(self._catalog_spark, version=v)
-            self._catalog_version = v
-        if (
-            self.trigram_index is not None
-            and self.trigram_index.disk_path is not None
-        ):
+            new_index = self._catalog.read(self._catalog_spark, version=v)
+        new_tri = self.trigram_index
+        if new_tri is not None and new_tri.disk_path is not None:
             # disk-backed trigram index: re-open so segments appended
             # since (streaming epochs, append_trigram_index) and new
             # bundle tombstones join the read-time union
             from google_spark.operators.trigram import read_trigram_index
 
-            spark = self._catalog_spark or self.index.postings.sparkSession
-            self.trigram_index = read_trigram_index(
-                spark, self.trigram_index.disk_path
-            )
+            spark = self._catalog_spark or new_index.postings.sparkSession
+            new_tri = read_trigram_index(spark, new_tri.disk_path)
+        new_fielded = self.fielded_index
         if self._catalog is not None:
-            self._propagate_catalog_deletes()
+            acc, new_tri, new_fielded = self._with_catalog_deletes(
+                new_index, new_tri, new_fielded
+            )
+            # accumulator first (it only grows — a reader pairing the NEW
+            # accumulator with the OLD indexes is safe, the reverse is not)
+            self._aux_tombstones = acc
+            self._catalog_version = v
+        self.index = new_index
+        self.trigram_index = new_tri
+        self.fielded_index = new_fielded
         self._cache.clear()
         self._postings_cache.clear()
         self._trie = None
@@ -376,39 +390,49 @@ class SearchEngine:
         ):
             self.refresh()
 
-    def _propagate_catalog_deletes(self) -> None:
-        """Attach every catalog tombstone seen in this engine's lifetime
-        to the auxiliary trigram/fielded indexes. The engine-level
-        accumulator (``_aux_tombstones``) is what makes the union survive
-        BOTH hazards: catalog.compact() emptying the snapshot's delete
-        list, and refresh() re-opening a disk-backed trigram bundle
-        (which discards any in-memory ``with_deletes`` attachment).
-        Attaching is idempotent, so repeated refreshes don't grow
-        anything. In-process only: a NEW process serving the same stale
-        aux bundle needs the tombstones persisted into it
-        (delete_from_trigram_index / delete_from_fielded_index) or the
-        bundle rebuilt from the compacted snapshot."""
+    def _with_catalog_deletes(self, index, tri, fielded):
+        """(accumulator, trigram, fielded) with every catalog tombstone
+        seen in this engine's lifetime attached to the auxiliary indexes.
+        Pure with respect to ``self`` — callers publish the returned
+        objects themselves (refresh() relies on that to never expose a
+        tombstone-less index). The lifetime accumulator
+        (``_aux_tombstones``) is what makes the union survive BOTH
+        hazards: catalog.compact() emptying the snapshot's delete list,
+        and refresh() re-opening a disk-backed trigram bundle (which
+        discards any in-memory ``with_deletes`` attachment). Attaching is
+        idempotent, so repeated refreshes don't grow anything. In-process
+        only: a NEW process serving the same stale aux bundle needs the
+        tombstones persisted into it (delete_from_trigram_index /
+        delete_from_fielded_index) or the bundle rebuilt from the
+        compacted snapshot."""
         import numpy as np
 
-        dels = self.index.deletes
+        acc = self._aux_tombstones
+        dels = index.deletes
         if dels is not None and len(dels):
             got = np.asarray(dels, dtype=np.int64)
-            self._aux_tombstones = (
-                np.unique(got)
-                if self._aux_tombstones is None
-                else np.union1d(self._aux_tombstones, got)
-            )
-        acc = self._aux_tombstones
+            acc = np.unique(got) if acc is None else np.union1d(acc, got)
         if acc is None or not len(acc):
-            return
-        if self.trigram_index is not None:
+            return acc, tri, fielded
+        if tri is not None:
             from google_spark.operators.trigram import with_deletes
 
-            self.trigram_index = with_deletes(self.trigram_index, acc)
-        if self.fielded_index is not None:
+            tri = with_deletes(tri, acc)
+        if fielded is not None:
             from google_spark.operators.fielded import apply_deletes
 
-            self.fielded_index = apply_deletes(self.fielded_index, acc)
+            fielded = apply_deletes(fielded, acc)
+        return acc, tri, fielded
+
+    def _propagate_catalog_deletes(self) -> None:
+        """Publishing wrapper over :meth:`_with_catalog_deletes` for the
+        single-threaded construction path (from_catalog)."""
+        acc, tri, fielded = self._with_catalog_deletes(
+            self.index, self.trigram_index, self.fielded_index
+        )
+        self._aux_tombstones = acc
+        self.trigram_index = tri
+        self.fielded_index = fielded
 
     def save(self, out_dir: str) -> None:
         """Publish the full serving bundle: bucket-partitioned postings
@@ -964,39 +988,56 @@ class SearchEngine:
         }
         from google_spark.operators.index_query import BM25_B, BM25_K1
 
-        parts: list[tuple] = []
-        totals: dict[int, float] = {}
+        # two vectorized passes: (1) per-doc totals over ALL postings via
+        # unique+bincount, (2) breakdown rows materialized ONLY for
+        # postings whose doc made the top-k cut — a hot term with ~1M
+        # postings costs two NumPy passes, not ~1M Python tuples (this
+        # runs under the server's shared engine lock)
+        contribs: list[np.ndarray] = []
         for e in entries:
-            t = e["term"]
-            w = float(qf[t])
             tf = e["tf"].astype(np.float64)
             dl = e["dl"].astype(np.float64)
-            contrib = (
-                w
-                * idf[t]
+            contribs.append(
+                float(qf[e["term"]])
+                * idf[e["term"]]
                 * tf
                 * (BM25_K1 + 1.0)
                 / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
             )
-            for d, tfi, dli, c in zip(e["docs"], e["tf"], e["dl"], contrib):
-                parts.append((int(d), t, w, int(tfi), int(dli), idf[t], float(c)))
-                totals[int(d)] = totals.get(int(d), 0.0) + float(c)
-        top = sorted(totals, key=lambda d: (-totals[d], d))[:k]
-        keep = set(top)
-        rows = [
-            {
-                "doc_id": d,
-                "term": t,
-                "weight": w,
-                "tf": tfi,
-                "dl": dli,
-                "idf": i,
-                "contribution": c,
-                "score": totals[d],
-            }
-            for d, t, w, tfi, dli, i, c in parts
-            if d in keep
-        ]
+        all_docs = np.concatenate([e["docs"] for e in entries])
+        if not len(all_docs):
+            return []
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        tot = np.bincount(inv, weights=np.concatenate(contribs))
+        top_idx = np.lexsort((uniq, -tot))[:k]
+        top_sorted = np.sort(uniq[top_idx])
+        totals = {
+            int(d): float(s) for d, s in zip(uniq[top_idx], tot[top_idx])
+        }
+        rows = []
+        for e, contrib in zip(entries, contribs):
+            docs = e["docs"]
+            if not len(docs):
+                continue
+            j = np.searchsorted(top_sorted, docs)
+            j_c = np.minimum(j, len(top_sorted) - 1)
+            hit = np.flatnonzero(
+                (j < len(top_sorted)) & (top_sorted[j_c] == docs)
+            )
+            for i in hit:
+                d = int(docs[i])
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "term": e["term"],
+                        "weight": float(qf[e["term"]]),
+                        "tf": int(e["tf"][i]),
+                        "dl": int(e["dl"][i]),
+                        "idf": idf[e["term"]],
+                        "contribution": float(contrib[i]),
+                        "score": totals[d],
+                    }
+                )
         rows.sort(key=lambda r: (-r["score"], r["doc_id"], r["term"]))
         return rows
 

@@ -42,8 +42,11 @@ def make_handler(engine):
     # mutate engine state) stays under the shared lock; the job itself
     # runs under this separate lock — they serialize among themselves
     # (Spark driver scheduling) but never block the point-read routes.
-    # They can run lock-free because they read only immutable engine
-    # state (docstore DataFrame, tombstone arrays). The OTHER routes stay
+    # They can run lock-free because every engine object they read
+    # (docstore DataFrame, trigram/fielded index, tombstone accumulator)
+    # is published atomically and only in a delete-consistent state —
+    # refresh() builds new indexes WITH tombstones attached before
+    # assigning them (see SearchEngine.refresh). The OTHER routes stay
     # under the engine lock even on their cold paths (/facets or /fuzzy
     # on an engine with NO published bundle fall back to Spark jobs /
     # vocabulary builds) because those paths mutate the shared caches

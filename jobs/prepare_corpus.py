@@ -287,7 +287,11 @@ def prepare_corpus(
                     meta={
                         "n_merges": int(bpe_merges),
                         "text_col": text_col,
-                        "trained_on_docs": int(acct["input"]),
+                        # the POST-gate survivor count — the corpus the
+                        # model was actually trained on, which is what a
+                        # later load_bpe(expect=...) pin must match —
+                        # not the raw input size
+                        "trained_on_docs": int(docs.count()),
                     },
                 )
                 acct["bpe_model"] = f"saved:{bpe_model}"

@@ -524,3 +524,101 @@ def test_politeness_with_resume_and_metrics(spark, web, tmp_path):
     assert sum(r.n_recorded for r in rows) == len(EXPECTED)
     # the cap genuinely deferred work at some point
     assert any(r.n_deferred > 0 for r in rows)
+
+
+def test_parse_robots_junk_delay_and_zero_delay(spark):
+    """Round-5 review findings (confirmed crashes under the session's
+    default ANSI mode): a malformed Crawl-delay value must fall back to
+    the 1.0 default instead of raising CAST_INVALID_INPUT, and
+    'Crawl-delay: 0' (no politeness wait) must mean an uncapped
+    per-round fetch, not a DIVIDE_BY_ZERO that kills the crawl."""
+    web = spark.createDataFrame(
+        [
+            (
+                "http://h0.example:80/robots.txt", 200, None, "text/plain",
+                None, "User-agent: *\nCrawl-delay: abc\nDisallow: /x",
+            ),
+            (
+                "http://h1.example:80/robots.txt", 200, None, "text/plain",
+                None, "User-agent: *\nCrawl-delay: 0",
+            ),
+            (
+                "http://h1.example:80/", 200, None, "text/html", None,
+                "".join(
+                    f'<a href="/p{i}.html">x</a>' for i in range(6)
+                ),
+            ),
+        ]
+        + [
+            (f"http://h1.example:80/p{i}.html", 200, None, "text/html",
+             None, "<b>leaf</b>")
+            for i in range(6)
+        ],
+        WEB_SCHEMA,
+    )
+    got = {r.host: r for r in parse_robots(web).collect()}
+    assert got["http://h0.example:80"].crawl_delay == 1.0
+    assert got["http://h1.example:80"].crawl_delay == 0.0
+
+    # zero delay -> all 6 children fetched in ONE round despite a
+    # per_host_cap that would otherwise allow only 2/round
+    crawled, metrics = crawl(
+        spark, web, ["http://h1.example/"], max_rounds=3,
+        per_host_cap=2, with_metrics=True,
+    )
+    rows = {r.url for r in crawled.collect()}
+    assert rows == {"http://h1.example:80/"} | {
+        f"http://h1.example:80/p{i}.html" for i in range(6)
+    }
+    by_round = {r.round: r for r in metrics.collect()}
+    assert by_round[1].n_fetched == 6 and by_round[1].n_deferred == 0
+
+
+def test_classify_records_null_content_type_200(spark):
+    """Round-5 review finding: a 200 row with a NULL content_type is a
+    recorded dead end (the reference records any 200 whose contentType
+    isn't text/html); the NULL must not propagate through ~is_html and
+    silently drop the row from the crawl table."""
+    web = spark.createDataFrame(
+        [
+            ("http://a.com:80/", 200, None, "text/html", None,
+             '<a href="/odd">x</a>'),
+            ("http://a.com:80/odd", 200, None, None, None, None),
+        ],
+        WEB_SCHEMA,
+    )
+    crawled = crawl(spark, web, ["http://a.com/"], max_rounds=3)
+    rows = {r.url: r for r in crawled.collect()}
+    assert "http://a.com:80/odd" in rows
+    assert rows["http://a.com:80/odd"].response_code == 200
+    assert rows["http://a.com:80/odd"].page is None
+
+
+def test_crawl_state_commits_are_per_round_deltas(spark, web, tmp_path):
+    """Round-5 review finding: each round commit must write only the
+    round's NEW rows (frontier + crawled_delta), not re-serialize the
+    full accumulated crawled/visited tables — O(rounds x corpus) write
+    amplification at scale. The union of the committed deltas must equal
+    the returned crawl table."""
+    state = str(tmp_path / "delta_state")
+    out = crawl(spark, web, ["http://a.com/p1"], max_rounds=8, state_dir=state)
+    rounds = sorted(
+        d for d in os.listdir(state) if d.startswith("round=")
+    )
+    assert rounds
+    deltas = []
+    for d in rounds:
+        base = os.path.join(state, d)
+        assert os.path.isdir(os.path.join(base, "crawled_delta")), d
+        # the full accumulated tables must NOT be rewritten per round
+        assert not os.path.isdir(os.path.join(base, "crawled")), d
+        assert not os.path.isdir(os.path.join(base, "visited")), d
+        deltas.append(
+            spark.read.parquet(os.path.join(base, "crawled_delta"))
+        )
+    acc = deltas[0]
+    for d in deltas[1:]:
+        acc = acc.unionByName(d)
+    assert _rows(acc) == _rows(out) == EXPECTED
+    # deltas are disjoint: no URL is committed twice across rounds
+    assert acc.groupBy("url").count().filter("count > 1").count() == 0
