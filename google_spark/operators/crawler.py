@@ -685,19 +685,39 @@ def crawl(
         )
         # materialize the round's verdicts once: both consumers below
         # (recorded rows and children) would otherwise re-run the fetch
-        # join — at real page sizes that doubles the round's cost
-        verdicts = _classify(fetched).localCheckpoint(eager=True)
+        # join — at real page sizes that doubles the round's cost. The
+        # checkpoint is column-pruned to exactly what those consumers
+        # read: `page` keeps only the recordable 200-text/html bodies, so
+        # robots rules, redirect locations, and non-html payloads never
+        # enter the materialized round state.
+        verdicts = (
+            _classify(fetched)
+            .select(
+                "url",
+                "depth",
+                "status",
+                "content_type",
+                F.when(
+                    (F.col("status") == 200)
+                    & F.coalesce(
+                        F.col("content_type").startswith("text/html"),
+                        F.lit(False),
+                    ),
+                    F.col("content"),
+                ).alias("page"),
+                "_allowed",
+                "_recorded",
+                "_raw_children",
+            )
+            .localCheckpoint(eager=True)
+        )
 
         round_rows = verdicts.filter("_recorded").select(
             "url",
             "depth",
             F.col("status").cast("int").alias("response_code"),
             "content_type",
-            F.when(
-                (F.col("status") == 200)
-                & F.col("content_type").startswith("text/html"),
-                F.col("content"),
-            ).alias("page"),
+            "page",
         )
 
         children = (
