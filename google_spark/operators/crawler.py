@@ -407,8 +407,10 @@ def parse_robots(
         ),
         lambda r: r["allow"].isNotNull() & (r["prefix"] != ""),
     )
-    delay_line = F.get(
-        F.filter(valid, lambda l: l.startswith("Crawl-delay:")), 0
+    # LAST delay line wins — the reference overwrites robots.crawlDelay
+    # on every Crawl-delay rule it reads (Crawler.java:305)
+    delay_line = F.try_element_at(
+        F.filter(valid, lambda l: l.startswith("Crawl-delay:")), F.lit(-1)
     )
     # try_cast, not cast: junk robots files ('Crawl-delay: 1s', 'abc',
     # '0,5') are routine at crawl scale, and under the session's default

@@ -622,3 +622,101 @@ def test_crawl_state_commits_are_per_round_deltas(spark, web, tmp_path):
     assert _rows(acc) == _rows(out) == EXPECTED
     # deltas are disjoint: no URL is committed twice across rounds
     assert acc.groupBy("url").count().filter("count > 1").count() == 0
+
+
+# ------------------------------------------------- robots random battery
+
+
+def _java_split_colon(line: str) -> list[str]:
+    """Java String.split(":") — split on every ':' and drop TRAILING
+    empty fields (Crawler.java:301)."""
+    parts = line.split(":")
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def _parse_robot_port(content: str, crawler_name: str = "gs-crawler"):
+    """Python port of the reference's parseRobot (Crawler.java:284-312)
+    under the engine's documented contract — reference-faithful plus its
+    three robustness deviations: (1) a junk Crawl-delay value falls back
+    to 1.0 instead of propagating NumberFormatException, (2) an
+    empty rule value ends the section (the reference would add a
+    block-everything '' prefix when the emptiness comes from a MID-line
+    '::'), (3) the field before the first colon is trimmed. Last
+    Crawl-delay wins, like the reference's per-line overwrite."""
+    content = content.replace("\r", "")
+    start = content.find("User-agent: " + crawler_name)
+    if start == -1:
+        start = content.find("User-agent: *")
+        if start == -1:
+            return [], 1.0
+    rules: list[tuple[bool, str]] = []
+    delay = 1.0
+    for line in content[start:].split("\n")[1:]:
+        rule = _java_split_colon(line)
+        if len(rule) < 2:
+            break
+        val = rule[1].strip()
+        if val == "":
+            break
+        head = rule[0].strip()
+        if line.startswith("Crawl-delay:"):
+            try:
+                delay = float(val)
+            except ValueError:
+                delay = 1.0
+        elif head in ("Allow", "Disallow"):
+            rules.append((head == "Allow", val))
+    return rules, delay
+
+
+def test_parse_robots_random_battery_vs_reference_port(spark):
+    """200 seeded random robots bodies — agent-section selection, ':' in
+    paths, mid-line '::', trailing ':', junk/zero/duplicate Crawl-delay,
+    CRLF, blank and colon-less lines — must parse identically to the
+    reference-port above. This module's colon semantics broke twice in
+    review; the battery pins the whole input space, not the two cases."""
+    import random
+
+    rng = random.Random(5150)
+    paths = ["/a", "/a:b", "/x/y", "/s:", "/:", "a:b:c", "/p::q", "/q r"]
+    delays = ["1", "2.5", "0", "abc", "1:30", " 3 "]
+    agents = ["gs-crawler", "*", "somebody-else", "gs-crawler-images"]
+
+    def body() -> str:
+        lines = []
+        for _ in range(rng.randint(1, 14)):
+            r = rng.random()
+            if r < 0.25:
+                lines.append(f"User-agent: {rng.choice(agents)}")
+            elif r < 0.55:
+                kind = rng.choice(["Allow", "Disallow"])
+                lines.append(f"{kind}: {rng.choice(paths)}")
+            elif r < 0.65:
+                lines.append(f"Crawl-delay: {rng.choice(delays)}")
+            elif r < 0.75:
+                lines.append(rng.choice(["", "no colon junk", ":", "Disallow:"]))
+            else:
+                lines.append(
+                    rng.choice(["Disallow", "x: y", " Disallow: /sp", "#c: z"])
+                )
+        sep = rng.choice(["\n", "\r\n"])
+        return sep.join(lines)
+
+    bodies = [body() for _ in range(200)]
+    web = spark.createDataFrame(
+        [
+            (f"http://h{i}.example:80/robots.txt", 200, None, "text/plain",
+             None, b)
+            for i, b in enumerate(bodies)
+        ],
+        WEB_SCHEMA,
+    )
+    got = {r.host: r for r in parse_robots(web).collect()}
+    for i, b in enumerate(bodies):
+        host = f"http://h{i}.example:80"
+        exp_rules, exp_delay = _parse_robot_port(b)
+        g = got[host]
+        assert [(x.allow, x.prefix) for x in g.rules] == exp_rules, (i, b)
+        assert g.crawl_delay == pytest.approx(exp_delay), (i, b)
