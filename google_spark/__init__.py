@@ -77,6 +77,20 @@ def __getattr__(name):
             "google_spark.operators.sampling",
             "mix_by_temperature",
         ),
+        "dsir_weights": ("google_spark.operators.sampling", "dsir_weights"),
+        "dsir_resample": ("google_spark.operators.sampling", "dsir_resample"),
+        "langid_ngram_train": (
+            "google_spark.operators.text_analysis",
+            "langid_ngram_train",
+        ),
+        "langid_ngram_classify": (
+            "google_spark.operators.text_analysis",
+            "langid_ngram_classify",
+        ),
+        "cluster_dedup_by_score": (
+            "google_spark.operators.components",
+            "cluster_dedup_by_score",
+        ),
         "stream_to_catalog": ("google_spark.streaming.ingest", "stream_to_catalog"),
         "streaming_near_dedup": ("google_spark.streaming.ingest", "streaming_near_dedup"),
         "boolean_topk": ("google_spark.operators.index_query", "boolean_topk"),

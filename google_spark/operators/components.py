@@ -186,3 +186,51 @@ def cluster_dedup(
     )
     losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return docs.join(losers, id_col, "left_anti")
+
+
+def cluster_dedup_by_score(
+    docs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.85,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
+    max_iter: int = 50,
+    strict: bool = True,
+) -> DataFrame:
+    """Quality-aware canonical selection: keep the HIGHEST-``score_col``
+    member of each near-dup cluster (ties break to the smallest id)
+    instead of :func:`cluster_dedup`'s min-id convention — the policy a
+    training-data pipeline actually wants (when a boilerplate family
+    collapses to one survivor, keep the best-quality copy, not the one
+    with the accidental smallest id; CCNet keeps the lowest-perplexity
+    paragraph the same way). Returns the surviving rows of ``docs``.
+
+    Scale shape: components as in :func:`cluster_dedup`; the argmax is
+    ONE per-component window over fixed-width (id, component, score)
+    rows — WindowGroupLimit keeps one row per component per task before
+    the exchange — and the loser set (non-canonical ids) is tiny next to
+    the corpus, anti-joined back exactly like cluster_dedup."""
+    from pyspark.sql import Window
+
+    comp = near_dup_components(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        max_iter=max_iter,
+        strict=strict,
+    )
+    scored = comp.join(docs.select(id_col, score_col), id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -17,7 +17,7 @@ n * n_tasks rows, never its full population.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -337,4 +337,130 @@ def pack_corpus(
                 ),
             ).alias("text"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023, public:
+# arXiv:2302.03169). Select raw-corpus documents whose hashed n-gram
+# distribution looks like a small TARGET corpus: fit bag-of-hashed-ngram
+# multinomials over the target and the raw pool, score every raw doc with
+# its log importance weight  sum_b c_d[b] * (ln p_target[b] - ln p_raw[b]),
+# then Gumbel-top-k resample (top-k of weight + Gumbel noise == sampling
+# without replacement proportionally to the softmax of the weights).
+# ---------------------------------------------------------------------------
+
+DSIR_N_BUCKETS = 4096
+
+
+def _dsir_bucket(gram: Column) -> Column:
+    # 48-bit md5 prefix, the engine-wide portable hash (dedup.py uses the
+    # same construction; the DuckDB oracle replays it exactly)
+    return F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("long")
+
+
+def _dsir_doc_buckets(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket, c): hashed uni+bigram counts per document — the
+    feature extraction is scan-side (tokenize + shingle HOFs inside the
+    projection), so the only exchange is the (id, bucket) aggregate with
+    map-side partial combine."""
+    from google_spark.operators.dedup import shingles_col, tokens_col
+
+    toks = tokens_col(text_col)
+    grams = F.concat(toks, shingles_col(toks, 2))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(id_col, (_dsir_bucket(F.col("_g")) % n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_N_BUCKETS,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(id, dsir_logweight): per-document log importance weight of ``docs``
+    (the raw pool) against ``target`` (the quality seed corpus, e.g.
+    curated docs) under add-``smoothing`` hashed-n-gram multinomials.
+    Weight 0.0 for docs with no tokens (no evidence either way).
+
+    Scale shape: two (id, bucket) aggregates (raw + target) with partial
+    combine; the bucket log-ratio table is at most ``n_buckets`` rows —
+    broadcast into the per-doc scoring join no matter how large the
+    corpus — and the final per-doc sum aggregates fixed-width rows. The
+    target corpus is typically tiny next to the pool; nothing here
+    collects more than two scalar totals."""
+    raw_c = _dsir_doc_buckets(docs, id_col, text_col, n_buckets)
+    tgt_c = _dsir_doc_buckets(target, id_col, text_col, n_buckets)
+    raw_b = raw_c.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tgt_b = tgt_c.groupBy("bucket").agg(F.sum("c").alias("tc"))
+    r_total = raw_b.agg(F.sum("rc")).first()[0] or 0
+    t_total = tgt_b.agg(F.sum("tc")).first()[0] or 0
+    lam = float(smoothing)
+    # buckets absent from the raw pool can't appear in any raw doc, so the
+    # left join from raw buckets covers every bucket the scorer will see
+    ratio = raw_b.join(tgt_b, "bucket", "left").select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("tc"), F.lit(0)) + lam)
+                / F.lit(float(t_total) + lam * n_buckets)
+            )
+            - F.log((F.col("rc") + lam) / F.lit(float(r_total) + lam * n_buckets))
+        ).alias("lr"),
+    )
+    w = (
+        raw_c.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("lr")).alias("_w"))
+    )
+    return docs.select(id_col).join(w, id_col, "left").select(
+        id_col,
+        F.round(F.coalesce(F.col("_w"), F.lit(0.0)), 4).alias("dsir_logweight"),
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_N_BUCKETS,
+    smoothing: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Gumbel-top-k importance resample: (id, dsir_logweight, dsir_key)
+    for the ``k`` selected documents, where ``dsir_key = logweight +
+    Gumbel(md5(seed|id))`` — deterministic across engines and cluster
+    sizes (the DuckDB oracle replays the identical draw), equivalent in
+    distribution to sampling k docs without replacement with probability
+    proportional to exp(logweight). Top-k is a TakeOrderedAndProject —
+    no global sort materializes."""
+    w = dsir_weights(
+        docs, target, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, smoothing=smoothing,
+    )
+    u = (
+        _dsir_bucket(
+            F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.select(
+            id_col,
+            "dsir_logweight",
+            F.round(F.col("dsir_logweight") + gumbel, 4).alias("dsir_key"),
+        )
+        .orderBy(F.desc("dsir_key"), F.col(id_col))
+        .limit(int(k))
     )

@@ -8,7 +8,7 @@ codegens and scales linearly with the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from google_spark.operators.dedup import shingles_col, tokens_col
@@ -637,4 +637,123 @@ def gopher_rules(
         F.round(alpha_frac, 4).alias("alpha_word_frac"),
         stop_hits.cast("int").alias("n_stop_hits"),
         keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram language identification (Cavnar & Trenkle 1994,
+# "N-Gram-Based Text Categorization" — the classic rank-profile method;
+# the scale path when no pretrained fastText model can ship). Profiles are
+# TRAINED from labeled rows, so any label taxonomy works (natural
+# languages, programming languages from the `lang` column of a code
+# table, sources).
+# ---------------------------------------------------------------------------
+
+LANGID_NGRAM_N = 3
+LANGID_PROFILE_SIZE = 100
+
+
+def _char_ngrams(text_col: Column, n: int) -> Column:
+    """Character n-grams of the normalized text: lowercase, non-[a-z0-9]
+    runs collapsed to one space, trimmed. Empty array when shorter than
+    ``n``. Pure HOF expression — whole-stage codegen, zero exchanges."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(text_col, F.lit(""))), "[^a-z0-9]+", " ")
+    )
+    ln = F.length(norm)
+    return F.when(
+        ln >= n,
+        F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)), lambda i: F.substring(norm, i, n)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def langid_ngram_train(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = LANGID_NGRAM_N,
+    profile_size: int = LANGID_PROFILE_SIZE,
+) -> DataFrame:
+    """(lang, gram, rank): each label's ``profile_size`` most frequent
+    character ``n``-grams in frequency-rank order (ties break by gram,
+    so the profile is deterministic and any engine replays it).
+
+    Scale shape: grams explode scan-side, ONE (lang, gram) aggregate with
+    partial combine, then a per-lang top-N window — WindowGroupLimit
+    keeps at most ``profile_size`` rows per label per task before the
+    exchange. The output is n_labels x profile_size rows: broadcast-sized
+    for classification no matter the corpus."""
+    counts = (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.col("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= profile_size)
+        .select("lang", "gram", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def langid_ngram_classify(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = LANGID_NGRAM_N,
+    profile_size: int = LANGID_PROFILE_SIZE,
+) -> DataFrame:
+    """(id, lang_pred, oop_distance): Cavnar–Trenkle out-of-place
+    classification. Each document's top-``profile_size`` gram ranks are
+    compared against every trained profile; a gram missing from a profile
+    costs the maximum penalty (``profile_size``), matching grams cost
+    ``|doc_rank - profile_rank|``; the label with the smallest summed
+    distance wins (ties break by label, ascending). Documents with no
+    grams (empty after normalization) predict 'und' with distance 0.
+
+    Scale shape: the document profile needs one (id, gram) aggregate and
+    one per-doc top-N window (WindowGroupLimit caps per-task state); the
+    trained profiles and the label list are broadcast; scoring is a
+    fixed-fanout cross of each doc's <= profile_size grams with n_labels
+    rows, aggregated back to (id, lang) then argmin'd with one more
+    per-doc window. Everything downstream of the scan is fixed-width —
+    no text shuffles."""
+    doc_counts = (
+        docs.select(F.col(id_col), F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dw = Window.partitionBy(id_col).orderBy(F.desc("c"), F.col("gram"))
+    doc_prof = (
+        doc_counts.withColumn("drank", F.row_number().over(dw))
+        .filter(F.col("drank") <= profile_size)
+        .select(id_col, "gram", "drank")
+    )
+    langs = profiles.select("lang").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profiles), ["lang", "gram"], "left")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("rank")),
+                    F.lit(profile_size),
+                )
+            ).alias("dist")
+        )
+    )
+    aw = Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("lang"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("lang").alias("lang_pred"), F.col("dist").cast("long").alias("oop_distance"))
+    )
+    return docs.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred"),
+        F.coalesce(F.col("oop_distance"), F.lit(0).cast("long")).alias("oop_distance"),
     )

@@ -138,3 +138,58 @@ def test_non_convergence_strict_raises_and_flag_propagates(spark):
     assert {(r["doc_id"], r["component"]) for r in comp.collect()} == {
         (1, 1), (2, 1),
     }
+
+
+def test_cluster_dedup_by_score_keeps_best_member(spark):
+    from google_spark.operators.components import cluster_dedup_by_score
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill nearby today"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base, 0.2),
+            (2, base + " extra", 0.9),  # best of the cluster
+            (3, base + " tail", 0.9),   # score tie -> smaller id (2) wins
+            (4, "an entirely different document about spark physical plans "
+                "and shuffle exchanges in distributed query execution", 0.1),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in cluster_dedup_by_score(docs, "quality", threshold=0.5).collect()
+    }
+    # singleton 4 always survives; the 1-2-3 cluster keeps exactly the
+    # highest-quality member with the id tiebreak: 2
+    assert kept == {2, 4}
+
+
+def test_cluster_dedup_by_score_partitioning_invariant(spark):
+    from google_spark.operators.components import cluster_dedup_by_score
+
+    words = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "spark shuffle exchange partition broadcast codegen catalyst tungsten arrow batch",
+        "crawl frontier robots politeness redirect snapshot anchor href depth host",
+        "posting varint delta gap blockmax wand bm25 idf stem token",
+        "minhash simhash jaccard shingle band bucket verify component canonical survivor",
+    ]
+    rows = []
+    for fam in range(5):
+        stem = (words[fam] + " ") * 3
+        for j in range(3):
+            rows.append((fam * 10 + j, stem + f" suffix{j}", float(j)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    # threshold 0.5 needs more, narrower bands than the >=0.8 defaults
+    # (near_dup_components docstring) for reliable LSH recall
+    kw = dict(threshold=0.5, n_hashes=64, n_bands=16)
+    a = {r["doc_id"] for r in cluster_dedup_by_score(docs, "q", **kw).collect()}
+    b = {
+        r["doc_id"]
+        for r in cluster_dedup_by_score(docs.repartition(7), "q", **kw).collect()
+    }
+    assert a == b
+    # each family keeps its highest-q member (j=2)
+    assert a == {fam * 10 + 2 for fam in range(5)}

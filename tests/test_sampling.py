@@ -328,3 +328,69 @@ def test_mix_epochs_empty_and_zero_total(spark):
     out = mix_with_epochs(empty, "lang", n_total=10)
     assert out.count() == 0
     assert out.columns == ["doc_id", "lang", "epoch"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _mk_dsir_docs(spark):
+    # 40 docs; even ids speak "clean" vocabulary, odd ids speak "boiler"
+    rows = [
+        (
+            i,
+            ("clean prose about careful code review " * 3)
+            if i % 2 == 0
+            else ("boiler spam junk click here now " * 3),
+        )
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.sampling import dsir_weights
+
+    docs = _mk_dsir_docs(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 0).limit(5)
+    w = {r["doc_id"]: r["dsir_logweight"] for r in dsir_weights(docs, target).collect()}
+    assert len(w) == 40
+    clean = [w[i] for i in range(0, 40, 2)]
+    boiler = [w[i] for i in range(1, 40, 2)]
+    # every target-like doc outweighs every boiler doc
+    assert min(clean) > max(boiler)
+
+
+def test_dsir_weights_empty_doc_is_zero(spark):
+    from google_spark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
+    w = {r["doc_id"]: r["dsir_logweight"] for r in dsir_weights(docs, target).collect()}
+    assert w[1] == 0.0 and w[2] == 0.0
+
+
+def test_dsir_resample_deterministic_and_biased(spark):
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.sampling import dsir_resample
+
+    docs = _mk_dsir_docs(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 0).limit(5)
+    a = dsir_resample(docs, target, k=10).collect()
+    b = dsir_resample(docs.repartition(7), target, k=10).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]  # partitioning-independent
+    assert len(a) == 10
+    picked = {r["doc_id"] for r in a}
+    assert sum(1 for i in picked if i % 2 == 0) >= 8  # overwhelmingly target-like
+    # a different seed draws a different (but still deterministic) sample order
+    c = dsir_resample(docs, target, k=10, seed="other").collect()
+    assert [r["doc_id"] for r in c] != [r["doc_id"] for r in a] or [
+        r["dsir_key"] for r in c
+    ] != [r["dsir_key"] for r in a]

@@ -313,3 +313,71 @@ def test_gopher_rules_thresholds_are_parameters(spark):
     assert strict["keep"] is False  # 14 words < default 50-word floor
     relaxed = gopher_rules(docs, min_words=5).collect()[0]
     assert relaxed["keep"] is True
+
+
+# ---------------------------------------------------------------------------
+# Cavnar–Trenkle n-gram language ID
+# ---------------------------------------------------------------------------
+
+
+def _mk_langid_docs(spark):
+    texts = {
+        "en": "the quick brown fox jumps over the lazy dog and then it sleeps",
+        "de": "der schnelle braune fuchs springt ueber den faulen hund und schlaeft",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et dort",
+    }
+    rows = [
+        (lang_i * 10 + j, lang, texts[lang] + f" variation {j}")
+        for lang_i, lang in enumerate(sorted(texts))
+        for j in range(6)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_langid_ngram_train_profile_shape(spark):
+    from google_spark.operators.text_analysis import langid_ngram_train
+
+    prof = langid_ngram_train(_mk_langid_docs(spark), profile_size=30)
+    rows = prof.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rank"])
+    assert set(by_lang) == {"de", "en", "fr"}
+    for ranks in by_lang.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 30
+
+
+def test_langid_ngram_classify_recovers_labels(spark):
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.text_analysis import (
+        langid_ngram_classify,
+        langid_ngram_train,
+    )
+
+    docs = _mk_langid_docs(spark)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    prof = langid_ngram_train(train, profile_size=50)
+    pred = langid_ngram_classify(test, prof, profile_size=50)
+    joined = pred.join(test.select("doc_id", "lang"), "doc_id").collect()
+    assert len(joined) == test.count()
+    acc = sum(1 for r in joined if r["lang_pred"] == r["lang"]) / len(joined)
+    assert acc == 1.0  # same-vocabulary variations classify perfectly
+
+
+def test_langid_ngram_empty_doc_is_und(spark):
+    from google_spark.operators.text_analysis import (
+        langid_ngram_classify,
+        langid_ngram_train,
+    )
+
+    prof = langid_ngram_train(_mk_langid_docs(spark))
+    docs = _mk_langid_docs(spark).sparkSession.createDataFrame(
+        [(100, None), (101, "!!"), (102, "ab")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in langid_ngram_classify(docs, prof).collect()}
+    # None / punctuation-only / shorter-than-n docs have no trigram evidence
+    assert all(out[i]["lang_pred"] == "und" and out[i]["oop_distance"] == 0 for i in (100, 101, 102))
