@@ -386,3 +386,51 @@ def test_mix_epochs_single_exchange_no_collect_of_rows(spark):
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     # the explode (epoch expansion) must sit ABOVE the window, not below
     assert plan.index("Generate explode") < plan.index("Window"), plan
+
+
+def test_dsir_broadcasts_ratio_and_topk_no_global_sort(spark):
+    """dsir_resample: the <=4096-row bucket log-ratio table must BROADCAST
+    into the per-doc scoring join (never shuffle the corpus against it),
+    and the Gumbel-top-k must be a TakeOrderedAndProject, not a global
+    Sort+Exchange (the PLANS.md claims)."""
+    from google_spark.operators.sampling import dsir_resample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = dsir_resample(docs, docs.filter(F.col("lang") == "en"), k=50)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # no full-result Sort: the only ordering operator is the top-k
+    assert "Sort [dsir_key" not in plan
+
+
+def test_langid_profile_window_is_group_limited(spark):
+    """langid_ngram_train: the per-label rank window must carry a
+    WindowGroupLimit BELOW the window exchange (partial top-N per task)
+    so the shuffle is bounded by labels x profile_size."""
+    from google_spark.operators.text_analysis import langid_ngram_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(langid_ngram_train(docs))
+    limits = plan.count("WindowGroupLimit")
+    assert limits >= 2, plan  # partial (below exchange) + final (above)
+    assert "CartesianProduct" not in plan
+
+
+def test_langid_classify_broadcasts_profiles(spark):
+    """langid_ngram_classify: profiles and the label list are broadcast;
+    the only hash exchanges key on (id[, gram]) / (id, lang) — fixed
+    width — and raw text never shuffles."""
+    from google_spark.operators.text_analysis import (
+        langid_ngram_classify,
+        langid_ngram_train,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    prof = langid_ngram_train(docs)
+    plan = _plan(langid_ngram_classify(docs, prof))
+    assert plan.count("BroadcastExchange") >= 2, plan  # labels + profiles
+    assert "CartesianProduct" not in plan
+    # text is consumed inside the scan-side projection, never a shuffle key
+    assert "hashpartitioning(text" not in plan

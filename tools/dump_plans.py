@@ -694,6 +694,74 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.sampling import dsir_resample
+
+    sections.append(
+        (
+            "DSIR importance resampling (broadcast ratio table, top-k)",
+            "dsir_resample(docs, target, k=50): hashed uni+bigram features "
+            "explode scan-side on BOTH corpora into (id, bucket) hash "
+            "aggregates with map-side partial combine; the bucket log-ratio "
+            "table is capped at n_buckets=4096 rows and BROADCAST into the "
+            "per-doc scoring join; the Gumbel-top-k lands in a "
+            "TakeOrderedAndProject — no global sort. Raw text never "
+            "shuffles; the widest exchange carries (id, bucket, count).",
+            fmt(
+                dsir_resample(docs, docs.filter(F.col("lang") == "en"), k=50)
+            ),
+        )
+    )
+
+    from google_spark.operators.text_analysis import (
+        langid_ngram_classify,
+        langid_ngram_train,
+    )
+
+    prof = langid_ngram_train(docs)
+    sections.append(
+        (
+            "Language-ID profile training (one aggregate, per-label top-N)",
+            "langid_ngram_train: character trigrams explode inside the "
+            "scan projection, ONE (lang, gram) hash aggregate with partial "
+            "combine, then the per-label rank window — WindowGroupLimit "
+            "keeps at most profile_size rows per label per task BEFORE the "
+            "window exchange, so the shuffle is bounded by labels x "
+            "profile_size regardless of corpus size.",
+            fmt(prof),
+        )
+    )
+    sections.append(
+        (
+            "Language-ID classification (broadcast profiles, argmin window)",
+            "langid_ngram_classify: each doc's top-profile_size grams come "
+            "from one (id, gram) aggregate + WindowGroupLimit'd rank "
+            "window; the trained profiles and label list are BROADCAST "
+            "into the fixed-fanout scoring join; the out-of-place distance "
+            "aggregates to (id, lang) rows and the argmin is one more "
+            "group-limited window. Downstream of the scan everything is "
+            "fixed-width — no text shuffles.",
+            fmt(langid_ngram_classify(docs, prof)),
+        )
+    )
+
+    from google_spark.operators.components import cluster_dedup_by_score
+
+    sections.append(
+        (
+            "Quality-canonical cluster dedup (argmax window + anti-join)",
+            "cluster_dedup_by_score(docs, 'n_chars'): components come from "
+            "the same MinHash-LSH + verified-pair label propagation as "
+            "cluster_dedup (iterative jobs, localCheckpoint cadence — the "
+            "checkpoint scan below is that boundary); the NEW part is pure "
+            "plan: one per-component argmax window over fixed-width (id, "
+            "component, score) rows — WindowGroupLimit keeps one row per "
+            "component per task before the exchange — and the tiny loser "
+            "id set anti-joins back against the corpus scan (broadcast "
+            "here, AQE-sized at scale).",
+            fmt(cluster_dedup_by_score(docs, "n_chars", threshold=0.5)),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
