@@ -2367,6 +2367,58 @@ def q_dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# License headers planted by doc_id % 7 (the synthetic corpus has no
+# license text of its own): SPDX tags — one canonical-case, one outside
+# the known family set — phrase headers for Apache/GPL/MIT, and two
+# residues with no license at all. The oracle replays the planting.
+_LICENSE_HEADERS = (
+    "// SPDX-License-Identifier: MIT\n",
+    '# Licensed under the Apache License, Version 2.0 (the "License");\n',
+    "/* This program is free software: you can redistribute it and/or "
+    "modify it under the terms of the GNU General Public License */\n",
+    "// Redistribution and use in source and binary forms, with or "
+    "without modification, are permitted\n",
+    "# spdx-license-identifier: BSD-2-Clause\n",
+    "/* Permission is hereby granted, free of charge, to any person "
+    "obtaining a copy of this software */\n",
+    "",
+)
+
+
+def _license_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    headers = F.array(*[F.lit(h) for h in _LICENSE_HEADERS])
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.element_at(headers, (F.col("doc_id") % 7 + 1).cast("int")),
+            F.coalesce(F.col("text"), F.lit("")),
+        ),
+    )
+
+
+def q_text_detect_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License gate through ENGINE code (text_analysis.detect_license):
+    SPDX-tag-wins-else-phrase-heuristics over the planted corpus — the
+    filter every code-training pipeline runs before a file may enter the
+    corpus. The oracle replays the planting, the head truncation, the
+    SPDX extraction + canonicalization, and the precedence-ordered phrase
+    CASE in SQL."""
+    from google_spark.operators.text_analysis import detect_license
+
+    return detect_license(_license_planted(spark, sf_dir))
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal through ENGINE code
+    (text_analysis.char_entropy): Shannon bits/char of the normalized
+    [a-z0-9 ] distribution via 37 scan-side length-difference counts.
+    The oracle replays the normalization and the same-ordered term sum."""
+    from google_spark.operators.text_analysis import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2462,6 +2514,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_ngram": q_text_langid_ngram,
         "sample_dsir_topk": q_sample_dsir_topk,
         "dedup_canonical_best": q_dedup_canonical_best,
+        "text_detect_license": q_text_detect_license,
+        "text_char_entropy": q_text_char_entropy,
     }
 
 
@@ -2726,6 +2780,48 @@ sh AS (
 # bits mod p), then the Carter-Wegman family (A[j]*x + B[j]) mod p with the
 # engine's frozen constants — imported so Spark and the oracle can't drift.
 from google_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P  # noqa: E402
+
+# License + entropy contracts: rules/alphabet imported from the engine so
+# Spark and the oracle can't drift.
+from google_spark.operators.text_analysis import (  # noqa: E402
+    ENTROPY_ALPHABET,
+    LICENSE_HEAD_CHARS,
+    LICENSE_RULES,
+)
+
+_LIC_PLANT_SQL = (
+    "CASE doc_id % 7 "
+    + " ".join(f"WHEN {i} THEN '{h}'" for i, h in enumerate(_LICENSE_HEADERS))
+    + " END || coalesce(text, '')"
+)
+_LIC_PHRASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN regexp_matches(h, '{pat}') THEN '{lic}'"
+        for lic, pat, _ in LICENSE_RULES
+    )
+    + " ELSE 'NOASSERTION' END"
+)
+_LIC_CANON_SQL = (
+    "CASE spdx "
+    + " ".join(f"WHEN '{lic.lower()}' THEN '{lic}'" for lic, _, _ in LICENSE_RULES)
+    + " ELSE spdx END"
+)
+_LIC_PERMISSIVE_SQL = ", ".join(
+    f"'{lic}'" for lic, _, perm in LICENSE_RULES if perm
+)
+
+
+def _entropy_sum_sql() -> str:
+    """The 37 length-difference entropy terms in the engine's exact
+    summation order (left-assoc +, alphabet order)."""
+    terms = []
+    for ch in ENTROPY_ALPHABET:
+        c = f"(n - length(replace(s, '{ch}', '')))"
+        terms.append(
+            f"CASE WHEN {c} > 0 THEN (-({c} / n)) * log2({c} / n) ELSE 0.0 END"
+        )
+    return "\n  + ".join(terms)
 
 _HH_CTE = f"""
 {_SH3_CTE},
@@ -3783,6 +3879,55 @@ SELECT d.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred,
        coalesce(b.oop_distance, CAST(0 AS BIGINT)) AS oop_distance
 FROM documents d LEFT JOIN best b USING (doc_id)
 WHERE d.doc_id % 2 = 1
+""",
+        # SPDX-tag-wins-else-phrase license gate over the planted corpus;
+        # the rules, precedence order, head truncation, and permissive set
+        # all come from the imported engine constants.
+        "text_detect_license": f"""
+WITH planted AS (
+  SELECT doc_id, {_LIC_PLANT_SQL} AS text FROM documents
+),
+head AS (
+  SELECT doc_id,
+         lower(substr(text, 1, {LICENSE_HEAD_CHARS})) AS h
+  FROM planted
+),
+det AS (
+  SELECT doc_id,
+         regexp_extract(h, 'spdx-license-identifier:\\s*([a-z0-9.\\-+]+)', 1)
+           AS spdx,
+         {_LIC_PHRASE_SQL} AS phrase
+  FROM head
+),
+fin AS (
+  SELECT doc_id,
+         CASE WHEN spdx <> '' THEN {_LIC_CANON_SQL} ELSE phrase END
+           AS license,
+         CASE WHEN spdx <> '' THEN 'spdx'
+              WHEN phrase <> 'NOASSERTION' THEN 'phrase'
+              ELSE 'none' END AS license_source
+  FROM det
+)
+SELECT doc_id, license, license_source,
+       license IN ({_LIC_PERMISSIVE_SQL}) AS is_permissive
+FROM fin
+""",
+        # Shannon bits/char over the normalized [a-z0-9 ] distribution:
+        # 37 length-difference counts summed in the engine's exact order.
+        "text_char_entropy": f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))
+           AS s
+  FROM documents
+),
+t AS (SELECT doc_id, s, CAST(length(s) AS DOUBLE) AS n FROM norm)
+SELECT doc_id,
+       round(CASE WHEN n > 0 THEN
+         {_entropy_sum_sql()}
+       ELSE 0.0 END, 4) AS char_entropy,
+       CAST(n AS BIGINT) AS n_alpha_chars
+FROM t
 """,
         "dedup_shared_shingles": f"""
 WITH tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),

@@ -164,6 +164,20 @@ def main() -> None:
         F.sum("n_removed")
     ).collect()
     timings["spans_dedup"] = round(time.perf_counter() - t0, 4)
+    from google_spark.operators.sampling import dsir_resample
+
+    t0 = time.perf_counter()
+    dsir_resample(docs, docs.filter(F.col("lang") == "en"), k=100).count()
+    timings["dsir_resample"] = round(time.perf_counter() - t0, 4)
+    from google_spark.operators.text_analysis import (
+        langid_ngram_classify,
+        langid_ngram_train,
+    )
+
+    t0 = time.perf_counter()
+    _prof = langid_ngram_train(docs.filter(F.col("doc_id") % 2 == 0))
+    langid_ngram_classify(docs.filter(F.col("doc_id") % 2 == 1), _prof).count()
+    timings["langid_train_classify"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
     pagerank(synthetic_doc_graph(docs), exact_iters=3).count()
     timings["pagerank_3it"] = round(time.perf_counter() - t0, 4)

@@ -87,6 +87,14 @@ def __getattr__(name):
             "google_spark.operators.text_analysis",
             "langid_ngram_classify",
         ),
+        "detect_license": (
+            "google_spark.operators.text_analysis",
+            "detect_license",
+        ),
+        "char_entropy": (
+            "google_spark.operators.text_analysis",
+            "char_entropy",
+        ),
         "cluster_dedup_by_score": (
             "google_spark.operators.components",
             "cluster_dedup_by_score",

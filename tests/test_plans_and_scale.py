@@ -434,3 +434,15 @@ def test_langid_classify_broadcasts_profiles(spark):
     assert "CartesianProduct" not in plan
     # text is consumed inside the scan-side projection, never a shuffle key
     assert "hashpartitioning(text" not in plan
+
+
+def test_license_and_entropy_plans_are_pure_scans(spark):
+    """detect_license / char_entropy: the whole operator folds into one
+    codegen'd projection over the parquet scan — zero exchanges."""
+    from google_spark.operators.text_analysis import char_entropy, detect_license
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for op in (detect_license, char_entropy):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, plan
+        assert "Scan parquet" in plan

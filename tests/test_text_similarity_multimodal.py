@@ -381,3 +381,100 @@ def test_langid_ngram_empty_doc_is_und(spark):
     out = {r["doc_id"]: r for r in langid_ngram_classify(docs, prof).collect()}
     # None / punctuation-only / shorter-than-n docs have no trigram evidence
     assert all(out[i]["lang_pred"] == "und" and out[i]["oop_distance"] == 0 for i in (100, 101, 102))
+
+
+# ---------------------------------------------------------------------------
+# License detection
+# ---------------------------------------------------------------------------
+
+
+def test_detect_license_spdx_wins_and_canonicalizes(spark):
+    from google_spark.operators.text_analysis import detect_license
+
+    docs = spark.createDataFrame(
+        [
+            # SPDX tag beats a contradicting phrase in the same head
+            (1, "// SPDX-License-Identifier: mit\n"
+                "Licensed under the Apache License, Version 2.0"),
+            # unknown-family tag kept verbatim-lowercase
+            (2, "# SPDX-License-Identifier: BSD-2-Clause"),
+            (3, "Permission is hereby granted, free of charge, to anyone"),
+            (4, "covered by the GNU General Public License v3"),
+            (5, "no license text here"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in detect_license(docs).collect()}
+    assert (out[1]["license"], out[1]["license_source"], out[1]["is_permissive"]) == (
+        "MIT", "spdx", True,
+    )
+    assert (out[2]["license"], out[2]["is_permissive"]) == ("bsd-2-clause", False)
+    assert (out[3]["license"], out[3]["license_source"]) == ("MIT", "phrase")
+    assert out[4]["license"] == "GPL-3.0" and out[4]["is_permissive"] is False
+    for i in (5, 6):
+        assert (out[i]["license"], out[i]["license_source"]) == ("NOASSERTION", "none")
+
+
+def test_detect_license_precedence_and_head_bound(spark):
+    from google_spark.operators.text_analysis import detect_license
+
+    docs = spark.createDataFrame(
+        [
+            # AGPL phrase contains the GPL phrase -> copyleft listed first wins
+            (1, "under the GNU Affero General Public License as published"),
+            # license text beyond head_chars is invisible
+            (2, "x" * 3000 + " Permission is hereby granted, free of charge,"),
+            # ...but visible with a bigger head
+            (3, "x" * 300 + " Permission is hereby granted, free of charge,"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in detect_license(docs).collect()}
+    assert out[1]["license"] == "AGPL-3.0"
+    assert out[2]["license"] == "NOASSERTION"
+    assert out[3]["license"] == "MIT"
+
+
+# ---------------------------------------------------------------------------
+# Character entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from google_spark.operators.text_analysis import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),              # single symbol -> 0 bits
+            (2, "abcdefghij"),        # 10 uniform symbols -> log2(10)
+            (3, "aabb"),              # two uniform symbols -> 1 bit
+            (4, ""),                  # empty -> 0, n=0
+            (5, None),
+            (6, "!!!???"),            # normalizes to nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["char_entropy"] == 0.0 and out[1]["n_alpha_chars"] == 4
+    assert abs(out[2]["char_entropy"] - round(math.log2(10), 4)) < 1e-9
+    assert out[3]["char_entropy"] == 1.0
+    for i in (4, 5, 6):
+        assert out[i]["char_entropy"] == 0.0 and out[i]["n_alpha_chars"] == 0
+
+
+def test_char_entropy_flags_boilerplate_below_prose(spark):
+    from google_spark.operators.text_analysis import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here click here click here " * 20),
+            (2, "the committee's quarterly budget review examined seventeen "
+                "distinct proposals covering infrastructure and zoning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["char_entropy"] for r in char_entropy(docs).collect()}
+    assert out[1] < out[2]
