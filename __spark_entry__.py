@@ -2409,6 +2409,29 @@ def q_text_detect_license(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_license(_license_planted(spark, sf_dir))
 
 
+def q_text_code_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style code-file quality gate through ENGINE code
+    (text_analysis.code_rules; Li et al. 2023 §3): line-length bounds,
+    alnum/digit fractions, autogenerated-marker head scan, composite
+    keep. Every 11th doc gets a generated-file banner planted so the
+    is_autogen signal has both values; the oracle replays the planting
+    and every signal in SQL."""
+    from google_spark.operators.text_analysis import code_rules
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit("// Code generated by tool. DO NOT EDIT.\n"),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return code_rules(planted)
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal through ENGINE code
     (text_analysis.char_entropy): Shannon bits/char of the normalized
@@ -2516,6 +2539,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_best": q_dedup_canonical_best,
         "text_detect_license": q_text_detect_license,
         "text_char_entropy": q_text_char_entropy,
+        "text_code_rules": q_text_code_rules,
     }
 
 
@@ -2784,9 +2808,15 @@ from google_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P  # noqa
 # License + entropy contracts: rules/alphabet imported from the engine so
 # Spark and the oracle can't drift.
 from google_spark.operators.text_analysis import (  # noqa: E402
+    AUTOGEN_HEAD_CHARS,
+    AUTOGEN_MARKERS,
     ENTROPY_ALPHABET,
     LICENSE_HEAD_CHARS,
     LICENSE_RULES,
+)
+
+_AUTOGEN_SQL = " OR ".join(
+    f"contains(head, '{m}')" for m in AUTOGEN_MARKERS
 )
 
 _LIC_PLANT_SQL = (
@@ -3911,6 +3941,60 @@ fin AS (
 SELECT doc_id, license, license_source,
        license IN ({_LIC_PERMISSIVE_SQL}) AS is_permissive
 FROM fin
+""",
+        # StarCoder-style code gate: line stats from the '\n'-split (CRLF
+        # tails trimmed), length-difference char fractions, marker head
+        # scan, composite keep at the engine's default thresholds
+        # (max_line 1000, mean_line 100, alnum >= 0.25, digit <= 0.5).
+        "text_code_rules": f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN '// Code generated by tool. DO NOT EDIT.' || chr(10)
+                   || coalesce(text, '')
+              ELSE text END AS text
+  FROM documents
+),
+base AS (SELECT doc_id, coalesce(text, '') AS raw FROM planted),
+l AS (
+  SELECT doc_id, raw,
+         list_transform(string_split(raw, chr(10)),
+                        s -> rtrim(regexp_replace(s, '\\r$', ''))) AS lines
+  FROM base
+),
+m AS (
+  SELECT doc_id, raw,
+         len(lines) AS n_lines,
+         CAST(coalesce(list_max(list_transform(lines, x -> length(x))), 0)
+              AS INT) AS max_line_len,
+         CASE WHEN len(lines) > 0 THEN
+           round(CAST(list_sum(list_transform(lines, x -> length(x)))
+                      AS DOUBLE) / len(lines), 4)
+         ELSE 0.0 END AS mean_line_len,
+         CAST(length(raw) AS DOUBLE) AS n_chars,
+         lower(substr(raw, 1, {AUTOGEN_HEAD_CHARS})) AS head
+  FROM l
+),
+fr AS (
+  SELECT doc_id, CAST(n_lines AS INT) AS n_lines, max_line_len,
+         mean_line_len,
+         CASE WHEN n_chars > 0 THEN
+           round((n_chars - length(regexp_replace(lower(raw), '[a-z0-9]',
+                                                  '', 'g'))) / n_chars, 4)
+         ELSE 0.0 END AS alnum_frac,
+         CASE WHEN n_chars > 0 THEN
+           round((n_chars - length(regexp_replace(raw, '[0-9]', '', 'g')))
+                 / n_chars, 4)
+         ELSE 0.0 END AS digit_frac,
+         ({_AUTOGEN_SQL}) AS is_autogen
+  FROM m
+)
+SELECT doc_id, n_lines, max_line_len, mean_line_len, alnum_frac,
+       digit_frac, is_autogen,
+       (max_line_len <= 1000 AND mean_line_len <= 100.0
+        AND alnum_frac >= 0.25 AND digit_frac <= 0.5
+        AND NOT is_autogen) AS keep
+FROM fr
 """,
         # Shannon bits/char over the normalized [a-z0-9 ] distribution:
         # 37 length-difference counts summed in the engine's exact order.

@@ -95,6 +95,10 @@ def __getattr__(name):
             "google_spark.operators.text_analysis",
             "char_entropy",
         ),
+        "code_rules": (
+            "google_spark.operators.text_analysis",
+            "code_rules",
+        ),
         "cluster_dedup_by_score": (
             "google_spark.operators.components",
             "cluster_dedup_by_score",

@@ -880,3 +880,98 @@ def char_entropy(
         F.round(ent, 4).alias("char_entropy"),
         total.cast("long").alias("n_alpha_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# StarCoder-style source-file quality rules (Li et al. 2023, "StarCoder:
+# may the source be with you!" §3 — the public filtering recipe for code
+# corpora; same role for code that gopher_rules plays for prose). One
+# scan-side pass, zero exchanges, every signal exactly replayable in SQL.
+# ---------------------------------------------------------------------------
+
+AUTOGEN_MARKERS: tuple[str, ...] = (
+    "auto-generated",
+    "autogenerated",
+    "automatically generated",
+    "generated by",
+    "do not edit",
+    "do not modify",
+)
+
+AUTOGEN_HEAD_CHARS = 500
+
+
+def code_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_len: int = 1000,
+    max_mean_line_len: float = 100.0,
+    min_alnum_frac: float = 0.25,
+    max_digit_frac: float = 0.5,
+) -> DataFrame:
+    """StarCoder-style code-file quality gate as ONE scan-side pass:
+    every signal plus the composite ``keep`` verdict, so a pipeline can
+    gate on ``keep`` or re-threshold without rescanning.
+
+    Signals (lines = '\\n'-split, the trailing '\\r' of CRLF files
+    trimmed; fractions over raw character counts):
+    - ``n_lines``, ``max_line_len``, ``mean_line_len`` (rounded 4) —
+      minified / data-blob files have pathological line lengths;
+    - ``alnum_frac`` — binary-ish / art files sink below 0.25;
+    - ``digit_frac`` — numeric dumps exceed 0.5;
+    - ``is_autogen`` — an :data:`AUTOGEN_MARKERS` phrase in the first
+      :data:`AUTOGEN_HEAD_CHARS` chars (lowercased), the lockfile /
+      protoc / bundler signature;
+    - ``keep`` — within every bound and not autogenerated. Empty docs
+      fail ``keep`` (mean 0 < alnum floor).
+
+    Scale shape: the line array, the per-line max/sum aggregates, the
+    length-difference fractions, and the marker scan all fold into one
+    whole-stage-codegen'd projection — zero exchanges, cost linear in
+    corpus bytes."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(
+        F.split(raw, "\n"), lambda s: F.rtrim(F.regexp_replace(s, "\r$", ""))
+    )
+    n_lines = F.size(lines)
+    line_lens = F.transform(lines, F.length)
+    max_ll = F.coalesce(F.array_max(line_lens), F.lit(0)).cast("int")
+    total_ll = F.aggregate(
+        line_lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    mean_ll = F.when(
+        n_lines > 0, F.round(total_ll.cast("double") / n_lines, 4)
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length(raw).cast("double")
+    n_alnum = (
+        n_chars - F.length(F.regexp_replace(F.lower(raw), "[a-z0-9]", ""))
+    )
+    n_digit = n_chars - F.length(F.regexp_replace(raw, "[0-9]", ""))
+    alnum_frac = F.when(n_chars > 0, F.round(n_alnum / n_chars, 4)).otherwise(
+        F.lit(0.0)
+    )
+    digit_frac = F.when(n_chars > 0, F.round(n_digit / n_chars, 4)).otherwise(
+        F.lit(0.0)
+    )
+    head = F.lower(F.substring(raw, 1, AUTOGEN_HEAD_CHARS))
+    is_autogen = F.array_contains(
+        F.array(*[head.contains(F.lit(m)) for m in AUTOGEN_MARKERS]), True
+    )
+    keep = (
+        (max_ll <= max_line_len)
+        & (mean_ll <= max_mean_line_len)
+        & (alnum_frac >= min_alnum_frac)
+        & (digit_frac <= max_digit_frac)
+        & ~is_autogen
+    )
+    return docs.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        max_ll.alias("max_line_len"),
+        mean_ll.alias("mean_line_len"),
+        alnum_frac.alias("alnum_frac"),
+        digit_frac.alias("digit_frac"),
+        is_autogen.alias("is_autogen"),
+        keep.alias("keep"),
+    )

@@ -442,7 +442,9 @@ def test_license_and_entropy_plans_are_pure_scans(spark):
     from google_spark.operators.text_analysis import char_entropy, detect_license
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    for op in (detect_license, char_entropy):
+    from google_spark.operators.text_analysis import code_rules
+
+    for op in (detect_license, char_entropy, code_rules):
         plan = _plan(op(docs))
         assert "Exchange" not in plan, plan
         assert "Scan parquet" in plan

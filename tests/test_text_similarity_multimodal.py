@@ -478,3 +478,46 @@ def test_char_entropy_flags_boilerplate_below_prose(spark):
     )
     out = {r["doc_id"]: r["char_entropy"] for r in char_entropy(docs).collect()}
     assert out[1] < out[2]
+
+
+# ---------------------------------------------------------------------------
+# StarCoder-style code rules
+# ---------------------------------------------------------------------------
+
+
+def test_code_rules_signals_and_keep(spark):
+    from google_spark.operators.text_analysis import code_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "def f(x):\n    return x + 1\n\nprint(f(2))\n"),
+            (2, "x" * 2000),                                   # minified
+            (3, "// Code generated by protoc. DO NOT EDIT.\npackage x\n"),
+            (4, "0123456789 " * 50),                            # digit dump
+            (5, "!!! ??? *** $$$"),                             # low alnum
+            (6, None),
+            (7, "line one\r\nline two\r\n"),                    # CRLF
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in code_rules(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["n_lines"] == 5
+    assert out[2]["keep"] is False and out[2]["max_line_len"] == 2000
+    assert out[3]["keep"] is False and out[3]["is_autogen"] is True
+    assert out[4]["keep"] is False and out[4]["digit_frac"] > 0.5
+    assert out[5]["keep"] is False and out[5]["alnum_frac"] == 0.0
+    assert out[6]["keep"] is False
+    # CRLF tails must not count toward line length
+    assert out[7]["max_line_len"] == 8 and out[7]["keep"] is True
+
+
+def test_code_rules_thresholds_are_parameters(spark):
+    from google_spark.operators.text_analysis import code_rules
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 150)], "doc_id long, text string"
+    )
+    strict = code_rules(docs).collect()[0]
+    assert strict["keep"] is False  # mean line 150 > default 100
+    relaxed = code_rules(docs, max_mean_line_len=200.0).collect()[0]
+    assert relaxed["keep"] is True
