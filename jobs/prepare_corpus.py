@@ -69,6 +69,10 @@ def prepare_corpus(
     pack_budget: int | None = None,
     bpe_merges: int | None = None,
     bpe_model: str | None = None,
+    permissive_only: bool = False,
+    allow_licenses: list[str] | None = None,
+    code_gate: bool = False,
+    min_entropy: float | None = None,
 ):
     """Run stages 0-8 (everything except the index build); returns
     (prepared DataFrame, accounting dict). Importable so tests drive it
@@ -102,6 +106,7 @@ def prepare_corpus(
     provenance = [
         "lang_pred", "lang_score", "dup_line_frac", "top_bigram_frac",
         "has_char_run", "mean_logprob", "n_tokens", "pack_id",
+        "license", "license_source", "is_permissive",
     ]
     stale = [c for c in docs.columns if c in provenance or c.startswith("q_")]
     if stale:
@@ -126,6 +131,38 @@ def prepare_corpus(
             scrubbed.select(id_col, F.col("text_clean").alias(text_col)),
             id_col,
         )
+
+    if permissive_only or allow_licenses:
+        # the legal gate runs FIRST (cheapest scan, hardest requirement):
+        # a file the pipeline may not train on should never cost a MinHash
+        from google_spark.operators.text_analysis import detect_license
+
+        lic = detect_license(docs, id_col=id_col, text_col=text_col)
+        if allow_licenses:
+            lic = lic.filter(F.col("license").isin(list(allow_licenses)))
+        else:
+            lic = lic.filter(F.col("is_permissive"))
+        # carry the license provenance onto the survivors
+        docs = docs.join(lic, id_col)
+        acct["after_license_filter"] = docs.count()
+
+    if code_gate:
+        from google_spark.operators.text_analysis import code_rules
+
+        keep_code = code_rules(docs, id_col=id_col, text_col=text_col).filter(
+            "keep"
+        ).select(id_col)
+        docs = docs.join(keep_code, id_col, "left_semi")
+        acct["after_code_gate"] = docs.count()
+
+    if min_entropy is not None:
+        from google_spark.operators.text_analysis import char_entropy
+
+        keep_ent = char_entropy(docs, id_col=id_col, text_col=text_col).filter(
+            F.col("char_entropy") >= float(min_entropy)
+        ).select(id_col)
+        docs = docs.join(keep_ent, id_col, "left_semi")
+        acct["after_entropy_filter"] = docs.count()
 
     keep_exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
     docs = docs.join(keep_exact, id_col, "left_semi")
@@ -389,6 +426,33 @@ def main() -> None:
         "re-runs; mismatched --bpe-merges is an error), written after "
         "training otherwise",
     )
+    ap.add_argument(
+        "--permissive-only",
+        action="store_true",
+        help="keep only files whose detected license is permissive "
+        "(SPDX tag wins, else phrase heuristics); runs before dedup",
+    )
+    ap.add_argument(
+        "--allow-license",
+        action="append",
+        default=None,
+        metavar="ID",
+        help="keep only these license ids (repeatable; overrides "
+        "--permissive-only's family set)",
+    )
+    ap.add_argument(
+        "--code-gate",
+        action="store_true",
+        help="apply the StarCoder-style code quality rules "
+        "(line lengths, alnum/digit fractions, autogen markers)",
+    )
+    ap.add_argument(
+        "--min-entropy",
+        type=float,
+        default=None,
+        help="drop docs whose character entropy (bits/char) is below "
+        "this floor (boilerplate / generated filler)",
+    )
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
     mix = None
@@ -431,6 +495,10 @@ def main() -> None:
         pack_budget=args.pack_budget,
         bpe_merges=args.bpe_merges,
         bpe_model=args.bpe_model,
+        permissive_only=args.permissive_only,
+        allow_licenses=args.allow_license,
+        code_gate=args.code_gate,
+        min_entropy=args.min_entropy,
     )
     prepared.write.mode("overwrite").parquet(f"{args.out}/corpus.parquet")
     prepared_back = spark.read.parquet(f"{args.out}/corpus.parquet")

@@ -290,3 +290,68 @@ def test_prepare_corpus_span_filter(spark):
     # removed non-canonical copies; docs 6-11 are ~25% removed
     assert acct["after_span_filter"] == 7
     assert kept == {0} | set(range(6, 12))
+
+
+def test_prepare_corpus_license_code_entropy_gates(spark):
+    from prepare_corpus import prepare_corpus
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 150)
+    # plant licenses: %3==0 MIT tag (permissive), %3==1 GPL phrase
+    # (copyleft), %3==2 nothing
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("// SPDX-License-Identifier: MIT\n"),
+                        F.col("text")))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(F.lit("under the GNU General Public License\n"),
+                        F.col("text")))
+         .otherwise(F.col("text")),
+    )
+    prepared, acct = prepare_corpus(spark, planted, permissive_only=True)
+    assert acct["after_license_filter"] == 50  # the %3==0 slice
+    assert {r["doc_id"] % 3 for r in prepared.select("doc_id").collect()} == {0}
+    # license provenance rides along
+    assert {"license", "is_permissive"} <= set(prepared.columns)
+    assert {r["license"] for r in prepared.select("license").collect()} == {"MIT"}
+
+    # allow-list overrides the permissive family set
+    _, acct_gpl = prepare_corpus(spark, planted, allow_licenses=["GPL-3.0"])
+    assert acct_gpl["after_license_filter"] == 50  # the %3==1 slice
+
+    # code gate + entropy floor record their stages and only shrink
+    _, acct_cg = prepare_corpus(
+        spark, planted, code_gate=True, min_entropy=1.0
+    )
+    assert acct_cg["after_code_gate"] <= acct_cg["input"]
+    assert acct_cg["after_entropy_filter"] <= acct_cg["after_code_gate"]
+    # prose docs are single-line -> the code gate bites hard
+    assert acct_cg["after_code_gate"] < acct_cg["input"]
+
+
+def test_prepare_corpus_license_provenance_rerun_safe(spark, tmp_path):
+    """Re-running prepare_corpus on a previously-prepared corpus.parquet
+    (which now carries license provenance columns) must not die on
+    ambiguous references. The round-trip through parquet is the
+    documented re-run path (chaining the live DataFrame would compound
+    the two pipelines' plans)."""
+    from prepare_corpus import prepare_corpus
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    planted = docs.withColumn(
+        "text", F.concat(F.lit("// SPDX-License-Identifier: MIT\n"), F.col("text"))
+    )
+    first, _ = prepare_corpus(spark, planted, permissive_only=True)
+    out = str(tmp_path / "corpus.parquet")
+    first.write.mode("overwrite").parquet(out)
+    again, acct = prepare_corpus(
+        spark, spark.read.parquet(out), permissive_only=True
+    )
+    assert acct["after_license_filter"] == acct["input"]
+    assert again.count() > 0
+    # provenance columns were recomputed, not duplicated
+    assert again.columns.count("license") == 1
