@@ -2442,6 +2442,54 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_docs(spark, sf_dir))
 
 
+# Repo-shaped view of the documents table for the fork-collapse rows:
+# 40 synthetic repos of ~12 files each, plus planted forks of repos 0-4
+# (every file copied except the %13==0 slice — near-identical file sets,
+# not byte-identical repos). The oracle replays the same construction.
+def _repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 40).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("path"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    forks = (
+        docs.filter((F.col("doc_id") % 40 < 5) & (F.col("doc_id") % 13 != 0))
+        .select(
+            F.concat(F.lit("fork"), (F.col("doc_id") % 40).cast("string")).alias(
+                "repo"
+            ),
+            F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("path"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        )
+    )
+    return base.unionByName(forks)
+
+
+def q_dedup_repo_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-grain fork detection through ENGINE code
+    (dedup.repo_near_dups; The Stack's fork collapse, Kocetkov 2022 §3):
+    Jaccard over per-repo file-sha256 sets, hot-file cap, exact
+    verification. The oracle replays the synthetic repo construction,
+    the hashing, the cap, and the set algebra in SQL."""
+    from google_spark.operators.dedup import repo_near_dups
+
+    return repo_near_dups(_repo_files(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_fork_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork collapse through ENGINE code (dedup.collapse_forks): one
+    canonical repo per fork cluster (most capped-set files, ties to the
+    smallest name), surviving files returned. The oracle recomputes the
+    clusters with a recursive CTE over the same pair relation and
+    replays the argmax."""
+    from google_spark.operators.dedup import collapse_forks
+
+    return collapse_forks(_repo_files(spark, sf_dir), threshold=0.5).select(
+        "repo", "path"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2540,6 +2588,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_detect_license": q_text_detect_license,
         "text_char_entropy": q_text_char_entropy,
         "text_code_rules": q_text_code_rules,
+        "dedup_repo_forks": q_dedup_repo_forks,
+        "dedup_fork_collapse": q_dedup_fork_collapse,
     }
 
 
@@ -3995,6 +4045,89 @@ SELECT doc_id, n_lines, max_line_len, mean_line_len, alnum_frac,
         AND alnum_frac >= 0.25 AND digit_frac <= 0.5
         AND NOT is_autogen) AS keep
 FROM fr
+""",
+        # Repo-grain fork pairs: per-repo distinct file-sha256 sets,
+        # hot-file cap (<=1000 repos per hash), shared-hash pair counts,
+        # exact Jaccard >= 0.5 (engine default cap, row's threshold).
+        "dedup_repo_forks": """
+WITH files AS (
+  SELECT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+         'p' || CAST(doc_id AS VARCHAR) AS path,
+         coalesce(text, '') AS content
+  FROM documents
+  UNION ALL
+  SELECT 'fork' || CAST(doc_id % 40 AS VARCHAR),
+         'p' || CAST(doc_id AS VARCHAR),
+         coalesce(text, '')
+  FROM documents WHERE doc_id % 40 < 5 AND doc_id % 13 <> 0
+),
+fh AS (SELECT DISTINCT repo, sha256(content) AS h FROM files),
+df AS (SELECT h, count(*) AS nrepos FROM fh GROUP BY 1),
+fh2 AS (SELECT fh.repo, fh.h FROM fh JOIN df USING (h) WHERE df.nrepos <= 1000),
+sizes AS (SELECT repo, count(*) AS nf FROM fh2 GROUP BY 1),
+shared AS (
+  SELECT x.repo AS a, y.repo AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM fh2 x JOIN fh2 y ON x.h = y.h AND x.repo < y.repo
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT a, b,
+       round(n_shared / (sa.nf + sb.nf - n_shared), 4) AS jaccard, n_shared
+FROM shared
+JOIN sizes sa ON sa.repo = a
+JOIN sizes sb ON sb.repo = b
+WHERE round(n_shared / (sa.nf + sb.nf - n_shared), 4) >= 0.5
+""",
+        # Fork collapse: recursive-CTE components over the same pair
+        # relation, canonical = most capped-set files then smallest name,
+        # losers' files removed.
+        "dedup_fork_collapse": """
+WITH RECURSIVE files AS (
+  SELECT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+         'p' || CAST(doc_id AS VARCHAR) AS path,
+         coalesce(text, '') AS content
+  FROM documents
+  UNION ALL
+  SELECT 'fork' || CAST(doc_id % 40 AS VARCHAR),
+         'p' || CAST(doc_id AS VARCHAR),
+         coalesce(text, '')
+  FROM documents WHERE doc_id % 40 < 5 AND doc_id % 13 <> 0
+),
+fh AS (SELECT DISTINCT repo, sha256(content) AS h FROM files),
+df AS (SELECT h, count(*) AS nrepos FROM fh GROUP BY 1),
+fh2 AS (SELECT fh.repo, fh.h FROM fh JOIN df USING (h) WHERE df.nrepos <= 1000),
+sizes AS (SELECT repo, count(*) AS nf FROM fh2 GROUP BY 1),
+shared AS (
+  SELECT x.repo AS a, y.repo AS b, count(*) AS n_shared
+  FROM fh2 x JOIN fh2 y ON x.h = y.h AND x.repo < y.repo
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+verified AS (
+  SELECT a, b FROM shared
+  JOIN sizes sa ON sa.repo = a
+  JOIN sizes sb ON sb.repo = b
+  WHERE round(n_shared / (sa.nf + sb.nf - n_shared), 4) >= 0.5
+),
+e AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified),
+n AS (SELECT DISTINCT a AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+),
+comp AS (SELECT id AS repo, min(r) AS component FROM reach GROUP BY 1),
+scored AS (
+  SELECT comp.repo, comp.component, coalesce(sizes.nf, 0) AS nf
+  FROM comp LEFT JOIN sizes USING (repo)
+),
+losers AS (
+  SELECT repo FROM (
+    SELECT repo, row_number() OVER (
+      PARTITION BY component ORDER BY nf DESC, repo
+    ) AS rn FROM scored
+  ) WHERE rn > 1
+)
+SELECT f.repo, f.path FROM files f
+WHERE f.repo NOT IN (SELECT repo FROM losers)
 """,
         # Shannon bits/char over the normalized [a-z0-9 ] distribution:
         # 37 length-difference counts summed in the engine's exact order.

@@ -99,6 +99,8 @@ def __getattr__(name):
             "google_spark.operators.text_analysis",
             "code_rules",
         ),
+        "repo_near_dups": ("google_spark.operators.dedup", "repo_near_dups"),
+        "collapse_forks": ("google_spark.operators.dedup", "collapse_forks"),
         "cluster_dedup_by_score": (
             "google_spark.operators.components",
             "cluster_dedup_by_score",

@@ -1319,3 +1319,153 @@ def remove_duplicate_spans(
         F.size(kept).cast("long").alias("n_kept"),
         (n - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repo-grain fork collapse. A code corpus at repository scale is dominated
+# by forks: thousands of repos that are byte-identical or near-identical
+# file SETS of one upstream (The Stack v1/v2 collapses them before any
+# file-grain dedup for exactly this reason — public: Kocetkov et al. 2022
+# §3). File-grain dedup alone cannot express "these two REPOS are the
+# same project"; the repo-grain signal is Jaccard over the repos' file
+# content-hash sets.
+# ---------------------------------------------------------------------------
+
+
+def repo_near_dups(
+    files: DataFrame,
+    threshold: float = 0.8,
+    repo_col: str = "repo",
+    text_col: str = "content",
+    min_shared: int = 2,
+    max_repo_freq: int = 1000,
+) -> DataFrame:
+    """(a, b, jaccard, n_shared) for repo pairs whose FILE-HASH sets have
+    Jaccard >= ``threshold`` (a < b lexicographically) — the fork-collapse
+    candidate relation. Exact, not sketched: the per-repo feature is the
+    distinct sha256 set of its file contents, candidates are repo pairs
+    sharing >= ``min_shared`` hashes, and the Jaccard is computed from
+    the shared-hash count plus the two set sizes.
+
+    Files whose hash appears in more than ``max_repo_freq`` repos are
+    dropped from candidate generation AND from the set sizes (an empty
+    ``__init__.py`` or a vendored LICENSE lives in a million repos and
+    says nothing about forkness; keeping it in the denominator would
+    asymmetrically dilute small repos).
+
+    Scale shape: hashing is one scan-side sha2; the (hash, repo) relation
+    is distinct fixed-width rows; the hot-hash cap bounds the self-join
+    fan-out per hash at ``max_repo_freq``^2 (the same guard as
+    containment_near_dups's max_doc_freq); pair aggregation keys on
+    (a, b) — fixed width, never file text. Cost scales with shared-hash
+    pairs, not repos^2."""
+    fh = (
+        files.select(
+            F.col(repo_col).alias("repo"),
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
+        )
+        .distinct()
+    )
+    df = fh.groupBy("h").agg(F.count(F.lit(1)).alias("nrepos"))
+    fh = fh.join(
+        df.filter(F.col("nrepos") <= max_repo_freq).select("h"), "h", "left_semi"
+    )
+    sizes = fh.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+    a = fh.select(F.col("repo").alias("a"), "h")
+    b = fh.select(F.col("repo").alias("b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    j = (
+        shared.join(sizes.select(F.col("repo").alias("a"), F.col("nf").alias("na")), "a")
+        .join(sizes.select(F.col("repo").alias("b"), F.col("nf").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+    )
+    return j.select("a", "b", "jaccard", "n_shared")
+
+
+def collapse_forks(
+    files: DataFrame,
+    threshold: float = 0.8,
+    repo_col: str = "repo",
+    text_col: str = "content",
+    min_shared: int = 2,
+    max_repo_freq: int = 1000,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Keep ONE canonical repo per fork cluster: connected components
+    over :func:`repo_near_dups` pairs, canonical = the member with the
+    MOST (capped-set) files, ties to the lexicographically smallest repo
+    name — the fullest copy is usually the upstream. Returns the
+    surviving rows of ``files``. Repos in no fork cluster survive
+    untouched.
+
+    Scale shape: the component relation is repo-grain (tiny next to the
+    file table); the loser set anti-joins back against the file scan."""
+    from pyspark.sql import Window
+
+    from google_spark.operators.components import connected_components
+
+    pairs = repo_near_dups(
+        files,
+        threshold=threshold,
+        repo_col=repo_col,
+        text_col=text_col,
+        min_shared=min_shared,
+        max_repo_freq=max_repo_freq,
+    )
+    # connected_components labels LONG node ids; repo names map through
+    # the engine-wide portable 48-bit md5 surrogate (collision odds are
+    # birthday-bounded: ~1e-8 at 100k repos in a cluster; a collision
+    # would conservatively merge two clusters, never split one)
+    rid = lambda c: F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")  # noqa: E731
+    comp = connected_components(
+        pairs.select(rid(F.col("a")).alias("a"), rid(F.col("b")).alias("b")),
+        max_iter=max_iter,
+        strict=True,
+    )
+    names = (
+        pairs.select(F.col("a").alias("repo"))
+        .union(pairs.select(F.col("b").alias("repo")))
+        .distinct()
+        .select("repo", rid(F.col("repo")).alias("id"))
+    )
+    comp = comp.join(names, "id").select(
+        "repo", F.col("comp").alias("component")
+    )
+    fh = (
+        files.select(
+            F.col(repo_col).alias("repo"),
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
+        )
+        .distinct()
+    )
+    dfc = fh.groupBy("h").agg(F.count(F.lit(1)).alias("nrepos"))
+    fh = fh.join(
+        dfc.filter(F.col("nrepos") <= max_repo_freq).select("h"), "h", "left_semi"
+    )
+    sizes = fh.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+    scored = comp.join(sizes, "repo", "left").withColumn(
+        "nf", F.coalesce(F.col("nf"), F.lit(0))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("nf"), F.col("repo"))
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("repo")
+    )
+    return files.join(
+        losers.withColumnRenamed("repo", repo_col), repo_col, "left_anti"
+    )

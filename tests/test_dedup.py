@@ -651,3 +651,64 @@ def test_remove_duplicate_spans_null_text(spark):
     assert out[1].n_kept == 0 and out[1].n_removed == 0
     assert out[1].clean_text == ""
     assert out[2].n_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# Repo-grain fork collapse
+# ---------------------------------------------------------------------------
+
+
+def _fork_files(spark):
+    rows = []
+    for i in range(10):
+        rows.append(("u", f"f{i}", f"content of file {i}"))
+    for i in range(9):                       # fork: 9/10 files identical
+        rows.append(("v", f"f{i}", f"content of file {i}"))
+    rows.append(("v", "new", "fork-only change"))
+    for i in range(5):                       # unrelated repo
+        rows.append(("w", f"g{i}", f"totally different {i}"))
+    for r in ("u", "v", "w"):                # boilerplate in every repo
+        rows.append((r, "LICENSE", "mit license text"))
+    return spark.createDataFrame(rows, "repo string, path string, content string")
+
+
+def test_repo_near_dups_detects_fork_and_caps_boilerplate(spark):
+    from google_spark.operators.dedup import repo_near_dups
+
+    files = _fork_files(spark)
+    pairs = repo_near_dups(files, threshold=0.5, max_repo_freq=2).collect()
+    assert [(r["a"], r["b"], r["n_shared"]) for r in pairs] == [("u", "v", 9)]
+    # LICENSE lives in 3 repos > cap 2 -> excluded from sets: J = 9/11
+    assert abs(pairs[0]["jaccard"] - 0.8182) < 1e-9
+    # without the cap the boilerplate inflates overlap AND creates w pairs
+    uncapped = repo_near_dups(files, threshold=0.0, min_shared=1)
+    assert {(r["a"], r["b"]) for r in uncapped.collect()} == {
+        ("u", "v"), ("u", "w"), ("v", "w"),
+    }
+
+
+def test_collapse_forks_keeps_fullest_copy_and_is_partition_invariant(spark):
+    from google_spark.operators.dedup import collapse_forks
+
+    files = _fork_files(spark)
+    kept = collapse_forks(files, threshold=0.5, max_repo_freq=2)
+    repos = {r["repo"] for r in kept.select("repo").distinct().collect()}
+    # u and v tie at 10 capped files -> lexicographic 'u' wins; w untouched
+    assert repos == {"u", "w"}
+    assert kept.count() == 17  # u's 11 + w's 6
+    again = collapse_forks(
+        files.repartition(7), threshold=0.5, max_repo_freq=2
+    )
+    assert {(r["repo"], r["path"]) for r in again.collect()} == {
+        (r["repo"], r["path"]) for r in kept.collect()
+    }
+
+
+def test_collapse_forks_no_pairs_is_identity(spark):
+    from google_spark.operators.dedup import collapse_forks
+
+    files = spark.createDataFrame(
+        [("a", "x", "one"), ("b", "y", "two")],
+        "repo string, path string, content string",
+    )
+    assert collapse_forks(files).count() == 2
