@@ -448,3 +448,19 @@ def test_license_and_entropy_plans_are_pure_scans(spark):
         plan = _plan(op(docs))
         assert "Exchange" not in plan, plan
         assert "Scan parquet" in plan
+
+
+def test_repo_fork_pairs_no_cartesian_and_hash_keyed(spark):
+    """repo_near_dups: candidates come from the hash-keyed self-join of
+    fixed-width (repo, sha) rows — never a cross product, and file
+    content must not be a shuffle key."""
+    from google_spark.operators.dedup import repo_near_dups
+
+    files = spark.createDataFrame(
+        [("a", "x", "one"), ("b", "x", "one"), ("b", "y", "two")],
+        "repo string, path string, content string",
+    )
+    plan = _plan(repo_near_dups(files, threshold=0.1, min_shared=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(content" not in plan
