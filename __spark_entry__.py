@@ -2496,6 +2496,17 @@ def q_dedup_fork_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment through ENGINE code
+    (sampling.assign_split): md5(seed|id) uniform draw against cumulative
+    weight boundaries — stable under re-runs, repartitioning, and corpus
+    growth. The oracle replays the draw and the boundary CASE with the
+    bit-identical float boundaries (repr-interpolated)."""
+    from google_spark.operators.sampling import assign_split
+
+    return assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2597,6 +2608,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_rules": q_text_code_rules,
         "dedup_repo_forks": q_dedup_repo_forks,
         "dedup_fork_collapse": q_dedup_fork_collapse,
+        "sample_split": q_sample_split,
     }
 
 
@@ -4052,6 +4064,20 @@ SELECT doc_id, n_lines, max_line_len, mean_line_len, alnum_frac,
         AND alnum_frac >= 0.25 AND digit_frac <= 0.5
         AND NOT is_autogen) AS keep
 FROM fr
+""",
+        # Deterministic split assignment: same md5 draw, same
+        # repr-exact float boundaries as the engine computes them.
+        "sample_split": """
+SELECT doc_id,
+       CASE WHEN u < 0.98 THEN 'train'
+            WHEN u < 0.99 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 12)
+               AS BIGINT) + 0.5) / 281474976710656.0 AS u
+  FROM documents
+)
 """,
         # Repo-grain fork pairs: per-repo distinct file-sha256 sets,
         # hot-file cap (<=1000 repos per hash), shared-hash pair counts,

@@ -464,3 +464,53 @@ def dsir_resample(
         .orderBy(F.desc("dsir_key"), F.col(id_col))
         .limit(int(k))
     )
+
+
+def assign_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Input rows plus a deterministic ``split`` column ('train'/'val'/
+    'test' by default, any names via ``weights``): the held-out-set
+    assignment every training pipeline needs, stable under re-runs,
+    repartitioning, cluster size, and corpus growth (a doc keeps its
+    split when new docs arrive — the property a random() split lacks and
+    leakage audits depend on).
+
+    The assignment hashes ``md5(seed|id)`` to a uniform draw in [0, 1)
+    and walks the cumulative weight boundaries in the given key order;
+    weights are normalized, so {'train': 98, 'val': 1, 'test': 1} works.
+
+    Scale shape: one scan-side projection (hash + CASE chain) — zero
+    exchanges, zero state; exactly replayable in SQL."""
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    names = list(weights)
+    cum = 0.0
+    arms = []
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        arms.append((name, cum))
+    # innermost = the last bucket (absorbs fp residue); wrap backwards so
+    # the FIRST boundary is the outermost — earliest match wins
+    out = F.lit(names[-1])
+    for name, bound in reversed(arms):
+        out = F.when(u < F.lit(bound), F.lit(name)).otherwise(out)
+    return docs.withColumn("split", out)

@@ -394,3 +394,53 @@ def test_dsir_resample_deterministic_and_biased(spark):
     assert [r["doc_id"] for r in c] != [r["doc_id"] for r in a] or [
         r["dsir_key"] for r in c
     ] != [r["dsir_key"] for r in a]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split assignment
+# ---------------------------------------------------------------------------
+
+
+def test_assign_split_distribution_and_growth_stability(spark):
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.sampling import assign_split
+
+    docs = spark.range(8000).withColumnRenamed("id", "doc_id")
+    out = assign_split(docs)
+    dist = {r["split"]: r["c"] for r in
+            out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(dist) == {"train", "val", "test"}
+    assert dist["train"] > 7500 and dist["val"] < 200 and dist["test"] < 200
+    # growth stability: docs keep their split when the corpus doubles
+    small = {r["doc_id"]: r["split"]
+             for r in assign_split(docs.filter("doc_id < 4000")).collect()}
+    big = {r["doc_id"]: r["split"]
+           for r in out.filter("doc_id < 4000").collect()}
+    assert small == big
+    # partitioning invariance
+    rep = {r["doc_id"]: r["split"]
+           for r in assign_split(docs.repartition(13)).collect()}
+    assert rep == {r["doc_id"]: r["split"] for r in out.collect()}
+
+
+def test_assign_split_custom_weights_and_seed(spark):
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from google_spark.operators.sampling import assign_split
+
+    docs = spark.range(4000).withColumnRenamed("id", "doc_id")
+    ab = assign_split(docs, weights={"a": 3, "b": 1})
+    dist = {r["split"]: r["c"] for r in
+            ab.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert abs(dist["a"] / 4000 - 0.75) < 0.05
+    # a different seed reshuffles assignments
+    other = assign_split(docs, weights={"a": 3, "b": 1}, seed="other")
+    diff = ab.withColumnRenamed("split", "s1").join(
+        other.withColumnRenamed("split", "s2"), "doc_id"
+    ).filter("s1 <> s2").count()
+    assert diff > 0
+    with pytest.raises(ValueError):
+        assign_split(docs, weights={})
