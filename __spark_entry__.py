@@ -2496,6 +2496,57 @@ def q_dedup_fork_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Code-shaped planting for the chunking rows: every doc becomes a file
+# with a preamble, a def and a class whose bodies are the doc's prose —
+# deterministic, and the oracle replays the exact same template.
+def _code_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    body = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id").cast("string")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("# header\n"), body,
+            F.lit("\ndef alpha_"), did, F.lit("(x):\n"), body,
+            F.lit("\ndef shared_util(x):\n    return x + 1"),
+            F.lit("\nclass Beta_"), did, F.lit(":\n"), body,
+        ),
+    )
+
+
+def q_code_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function/class-grain file chunking through ENGINE code
+    (docstore.split_chunks): files split at symbol-definition boundaries,
+    preamble as chunk 0, one running-sum window per doc. The oracle
+    replays the planting, the line split, the def-flag regex, the window
+    sum, and the ordered rebuild in SQL."""
+    from google_spark.operators.docstore import split_chunks
+
+    return split_chunks(_code_planted(spark, sf_dir))
+
+
+def q_dedup_code_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-grain dedup: canonical occurrence of every distinct chunk
+    text across the corpus (the finer-than-file dedup grain code corpora
+    debate) — split_chunks composed with a per-hash canonical window;
+    the planted shared_util function is byte-identical in every file, so
+    it collapses to ONE canonical occurrence corpus-wide.
+    Output: the surviving (doc_id, chunk_id, chunk_sha) rows."""
+    from pyspark.sql import Window
+
+    from google_spark.operators.docstore import split_chunks
+
+    chunks = split_chunks(_code_planted(spark, sf_dir)).withColumn(
+        "chunk_sha", F.md5(F.col("chunk_text"))
+    )
+    w = Window.partitionBy("chunk_sha").orderBy("doc_id", "chunk_id")
+    return (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "chunk_id", "chunk_sha")
+    )
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment through ENGINE code
     (sampling.assign_split): md5(seed|id) uniform draw against cumulative
@@ -2609,6 +2660,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repo_forks": q_dedup_repo_forks,
         "dedup_fork_collapse": q_dedup_fork_collapse,
         "sample_split": q_sample_split,
+        "code_chunks": q_code_chunks,
+        "dedup_code_chunks": q_dedup_code_chunks,
     }
 
 
@@ -4064,6 +4117,74 @@ SELECT doc_id, n_lines, max_line_len, mean_line_len, alnum_frac,
         AND alnum_frac >= 0.25 AND digit_frac <= 0.5
         AND NOT is_autogen) AS keep
 FROM fr
+""",
+        # Symbol-boundary chunking: planting, line split, def-flag regex,
+        # running-sum window, and ordered rebuild replayed verbatim.
+        "code_chunks": """
+WITH planted AS (
+  SELECT doc_id, '# header' || chr(10) || coalesce(text, '') || chr(10) || 'def alpha_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) || coalesce(text, '') || chr(10) || 'def shared_util(x):' || chr(10) || '    return x + 1' || chr(10) || 'class Beta_' || CAST(doc_id AS VARCHAR) || ':' || chr(10) || coalesce(text, '') AS text FROM documents
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted),
+ln AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM sp),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, l[i] AS line,
+         CASE WHEN regexp_matches(l[i], '^\s*(def|class|func|fn|function|struct|interface|trait)\s+([A-Za-z_][A-Za-z0-9_]*)') THEN 1 ELSE 0 END AS is_def
+  FROM ln
+),
+marked AS (
+  SELECT doc_id, line_no, line,
+         sum(is_def) OVER (PARTITION BY doc_id ORDER BY line_no
+                           ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM lines
+),
+chunks AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         min(line_no) AS start_line, max(line_no) AS end_line,
+         string_agg(line, chr(10) ORDER BY line_no) AS chunk_text,
+         arg_min(line, line_no) AS head
+  FROM marked GROUP BY 1, 2
+)
+SELECT doc_id, chunk_id, start_line, end_line,
+       CASE WHEN chunk_id > 0 THEN regexp_extract(head, '^\s*(def|class|func|fn|function|struct|interface|trait)\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+            ELSE '' END AS kind,
+       CASE WHEN chunk_id > 0 THEN regexp_extract(head, '^\s*(def|class|func|fn|function|struct|interface|trait)\s+([A-Za-z_][A-Za-z0-9_]*)', 2)
+            ELSE '' END AS symbol,
+       chunk_text
+FROM chunks
+""",
+        # Function-grain dedup: canonical (first by doc_id, chunk_id)
+        # occurrence per distinct chunk text.
+        "dedup_code_chunks": """
+WITH planted AS (
+  SELECT doc_id, '# header' || chr(10) || coalesce(text, '') || chr(10) || 'def alpha_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) || coalesce(text, '') || chr(10) || 'def shared_util(x):' || chr(10) || '    return x + 1' || chr(10) || 'class Beta_' || CAST(doc_id AS VARCHAR) || ':' || chr(10) || coalesce(text, '') AS text FROM documents
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted),
+ln AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM sp),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, l[i] AS line,
+         CASE WHEN regexp_matches(l[i], '^\s*(def|class|func|fn|function|struct|interface|trait)\s+([A-Za-z_][A-Za-z0-9_]*)') THEN 1 ELSE 0 END AS is_def
+  FROM ln
+),
+marked AS (
+  SELECT doc_id, line_no, line,
+         sum(is_def) OVER (PARTITION BY doc_id ORDER BY line_no
+                           ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM lines
+),
+chunks AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         min(line_no) AS start_line, max(line_no) AS end_line,
+         string_agg(line, chr(10) ORDER BY line_no) AS chunk_text,
+         arg_min(line, line_no) AS head
+  FROM marked GROUP BY 1, 2
+),
+hashed AS (SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_sha FROM chunks),
+ranked AS (
+  SELECT doc_id, chunk_id, chunk_sha,
+         row_number() OVER (PARTITION BY chunk_sha ORDER BY doc_id, chunk_id) AS rn
+  FROM hashed
+)
+SELECT doc_id, chunk_id, chunk_sha FROM ranked WHERE rn = 1
 """,
         # Deterministic split assignment: same md5 draw, same
         # repr-exact float boundaries as the engine computes them.

@@ -102,6 +102,7 @@ def __getattr__(name):
         "repo_near_dups": ("google_spark.operators.dedup", "repo_near_dups"),
         "collapse_forks": ("google_spark.operators.dedup", "collapse_forks"),
         "assign_split": ("google_spark.operators.sampling", "assign_split"),
+        "split_chunks": ("google_spark.operators.docstore", "split_chunks"),
         "cluster_dedup_by_score": (
             "google_spark.operators.components",
             "cluster_dedup_by_score",

@@ -170,3 +170,75 @@ def html_title_col(content_col: Column | str = "page") -> Column:
     c = F.col(content_col) if isinstance(content_col, str) else content_col
     c = F.lower(F.regexp_replace(c, _HTML_NOISE_RE, " "))
     return F.trim(F.regexp_extract(c, _HTML_TITLE_RE, 1))
+
+
+def split_chunks(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, chunk_id, start_line, end_line, kind, symbol, chunk_text):
+    each file split at its symbol-definition boundaries (the
+    :data:`SYMBOL_RE` grammar of :func:`extract_symbols`) — the
+    function/class-grain view of a code corpus that finer-than-file
+    dedup, retrieval, and training-unit selection need. Chunk 0 is the
+    preamble (imports, license header — anything before the first
+    definition; absent when the file starts with one); every other chunk
+    starts AT a definition line and carries that line's kind/symbol.
+    Line numbers are 0-based and inclusive; a file with no definitions is
+    one chunk 0 with symbol ''. Chunk text joins the original lines with
+    '\\n' (no trailing-newline invention: split+join is lossless for the
+    lines in between).
+
+    Scale shape: lines posexplode scan-side; chunk membership is ONE
+    running-sum window per doc (the only exchange, keyed on id) and the
+    chunk rebuild groups on (id, chunk_id) — a subset-key aggregate that
+    reuses the window's partitioning, so rows shuffle exactly once. The
+    per-chunk state is bounded by file size; sort_array puts lines back
+    in order without a global sort."""
+    from pyspark.sql import Window
+
+    rows = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "_line"),
+    ).withColumn(
+        "_is_def",
+        (F.regexp_extract("_line", SYMBOL_RE, 1) != "").cast("long"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = rows.withColumn("chunk_id", F.sum("_is_def").over(w))
+    agg = (
+        marked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.min("line_no").alias("start_line"),
+            F.max("line_no").alias("end_line"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("line_no", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("chunk_text"),
+            # the defining line is the chunk's FIRST line (chunk 0 has none)
+            F.min_by("_line", "line_no").alias("_head"),
+        )
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_line").cast("long").alias("start_line"),
+        F.col("end_line").cast("long").alias("end_line"),
+        F.when(
+            F.col("chunk_id") > 0, F.regexp_extract("_head", SYMBOL_RE, 1)
+        ).otherwise(F.lit("")).alias("kind"),
+        F.when(
+            F.col("chunk_id") > 0, F.regexp_extract("_head", SYMBOL_RE, 2)
+        ).otherwise(F.lit("")).alias("symbol"),
+        "chunk_text",
+    )

@@ -190,3 +190,64 @@ def test_symbol_search_explicit_id_col_with_extra_columns(spark):
     enriched = extract_symbols(docs).withColumn("rank", F.lit(0.5))
     got = symbol_search(enriched, "solo", k=5, id_col="doc_id").collect()
     assert len(got) == 1 and got[0].doc_id == 1 and got[0].symbol == "solo"
+
+
+# ---------------------------------------------------------------------------
+# Symbol-boundary chunking
+# ---------------------------------------------------------------------------
+
+
+def test_split_chunks_boundaries_and_lossless_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.docstore import split_chunks
+
+    code = (
+        "import os\n# license\n\ndef alpha(x):\n    return x + 1\n\n"
+        "class Beta:\n    def gamma(self):\n        pass\n\nprint(1)"
+    )
+    docs = spark.createDataFrame(
+        [(1, code), (2, "prose only\nno defs"), (3, "def solo(): pass"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = split_chunks(docs)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: preamble + alpha + Beta + gamma (nested defs are boundaries
+    # by the line-anchored grammar, same as extract_symbols)
+    assert (rows[(1, 0)]["kind"], rows[(1, 0)]["symbol"]) == ("", "")
+    assert (rows[(1, 1)]["kind"], rows[(1, 1)]["symbol"]) == ("def", "alpha")
+    assert (rows[(1, 2)]["kind"], rows[(1, 2)]["symbol"]) == ("class", "Beta")
+    assert (rows[(1, 3)]["kind"], rows[(1, 3)]["symbol"]) == ("def", "gamma")
+    # no-defs file is one chunk 0; def-first file has no preamble
+    assert set(k for k in rows if k[0] == 2) == {(2, 0)}
+    assert set(k for k in rows if k[0] == 3) == {(3, 1)}
+    assert rows[(4, 0)]["chunk_text"] == ""
+    # lossless: rejoining the chunks reproduces each original file
+    rebuilt = (
+        out.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                "\n",
+            ).alias("t")
+        )
+    )
+    orig = {r["doc_id"]: (r["text"] or "") for r in docs.collect()}
+    for r in rebuilt.collect():
+        assert r["t"] == orig[r["doc_id"]]
+
+
+def test_split_chunks_line_spans_cover_file(spark):
+    from google_spark.operators.docstore import split_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a\ndef f(x):\nb\nc\nclass G:\nd")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["chunk_id"], r["start_line"], r["end_line"])
+        for r in split_chunks(docs).collect()
+    )
+    assert rows == [(0, 0, 0), (1, 1, 3), (2, 4, 5)]

@@ -464,3 +464,16 @@ def test_repo_fork_pairs_no_cartesian_and_hash_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(content" not in plan
+
+
+def test_split_chunks_single_exchange(spark):
+    """split_chunks shuffles rows exactly once: the per-doc window and
+    the (id, chunk_id) rebuild reuse one id-keyed partitioning."""
+    from google_spark.operators.docstore import split_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(split_chunks(docs))
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
