@@ -2547,6 +2547,42 @@ def q_dedup_code_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints through ENGINE code
+    (dedup.winnow_fingerprints; Schleimer 2003 / MOSS): squeezed-text
+    k-gram hashes, per-window rightmost argmin, distinct (pos, fp). The
+    oracle replays the squeeze, the hash, the window min, and the
+    rightmost tie in SQL."""
+    from google_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_dedup_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-suspect pairs through ENGINE code (dedup.clone_pairs) over
+    winnowing fingerprints of a corpus with a snippet planted into the
+    doc_id % 7 == 0 slice — local clones inside otherwise-unrelated
+    documents, the case global MinHash dilutes away. The oracle replays
+    the planting, the fingerprinting, the hot cap, and the pair count."""
+    from google_spark.operators.dedup import clone_pairs, winnow_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(
+                    " the planted clone snippet travels verbatim between "
+                    "files and fingerprints locally"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return clone_pairs(winnow_fingerprints(planted), min_shared=8)
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment through ENGINE code
     (sampling.assign_split): md5(seed|id) uniform draw against cumulative
@@ -2662,6 +2698,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "code_chunks": q_code_chunks,
         "dedup_code_chunks": q_dedup_code_chunks,
+        "dedup_winnow_fps": q_dedup_winnow_fps,
+        "dedup_clone_pairs": q_dedup_clone_pairs,
     }
 
 
@@ -4117,6 +4155,89 @@ SELECT doc_id, n_lines, max_line_len, mean_line_len, alnum_frac,
         AND alnum_frac >= 0.25 AND digit_frac <= 0.5
         AND NOT is_autogen) AS keep
 FROM fr
+""",
+        # Winnowing: squeeze, 48-bit k-gram hashes, window min with the
+        # rightmost tie, distinct (pos, fp) — replayed list-algebra-for-
+        # list-algebra (k=8, w=6, the engine constants).
+        "dedup_winnow_fps": """
+WITH corpus AS (SELECT doc_id, text FROM documents),
+sq AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g') AS s
+  FROM corpus
+),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 8 THEN
+           list_transform(generate_series(1, length(s) - 7),
+             i -> CAST('0x' || substr(md5(substr(s, i, 8)), 1, 12) AS BIGINT))
+         ELSE [] END AS h
+  FROM sq
+),
+wins AS (
+  SELECT doc_id, h,
+         CASE WHEN len(h) >= 6 THEN generate_series(0, len(h) - 6)
+              ELSE [] END AS js
+  FROM hs
+),
+wj AS (SELECT doc_id, h, unnest(js) AS j FROM wins),
+sel AS (
+  SELECT doc_id,
+         CAST(j + list_max(list_transform(generate_series(1, 6),
+              i -> CASE WHEN h[CAST(j + i AS INT)] = list_min(list_slice(h, CAST(j + 1 AS INT), CAST(j + 6 AS INT))) THEN i ELSE 0 END)) - 1 AS BIGINT) AS pos,
+         list_min(list_slice(h, CAST(j + 1 AS INT), CAST(j + 6 AS INT))) AS fp
+  FROM wj
+),
+fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
+SELECT doc_id, pos, fp FROM fps
+""",
+        # Clone pairs over the planted corpus: same fingerprints, hot cap
+        # (<=1000 docs per fp), pair counts >= 8.
+        "dedup_clone_pairs": """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN coalesce(text, '') || ' the planted clone snippet travels verbatim between files and fingerprints locally'
+              ELSE text END AS text
+  FROM documents
+),
+sq AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g') AS s
+  FROM corpus
+),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 8 THEN
+           list_transform(generate_series(1, length(s) - 7),
+             i -> CAST('0x' || substr(md5(substr(s, i, 8)), 1, 12) AS BIGINT))
+         ELSE [] END AS h
+  FROM sq
+),
+wins AS (
+  SELECT doc_id, h,
+         CASE WHEN len(h) >= 6 THEN generate_series(0, len(h) - 6)
+              ELSE [] END AS js
+  FROM hs
+),
+wj AS (SELECT doc_id, h, unnest(js) AS j FROM wins),
+sel AS (
+  SELECT doc_id,
+         CAST(j + list_max(list_transform(generate_series(1, 6),
+              i -> CASE WHEN h[CAST(j + i AS INT)] = list_min(list_slice(h, CAST(j + 1 AS INT), CAST(j + 6 AS INT))) THEN i ELSE 0 END)) - 1 AS BIGINT) AS pos,
+         list_min(list_slice(h, CAST(j + 1 AS INT), CAST(j + 6 AS INT))) AS fp
+  FROM wj
+),
+fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel),
+base AS (SELECT DISTINCT doc_id AS id, fp FROM fps),
+dfc AS (SELECT fp FROM base GROUP BY 1 HAVING count(*) <= 1000),
+b2 AS (SELECT base.id, base.fp FROM base JOIN dfc USING (fp)),
+pairs AS (
+  SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM b2 x JOIN b2 y ON x.fp = y.fp AND x.id < y.id
+  GROUP BY 1, 2 HAVING count(*) >= 8
+)
+SELECT a, b, n_shared FROM pairs
 """,
         # Symbol-boundary chunking: planting, line split, def-flag regex,
         # running-sum window, and ordered rebuild replayed verbatim.

@@ -103,6 +103,8 @@ def __getattr__(name):
         "collapse_forks": ("google_spark.operators.dedup", "collapse_forks"),
         "assign_split": ("google_spark.operators.sampling", "assign_split"),
         "split_chunks": ("google_spark.operators.docstore", "split_chunks"),
+        "winnow_fingerprints": ("google_spark.operators.dedup", "winnow_fingerprints"),
+        "clone_pairs": ("google_spark.operators.dedup", "clone_pairs"),
         "cluster_dedup_by_score": (
             "google_spark.operators.components",
             "cluster_dedup_by_score",

@@ -1469,3 +1469,114 @@ def collapse_forks(
     return files.join(
         losers.withColumnRenamed("repo", repo_col), repo_col, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
+# Local Algorithms for Document Fingerprinting" — the MOSS algorithm).
+# Guarantees: any shared substring of length >= w + k - 1 produces at
+# least one shared fingerprint, and no fingerprint window goes
+# unsampled — the local-fingerprint property global MinHash lacks, which
+# is what code CLONE detection (copied functions inside otherwise
+# unrelated files) needs.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8   # k-gram length over the squeezed text
+WINNOW_W = 6   # window of consecutive k-gram hashes
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, fp): the winnowing fingerprint set of each document.
+    Text is squeezed MOSS-style (lowercase, every non-[a-z0-9] character
+    removed) so whitespace/punctuation edits don't change fingerprints;
+    k-gram hashes are the engine-wide 48-bit md5 prefix; each window of
+    ``w`` consecutive hashes contributes its minimum (ties to the
+    RIGHTMOST minimal position — robust winnowing, so runs of equal
+    hashes don't over-select), deduplicated on (pos, fp). Documents
+    squeezing shorter than ``k`` produce no rows.
+
+    Scale shape: everything up to the fingerprint set is higher-order
+    functions inside the scan projection (hash array, per-window argmin,
+    distinct) — zero exchanges; the output is ~n/w fingerprints per doc,
+    fixed-width."""
+    s = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]", "")
+    n = F.length(s)
+    # guards: F.sequence DESCENDS when stop < start, so short docs must
+    # short-circuit to empty arrays explicitly
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(F.substring(F.md5(F.substring(s, i, k)), 1, 12), 16, 10).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # materialize the hash array ONCE per row: referencing the raw
+    # expression inside the window lambdas would re-evaluate the whole
+    # O(n) transform per element access — O(n^2 w) per doc
+    hashed = docs.select(F.col(id_col), hashes.alias("_h"))
+    h = F.col("_h")
+    nh = F.size(h)
+    # per window start j (0-based): rightmost argmin of h[j .. j+w-1]
+    sel = F.when(nh >= w, F.transform(
+        F.sequence(F.lit(0), nh - w),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            F.struct(
+                F.lit(1 << 62).cast("long").alias("mv"),
+                F.lit(-1).cast("long").alias("mp"),
+            ),
+            lambda acc, o: F.when(
+                F.element_at(h, (j + o + 1).cast("int")) <= acc["mv"],
+                F.struct(
+                    F.element_at(h, (j + o + 1).cast("int")).alias("mv"),
+                    (j + o).cast("long").alias("mp"),
+                ),
+            ).otherwise(acc),
+        ),
+    )).otherwise(F.array().cast("array<struct<mv:long,mp:long>>"))
+    rows = hashed.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(sel)).alias("_fp"),
+    )
+    return rows.select(
+        F.col(id_col),
+        F.col("_fp.mp").alias("pos"),
+        F.col("_fp.mv").alias("fp"),
+    ).distinct()
+
+
+def clone_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """(a, b, n_shared) for document pairs sharing >= ``min_shared``
+    winnowing fingerprints (a < b) — the clone-suspect relation over a
+    :func:`winnow_fingerprints` table. Fingerprints present in more than
+    ``max_doc_freq`` docs (universal boilerplate) are excluded from
+    pairing, the same hot-key guard as the other candidate generators.
+
+    Scale shape: the (fp, id) relation is distinct fixed-width rows, the
+    self-join keys on fp with the hot cap bounding per-key fan-out, and
+    the pair count aggregates fixed-width (a, b) keys."""
+    base = fps.select(F.col(id_col).alias("id"), "fp").distinct()
+    dfc = base.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    base = base.join(
+        dfc.filter(F.col("nd") <= max_doc_freq).select("fp"), "fp", "left_semi"
+    )
+    a = base.select(F.col("id").alias("a"), "fp")
+    b = base.select(F.col("id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

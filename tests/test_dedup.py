@@ -712,3 +712,73 @@ def test_collapse_forks_no_pairs_is_identity(spark):
         "repo string, path string, content string",
     )
     assert collapse_forks(files).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints / clone pairs
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run_produces_shared_fp(spark):
+    """The winnowing guarantee: any shared substring of length
+    >= w + k - 1 (13 squeezed chars at the defaults) yields at least one
+    shared fingerprint, regardless of surrounding text."""
+    from google_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog on tuesdays"
+    docs = spark.createDataFrame(
+        [
+            (1, "totally unrelated preamble alpha beta. " + shared),
+            (2, shared + " — with an unrelated coda gamma delta epsilon"),
+            (3, "nothing in common with anything here at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs)
+    f = {
+        i: {r["fp"] for r in fps.filter(f"doc_id = {i}").collect()}
+        for i in (1, 2, 3)
+    }
+    assert f[1] & f[2]
+    assert not (f[1] & f[3]) and not (f[2] & f[3])
+
+
+def test_winnow_robust_to_whitespace_case_punctuation(spark):
+    from google_spark.operators.dedup import winnow_fingerprints
+
+    a = "def handler(request): return request.value + 1"
+    b = "DEF   handler ( request )::  RETURN request . value+1!!"
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = winnow_fingerprints(docs)
+    one = {(r["pos"], r["fp"]) for r in fps.filter("doc_id = 1").collect()}
+    two = {(r["pos"], r["fp"]) for r in fps.filter("doc_id = 2").collect()}
+    assert one == two  # squeezing makes them byte-identical
+
+
+def test_winnow_short_and_null_docs_empty(spark):
+    from google_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "!!!"), (4, "abcdefgh")],  # 4: len==k but < k+w-1
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs).collect()
+    # doc 4 has exactly one k-gram -> fewer hashes than w -> no window
+    assert out == []
+
+
+def test_clone_pairs_hot_cap_and_threshold(spark):
+    from google_spark.operators.dedup import clone_pairs, winnow_fingerprints
+
+    shared = "the planted clone snippet travels verbatim between files always"
+    docs = spark.createDataFrame(
+        [(i, f"unique preface number {i} with words. " + shared) for i in range(4)],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs)
+    pairs = clone_pairs(fps, min_shared=3)
+    assert pairs.count() == 6  # all C(4,2) pairs share the snippet
+    # the cap removes fingerprints common to >max_doc_freq docs: with
+    # cap 3, the snippet fps (in all 4 docs) vanish and no pair survives
+    capped = clone_pairs(fps, min_shared=3, max_doc_freq=3)
+    assert capped.count() == 0
