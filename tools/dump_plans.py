@@ -759,6 +759,36 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.docstore import split_chunks
+
+    sections.append(
+        (
+            "Symbol-boundary chunking (one exchange, window + rebuild share it)",
+            "split_chunks: lines posexplode scan-side; chunk membership "
+            "is one running-sum window keyed on doc id and the (id, "
+            "chunk_id) rebuild is a subset-key aggregate that REUSES the "
+            "window's partitioning — exactly one Exchange in the plan, "
+            "asserted in tests/test_plans_and_scale.py.",
+            fmt(split_chunks(docs)),
+        )
+    )
+
+    from google_spark.operators.dedup import clone_pairs, winnow_fingerprints
+
+    sections.append(
+        (
+            "Winnowing fingerprints -> clone pairs (scan-side selection, hash-keyed pairing)",
+            "winnow_fingerprints: squeeze, k-gram hashing, and the "
+            "per-window rightmost-argmin all run as higher-order "
+            "functions inside the scan projection (the hash array "
+            "materializes once per row between projections); the only "
+            "exchanges below clone_pairs are the distinct on fixed-width "
+            "(id, pos, fp) rows, the hot-fp cap aggregate, and the "
+            "fp-keyed pair join — file text never shuffles.",
+            fmt(clone_pairs(winnow_fingerprints(docs))),
+        )
+    )
+
     from google_spark.operators.components import cluster_dedup_by_score
 
     sections.append(
