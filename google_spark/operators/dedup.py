@@ -1332,6 +1332,28 @@ def remove_duplicate_spans(
 # ---------------------------------------------------------------------------
 
 
+def _repo_hash_sets(
+    files: DataFrame, repo_col: str, text_col: str, max_repo_freq: int
+):
+    """(capped (repo, h) frame, per-repo capped set sizes) — the shared
+    feature tables of repo_near_dups and collapse_forks, computed from
+    ONE scan so the pair relation and the canonical scores cannot
+    diverge (and the file table is not sha256-hashed twice)."""
+    fh = (
+        files.select(
+            F.col(repo_col).alias("repo"),
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
+        )
+        .distinct()
+    )
+    df = fh.groupBy("h").agg(F.count(F.lit(1)).alias("nrepos"))
+    fh = fh.join(
+        df.filter(F.col("nrepos") <= max_repo_freq).select("h"), "h", "left_semi"
+    )
+    sizes = fh.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+    return fh, sizes
+
+
 def repo_near_dups(
     files: DataFrame,
     threshold: float = 0.8,
@@ -1359,18 +1381,7 @@ def repo_near_dups(
     containment_near_dups's max_doc_freq); pair aggregation keys on
     (a, b) — fixed width, never file text. Cost scales with shared-hash
     pairs, not repos^2."""
-    fh = (
-        files.select(
-            F.col(repo_col).alias("repo"),
-            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
-        )
-        .distinct()
-    )
-    df = fh.groupBy("h").agg(F.count(F.lit(1)).alias("nrepos"))
-    fh = fh.join(
-        df.filter(F.col("nrepos") <= max_repo_freq).select("h"), "h", "left_semi"
-    )
-    sizes = fh.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+    fh, sizes = _repo_hash_sets(files, repo_col, text_col, max_repo_freq)
     a = fh.select(F.col("repo").alias("a"), "h")
     b = fh.select(F.col("repo").alias("b"), "h")
     shared = (
@@ -1445,18 +1456,7 @@ def collapse_forks(
     comp = comp.join(names, "id").select(
         "repo", F.col("comp").alias("component")
     )
-    fh = (
-        files.select(
-            F.col(repo_col).alias("repo"),
-            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
-        )
-        .distinct()
-    )
-    dfc = fh.groupBy("h").agg(F.count(F.lit(1)).alias("nrepos"))
-    fh = fh.join(
-        dfc.filter(F.col("nrepos") <= max_repo_freq).select("h"), "h", "left_semi"
-    )
-    sizes = fh.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+    _fh, sizes = _repo_hash_sets(files, repo_col, text_col, max_repo_freq)
     scored = comp.join(sizes, "repo", "left").withColumn(
         "nf", F.coalesce(F.col("nf"), F.lit(0))
     )
@@ -1498,8 +1498,9 @@ def winnow_fingerprints(
     k-gram hashes are the engine-wide 48-bit md5 prefix; each window of
     ``w`` consecutive hashes contributes its minimum (ties to the
     RIGHTMOST minimal position — robust winnowing, so runs of equal
-    hashes don't over-select), deduplicated on (pos, fp). Documents
-    squeezing shorter than ``k`` produce no rows.
+    hashes don't over-select), deduplicated on (pos, fp). Documents whose
+    squeezed text is shorter than ``k + w - 1`` characters (fewer than
+    ``w`` k-gram hashes — not even one full window) produce no rows.
 
     Scale shape: everything up to the fingerprint set is higher-order
     functions inside the scan projection (hash array, per-window argmin,

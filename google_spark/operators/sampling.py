@@ -401,20 +401,34 @@ def dsir_weights(
     tgt_c = _dsir_doc_buckets(target, id_col, text_col, n_buckets)
     raw_b = raw_c.groupBy("bucket").agg(F.sum("c").alias("rc"))
     tgt_b = tgt_c.groupBy("bucket").agg(F.sum("c").alias("tc"))
-    r_total = raw_b.agg(F.sum("rc")).first()[0] or 0
-    t_total = tgt_b.agg(F.sum("tc")).first()[0] or 0
     lam = float(smoothing)
+    # the corpus totals ride as a broadcast 1-row cross join, NOT a
+    # driver collect: an eager .first() here would run the full n-gram
+    # aggregation at plan-BUILD time (explain/dump_plans included) and
+    # then again in the returned plan, doubling the dominant stage
+    totals = (
+        raw_b.agg(F.coalesce(F.sum("rc"), F.lit(0)).cast("double").alias("_rt"))
+        .crossJoin(
+            tgt_b.agg(
+                F.coalesce(F.sum("tc"), F.lit(0)).cast("double").alias("_tt")
+            )
+        )
+    )
     # buckets absent from the raw pool can't appear in any raw doc, so the
     # left join from raw buckets covers every bucket the scorer will see
-    ratio = raw_b.join(tgt_b, "bucket", "left").select(
-        "bucket",
-        (
-            F.log(
-                (F.coalesce(F.col("tc"), F.lit(0)) + lam)
-                / F.lit(float(t_total) + lam * n_buckets)
-            )
-            - F.log((F.col("rc") + lam) / F.lit(float(r_total) + lam * n_buckets))
-        ).alias("lr"),
+    ratio = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + lam)
+                    / (F.col("_tt") + lam * n_buckets)
+                )
+                - F.log((F.col("rc") + lam) / (F.col("_rt") + lam * n_buckets))
+            ).alias("lr"),
+        )
     )
     w = (
         raw_c.join(F.broadcast(ratio), "bucket")
@@ -489,6 +503,8 @@ def assign_split(
         weights = {"train": 0.98, "val": 0.01, "test": 0.01}
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(v < 0 for v in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
     total = float(sum(weights.values()))
     u = (
         F.conv(

@@ -914,8 +914,9 @@ def code_rules(
     every signal plus the composite ``keep`` verdict, so a pipeline can
     gate on ``keep`` or re-threshold without rescanning.
 
-    Signals (lines = '\\n'-split, the trailing '\\r' of CRLF files
-    trimmed; fractions over raw character counts):
+    Signals (lines = '\\n'-split with trailing whitespace trimmed per
+    line — CRLF '\\r' tails AND space padding, so the length signals
+    measure payload, not padding; fractions over raw character counts):
     - ``n_lines``, ``max_line_len``, ``mean_line_len`` (rounded 4) —
       minified / data-blob files have pathological line lengths;
     - ``alnum_frac`` — binary-ish / art files sink below 0.25;
