@@ -782,3 +782,50 @@ def test_clone_pairs_hot_cap_and_threshold(spark):
     # cap 3, the snippet fps (in all 4 docs) vanish and no pair survives
     capped = clone_pairs(fps, min_shared=3, max_doc_freq=3)
     assert capped.count() == 0
+
+
+def test_winnow_matches_python_reference_battery(spark):
+    """Seeded random battery: Spark winnowing == a direct pure-Python
+    implementation of robust winnowing (squeeze, 48-bit md5 k-gram
+    hashes, rightmost-argmin windows, distinct) on every doc."""
+    import hashlib
+    import random
+    import re as _re
+
+    from google_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    def py_winnow(text, k=WINNOW_K, w=WINNOW_W):
+        s = _re.sub(r"[^a-z0-9]", "", (text or "").lower())
+        if len(s) < k:
+            return set()
+        h = [
+            int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:12], 16)
+            for i in range(len(s) - k + 1)
+        ]
+        if len(h) < w:
+            return set()
+        out = set()
+        for j in range(len(h) - w + 1):
+            mv, mp = 1 << 62, -1
+            for o in range(w):
+                if h[j + o] <= mv:
+                    mv, mp = h[j + o], j + o
+            out.add((mp, mv))
+        return out
+
+    rng = random.Random(42)
+    alphabet = "ab c1!\nxy"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, text in rows:
+        assert got.get(i, set()) == py_winnow(text), (i, text)

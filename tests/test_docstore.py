@@ -251,3 +251,47 @@ def test_split_chunks_line_spans_cover_file(spark):
         for r in split_chunks(docs).collect()
     )
     assert rows == [(0, 0, 0), (1, 1, 3), (2, 4, 5)]
+
+
+def test_split_chunks_lossless_random_battery(spark):
+    """Seeded random battery: for arbitrary files (random lines, some of
+    which are definition lines), rejoining the chunks in order always
+    reproduces the original text byte-for-byte and chunk ids are dense
+    from the first chunk."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.docstore import split_chunks
+
+    rng = random.Random(7)
+    pieces = ["x = 1", "  # comment", "", "def f_%d(a):", "class C_%d:",
+              "    return a", "print(1)", "  fn g_%d()", "struct S_%d"]
+    rows = []
+    for i in range(50):
+        n = rng.randint(0, 12)
+        lines = [rng.choice(pieces).replace("%d", str(i)) for _ in range(n)]
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_chunks(docs)
+    rebuilt = {
+        r["doc_id"]: r["t"]
+        for r in out.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                "\n",
+            ).alias("t")
+        ).collect()
+    }
+    for i, text in rows:
+        assert rebuilt[i] == text, i
+    # chunk ids per doc are contiguous
+    per_doc = {}
+    for r in out.select("doc_id", "chunk_id").collect():
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk_id"])
+    for i, ids in per_doc.items():
+        ids = sorted(ids)
+        assert ids == list(range(ids[0], ids[0] + len(ids))), i
