@@ -391,12 +391,15 @@ def dsir_weights(
     curated docs) under add-``smoothing`` hashed-n-gram multinomials.
     Weight 0.0 for docs with no tokens (no evidence either way).
 
-    Scale shape: two (id, bucket) aggregates (raw + target) with partial
-    combine; the bucket log-ratio table is at most ``n_buckets`` rows —
-    broadcast into the per-doc scoring join no matter how large the
-    corpus — and the final per-doc sum aggregates fixed-width rows. The
-    target corpus is typically tiny next to the pool; nothing here
-    collects more than two scalar totals."""
+    Scale shape: (id, bucket) aggregates with partial combine; the
+    bucket log-ratio table is at most ``n_buckets`` rows — broadcast
+    into the per-doc scoring join no matter how large the corpus — and
+    the final per-doc sum aggregates fixed-width rows. The raw pool is
+    scanned TWICE in the final plan (once feeding the ratio table, once
+    for scoring — Catalyst does not reuse the aggregate across the
+    broadcast boundary); a caller looping over many targets should
+    persist the pool (or materialize `_dsir_doc_buckets` once) to pay
+    the n-gram explode a single time. Nothing collects to the driver."""
     raw_c = _dsir_doc_buckets(docs, id_col, text_col, n_buckets)
     tgt_c = _dsir_doc_buckets(target, id_col, text_col, n_buckets)
     raw_b = raw_c.groupBy("bucket").agg(F.sum("c").alias("rc"))
