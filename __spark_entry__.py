@@ -2584,6 +2584,40 @@ def q_dedup_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_pairs(winnow_fingerprints(planted), min_shared=8)
 
 
+def q_dedup_clone_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-level clone evidence through ENGINE code
+    (dedup.clone_matches): the matched fingerprint positions behind each
+    clone-suspect pair over the same planted corpus as
+    dedup_clone_pairs. The oracle extends the pair replay with the
+    fp-keyed position join."""
+    from google_spark.operators.dedup import (
+        clone_matches,
+        clone_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(
+                    " the planted clone snippet travels verbatim between "
+                    "files and fingerprints locally"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    fps = winnow_fingerprints(planted)
+    # bound the evidence table: only the strongest 40 pairs
+    pairs = clone_pairs(fps, min_shared=8).orderBy(
+        F.desc("n_shared"), "a", "b"
+    ).limit(40)
+    return clone_matches(fps, pairs)
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment through ENGINE code
     (sampling.assign_split): md5(seed|id) uniform draw against cumulative
@@ -2702,6 +2736,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_code_chunks": q_dedup_code_chunks,
         "dedup_winnow_fps": q_dedup_winnow_fps,
         "dedup_clone_pairs": q_dedup_clone_pairs,
+        "dedup_clone_matches": q_dedup_clone_matches,
     }
 
 
@@ -4240,6 +4275,64 @@ pairs AS (
   GROUP BY 1, 2 HAVING count(*) >= 8
 )
 SELECT a, b, n_shared FROM pairs
+""",
+        # Position-level match evidence: the strongest 40 pairs, joined
+        # back to both docs' fingerprint positions on fp.
+        "dedup_clone_matches": """
+
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN coalesce(text, '') || ' the planted clone snippet travels verbatim between files and fingerprints locally'
+              ELSE text END AS text
+  FROM documents
+),
+sq AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g') AS s
+  FROM corpus
+),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 8 THEN
+           list_transform(generate_series(1, length(s) - 7),
+             i -> CAST('0x' || substr(md5(substr(s, i, 8)), 1, 12) AS BIGINT))
+         ELSE [] END AS h
+  FROM sq
+),
+wins AS (
+  SELECT doc_id, h,
+         CASE WHEN len(h) >= 6 THEN generate_series(0, len(h) - 6)
+              ELSE [] END AS js
+  FROM hs
+),
+wj AS (SELECT doc_id, h, unnest(js) AS j FROM wins),
+sel AS (
+  SELECT doc_id,
+         CAST(j + list_max(list_transform(generate_series(1, 6),
+              i -> CASE WHEN h[CAST(j + i AS INT)] = list_min(list_slice(h, CAST(j + 1 AS INT), CAST(j + 6 AS INT))) THEN i ELSE 0 END)) - 1 AS BIGINT) AS pos,
+         list_min(list_slice(h, CAST(j + 1 AS INT), CAST(j + 6 AS INT))) AS fp
+  FROM wj
+),
+fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel),
+base AS (SELECT DISTINCT doc_id AS id, fp FROM fps),
+dfc AS (SELECT fp FROM base GROUP BY 1 HAVING count(*) <= 1000),
+b2 AS (SELECT base.id, base.fp FROM base JOIN dfc USING (fp)),
+pairs AS (
+  SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM b2 x JOIN b2 y ON x.fp = y.fp AND x.id < y.id
+  GROUP BY 1, 2 HAVING count(*) >= 8
+),
+top AS (
+  SELECT a, b FROM pairs ORDER BY n_shared DESC, a, b LIMIT 40
+),
+ids AS (SELECT a AS id FROM top UNION SELECT b FROM top),
+needed AS (SELECT fps.* FROM fps JOIN ids ON fps.doc_id = ids.id)
+SELECT t.a, t.b, na.fp,
+       na.pos AS a_pos, nb.pos AS b_pos
+FROM top t
+JOIN needed na ON na.doc_id = t.a
+JOIN needed nb ON nb.doc_id = t.b AND nb.fp = na.fp
 """,
         # Symbol-boundary chunking: planting, line split, def-flag regex,
         # running-sum window, and ordered rebuild replayed verbatim.

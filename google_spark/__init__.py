@@ -105,6 +105,7 @@ def __getattr__(name):
         "split_chunks": ("google_spark.operators.docstore", "split_chunks"),
         "winnow_fingerprints": ("google_spark.operators.dedup", "winnow_fingerprints"),
         "clone_pairs": ("google_spark.operators.dedup", "clone_pairs"),
+        "clone_matches": ("google_spark.operators.dedup", "clone_matches"),
         "cluster_dedup_by_score": (
             "google_spark.operators.components",
             "cluster_dedup_by_score",

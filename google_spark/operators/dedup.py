@@ -1581,3 +1581,36 @@ def clone_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def clone_matches(
+    fps: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, fp, a_pos, b_pos): the matched fingerprint positions behind
+    each :func:`clone_pairs` suspect — the evidence a MOSS-style review
+    UI highlights (which regions of a matched which regions of b).
+    Positions are k-gram indexes into the squeezed text, one row per
+    (fingerprint, position pair); a fingerprint occurring at several
+    positions in a doc yields the full cross of its positions.
+
+    Scale shape: the fingerprint table is semi-joined down to the docs
+    appearing in ``pairs`` FIRST, so cost scales with the suspects, not
+    the corpus; the match join keys on (pair, fp) — fixed width."""
+    ids = pairs.select(F.col("a").alias("id")).union(
+        pairs.select(F.col("b").alias("id"))
+    ).distinct()
+    needed = fps.join(ids, fps[id_col] == ids["id"], "left_semi")
+    fa = needed.select(
+        F.col(id_col).alias("a"), F.col("fp"), F.col("pos").alias("a_pos")
+    )
+    fb = needed.select(
+        F.col(id_col).alias("b"), F.col("fp"), F.col("pos").alias("b_pos")
+    )
+    return (
+        pairs.select("a", "b")
+        .join(fa, "a")
+        .join(fb, ["b", "fp"])
+        .select("a", "b", "fp", "a_pos", "b_pos")
+    )

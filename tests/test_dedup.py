@@ -829,3 +829,27 @@ def test_winnow_matches_python_reference_battery(spark):
         got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
     for i, text in rows:
         assert got.get(i, set()) == py_winnow(text), (i, text)
+
+
+def test_clone_matches_positions_align_with_shift(spark):
+    """For a snippet shared at different offsets, every matched pair of
+    positions differs by the constant squeezed-prefix shift."""
+    from google_spark.operators.dedup import (
+        clone_matches,
+        clone_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog on tuesdays again"
+    docs = spark.createDataFrame(
+        [(1, "aaa prefix. " + shared), (2, shared + " zzz suffix")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs)
+    pairs = clone_pairs(fps, min_shared=3)
+    rows = clone_matches(fps, pairs).collect()
+    assert rows
+    # doc 1's squeezed prefix 'aaaprefix' is 9 chars -> a_pos = b_pos + 9
+    assert {r["a_pos"] - r["b_pos"] for r in rows} == {9}
+    # evidence count matches the pair's n_shared (single-occurrence fps)
+    assert len(rows) == pairs.collect()[0]["n_shared"]
