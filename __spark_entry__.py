@@ -2618,6 +2618,23 @@ def q_dedup_clone_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_matches(fps, pairs)
 
 
+def q_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization through ENGINE code
+    (text_analysis.normalize_text, Arrow kernel over unicodedata): every
+    doc gets a decomposed accent sequence planted (combining acute,
+    U+0301) so normalization genuinely rewrites; the oracle replays the
+    planting with chr(769) and DuckDB's nfc_normalize — two independent
+    UAX #15 implementations agreeing byte-for-byte."""
+    from google_spark.operators.text_analysis import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" cafe\u0301")),
+    )
+    return normalize_text(planted)
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment through ENGINE code
     (sampling.assign_split): md5(seed|id) uniform draw against cumulative
@@ -2737,6 +2754,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_fps": q_dedup_winnow_fps,
         "dedup_clone_pairs": q_dedup_clone_pairs,
         "dedup_clone_matches": q_dedup_clone_matches,
+        "text_normalize_nfc": q_text_normalize_nfc,
     }
 
 
@@ -4333,6 +4351,17 @@ SELECT t.a, t.b, na.fp,
 FROM top t
 JOIN needed na ON na.doc_id = t.a
 JOIN needed nb ON nb.doc_id = t.b AND nb.fp = na.fp
+""",
+        # UAX #15 parity: Python unicodedata (engine kernel) vs DuckDB
+        # nfc_normalize on the planted decomposed sequences.
+        "text_normalize_nfc": """
+WITH planted AS (
+  SELECT doc_id, coalesce(text, '') || ' cafe' || chr(769) AS text
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(text) AS text_norm,
+       nfc_normalize(text) <> text AS changed
+FROM planted
 """,
         # Symbol-boundary chunking: planting, line split, def-flag regex,
         # running-sum window, and ordered rebuild replayed verbatim.

@@ -99,6 +99,10 @@ def __getattr__(name):
             "google_spark.operators.text_analysis",
             "code_rules",
         ),
+        "normalize_text": (
+            "google_spark.operators.text_analysis",
+            "normalize_text",
+        ),
         "repo_near_dups": ("google_spark.operators.dedup", "repo_near_dups"),
         "collapse_forks": ("google_spark.operators.dedup", "collapse_forks"),
         "assign_split": ("google_spark.operators.sampling", "assign_split"),

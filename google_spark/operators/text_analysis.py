@@ -976,3 +976,58 @@ def code_rules(
         is_autogen.alias("is_autogen"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization — the first cleaning pass a web-scale multilingual
+# corpus needs: visually-identical strings with different codepoint
+# sequences (composed vs combining accents, compatibility forms) must
+# hash, dedup, shingle, and tokenize identically. UAX #15 normalization
+# via Python's unicodedata inside an Arrow-batched kernel (Spark has no
+# built-in normalizer); the per-batch kernel is the vectorized path, not
+# per-row Python in an expression.
+# ---------------------------------------------------------------------------
+
+NORMALIZE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def normalize_text(
+    docs: DataFrame,
+    form: str = "NFC",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text_norm, changed): the ``form``-normalized text of every
+    document (UAX #15; 'NFC' is the storage canonical a dedup/index
+    pipeline wants — composed accents, stable hashes) plus a ``changed``
+    bit so a pipeline can count/audit how much of the corpus was
+    non-canonical. NULL text normalizes to '' (the engine-wide null
+    convention) with ``changed`` false.
+
+    Scale shape: one mapInPandas pass — Arrow batches in, the kernel
+    calls unicodedata.normalize per value (C-implemented, linear), no
+    exchange anywhere; output is scan-shaped and feeds any downstream
+    operator unchanged."""
+    if form not in NORMALIZE_FORMS:
+        raise ValueError(f"form must be one of {NORMALIZE_FORMS}")
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    src = docs.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+
+    def kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            norm = [unicodedata.normalize(form, t) for t in pdf["_t"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "text_norm": norm,
+                    "changed": [a != b for a, b in zip(norm, pdf["_t"])],
+                }
+            )
+
+    return src.mapInPandas(
+        kernel, f"{id_col} {id_type}, text_norm string, changed boolean"
+    )

@@ -521,3 +521,48 @@ def test_code_rules_thresholds_are_parameters(spark):
     assert strict["keep"] is False  # mean line 150 > default 100
     relaxed = code_rules(docs, max_mean_line_len=200.0).collect()[0]
     assert relaxed["keep"] is True
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_forms_and_nulls(spark):
+    import pytest
+
+    from google_spark.operators.text_analysis import normalize_text
+
+    decomposed = "café"       # e + combining acute
+    composed = "café"
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None), (4, "ﬁle")],  # fi ligature
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert nfc[1]["text_norm"] == composed and nfc[1]["changed"] is True
+    assert nfc[2]["text_norm"] == composed and nfc[2]["changed"] is False
+    assert nfc[3]["text_norm"] == "" and nfc[3]["changed"] is False
+    assert nfc[4]["changed"] is False  # ligature survives NFC
+    nfkc = {r["doc_id"]: r for r in normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[4]["text_norm"] == "file" and nfkc[4]["changed"] is True
+    with pytest.raises(ValueError):
+        normalize_text(docs, form="nfc")
+
+
+def test_normalize_text_makes_dedup_see_through_encoding(spark):
+    """The reason the op exists: visually-identical docs with different
+    codepoint sequences hash identically AFTER normalization."""
+    from pyspark.sql import functions as F
+
+    from google_spark.operators.dedup import exact_dedup
+    from google_spark.operators.text_analysis import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "résumé draft"), (2, "résumé draft")],
+        "doc_id long, text string",
+    )
+    # raw: two distinct docs; normalized: exact dedup collapses them
+    assert exact_dedup(docs).count() == 2
+    norm = normalize_text(docs).select("doc_id", F.col("text_norm").alias("text"))
+    assert exact_dedup(norm).count() == 1
