@@ -33,14 +33,16 @@ flagships, both driver-green in CORRECTNESS_r03 and re-proved by pytest:
 WAND==exhaustive is bit-exact in tests/test_index_oracle.py) — keeping
 2 flagships (bm25_topk_wand, pagerank_fixed3) and demoting 48 rows that
 are green in CORRECTNESS_r03/r04. Union driver coverage
-r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the THIRTEEN
+r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the FIFTEEN
 final-round additions (text_langid_ngram, sample_dsir_topk,
 dedup_canonical_best, text_detect_license, text_char_entropy,
 text_code_rules, dedup_repo_forks, dedup_fork_collapse, sample_split,
-code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs)
-are local-gate rows in extra_queries() — 134 contract rows total, every
-one oracle-checked: tools/check_contract.py full sweep 134/134 PASS on
-2026-08-20 (each new row also gated individually at introduction).
+code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs,
+dedup_clone_matches, text_normalize_nfc) are local-gate rows in
+extra_queries() — 136 contract rows total, every one oracle-checked on
+2026-08-20: tools/check_contract.py full sweep 134/134 PASS mid-session,
+each row added after that sweep gated individually at introduction (and
+the dsir row re-gated after its plan refactor).
 """
 
 from __future__ import annotations
@@ -2656,7 +2658,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 4, the 11 new round-5 rows, the 2 crawler rows, and the 2 final
     round-5 rows earn driver rows (see the module docstring); union driver
     coverage r03 ∪ r04 ∪ r05 = all 121 rotation-era rows; with the
-    thirteen final-round local-gate additions the full contract is 134
+    fifteen final-round local-gate additions the full contract is 136
     rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
