@@ -33,16 +33,17 @@ flagships, both driver-green in CORRECTNESS_r03 and re-proved by pytest:
 WAND==exhaustive is bit-exact in tests/test_index_oracle.py) — keeping
 2 flagships (bm25_topk_wand, pagerank_fixed3) and demoting 48 rows that
 are green in CORRECTNESS_r03/r04. Union driver coverage
-r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the FIFTEEN
+r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the NINETEEN
 final-round additions (text_langid_ngram, sample_dsir_topk,
 dedup_canonical_best, text_detect_license, text_char_entropy,
 text_code_rules, dedup_repo_forks, dedup_fork_collapse, sample_split,
 code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs,
-dedup_clone_matches, text_normalize_nfc) are local-gate rows in
-extra_queries() — 136 contract rows total, every one oracle-checked on
-2026-08-20: tools/check_contract.py full sweep 134/134 PASS mid-session,
-each row added after that sweep gated individually at introduction (and
-the dsir row re-gated after its plan refactor).
+dedup_clone_matches, text_normalize_nfc, prf_expand_topk, ltr_ctr_topk,
+sim_coclick, text_ngram_novelty) are local-gate rows in
+extra_queries() — 140 contract rows total, every one oracle-checked on
+2026-08-20/21: tools/check_contract.py full sweep 134/134 PASS
+mid-session, each row added after that sweep gated individually at
+introduction (the final four passed a 4/4 sweep on 2026-08-21).
 """
 
 from __future__ import annotations
@@ -2648,6 +2649,64 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def q_prf_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback through ENGINE code
+    (index_query.prf_topk): BM25 top-5 feedback docs for the flagship
+    query -> 5 expansion terms by relevance mass (round-6 scores/weights
+    so both engines agree bit-for-bit) -> weighted re-query with the
+    seed terms at unit weight and expansion at alpha*w/max_w. The
+    oracle replays both passes and the mining in SQL."""
+    from google_spark.operators.index_query import prf_topk
+
+    out = prf_topk(
+        _index(spark, sf_dir),
+        _docs(spark, sf_dir),
+        FLAGSHIP_QUERY,
+        k=10,
+        fb_docs=5,
+        fb_terms=5,
+        alpha=0.5,
+    )
+    return _round4(out, "score")
+
+
+def q_ltr_ctr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned CTR ranker through ENGINE code (ltr.ctr_rank_events):
+    logistic regression on (value, ln(1+value)) with click-vs-other
+    labels, trained by 3 full-batch GD steps — each step ONE map-side-
+    combined aggregate; gradients rounded to 9 dp so the learned weights
+    are bit-identical across engines. The oracle unrolls the same 3
+    iterations in nested SQL CTEs and scores with the same weights."""
+    from google_spark.operators.ltr import ctr_rank_events
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ctr_rank_events(events, iters=3, lr=0.1, k=10)
+
+
+def q_sim_coclick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral item-item similarity through ENGINE code
+    (similarity.coclick_pairs): top-20 item pairs by distinct users who
+    clicked both, with the quadratic self-join bounded by a per-user
+    item cap (row_number <= 20, deterministic item-asc cut). The oracle
+    replays the distinct/cap/self-join/count in SQL."""
+    from google_spark.operators.similarity import coclick_pairs
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return coclick_pairs(events, per_user_cap=20, topn=20)
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty scoring through ENGINE code
+    (text_analysis.ngram_novelty): fraction of each document's distinct
+    3-token shingles first seen (min doc_id) in that document; shingle
+    text never shuffles (xxhash64 keys). The oracle groups by the raw
+    shingle string — agreement also proves the hash keying is
+    collision-free on this corpus."""
+    from google_spark.operators.text_analysis import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), shingle_k=3)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2658,7 +2717,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 4, the 11 new round-5 rows, the 2 crawler rows, and the 2 final
     round-5 rows earn driver rows (see the module docstring); union driver
     coverage r03 ∪ r04 ∪ r05 = all 121 rotation-era rows; with the
-    fifteen final-round local-gate additions the full contract is 136
+    nineteen final-round local-gate additions the full contract is 140
     rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
@@ -2757,6 +2816,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clone_pairs": q_dedup_clone_pairs,
         "dedup_clone_matches": q_dedup_clone_matches,
         "text_normalize_nfc": q_text_normalize_nfc,
+        "prf_expand_topk": q_prf_expand_topk,
+        "ltr_ctr_topk": q_ltr_ctr_topk,
+        "sim_coclick": q_sim_coclick,
+        "text_ngram_novelty": q_text_ngram_novelty,
     }
 
 
@@ -5740,5 +5803,133 @@ SELECT doc_id,
         AND sym < 0.1 AND bf < 0.9 AND ef < 0.3
         AND af > 0.8 AND sh >= 1) AS keep
 FROM m
+""",
+        # RM3 pseudo-relevance feedback: pass 1 (plain BM25), top-5
+        # feedback docs on the RAW score (ties doc_id), mining and
+        # normalized expansion weights on the 6-dp grid (both engines
+        # round before use), pass 2 with the widened weighted query.
+        "prf_expand_topk": f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q0(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0)),
+scored0 AS (
+  SELECT tf.doc_id,
+         sum(q0.w * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN q0 ON tf.term = q0.term JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+fb AS (SELECT doc_id, round(score, 6) AS fb_score FROM scored0
+       ORDER BY score DESC, doc_id ASC LIMIT 5),
+mined AS (
+  SELECT tf.term, round(sum(fb.fb_score * tf.tf / tf.dl), 6) AS w
+  FROM tf JOIN fb USING (doc_id)
+  WHERE tf.term NOT IN (SELECT term FROM q0)
+  GROUP BY tf.term ORDER BY w DESC, term ASC LIMIT 5
+),
+mx AS (SELECT max(w) AS m FROM mined),
+qf AS (
+  SELECT term, w FROM q0
+  UNION ALL
+  SELECT term, round(0.5 * w / (SELECT m FROM mx), 6) AS w FROM mined
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(qf.w * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN qf ON tf.term = qf.term JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # Learned CTR ranker: 3 full-batch GD iterations unrolled as
+        # scalar CTEs — every gradient component rounded to 9 dp exactly
+        # as the engine does, so the weight trajectory is bit-identical.
+        "ltr_ctr_topk": """
+WITH f AS (
+  SELECT event_id, value / 100.0 AS x1, ln(1 + value) AS x2,
+         CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+),
+g1 AS (
+  SELECT round(avg(1.0 / (1.0 + exp(-(0.0))) - y), 9) AS gb,
+         round(avg((1.0 / (1.0 + exp(-(0.0))) - y) * x1), 9) AS gx1,
+         round(avg((1.0 / (1.0 + exp(-(0.0))) - y) * x2), 9) AS gx2
+  FROM f
+),
+w1 AS (SELECT 0.0 - 0.1 * gb AS wb, 0.0 - 0.1 * gx1 AS w1,
+              0.0 - 0.1 * gx2 AS w2 FROM g1),
+s2 AS (SELECT y, x1, x2,
+              1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2))) AS p
+       FROM f CROSS JOIN w1 w),
+g2 AS (SELECT round(avg(p - y), 9) AS gb,
+              round(avg((p - y) * x1), 9) AS gx1,
+              round(avg((p - y) * x2), 9) AS gx2 FROM s2),
+w2 AS (SELECT w.wb - 0.1 * g.gb AS wb, w.w1 - 0.1 * g.gx1 AS w1,
+              w.w2 - 0.1 * g.gx2 AS w2 FROM w1 w CROSS JOIN g2 g),
+s3 AS (SELECT y, x1, x2,
+              1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2))) AS p
+       FROM f CROSS JOIN w2 w),
+g3 AS (SELECT round(avg(p - y), 9) AS gb,
+              round(avg((p - y) * x1), 9) AS gx1,
+              round(avg((p - y) * x2), 9) AS gx2 FROM s3),
+w3 AS (SELECT w.wb - 0.1 * g.gb AS wb, w.w1 - 0.1 * g.gx1 AS w1,
+              w.w2 - 0.1 * g.gx2 AS w2 FROM w2 w CROSS JOIN g3 g)
+SELECT event_id,
+       round(1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2))), 6) AS p
+FROM f CROSS JOIN w3 w
+ORDER BY p DESC, event_id ASC LIMIT 10
+""",
+        # Co-click similarity: distinct (user, item), per-user cap 20 by
+        # item asc, capped self-join, pair counts.
+        "sim_coclick": """
+WITH items AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item ASC) AS rn
+    FROM items
+  ) WHERE rn <= 20
+)
+SELECT a.item AS item_a, b.item AS item_b, count(*) AS users
+FROM capped a JOIN capped b
+  ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY a.item, b.item
+ORDER BY users DESC, item_a ASC, item_b ASC LIMIT 20
+""",
+        # N-gram novelty: the oracle groups by the RAW shingle string
+        # (the engine shuffles xxhash64 keys) — agreement doubles as a
+        # hash-collision check on this corpus.
+        "text_ngram_novelty": f"""
+WITH {_SH3_CTE},
+e AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),
+firsts AS (SELECT shingle, min(doc_id) AS fd FROM e GROUP BY shingle),
+frac AS (
+  SELECT e.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM e JOIN firsts f USING (shingle) GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(frac.n_shingles, 0) AS BIGINT) AS n_shingles,
+       coalesce(round(frac.n_novel / frac.n_shingles, 4), 1.0) AS novelty
+FROM documents d LEFT JOIN frac ON d.doc_id = frac.doc_id
 """,
     }

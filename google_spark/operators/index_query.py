@@ -1337,3 +1337,85 @@ def more_like_this(
         .limit(k)
         .withColumnRenamed("doc_id", id_col)
     )
+
+
+def prf_topk(
+    index: IndexTables,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    stem: bool = False,
+) -> DataFrame:
+    """DataFrame[doc_id, score] — RM3-style pseudo-relevance feedback
+    (Abdul-Jaleel et al., TREC 2004 — public): retrieve top ``fb_docs``
+    for the seed query, mine ``fb_terms`` expansion terms from them
+    weighted by relevance mass ``w(t) = Σ_d score(d) · tf(t,d)/dl(d)``,
+    then re-query with the seed terms at their multiplicity weights plus
+    the expansion terms at ``alpha · w(t)/max w`` (the original query is
+    kept at unit weight; ``alpha`` is the feedback interpolation knob).
+
+    The reference engine stops at synonym expansion from a static
+    embedding table (ref: src/cis5550/jobs/SearchApi.java:147-169); PRF is
+    the retrieval-driven counterpart — expansion comes from the corpus
+    itself, so it adapts to the indexed vocabulary with no side model.
+
+    Determinism across engines: first-pass scores and the mined weights
+    are rounded to 6 dp BEFORE use (sum order differs between engines at
+    the ulp level; the 1e-6 grid absorbs it — same trick as the keyword
+    ranking), expansion ties break (weight desc, term asc), and seed
+    terms are excluded from expansion.
+
+    Scale shape: pass 1 is the ordinary pruned weighted scoring path; the
+    feedback mining touches ONLY the ``fb_docs`` documents via an
+    ``isin`` point filter (partition-prunable under a docstore layout)
+    and one tokenize pass over those few rows; the driver collects just
+    ``fb_docs`` (doc_id, score) rows and ``fb_terms`` (term, weight)
+    rows — both O(constants), never O(corpus). Pass 2 is again the
+    pruned scoring path with a slightly wider term set.
+    """
+    from google_spark.operators.index_build import tokenize_docs
+
+    spark = index.postings.sparkSession
+    seed = dict(Counter(query_terms(query, mode=mode, stem=stem)))
+    if not seed:
+        return spark.createDataFrame([], "doc_id long, score double")
+    fb = weighted_topk(index, seed, k=fb_docs).collect()
+    if not fb:
+        return spark.createDataFrame([], "doc_id long, score double")
+    fb_scores = spark.createDataFrame(
+        [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in fb],
+        "doc_id long, fb_score double",
+    )
+    fb_ids = [int(r["doc_id"]) for r in fb]
+    fbtf = tokenize_docs(
+        docs.filter(F.col(id_col).isin(fb_ids)),
+        id_col=id_col,
+        text_col=text_col,
+        mode=mode,
+        stem=stem,
+    ).withColumnRenamed(id_col, "doc_id")
+    mined = (
+        fbtf.join(F.broadcast(fb_scores), "doc_id")
+        .filter(~F.col("term").isin(list(seed)))
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(F.col("fb_score") * F.col("tf") / F.col("dl")), 6
+            ).alias("w")
+        )
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(fb_terms)
+        .collect()
+    )
+    weights = {t: float(w) for t, w in seed.items()}
+    if mined:
+        max_w = float(mined[0]["w"])
+        for r in mined:
+            weights[r["term"]] = round(alpha * float(r["w"]) / max_w, 6)
+    return weighted_topk(index, weights, k=k)

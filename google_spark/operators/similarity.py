@@ -543,3 +543,54 @@ def embedding_near_dups(
     return pairs.select("a", "b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
+
+
+def coclick_pairs(
+    events: DataFrame,
+    event_type: str = "click",
+    item_expr: str = "CAST(get_json_object(props, '$.k') AS BIGINT)",
+    per_user_cap: int = 20,
+    topn: int = 20,
+) -> DataFrame:
+    """DataFrame[item_a, item_b, users] — behavioral item-item similarity
+    from the interaction log: item pairs ranked by how many distinct
+    users clicked BOTH (the classic co-occurrence signal behind
+    "people who viewed X also viewed Y"; Amazon's item-item CF,
+    Linden et al. 2003 — public). Beyond the reference, which has no
+    interaction-log analytics at all (its SearchHistory stores raw
+    per-user queries, ref: src/cis5550/jobs/SearchApi.java history
+    route).
+
+    Scale shape: the quadratic step is the per-user self-join, and its
+    blowup is bounded EXPLICITLY — each user contributes at most
+    ``per_user_cap`` distinct items (row_number window, deterministic
+    item-asc cut), so a power-user with 10⁵ clicks costs cap²/2 pairs
+    like everyone else (the same skew-cap pattern as the LSH
+    max_bucket). Pairs shuffle as (long, long) keys; counts are
+    map-side-combined; top-n ties break (users desc, item_a, item_b).
+    """
+    from pyspark.sql import Window
+
+    items = (
+        events.filter(F.col("event_type") == event_type)
+        .select("user_id", F.expr(item_expr).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("item"))
+    capped = (
+        items.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_user_cap)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(b, "user_id").filter(F.col("a.item") < F.col("b.item"))
+    return (
+        pairs.groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy(F.desc("users"), F.asc("item_a"), F.asc("item_b"))
+        .limit(topn)
+    )

@@ -1031,3 +1031,58 @@ def normalize_text(
     return src.mapInPandas(
         kernel, f"{id_col} {id_type}, text_norm string, changed boolean"
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame[doc_id, n_shingles, novelty] — per-document novelty for
+    training-data curation: the fraction of a document's DISTINCT
+    ``shingle_k``-token shingles whose canonical first occurrence (min
+    doc_id across the corpus) is this document. 1.0 = nothing borrowed
+    from earlier documents; low values flag boilerplate/recycled text
+    (the doc-grain complement of the C4 line dedup and the ExactSubstr
+    span remover — this one SCORES instead of rewriting). Documents with
+    no shingles (shorter than ``shingle_k`` tokens) report novelty 1.0.
+
+    Scale shape: shingling is scan-side (the shared ``shingles_col``
+    HOF); the only wide exchanges move ``(xxhash64(shingle), doc_id)``
+    — fixed-width longs, never shingle text — once for the min-doc
+    aggregate and once for the hash-keyed join back; the per-doc
+    fraction then aggregates on doc_id. Hash note: grouping by the
+    64-bit hash instead of the string trades a ~n²/2⁶⁵ collision
+    probability (negligible at any corpus size that fits in storage)
+    for a fixed-8-byte shuffle key — same trade the C4 line dedup makes
+    with md5.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col(text_col), k=shingle_k))
+        ).alias("shingle"),
+    ).select(id_col, F.xxhash64("shingle").alias("h"))
+    first = sh.groupBy("h").agg(F.min(id_col).alias("first_doc"))
+    frac = (
+        sh.join(first, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col(id_col)).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(frac, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce(
+                F.round(F.col("n_novel") / F.col("n_shingles"), 4), F.lit(1.0)
+            ).alias("novelty"),
+        )
+    )

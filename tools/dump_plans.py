@@ -807,6 +807,63 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.index_query import prf_topk
+    from google_spark.operators.ltr import ctr_rank_events
+    from google_spark.operators.similarity import coclick_pairs
+    from google_spark.operators.text_analysis import ngram_novelty
+
+    sections.append(
+        (
+            "RM3 pseudo-relevance feedback (pass 2: widened weighted query)",
+            "prf_topk(idx, docs, 'hash join'): passes 1 and the term mining "
+            "already ran (driver holds 5 (doc,score) + 5 (term,weight) rows); "
+            "the plan below is the final re-query — the ordinary pruned "
+            "weighted-scoring path (posting scan -> decode kernel -> "
+            "partial/final sum -> TakeOrderedAndProject) with the widened "
+            "term IN-list pushed into the scan. Feedback mining itself "
+            "touches only the 5 feedback docs via an isin point filter.",
+            fmt(prf_topk(idx, docs, "hash join", k=10)),
+        )
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sections.append(
+        (
+            "Learned CTR ranker (scoring pass; training = 1 aggregate/iter)",
+            "ctr_rank_events(events): each GD iteration is ONE map-side-"
+            "combined avg-gradient aggregate (not shown: three scan+agg "
+            "jobs, d+1 doubles to the driver each); the scoring plan below "
+            "folds the learned weights in as literals — pure whole-stage-"
+            "codegen expressions over the scan, then TakeOrderedAndProject.",
+            fmt(ctr_rank_events(events, iters=3, lr=0.1, k=10)),
+        )
+    )
+
+    sections.append(
+        (
+            "Co-click item similarity (capped self-join)",
+            "coclick_pairs(events): distinct (user,item) -> per-user "
+            "row_number cap (WindowGroupLimit keeps <=20 rows per user "
+            "BEFORE the exchange) -> self-join on user_id with item_a < "
+            "item_b -> pair counts. The cap bounds the quadratic step to "
+            "C(20,2) pairs per user regardless of skew; pairs shuffle as "
+            "(long,long) keys.",
+            fmt(coclick_pairs(events)),
+        )
+    )
+
+    sections.append(
+        (
+            "N-gram novelty scoring (hash-keyed exchanges, no text shuffle)",
+            "ngram_novelty(docs): shingling is scan-side (the shared "
+            "shingles_col HOF); both wide exchanges move (xxhash64, doc_id) "
+            "longs — one for the min-doc-per-shingle aggregate, one for the "
+            "join back — then the per-doc fraction aggregates on doc_id and "
+            "left-joins the corpus scan for shingle-less docs.",
+            fmt(ngram_novelty(docs)),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
