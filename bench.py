@@ -383,6 +383,30 @@ def main() -> None:
     ).count()
     timings["range_join"] = round(time.perf_counter() - t0, 4)
 
+    # round-5 additions: PRF re-query (two pruned index passes + 5-doc
+    # mining), GD ranker training (3 aggregate jobs) + scoring, capped
+    # co-click self-join, and corpus-wide shingle novelty
+    from google_spark.operators.index_query import prf_topk
+    from google_spark.operators.ltr import ctr_rank_events
+    from google_spark.operators.similarity import coclick_pairs
+    from google_spark.operators.text_analysis import ngram_novelty
+
+    t0 = time.perf_counter()
+    prf_topk(index, docs, "hash join", k=10).collect()
+    timings["prf_q1"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    ctr_rank_events(events, iters=3, lr=0.1, k=10).collect()
+    timings["ltr_train_score"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    coclick_pairs(events).collect()
+    timings["coclick"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    ngram_novelty(docs).count()
+    timings["novelty"] = round(time.perf_counter() - t0, 4)
+
     # second scale point: replicated corpus, so round-over-round deltas in
     # build throughput aren't masked by fixed job overhead (~2-3s) that
     # dominates the raw 5k-doc sf0.1 figure

@@ -477,3 +477,62 @@ def test_split_chunks_single_exchange(spark):
 
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_coclick_cap_is_group_limited_and_no_cartesian(spark):
+    """coclick_pairs: the per-user item cap must run as WindowGroupLimit
+    with a partial pass BELOW the window exchange (a power user's items
+    are cut to the cap per task before shuffling), and the pair step is
+    an equi-join on user_id — never a cross product."""
+    from google_spark.operators.similarity import coclick_pairs
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    plan = _plan(coclick_pairs(ev))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_novelty_shuffles_hash_keys_not_shingles(spark):
+    """ngram_novelty: every hash exchange keys on the xxhash64 column or
+    doc_id (fixed-width longs); the shingle string must not appear in any
+    exchange's partitioning expression."""
+    import re as _re
+
+    from google_spark.operators.text_analysis import ngram_novelty
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(ngram_novelty(docs))
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "shingle" not in m.group(1), m.group(0)
+    assert "CartesianProduct" not in plan
+
+
+def test_ltr_scoring_is_codegen_expressions(spark):
+    """score_logistic folds weights in as literals: no joins, no
+    exchanges, no Python evaluation — one projected scan."""
+    from google_spark.operators.ltr import score_logistic
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        F.col("value").alias("x1")
+    )
+    plan = _plan(score_logistic(ev, ["x1"], [0.1, -0.2]))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prf_pass2_prunes_to_query_terms(spark):
+    """prf_topk pass 2 reads only the widened term set from the postings
+    relation: the In(term, ...) filter must list MORE than the two seed
+    terms (expansion happened) and no CartesianProduct appears."""
+    import re as _re
+
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import prf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, id_col="doc_id", text_col="text")
+    plan = _plan(prf_topk(idx, docs, "hash join", k=10))
+    m = _re.search(r"term#\d+ IN \(([^)]*)\)", plan)
+    assert m is not None, plan
+    assert len(m.group(1).split(",")) > 2, m.group(0)
+    assert "CartesianProduct" not in plan
