@@ -561,35 +561,42 @@ def coclick_pairs(
     per-user queries, ref: src/cis5550/jobs/SearchApi.java history
     route).
 
-    Scale shape: the quadratic step is the per-user self-join, and its
-    blowup is bounded EXPLICITLY — each user contributes at most
-    ``per_user_cap`` distinct items (row_number window, deterministic
-    item-asc cut), so a power-user with 10⁵ clicks costs cap²/2 pairs
-    like everyone else (the same skew-cap pattern as the LSH
-    max_bucket). Pairs shuffle as (long, long) keys; counts are
-    map-side-combined; top-n ties break (users desc, item_a, item_b).
+    Scale shape: TWO exchanges total, no join. ``collect_set`` gathers
+    each user's distinct items with map-side partial aggregation (one
+    exchange on user_id; the agg buffer for a 10⁶-item power user is a
+    few MB — bounded by distinct items, not clicks), the deterministic
+    cap is a sorted slice (item-asc, same cut a row_number window would
+    make), and the pair set is generated SCAN-SIDE by a nested
+    higher-order transform over the capped array — so the quadratic
+    blowup is bounded at C(cap, 2) pairs per user regardless of skew
+    (the same skew-cap pattern as the LSH max_bucket) and pairs reach
+    the count aggregate (second exchange) as fixed-width (long, long)
+    keys. Top-n ties break (users desc, item_a, item_b).
     """
-    from pyspark.sql import Window
-
-    items = (
+    per_user = (
         events.filter(F.col("event_type") == event_type)
         .select("user_id", F.expr(item_expr).alias("item"))
         .filter(F.col("item").isNotNull())
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy(F.asc("item"))
-    capped = (
-        items.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= per_user_cap)
-        .drop("rn")
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = a.join(b, "user_id").filter(F.col("a.item") < F.col("b.item"))
-    return (
-        pairs.groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        .groupBy("user_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("item")), 1, per_user_cap
+            ).alias("arr")
         )
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(arr, (x, i) -> transform("
+                    "slice(arr, i + 2, size(arr)), "
+                    "y -> struct(x AS item_a, y AS item_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    return (
+        pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("users"))
         .orderBy(F.desc("users"), F.asc("item_a"), F.asc("item_b"))
         .limit(topn)

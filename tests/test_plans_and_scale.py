@@ -479,17 +479,18 @@ def test_split_chunks_single_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_coclick_cap_is_group_limited_and_no_cartesian(spark):
-    """coclick_pairs: the per-user item cap must run as WindowGroupLimit
-    with a partial pass BELOW the window exchange (a power user's items
-    are cut to the cap per task before shuffling), and the pair step is
-    an equi-join on user_id — never a cross product."""
+def test_coclick_two_exchanges_no_join(spark):
+    """coclick_pairs: the whole pipeline is two hash exchanges (user
+    collect_set, pair counts) and ZERO joins — pair generation happens
+    scan-side via the nested transform over the capped per-user array."""
+    import re as _re
+
     from google_spark.operators.similarity import coclick_pairs
 
     ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     plan = _plan(coclick_pairs(ev))
-    assert plan.count("WindowGroupLimit") >= 2, plan
-    assert "CartesianProduct" not in plan
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_novelty_shuffles_hash_keys_not_shingles(spark):

@@ -841,13 +841,15 @@ def main() -> None:
 
     sections.append(
         (
-            "Co-click item similarity (capped self-join)",
-            "coclick_pairs(events): distinct (user,item) -> per-user "
-            "row_number cap (WindowGroupLimit keeps <=20 rows per user "
-            "BEFORE the exchange) -> self-join on user_id with item_a < "
-            "item_b -> pair counts. The cap bounds the quadratic step to "
-            "C(20,2) pairs per user regardless of skew; pairs shuffle as "
-            "(long,long) keys.",
+            "Co-click item similarity (two exchanges, zero joins)",
+            "coclick_pairs(events): collect_set gathers each user's "
+            "distinct items with map-side partial aggregation (exchange 1 "
+            "on user_id), the cap is a sorted slice, and the pair set is "
+            "generated SCAN-SIDE by a nested higher-order transform over "
+            "the capped array — bounding the quadratic step at C(20,2) "
+            "pairs per user regardless of skew — then pair counts "
+            "(exchange 2) move fixed-width (long,long) keys. No join "
+            "anywhere.",
             fmt(coclick_pairs(events)),
         )
     )
