@@ -33,17 +33,17 @@ flagships, both driver-green in CORRECTNESS_r03 and re-proved by pytest:
 WAND==exhaustive is bit-exact in tests/test_index_oracle.py) — keeping
 2 flagships (bm25_topk_wand, pagerank_fixed3) and demoting 48 rows that
 are green in CORRECTNESS_r03/r04. Union driver coverage
-r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the NINETEEN
+r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY
 final-round additions (text_langid_ngram, sample_dsir_topk,
 dedup_canonical_best, text_detect_license, text_char_entropy,
 text_code_rules, dedup_repo_forks, dedup_fork_collapse, sample_split,
 code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs,
 dedup_clone_matches, text_normalize_nfc, prf_expand_topk, ltr_ctr_topk,
-sim_coclick, text_ngram_novelty) are local-gate rows in
-extra_queries() — 140 contract rows total, every one oracle-checked on
+sim_coclick, text_ngram_novelty, bm25_pruned_topk) are local-gate rows in
+extra_queries() — 141 contract rows total, every one oracle-checked on
 2026-08-20/21: tools/check_contract.py full sweep 134/134 PASS
 mid-session, each row added after that sweep gated individually at
-introduction (the final four passed a 4/4 sweep on 2026-08-21).
+introduction (the final five passed per-row gates on 2026-08-21).
 """
 
 from __future__ import annotations
@@ -2707,6 +2707,25 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(_docs(spark, sf_dir), shingle_k=3)
 
 
+def q_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static index pruning (Carmel 2001) through ENGINE code
+    (build_index(max_postings_per_term=32)): each term keeps only its 32
+    highest-tf postings (ties doc_id asc), df/idf follow the pruned
+    lists, n_docs/avgdl stay corpus-true. The oracle replays the
+    row_number cut and the shifted df in SQL."""
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import exhaustive_topk
+
+    idx = build_index(
+        spark,
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        max_postings_per_term=32,
+    )
+    return _round4(exhaustive_topk(idx, FLAGSHIP_QUERY, k=10), "score")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2717,7 +2736,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 4, the 11 new round-5 rows, the 2 crawler rows, and the 2 final
     round-5 rows earn driver rows (see the module docstring); union driver
     coverage r03 ∪ r04 ∪ r05 = all 121 rotation-era rows; with the
-    nineteen final-round local-gate additions the full contract is 140
+    twenty final-round local-gate additions the full contract is 141
     rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
@@ -2820,6 +2839,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_ctr_topk": q_ltr_ctr_topk,
         "sim_coclick": q_sim_coclick,
         "text_ngram_novelty": q_text_ngram_novelty,
+        "bm25_pruned_topk": q_bm25_pruned_topk,
     }
 
 
@@ -5931,5 +5951,38 @@ SELECT d.doc_id,
        CAST(coalesce(frac.n_shingles, 0) AS BIGINT) AS n_shingles,
        coalesce(round(frac.n_novel / frac.n_shingles, 4), 1.0) AS novelty
 FROM documents d LEFT JOIN frac ON d.doc_id = frac.doc_id
+""",
+        # Static index pruning: top-32 postings per term by (tf desc,
+        # doc_id asc); df/idf from the pruned lists, n_docs/avgdl from
+        # the full corpus (matching build_index's stats path).
+        "bm25_pruned_topk": f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+tfall AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+  GROUP BY doc_id, term
+),
+tf AS (
+  SELECT doc_id, term, tf, dl FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM tfall
+  ) WHERE rn <= 32
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(term, w) AS (VALUES ('hash', 1.0), ('join', 1.0)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN q ON tf.term = q.term JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     }

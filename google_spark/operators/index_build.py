@@ -268,6 +268,7 @@ def build_index(
     n_shards: int = 8,
     persist_tokens: bool = True,  # kept for API compat; tokens now stream
     total_docs: int | None = None,
+    max_postings_per_term: int | None = None,
 ) -> IndexTables:
     """Build the index in ONE shuffled pipeline: tokens stream from the
     mapInPandas scan straight into the (term, shard) exchange and the
@@ -276,10 +277,33 @@ def build_index(
     contends on allocation at high core counts, and at 10^12 files it
     wouldn't fit anything anyway). Corpus stats come from a separate cheap
     JVM-side token-count scan (simple mode) so nothing is computed twice in
-    Python."""
+    Python.
+
+    ``max_postings_per_term`` enables STATIC INDEX PRUNING (Carmel et al.,
+    SIGIR 2001 — public): keep only the top-N postings per term by
+    (tf desc, doc_id asc) before encoding. A serving-tier trade: hot terms
+    ("the", a ubiquitous import) stop carrying corpus-sized lists, at the
+    cost of recall on low-tf matches. df/idf follow the PRUNED lists
+    (internally consistent scoring; idf shifts up slightly for pruned
+    terms), while n_docs/avgdl stay corpus-true. Cost: one additional
+    term-keyed exchange for the global rank — WindowGroupLimit cuts each
+    map task to N rows per term BEFORE the exchange, so the shuffle moves
+    at most N x tasks rows per term, not the raw posting count."""
     if total_docs is None:
         total_docs = docs.count()
     doc_terms = tokenize_docs(docs, id_col=id_col, text_col=text_col, mode=mode, stem=stem)
+    doc_terms_full = doc_terms  # corpus stats must see UNPRUNED tokens
+    if max_postings_per_term is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("term").orderBy(
+            F.desc("tf"), F.asc("doc_id")
+        )
+        doc_terms = (
+            doc_terms.withColumn("_prank", F.row_number().over(w))
+            .filter(F.col("_prank") <= max_postings_per_term)
+            .drop("_prank")
+        )
     postings = build_postings(doc_terms, n_shards=n_shards).persist()
     postings.count()
 
@@ -297,7 +321,7 @@ def build_index(
         total_dl = int(row["total_dl"] or 0)
         n_docs, avgdl = total_docs, (total_dl / total_docs if total_docs else 0.0)
     else:
-        n_docs, avgdl = corpus_stats(doc_terms, total_docs)
+        n_docs, avgdl = corpus_stats(doc_terms_full, total_docs)
 
     terms = term_stats(postings, n_docs).persist()
     terms.count()

@@ -193,3 +193,49 @@ class TestNovelty:
             for r in ngram_novelty(docs, shingle_k=3).collect()
         }
         assert out[10] == 1.0 and out[20] == 0.0
+
+
+class TestPrunedIndex:
+    def test_df_capped_and_lossless_when_wide(self, spark, toy_docs):
+        from google_spark.operators.index_build import build_index
+        from google_spark.operators.index_query import exhaustive_topk
+
+        full = build_index(spark, toy_docs)
+        wide = build_index(spark, toy_docs, max_postings_per_term=1000)
+        # cap wider than any posting list -> identical index results
+        a = exhaustive_topk(full, "hash join", k=7).collect()
+        b = exhaustive_topk(wide, "hash join", k=7).collect()
+        assert [(r.doc_id, round(r.score, 6)) for r in a] == [
+            (r.doc_id, round(r.score, 6)) for r in b
+        ]
+
+        pruned = build_index(spark, toy_docs, max_postings_per_term=2)
+        dfs = {r["term"]: r["df"] for r in pruned.terms.collect()}
+        assert max(dfs.values()) <= 2
+        # highest-tf postings survive: doc 2 (tf=2 for both terms) must
+        # still be retrievable from the 2-deep lists
+        hits = {r.doc_id for r in exhaustive_topk(pruned, "hash join", k=7).collect()}
+        assert 2 in hits
+
+    def test_stats_stay_corpus_true(self, spark, toy_docs):
+        from google_spark.operators.index_build import build_index
+
+        full = build_index(spark, toy_docs)
+        pruned = build_index(spark, toy_docs, max_postings_per_term=1)
+        assert pruned.n_docs == full.n_docs
+        assert pruned.avgdl == full.avgdl
+
+    def test_prune_rank_is_group_limited(self, spark, toy_docs):
+        from google_spark.operators.index_build import tokenize_docs
+        from pyspark.sql import Window
+
+        dt = tokenize_docs(toy_docs)
+        w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+        plan = (
+            dt.withColumn("_prank", F.row_number().over(w))
+            .filter(F.col("_prank") <= 32)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan, plan
