@@ -4450,7 +4450,7 @@ FROM planted
 """,
         # Symbol-boundary chunking: planting, line split, def-flag regex,
         # running-sum window, and ordered rebuild replayed verbatim.
-        "code_chunks": """
+        "code_chunks": r"""
 WITH planted AS (
   SELECT doc_id, '# header' || chr(10) || coalesce(text, '') || chr(10) || 'def alpha_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) || coalesce(text, '') || chr(10) || 'def shared_util(x):' || chr(10) || '    return x + 1' || chr(10) || 'class Beta_' || CAST(doc_id AS VARCHAR) || ':' || chr(10) || coalesce(text, '') AS text FROM documents
 ),
@@ -4484,7 +4484,7 @@ FROM chunks
 """,
         # Function-grain dedup: canonical (first by doc_id, chunk_id)
         # occurrence per distinct chunk text.
-        "dedup_code_chunks": """
+        "dedup_code_chunks": r"""
 WITH planted AS (
   SELECT doc_id, '# header' || chr(10) || coalesce(text, '') || chr(10) || 'def alpha_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) || coalesce(text, '') || chr(10) || 'def shared_util(x):' || chr(10) || '    return x + 1' || chr(10) || 'class Beta_' || CAST(doc_id AS VARCHAR) || ':' || chr(10) || coalesce(text, '') AS text FROM documents
 ),
