@@ -12,6 +12,11 @@ any scale):
                           (--scrub-pii; runs FIRST so sentinel-normalized
                           near-copies dedup together)
   1. exact dedup        — sha256 hash-aggregate keep-smallest-id
+  1b. novelty gate      — drop docs whose 3-gram novelty (fraction of
+                          distinct shingles first seen in that doc) falls
+                          below --min-novelty (recycled-text filter; runs
+                          before near-dup so borrowed docs never cost a
+                          MinHash)
   2. near dedup         — MinHash+LSH candidates, exact-Jaccard verified;
                           drop the larger id of each verified pair, or one
                           canonical per connected component (--cluster-dedup)
@@ -73,6 +78,7 @@ def prepare_corpus(
     allow_licenses: list[str] | None = None,
     code_gate: bool = False,
     min_entropy: float | None = None,
+    min_novelty: float | None = None,
 ):
     """Run stages 0-8 (everything except the index build); returns
     (prepared DataFrame, accounting dict). Importable so tests drive it
@@ -167,6 +173,20 @@ def prepare_corpus(
     keep_exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
     docs = docs.join(keep_exact, id_col, "left_semi")
     acct["after_exact_dedup"] = docs.count()
+
+    if min_novelty is not None:
+        # corpus-relative recycled-text gate: runs AFTER exact dedup (so
+        # byte-identical copies don't zero each other out first) and
+        # BEFORE the near-dup stage (a doc that is mostly borrowed
+        # shingles should not cost a MinHash). Shingle-less short docs
+        # score 1.0 and always survive.
+        from google_spark.operators.text_analysis import ngram_novelty
+
+        keep_nov = ngram_novelty(docs, id_col=id_col, text_col=text_col).filter(
+            F.col("novelty") >= float(min_novelty)
+        ).select(id_col)
+        docs = docs.join(keep_nov, id_col, "left_semi")
+        acct["after_novelty_filter"] = docs.count()
 
     if cluster_dedup:
         # transitive-closure-correct: one canonical doc per connected
@@ -453,6 +473,14 @@ def main() -> None:
         help="drop docs whose character entropy (bits/char) is below "
         "this floor (boilerplate / generated filler)",
     )
+    ap.add_argument(
+        "--min-novelty",
+        type=float,
+        default=None,
+        help="drop docs whose 3-gram novelty (fraction of distinct "
+        "shingles first seen in that doc) is below this floor — the "
+        "corpus-relative recycled-text gate",
+    )
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
     mix = None
@@ -499,6 +527,7 @@ def main() -> None:
         allow_licenses=args.allow_license,
         code_gate=args.code_gate,
         min_entropy=args.min_entropy,
+        min_novelty=args.min_novelty,
     )
     prepared.write.mode("overwrite").parquet(f"{args.out}/corpus.parquet")
     prepared_back = spark.read.parquet(f"{args.out}/corpus.parquet")

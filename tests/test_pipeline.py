@@ -355,3 +355,21 @@ def test_prepare_corpus_license_provenance_rerun_safe(spark, tmp_path):
     assert again.count() > 0
     # provenance columns were recomputed, not duplicated
     assert again.columns.count("license") == 1
+
+
+def test_prepare_corpus_novelty_gate(spark):
+    """--min-novelty drops docs that are mostly shingles first seen in an
+    earlier doc; originals and shingle-less short docs survive."""
+    from jobs.prepare_corpus import prepare_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, "totally different fresh words all around here")]
+    # docs 3..6 recycle doc 1 with a one-word tail -> low novelty
+    rows += [(i, base + f" tail{i}") for i in range(3, 7)]
+    rows.append((9, "xy"))  # shingle-less -> novelty 1.0, survives
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prepared, acct = prepare_corpus(spark, docs, min_novelty=0.8)
+    kept = {r["doc_id"] for r in prepared.select("doc_id").collect()}
+    assert {1, 2, 9} <= kept
+    assert kept.isdisjoint({3, 4, 5, 6})
+    assert acct["after_novelty_filter"] == acct["after_exact_dedup"] - 4
