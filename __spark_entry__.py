@@ -40,10 +40,10 @@ text_code_rules, dedup_repo_forks, dedup_fork_collapse, sample_split,
 code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs,
 dedup_clone_matches, text_normalize_nfc, prf_expand_topk, ltr_ctr_topk,
 sim_coclick, text_ngram_novelty, bm25_pruned_topk) are local-gate rows in
-extra_queries() — 141 contract rows total, every one oracle-checked on
-2026-08-20/21: tools/check_contract.py full sweep 134/134 PASS
-mid-session, each row added after that sweep gated individually at
-introduction (the final five passed per-row gates on 2026-08-21).
+extra_queries() — 141 contract rows total, every one oracle-checked:
+tools/check_contract.py FULL sweep 141/141 PASS on 2026-08-21 with every
+final-round change landed (earlier same-round sweeps: 134/134, plus
+per-row gates at each row's introduction).
 """
 
 from __future__ import annotations
