@@ -5856,11 +5856,12 @@ mined AS (
   WHERE tf.term NOT IN (SELECT term FROM q0)
   GROUP BY tf.term ORDER BY w DESC, term ASC LIMIT 5
 ),
-mx AS (SELECT max(w) AS m FROM mined),
+mx AS (SELECT max(w) AS m FROM mined WHERE w > 0),
 qf AS (
   SELECT term, w FROM q0
   UNION ALL
-  SELECT term, round(0.5 * w / (SELECT m FROM mx), 6) AS w FROM mined
+  SELECT term, round(0.5 * w / (SELECT m FROM mx), 6) AS w
+  FROM mined WHERE w > 0
 ),
 scored AS (
   SELECT tf.doc_id,
@@ -5882,7 +5883,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 WITH f AS (
   SELECT event_id, value / 100.0 AS x1, ln(1 + value) AS x2,
          CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 g1 AS (
   SELECT round(avg(1.0 / (1.0 + exp(-(0.0))) - y), 9) AS gb,
@@ -5918,9 +5919,9 @@ ORDER BY p DESC, event_id ASC LIMIT 10
         "sim_coclick": """
 WITH items AS (
   SELECT DISTINCT user_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-  FROM events WHERE event_type = 'click'
-        AND json_extract_string(props, '$.k') IS NOT NULL
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+        AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 capped AS (
   SELECT user_id, item FROM (

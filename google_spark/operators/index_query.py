@@ -1388,8 +1388,20 @@ def prf_topk(
     fb = weighted_topk(index, seed, k=fb_docs).collect()
     if not fb:
         return spark.createDataFrame([], "doc_id long, score double")
+    # HALF-UP decimal rounding, exactly what Spark's F.round does
+    # (BigDecimal.valueOf(double).setScale(6, HALF_UP); repr() is the
+    # shortest-round-trip string, Double.toString's analog) — Python's
+    # built-in round() is banker's and would diverge from F.round/DuckDB
+    # on 5e-7 midpoints
+    def _round6(x: float) -> float:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
     fb_scores = spark.createDataFrame(
-        [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in fb],
+        [(int(r["doc_id"]), _round6(float(r["score"]))) for r in fb],
         "doc_id long, fb_score double",
     )
     fb_ids = [int(r["doc_id"]) for r in fb]
@@ -1414,8 +1426,12 @@ def prf_topk(
         .collect()
     )
     weights = {t: float(w) for t, w in seed.items()}
-    if mined:
+    # max_w == 0.0 (every mined weight rounded to zero) degrades to the
+    # seed-only query instead of dividing by zero; the oracle applies the
+    # same w > 0 guard. weighted_topk drops zero weights either way, so
+    # sub-grid expansion terms contribute nothing in both engines.
+    if mined and float(mined[0]["w"]) > 0.0:
         max_w = float(mined[0]["w"])
         for r in mined:
-            weights[r["term"]] = round(alpha * float(r["w"]) / max_w, 6)
+            weights[r["term"]] = _round6(alpha * float(r["w"]) / max_w)
     return weighted_topk(index, weights, k=k)

@@ -47,6 +47,11 @@ def train_logistic(
     cache (the contract queries run 3 iterations over a scan-thin
     projection where a cache would cost more than it saves).
     """
+    # rows with a NULL feature or label are excluded up front — otherwise
+    # NULL would null the residual and silently drop the row from SOME
+    # gradient components (z references every feature) but not others in
+    # a SQL replica, and the engines would train different weights
+    train = train.na.drop(subset=[*feature_cols, label_col])
     w = [0.0] * (len(feature_cols) + 1)
     for _ in range(iters):
         z = F.lit(w[0])
@@ -59,6 +64,10 @@ def train_logistic(
             for j, c in enumerate(feature_cols)
         ]
         g = train.agg(*aggs).collect()[0]
+        if g["g0"] is None:
+            # empty training set: avg() is NULL — keep the zero init
+            # instead of crashing on float(None)
+            break
         w = [w[j] - lr * float(g[f"g{j}"]) for j in range(len(w))]
     return w
 
@@ -91,7 +100,7 @@ def ctr_rank_events(
         # when/otherwise, not a bool cast: a NULL event_type must label
         # 0.0 (CASE semantics, matching the SQL oracle), not NULL
         F.when(F.col("event_type") == "click", 1.0).otherwise(0.0).alias("y"),
-    )
+    ).na.drop(subset=["x1", "x2"])  # null-valued events neither train nor rank
     w = train_logistic(feats, ["x1", "x2"], "y", iters=iters, lr=lr)
     return (
         score_logistic(feats, ["x1", "x2"], w)

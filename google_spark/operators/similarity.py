@@ -576,7 +576,11 @@ def coclick_pairs(
     per_user = (
         events.filter(F.col("event_type") == event_type)
         .select("user_id", F.expr(item_expr).alias("item"))
-        .filter(F.col("item").isNotNull())
+        # NULL users are dropped, not grouped: groupBy would pool every
+        # anonymous event into one phantom "user" whose co-occurrences
+        # mean nothing (and which a SQL self-join replica would silently
+        # exclude, since NULL = NULL joins nothing)
+        .filter(F.col("item").isNotNull() & F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
             F.slice(

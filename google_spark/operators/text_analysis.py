@@ -1048,32 +1048,33 @@ def ngram_novelty(
     span remover — this one SCORES instead of rewriting). Documents with
     no shingles (shorter than ``shingle_k`` tokens) report novelty 1.0.
 
-    Scale shape: shingling is scan-side (the shared ``shingles_col``
-    HOF); the only wide exchanges move ``(xxhash64(shingle), doc_id)``
-    — fixed-width longs, never shingle text — once for the min-doc
-    aggregate and once for the hash-keyed join back; the per-doc
-    fraction then aggregates on doc_id. Hash note: grouping by the
-    64-bit hash instead of the string trades a ~n²/2⁶⁵ collision
-    probability (negligible at any corpus size that fits in storage)
-    for a fixed-8-byte shuffle key — same trade the C4 line dedup makes
-    with md5.
+    Scale shape: ONE pass over the corpus — shingling is scan-side (the
+    shared ``shingles_col`` HOF) and the min-doc-per-shingle runs as an
+    unordered window over the hash-keyed exchange (an aggregate+join
+    formulation would tokenize and hash the whole corpus twice); both
+    wide exchanges move ``(xxhash64(shingle), doc_id)`` — fixed-width
+    longs, never shingle text — then the per-doc fraction aggregates on
+    doc_id. Hash note: grouping by the 64-bit hash instead of the
+    string trades a ~n²/2⁶⁵ collision probability (negligible at any
+    corpus size that fits in storage) for a fixed-8-byte shuffle key —
+    same trade the C4 line dedup makes with md5.
     """
+    from pyspark.sql import Window
+
     sh = docs.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(shingles_col(tokens_col(text_col), k=shingle_k))
         ).alias("shingle"),
     ).select(id_col, F.xxhash64("shingle").alias("h"))
-    first = sh.groupBy("h").agg(F.min(id_col).alias("first_doc"))
-    frac = (
-        sh.join(first, "h")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                (F.col("first_doc") == F.col(id_col)).cast("long")
-            ).alias("n_novel"),
-        )
+    first = sh.withColumn(
+        "first_doc", F.min(id_col).over(Window.partitionBy("h"))
+    )
+    frac = first.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(
+            (F.col("first_doc") == F.col(id_col)).cast("long")
+        ).alias("n_novel"),
     )
     return (
         docs.select(id_col)

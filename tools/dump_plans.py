@@ -857,11 +857,13 @@ def main() -> None:
     sections.append(
         (
             "N-gram novelty scoring (hash-keyed exchanges, no text shuffle)",
-            "ngram_novelty(docs): shingling is scan-side (the shared "
-            "shingles_col HOF); both wide exchanges move (xxhash64, doc_id) "
-            "longs — one for the min-doc-per-shingle aggregate, one for the "
-            "join back — then the per-doc fraction aggregates on doc_id and "
-            "left-joins the corpus scan for shingle-less docs.",
+            "ngram_novelty(docs): ONE pass — shingling is scan-side (the "
+            "shared shingles_col HOF) and min-doc-per-shingle runs as an "
+            "unordered window over the hash-keyed exchange (the agg+join "
+            "formulation would tokenize+hash the corpus twice); both wide "
+            "exchanges move (xxhash64, doc_id) longs, then the per-doc "
+            "fraction aggregates on doc_id and left-joins the (column-"
+            "pruned) corpus scan for shingle-less docs.",
             fmt(ngram_novelty(docs)),
         )
     )
