@@ -1339,6 +1339,20 @@ def more_like_this(
     )
 
 
+def round6_half_up(x: float) -> float:
+    """HALF-UP decimal rounding at 6 dp, exactly what Spark's F.round does
+    (BigDecimal.valueOf(double).setScale(6, HALF_UP); repr() is the
+    shortest-round-trip string, Double.toString's analog) — Python's
+    built-in round() is banker's and would diverge from F.round/DuckDB on
+    5e-7 midpoints. Shared by the distributed PRF operator and the
+    serving facade so their mined weights cannot drift."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    )
+
+
 def prf_topk(
     index: IndexTables,
     docs: DataFrame,
@@ -1388,18 +1402,7 @@ def prf_topk(
     fb = weighted_topk(index, seed, k=fb_docs).collect()
     if not fb:
         return spark.createDataFrame([], "doc_id long, score double")
-    # HALF-UP decimal rounding, exactly what Spark's F.round does
-    # (BigDecimal.valueOf(double).setScale(6, HALF_UP); repr() is the
-    # shortest-round-trip string, Double.toString's analog) — Python's
-    # built-in round() is banker's and would diverge from F.round/DuckDB
-    # on 5e-7 midpoints
-    def _round6(x: float) -> float:
-        from decimal import ROUND_HALF_UP, Decimal
-
-        return float(
-            Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
-        )
-
+    _round6 = round6_half_up
     fb_scores = spark.createDataFrame(
         [(int(r["doc_id"]), _round6(float(r["score"]))) for r in fb],
         "doc_id long, fb_score double",

@@ -816,6 +816,82 @@ class SearchEngine:
         hits = self.search(" ".join(salient), k=k + 1)
         return [r for r in hits if r.doc_id != doc_id][:k]
 
+    def prf(
+        self,
+        query: str,
+        k: int = 10,
+        fb_docs: int = 5,
+        fb_terms: int = 5,
+        alpha: float = 0.5,
+    ) -> list[tuple[int, float]]:
+        """RM3 pseudo-relevance feedback through the serving tier — the
+        facade twin of index_query.prf_topk (same mining arithmetic and
+        6-dp HALF-UP weight grid via the shared round6_half_up, so the
+        two cannot drift; parity pinned by test). Returns [(doc_id,
+        score)] like :meth:`boolean`.
+
+        Zero corpus-sized Spark work: both scoring passes run the
+        decoded-posting cache core (pruned point reads, cached terms
+        cost nothing), and the feedback docs' text arrives via pyarrow
+        point reads on a published bundle. Without a docstore the
+        method degrades to the plain weighted top-k (no mining source).
+        """
+        self._maybe_refresh()
+        from collections import Counter
+
+        from google_spark.functions.tokenizer import tokenize
+        from google_spark.operators.index_query import (
+            local_topk_core,
+            query_terms,
+            round6_half_up,
+        )
+
+        seed = dict(Counter(query_terms(query, mode=self.mode)))
+        if not seed:
+            return []
+        weights = {t: float(w) for t, w in seed.items()}
+        fb = local_topk_core(
+            self.index, weights, fb_docs, row_cache=self._postings_cache
+        )
+        if not fb or self.docs is None:
+            return local_topk_core(
+                self.index, weights, k, row_cache=self._postings_cache
+            )
+        ids = [int(d) for d, _ in fb]
+        if self._docs_path is not None:
+            rows = self._point_read(self._docs_path, "_docs_ds", ids)
+        else:
+            rows = [
+                r.asDict()
+                for r in self.docs.filter(F.col("doc_id").isin(ids)).collect()
+            ]
+        texts = {int(r["doc_id"]): r.get("content") or "" for r in rows}
+        # mine expansion weights exactly like the operator: w(t) =
+        # round6(Σ_d round6(score_d) · tf/dl), summed in doc_id order so
+        # the float sum is deterministic
+        mined: dict[str, float] = {}
+        for doc_id, score in sorted(fb, key=lambda p: p[0]):
+            toks = [t for t, _ in tokenize(texts.get(int(doc_id), ""), mode=self.mode)]
+            if not toks:
+                continue
+            dl = float(len(toks))
+            s6 = round6_half_up(float(score))
+            for t, c in Counter(toks).items():
+                if t in seed:
+                    continue
+                mined[t] = mined.get(t, 0.0) + s6 * c / dl
+        picked = sorted(
+            ((round6_half_up(w), t) for t, w in mined.items()),
+            key=lambda p: (-p[0], p[1]),
+        )[:fb_terms]
+        if picked and picked[0][0] > 0.0:
+            max_w = picked[0][0]
+            for w, t in picked:
+                weights[t] = round6_half_up(alpha * w / max_w)
+        return local_topk_core(
+            self.index, weights, k, row_cache=self._postings_cache
+        )
+
     def boolean(
         self,
         query: str | None = None,

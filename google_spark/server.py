@@ -211,6 +211,18 @@ def make_handler(engine):
                     return self._scored_hits(
                         q, qs, lambda q, k: engine.boolean(q, k=k)
                     )
+                if u.path == "/prf":
+                    # RM3 pseudo-relevance feedback: two cache-core
+                    # passes + pyarrow point reads of the feedback docs;
+                    # zero corpus-sized Spark work on a published bundle
+                    fbd = int((qs.get("fbDocs") or ["5"])[0])
+                    fbt = int((qs.get("fbTerms") or ["5"])[0])
+                    return self._scored_hits(
+                        q, qs,
+                        lambda q, k: engine.prf(
+                            q, k=k, fb_docs=fbd, fb_terms=fbt
+                        ),
+                    )
                 if u.path == "/fuzzy":
                     max_dist = int((qs.get("maxDist") or ["1"])[0])
                     return self._scored_hits(

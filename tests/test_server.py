@@ -7,6 +7,7 @@ import json
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -358,3 +359,28 @@ def test_near_route_matches_engine_and_operator(served):
     with pytest.raises(urllib.error.HTTPError) as e400:
         _get(base, "/near?a=data&b=data&gap=8")
     assert e400.value.code == 400
+
+
+def test_prf_route_matches_engine_and_operator(served, spark):
+    """/prf mirrors engine.prf, which must match the distributed
+    prf_topk operator on the same corpus (shared round6_half_up grid)."""
+    from google_spark.operators.index_build import build_index
+    from google_spark.operators.index_query import prf_topk
+
+    eng, base = served
+    status, body = _get(base, "/prf?query=data+partition&limit=5")
+    assert status == 200
+    direct = eng.prf("data partition", k=5)
+    assert [(r["doc_id"], pytest.approx(r["score"])) for r in body["results"]] == [
+        (d, pytest.approx(s)) for d, s in direct
+    ]
+    # facade == operator: rebuild the distributed index over the same
+    # docstore content and run the operator PRF
+    docs = eng.docs.select(
+        "doc_id", F.col("content").alias("text")
+    )
+    idx = build_index(spark, docs, id_col="doc_id", text_col="text")
+    dist = prf_topk(idx, docs, "data partition", k=5).collect()
+    assert [(d, pytest.approx(s)) for d, s in direct] == [
+        (r["doc_id"], pytest.approx(r["score"])) for r in dist
+    ]
