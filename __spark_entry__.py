@@ -33,17 +33,19 @@ flagships, both driver-green in CORRECTNESS_r03 and re-proved by pytest:
 WAND==exhaustive is bit-exact in tests/test_index_oracle.py) — keeping
 2 flagships (bm25_topk_wand, pagerank_fixed3) and demoting 48 rows that
 are green in CORRECTNESS_r03/r04. Union driver coverage
-r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY
+r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY-ONE
 final-round additions (text_langid_ngram, sample_dsir_topk,
 dedup_canonical_best, text_detect_license, text_char_entropy,
 text_code_rules, dedup_repo_forks, dedup_fork_collapse, sample_split,
 code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs,
 dedup_clone_matches, text_normalize_nfc, prf_expand_topk, ltr_ctr_topk,
-sim_coclick, text_ngram_novelty, bm25_pruned_topk) are local-gate rows in
-extra_queries() — 141 contract rows total, every one oracle-checked:
-tools/check_contract.py FULL sweep 141/141 PASS on 2026-08-21 with every
-final-round change landed (earlier same-round sweeps: 134/134, plus
-per-row gates at each row's introduction).
+sim_coclick, text_ngram_novelty, bm25_pruned_topk, events_funnel) are
+local-gate rows in
+extra_queries() — 142 contract rows total, every one oracle-checked:
+tools/check_contract.py FULL sweep 141/141 PASS on 2026-08-21; the
+rows touched or added after that sweep (prf/ltr/coclick/novelty review
+fixes, events_funnel) re-gated individually the same day (earlier
+same-round sweeps: 134/134, plus per-row gates at each introduction).
 """
 
 from __future__ import annotations
@@ -2726,6 +2728,18 @@ def q_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(exhaustive_topk(idx, FLAGSHIP_QUERY, k=10), "score")
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analytics through ENGINE code
+    (events.funnel_counts): users reaching view -> click -> purchase at
+    strictly increasing timestamps (greedy earliest-match, single
+    exchange + scan-side fold). The oracle replays the min-ts > prev
+    chain as three CTEs."""
+    from google_spark.operators.events import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2736,7 +2750,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 4, the 11 new round-5 rows, the 2 crawler rows, and the 2 final
     round-5 rows earn driver rows (see the module docstring); union driver
     coverage r03 ∪ r04 ∪ r05 = all 121 rotation-era rows; with the
-    twenty final-round local-gate additions the full contract is 141
+    twenty-one final-round local-gate additions the full contract is 142
     rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
@@ -2840,6 +2854,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_coclick": q_sim_coclick,
         "text_ngram_novelty": q_text_ngram_novelty,
         "bm25_pruned_topk": q_bm25_pruned_topk,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -5985,5 +6000,30 @@ scored AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # Ordered funnel: greedy earliest-match == the min-ts > prev CTE
+        # chain (stage k counts only strictly after the matched k-1).
+        "events_funnel": """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts GROUP BY e.user_id
+)
+SELECT CAST(0 AS INTEGER) AS step_no, 'view' AS step,
+       (SELECT count(*) FROM t1) AS users
+UNION ALL
+SELECT CAST(1 AS INTEGER), 'click', (SELECT count(*) FROM t2)
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'purchase', (SELECT count(*) FROM t3)
 """,
     }

@@ -239,3 +239,57 @@ class TestPrunedIndex:
             .toString()
         )
         assert "WindowGroupLimit" in plan, plan
+
+
+class TestFunnel:
+    def test_ordered_matching(self, spark):
+        from datetime import datetime
+
+        from google_spark.operators.events import funnel_counts
+
+        T = lambda m: datetime(2024, 1, 1, 0, m)
+        rows = [
+            # user 1: full ordered funnel
+            (1, "view", T(1)), (1, "click", T(2)), (1, "purchase", T(3)),
+            # user 2: click BEFORE view -> stops at view
+            (2, "click", T(1)), (2, "view", T(2)),
+            # user 3: view+click, purchase at the SAME instant as click
+            # -> strict ordering stops it at click
+            (3, "view", T(1)), (3, "click", T(2)), (3, "purchase", T(2)),
+            # user 4: wrong-order purchase first, then a valid chain
+            (4, "purchase", T(1)), (4, "view", T(2)), (4, "click", T(3)),
+            (4, "purchase", T(4)),
+            # user 5: only noise
+            (5, "error", T(1)),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        out = {r["step"]: r["users"] for r in
+               funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+        assert out == {"view": 4, "click": 3, "purchase": 2}
+
+    def test_unreached_steps_report_zero(self, spark):
+        from datetime import datetime
+
+        from google_spark.operators.events import funnel_counts
+
+        ev = spark.createDataFrame(
+            [(1, "view", datetime(2024, 1, 1))],
+            "user_id long, event_type string, ts timestamp",
+        )
+        rows = funnel_counts(ev, ["view", "click", "purchase"]).collect()
+        assert [(r["step_no"], r["step"], r["users"]) for r in rows] == [
+            (0, "view", 1), (1, "click", 0), (2, "purchase", 0),
+        ]
+
+    def test_empty_steps_raises(self, spark):
+        import pytest as _pytest
+
+        from google_spark.operators.events import funnel_counts
+
+        ev = spark.createDataFrame(
+            [], "user_id long, event_type string, ts timestamp"
+        )
+        with _pytest.raises(ValueError):
+            funnel_counts(ev, [])

@@ -868,6 +868,28 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.events import funnel_counts
+
+    sections.append(
+        (
+            "Ordered funnel (one exchange, scan-side greedy fold)",
+            "funnel_counts(events, [view, click, purchase]): events group "
+            "by user with a map-side partial collect_list of fixed-width "
+            "(ts, step) structs — the only DATA-SIZED exchange; the stage "
+            "each user reaches is a scan-side aggregate() fold over the "
+            "sorted array (strictly-increasing-ts greedy match). Every "
+            "exchange after that moves <= n_steps+1 rows (the reached "
+            "histogram, partial-aggregated map-side, and the 3-row steps "
+            "join, broadcast). No windows, no per-row Python.",
+            fmt(
+                funnel_counts(
+                    spark.read.parquet(f"{sf_dir}/events.parquet"),
+                    ["view", "click", "purchase"],
+                )
+            ),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
