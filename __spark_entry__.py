@@ -33,18 +33,18 @@ flagships, both driver-green in CORRECTNESS_r03 and re-proved by pytest:
 WAND==exhaustive is bit-exact in tests/test_index_oracle.py) — keeping
 2 flagships (bm25_topk_wand, pagerank_fixed3) and demoting 48 rows that
 are green in CORRECTNESS_r03/r04. Union driver coverage
-r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY-ONE
+r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY-TWO
 final-round additions (text_langid_ngram, sample_dsir_topk,
 dedup_canonical_best, text_detect_license, text_char_entropy,
 text_code_rules, dedup_repo_forks, dedup_fork_collapse, sample_split,
 code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs,
 dedup_clone_matches, text_normalize_nfc, prf_expand_topk, ltr_ctr_topk,
-sim_coclick, text_ngram_novelty, bm25_pruned_topk, events_funnel) are
-local-gate rows in
-extra_queries() — 142 contract rows total, every one oracle-checked:
+sim_coclick, text_ngram_novelty, bm25_pruned_topk, events_funnel,
+events_retention) are local-gate rows in
+extra_queries() — 143 contract rows total, every one oracle-checked:
 tools/check_contract.py FULL sweep 141/141 PASS on 2026-08-21; the
 rows touched or added after that sweep (prf/ltr/coclick/novelty review
-fixes, events_funnel) re-gated individually the same day (earlier
+fixes, events_funnel, events_retention) re-gated individually the same day (earlier
 same-round sweeps: 134/134, plus per-row gates at each introduction).
 """
 
@@ -2740,6 +2740,17 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle through ENGINE code (events.retention_counts):
+    users cohorted by first-event date, activity at day offsets 0..7;
+    (user, date) distinct first so the final count needs no
+    count-distinct expand. The oracle replays cohort/min/datediff."""
+    from google_spark.operators.events import retention_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_counts(ev, horizon_days=7)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2750,7 +2761,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 4, the 11 new round-5 rows, the 2 crawler rows, and the 2 final
     round-5 rows earn driver rows (see the module docstring); union driver
     coverage r03 ∪ r04 ∪ r05 = all 121 rotation-era rows; with the
-    twenty-one final-round local-gate additions the full contract is 142
+    twenty-two final-round local-gate additions the full contract is 143
     rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
@@ -2855,6 +2866,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": q_text_ngram_novelty,
         "bm25_pruned_topk": q_bm25_pruned_topk,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
     }
 
 
@@ -6025,5 +6037,19 @@ UNION ALL
 SELECT CAST(1 AS INTEGER), 'click', (SELECT count(*) FROM t2)
 UNION ALL
 SELECT CAST(2 AS INTEGER), 'purchase', (SELECT count(*) FROM t3)
+""",
+        # Retention triangle: distinct (user, date) -> per-user min
+        # cohort -> datediff offsets; count is plain (rows pre-distinct).
+        "events_retention": """
+WITH ev AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+first AS (SELECT u, min(d) AS cohort FROM ev GROUP BY u)
+SELECT f.cohort, CAST(date_diff('day', f.cohort, ev.d) AS INTEGER) AS day_offset,
+       count(*) AS users
+FROM ev JOIN first f ON ev.u = f.u
+WHERE date_diff('day', f.cohort, ev.d) <= 7
+GROUP BY f.cohort, day_offset
 """,
     }

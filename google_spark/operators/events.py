@@ -93,3 +93,41 @@ def funnel_counts(
         .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("users"))
         .orderBy("step_no")
     )
+
+
+def retention_counts(
+    events: DataFrame,
+    horizon_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DataFrame[cohort, day_offset, users] — classic retention triangle:
+    users are cohorted by the DATE of their first event, and each row
+    counts how many of a cohort's users were active ``day_offset`` days
+    later (0 .. ``horizon_days``; day 0 is the cohort size). Rows exist
+    only for (cohort, offset) pairs with activity.
+
+    Scale shape: activity first collapses to distinct (user, date) —
+    one hash-aggregate exchange on fixed-width keys that also bounds
+    every later stage by users x active-days, not raw events; the
+    cohort date is a per-user min over that relation (same keys); the
+    join back is user-keyed; and because (user, date) is distinct, the
+    final per-(cohort, offset) count is a plain count — no
+    count-distinct expand.
+    """
+    ev = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("d"))
+        .distinct()
+    )
+    first = ev.groupBy("u").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(first, "u")
+        .withColumn("day_offset", F.datediff("d", "cohort"))
+        .filter(F.col("day_offset") <= horizon_days)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort", "day_offset")
+    )

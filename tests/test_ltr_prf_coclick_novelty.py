@@ -293,3 +293,32 @@ class TestFunnel:
         )
         with _pytest.raises(ValueError):
             funnel_counts(ev, [])
+
+
+class TestRetention:
+    def test_triangle(self, spark):
+        from datetime import datetime
+
+        from google_spark.operators.events import retention_counts
+
+        D = lambda d, h=0: datetime(2024, 1, d, h)
+        rows = [
+            # cohort Jan 1: users 1,2; user 1 returns day 1 and day 9
+            # (beyond horizon 7); user 2 never returns
+            (1, D(1)), (1, D(2)), (1, D(10)), (2, D(1)),
+            # two events same day -> one (user, date) row
+            (1, D(2, 5)),
+            # cohort Jan 3: user 3, returns day 2
+            (3, D(3)), (3, D(5)),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {
+            (str(r["cohort"]), r["day_offset"]): r["users"]
+            for r in retention_counts(ev, horizon_days=7).collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 1): 1,
+            ("2024-01-03", 0): 1,
+            ("2024-01-03", 2): 1,
+        }
