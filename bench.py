@@ -407,6 +407,16 @@ def main() -> None:
     ngram_novelty(docs).count()
     timings["novelty"] = round(time.perf_counter() - t0, 4)
 
+    from google_spark.operators.events import funnel_counts, retention_counts
+
+    t0 = time.perf_counter()
+    funnel_counts(events, ["view", "click", "purchase"]).collect()
+    timings["funnel"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    retention_counts(events).collect()
+    timings["retention"] = round(time.perf_counter() - t0, 4)
+
     # second scale point: replicated corpus, so round-over-round deltas in
     # build throughput aren't masked by fixed job overhead (~2-3s) that
     # dominates the raw 5k-doc sf0.1 figure
