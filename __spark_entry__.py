@@ -33,18 +33,19 @@ flagships, both driver-green in CORRECTNESS_r03 and re-proved by pytest:
 WAND==exhaustive is bit-exact in tests/test_index_oracle.py) — keeping
 2 flagships (bm25_topk_wand, pagerank_fixed3) and demoting 48 rows that
 are green in CORRECTNESS_r03/r04. Union driver coverage
-r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY-TWO
+r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY-THREE
 final-round additions (text_langid_ngram, sample_dsir_topk,
 dedup_canonical_best, text_detect_license, text_char_entropy,
 text_code_rules, dedup_repo_forks, dedup_fork_collapse, sample_split,
 code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs,
 dedup_clone_matches, text_normalize_nfc, prf_expand_topk, ltr_ctr_topk,
 sim_coclick, text_ngram_novelty, bm25_pruned_topk, events_funnel,
-events_retention) are local-gate rows in
-extra_queries() — 143 contract rows total, every one oracle-checked:
+events_retention, sim_pq_topk) are local-gate rows in
+extra_queries() — 144 contract rows total, every one oracle-checked:
 tools/check_contract.py FULL sweep 141/141 PASS on 2026-08-21; the
 rows touched or added after that sweep (prf/ltr/coclick/novelty review
-fixes, events_funnel, events_retention) re-gated individually the same day (earlier
+fixes, events_funnel, events_retention, sim_pq_topk) re-gated
+individually the same day (earlier
 same-round sweeps: 134/134, plus per-row gates at each introduction).
 """
 
@@ -2751,6 +2752,19 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_counts(ev, horizon_days=7)
 
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k through ENGINE code
+    (similarity.pq_topk, Jegou 2011): 64-dim embeddings split into 4
+    subspaces, seed codebooks (8 lowest-id vectors — the engine-portable
+    n_iters=0 configuration, same split as IVF), codes by 9-dp-rounded
+    argmin, scores = 6-dp-rounded sums of the probe's ADC table. The
+    oracle replays slicing, encoding, and the table join in SQL."""
+    from google_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(emb, probe_vec_id=7, k=10, m=4, ksub=8, n_iters=0)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2761,7 +2775,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 4, the 11 new round-5 rows, the 2 crawler rows, and the 2 final
     round-5 rows earn driver rows (see the module docstring); union driver
     coverage r03 ∪ r04 ∪ r05 = all 121 rotation-era rows; with the
-    twenty-two final-round local-gate additions the full contract is 143
+    twenty-three final-round local-gate additions the full contract is 144
     rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
@@ -2867,6 +2881,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pruned_topk": q_bm25_pruned_topk,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "sim_pq_topk": q_sim_pq_topk,
     }
 
 
@@ -6051,5 +6066,41 @@ SELECT f.cohort, CAST(date_diff('day', f.cohort, ev.d) AS INTEGER) AS day_offset
 FROM ev JOIN first f ON ev.u = f.u
 WHERE date_diff('day', f.cohort, ev.d) <= 7
 GROUP BY f.cohort, day_offset
+""",
+        # Product quantization (seed codebooks): per-subspace argmin on
+        # the 9-dp grid (ties lowest code), ADC table join, 6-dp sums.
+        "sim_pq_topk": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cbi AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+  FROM e ORDER BY vec_id LIMIT 8
+),
+sub AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(si)),
+dists AS (
+  SELECT e.vec_id, s.si, c.code,
+         round(list_aggregate(list_transform(list_zip(
+             e.v[s.si * 16 + 1 : (s.si + 1) * 16],
+             c.cv[s.si * 16 + 1 : (s.si + 1) * 16]),
+           z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), 9) AS d2
+  FROM e CROSS JOIN sub s CROSS JOIN cbi c
+),
+codes AS (
+  SELECT vec_id, si, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, si ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+tab AS (
+  SELECT si, code, d2 FROM dists WHERE vec_id = 7
+)
+SELECT codes.vec_id, round(sum(tab.d2), 6) AS adist
+FROM codes JOIN tab ON codes.si = tab.si AND codes.code = tab.code
+WHERE codes.vec_id <> 7
+GROUP BY codes.vec_id
+ORDER BY adist ASC, vec_id ASC LIMIT 10
 """,
     }

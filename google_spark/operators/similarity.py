@@ -605,3 +605,154 @@ def coclick_pairs(
         .orderBy(F.desc("users"), F.asc("item_a"), F.asc("item_b"))
         .limit(topn)
     )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al., TPAMI 2011 —
+    public): split the D-dim space into ``m`` subspaces of D/m dims and
+    k-means each independently. Returns shape (m, ksub, D/m).
+
+    Deterministic init — the ``ksub`` lowest-id vectors' subvectors
+    (the same engine-portable convention as ivf_assignments); each
+    optional Lloyd round is one encode pass (Arrow kernel) plus a
+    groupBy mean over exploded components per subspace. At 10^12
+    vectors you train on a sample; only encoding sees every row."""
+    seed_rows = (
+        emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    )
+    seeds = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    d = seeds.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.stack(
+        [seeds[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )
+    for _ in range(n_iters):
+        codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+        comp = (
+            emb.join(codes, id_col)
+            .select("codes", F.posexplode(vec_col).alias("dim", "v"))
+            .select(
+                (F.col("dim") / dsub).cast("int").alias("si"),
+                F.col("codes")[
+                    (F.col("dim") / dsub).cast("int")
+                ].alias("code"),
+                (F.col("dim") % dsub).alias("sd"),
+                "v",
+            )
+            .groupBy("si", "code", "sd")
+            .agg(F.avg("v").alias("mv"))
+            .collect()
+        )
+        for r in comp:
+            books[r["si"], r["code"], r["sd"]] = r["mv"]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[vec_id, codes array<int>] — each vector compressed to
+    ``m`` codebook indices (argmin squared-L2 per subspace, distances
+    rounded to 9 dp before the argmin with ties to the lowest code, so
+    a SQL replica ranks identically). m bytes of code replace 4·D bytes
+    of floats — the memory-bound ANN trade at 10^12-vector scale; the
+    codebooks ride into the Arrow kernel as a broadcast-sized closure."""
+    import pandas as pd
+    from typing import Iterator
+
+    mm, ksub, dsub = codebooks.shape
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].values).astype(np.float64)
+            out = np.empty((len(vecs), mm), dtype=np.int64)
+            for s in range(mm):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                # (n, ksub) squared distances; 9-dp grid then lowest-code
+                # tie-break = the oracle's (d2 asc, code asc) row_number
+                d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                out[:, s] = np.round(d2, 9).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes": [row.tolist() for row in out],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, codes array<bigint>"
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    probe_vec_id: int,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[vec_id, adist] — approximate k-nearest by asymmetric
+    distance computation (ADC): train codebooks, encode the corpus, and
+    score every vector as the sum of its ``m`` table entries — the
+    probe's squared-L2 to each assigned centroid, each entry on the
+    same 9-dp grid as the encoder, the sum rounded to 6 dp (ties
+    vec_id asc). Scoring never touches the original floats: a
+    10^12-vector scan reads m-byte codes and sums table lookups, which
+    is the entire point of PQ at scale.
+
+    ``n_iters=0`` (seed codebooks) is the engine-portable configuration
+    the SQL oracle reproduces bit-for-bit; Lloyd-refined quantization
+    error monotonicity is pytest-verified separately — the same
+    split the IVF operator uses."""
+    books = pq_train(
+        emb, m=m, ksub=ksub, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    probe = np.array(
+        emb.filter(F.col(id_col) == probe_vec_id).select(vec_col).first()[0],
+        dtype=np.float64,
+    )
+    mm, _, dsub = books.shape
+    # ADC table: (m, ksub) rounded squared-L2 of the probe's subvectors
+    tab = np.round(
+        (
+            (probe.reshape(mm, 1, dsub) - books) ** 2
+        ).sum(axis=2),
+        9,
+    )
+    tab_col = F.array(
+        *[
+            F.array(*[F.lit(float(tab[s, c])) for c in range(tab.shape[1])])
+            for s in range(mm)
+        ]
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mm - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + tab_col[s][F.col("codes")[s].cast("int")],
+    )
+    return (
+        codes.filter(F.col(id_col) != probe_vec_id)
+        .select(id_col, F.round(adist, 6).alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )

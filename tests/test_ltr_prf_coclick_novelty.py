@@ -322,3 +322,62 @@ class TestRetention:
             ("2024-01-03", 0): 1,
             ("2024-01-03", 2): 1,
         }
+
+
+class TestPq:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, rng.standard_normal(16).astype(float).tolist())
+            for i in range(60)
+        ]
+        # vec 100 = exact copy of vec 5 (the probe's nearest by any metric)
+        rows.append((100, rows[5][1]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_copy_ranks_first_with_zero_dist(self, emb):
+        from google_spark.operators.similarity import pq_topk
+
+        out = pq_topk(emb, probe_vec_id=5, k=5, m=4, ksub=8).collect()
+        # the exact copy shares every code with the probe -> ADC distance
+        # equals the probe's own quantization distance, the minimum
+        assert out[0]["vec_id"] == 100
+
+    def test_codes_shape_and_range(self, emb):
+        from google_spark.operators.similarity import pq_encode, pq_train
+
+        books = pq_train(emb, m=4, ksub=8)
+        assert books.shape == (4, 8, 4)
+        codes = pq_encode(emb, books).collect()
+        assert all(len(r["codes"]) == 4 for r in codes)
+        assert all(0 <= c < 8 for r in codes for c in r["codes"])
+
+    def test_lloyd_reduces_quantization_error(self, emb, spark):
+        from google_spark.operators.similarity import pq_encode, pq_train
+
+        def mse(books):
+            codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+            vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+            m, _, dsub = books.shape
+            tot = 0.0
+            for vid, v in vecs.items():
+                for s in range(m):
+                    sub = v[s * dsub : (s + 1) * dsub]
+                    tot += float(((sub - books[s][codes[vid][s]]) ** 2).sum())
+            return tot
+
+        e0 = mse(pq_train(emb, m=4, ksub=8, n_iters=0))
+        e2 = mse(pq_train(emb, m=4, ksub=8, n_iters=2))
+        # k-means MSE is monotone non-increasing per Lloyd round
+        assert e2 <= e0 + 1e-9
+        assert e2 < e0  # and strictly better on random data
+
+    def test_indivisible_dim_raises(self, spark):
+        from google_spark.operators.similarity import pq_train
+
+        bad = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            pq_train(bad, m=2, ksub=1)
