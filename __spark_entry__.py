@@ -33,19 +33,19 @@ flagships, both driver-green in CORRECTNESS_r03 and re-proved by pytest:
 WAND==exhaustive is bit-exact in tests/test_index_oracle.py) — keeping
 2 flagships (bm25_topk_wand, pagerank_fixed3) and demoting 48 rows that
 are green in CORRECTNESS_r03/r04. Union driver coverage
-r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY-THREE
+r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY-FOUR
 final-round additions (text_langid_ngram, sample_dsir_topk,
 dedup_canonical_best, text_detect_license, text_char_entropy,
 text_code_rules, dedup_repo_forks, dedup_fork_collapse, sample_split,
 code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs,
 dedup_clone_matches, text_normalize_nfc, prf_expand_topk, ltr_ctr_topk,
 sim_coclick, text_ngram_novelty, bm25_pruned_topk, events_funnel,
-events_retention, sim_pq_topk) are local-gate rows in
-extra_queries() — 144 contract rows total, every one oracle-checked:
+events_retention, sim_pq_topk, sim_ivfpq_topk) are local-gate rows in
+extra_queries() — 145 contract rows total, every one oracle-checked:
 tools/check_contract.py FULL sweep 141/141 PASS on 2026-08-21; the
 rows touched or added after that sweep (prf/ltr/coclick/novelty review
-fixes, events_funnel, events_retention, sim_pq_topk) re-gated
-individually the same day (earlier
+fixes, events_funnel, events_retention, sim_pq_topk, sim_ivfpq_topk)
+re-gated individually the same day (earlier
 same-round sweeps: 134/134, plus per-row gates at each introduction).
 """
 
@@ -2765,6 +2765,21 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, probe_vec_id=7, k=10, m=4, ksub=8, n_iters=0)
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVFPQ through ENGINE code (similarity.ivfpq_topk):
+    coarse cosine-argmax assignment picks nprobe=4 of 8 seed clusters,
+    then only those lists are PQ-encoded (4 subspaces x 8 seed codes)
+    and ADC-scored. The oracle composes the proven IVF-assignment and
+    PQ-encoding SQL and filters codes to the probed candidates."""
+    from google_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(
+        emb, probe_vec_id=7, k=10, n_centroids=8, nprobe=4, m=4, ksub=8,
+        n_iters=0,
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2775,7 +2790,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 4, the 11 new round-5 rows, the 2 crawler rows, and the 2 final
     round-5 rows earn driver rows (see the module docstring); union driver
     coverage r03 ∪ r04 ∪ r05 = all 121 rotation-era rows; with the
-    twenty-three final-round local-gate additions the full contract is 144
+    twenty-four final-round local-gate additions the full contract is 145
     rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
@@ -2882,6 +2897,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "sim_pq_topk": q_sim_pq_topk,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
     }
 
 
@@ -6102,5 +6118,68 @@ FROM codes JOIN tab ON codes.si = tab.si AND codes.code = tab.code
 WHERE codes.vec_id <> 7
 GROUP BY codes.vec_id
 ORDER BY adist ASC, vec_id ASC LIMIT 10
+""",
+        # IVFPQ: the IVF seed-assignment CTEs (cosine argmax, ties to
+        # the lowest cluster id; nprobe=4 of 8 around probe 7) compose
+        # with the PQ encoding CTEs; codes filter to the probed lists.
+        "sim_ivfpq_topk": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+sim_vc AS (
+  SELECT e.vec_id, cents.cid,
+         list_aggregate(list_transform(list_zip(e.v, cents.c),
+                                       z -> z[1] * z[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(cents.c, x -> x * x),
+                                  'sum'))) AS sim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM sim_vc
+  ) WHERE rn = 1
+),
+pc AS (SELECT cid FROM sim_vc WHERE vec_id = 7
+       ORDER BY sim DESC, cid ASC LIMIT 4),
+cands AS (
+  SELECT a.vec_id FROM assigned a JOIN pc ON a.cid = pc.cid
+  WHERE a.vec_id <> 7
+),
+cbi AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+  FROM e ORDER BY vec_id LIMIT 8
+),
+sub AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(si)),
+dists AS (
+  SELECT e.vec_id, s.si, c.code,
+         round(list_aggregate(list_transform(list_zip(
+             e.v[s.si * 16 + 1 : (s.si + 1) * 16],
+             c.cv[s.si * 16 + 1 : (s.si + 1) * 16]),
+           z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), 9) AS d2
+  FROM e CROSS JOIN sub s CROSS JOIN cbi c
+),
+codes AS (
+  SELECT vec_id, si, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, si ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+tab AS (SELECT si, code, d2 FROM dists WHERE vec_id = 7)
+SELECT codes.vec_id AS vec_id, round(sum(tab.d2), 6) AS adist
+FROM codes
+JOIN cands ON codes.vec_id = cands.vec_id
+JOIN tab ON codes.si = tab.si AND codes.code = tab.code
+GROUP BY codes.vec_id
+ORDER BY adist ASC, codes.vec_id ASC LIMIT 10
 """,
     }

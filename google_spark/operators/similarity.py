@@ -731,13 +731,24 @@ def pq_topk(
         emb.filter(F.col(id_col) == probe_vec_id).select(vec_col).first()[0],
         dtype=np.float64,
     )
+    return _adc_topk(codes, books, probe, probe_vec_id, k, id_col)
+
+
+def _adc_topk(
+    codes: DataFrame,
+    books: np.ndarray,
+    probe: np.ndarray,
+    probe_vec_id: int,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared ADC scorer for pq_topk and ivfpq_topk: the probe's (m,
+    ksub) squared-L2 table rides into the plan as literal arrays, each
+    entry on the encoder's 9-dp grid; scores are 6-dp-rounded sums of
+    table lookups, ties vec_id asc."""
     mm, _, dsub = books.shape
-    # ADC table: (m, ksub) rounded squared-L2 of the probe's subvectors
     tab = np.round(
-        (
-            (probe.reshape(mm, 1, dsub) - books) ** 2
-        ).sum(axis=2),
-        9,
+        ((probe.reshape(mm, 1, dsub) - books) ** 2).sum(axis=2), 9
     )
     tab_col = F.array(
         *[
@@ -756,3 +767,54 @@ def pq_topk(
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    probe_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[vec_id, adist] — the FAISS-style IVFPQ composition:
+    IVF coarse pruning picks the ``nprobe`` clusters nearest the probe
+    (cosine argmax assignment, the existing ivf_assignments), then ONLY
+    those inverted lists are PQ-encoded and ADC-scored. A query touches
+    nprobe/n_centroids of the corpus and reads m-byte codes instead of
+    floats — the two scale levers multiplied, which is why this layout
+    is the standard trillion-vector architecture.
+
+    Codebooks are trained globally on raw vectors (no residual
+    encoding — a documented simplification; residual PQ would subtract
+    the assigned centroid before quantizing). ``n_iters`` drives BOTH
+    quantizers' Lloyd rounds; 0 = the engine-portable seed
+    configuration the SQL oracle reproduces exactly."""
+    centroids, assigned = ivf_assignments(
+        emb, n_centroids=n_centroids, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    probe = np.array(
+        emb.filter(F.col(id_col) == probe_vec_id).select(vec_col).first()[0],
+        dtype=np.float64,
+    )
+    c_norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    p_norm = probe / max(np.linalg.norm(probe), 1e-12)
+    sims = c_norm @ p_norm
+    probe_clusters = np.lexsort((np.arange(len(sims)), -sims))[:nprobe].tolist()
+    cand_ids = assigned.filter(
+        F.col("cluster").isin(probe_clusters)
+        & (F.col(id_col) != probe_vec_id)
+    ).select(id_col)
+    books = pq_train(
+        emb, m=m, ksub=ksub, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    cands = emb.join(cand_ids, id_col, "left_semi")
+    codes = pq_encode(cands, books, id_col=id_col, vec_col=vec_col)
+    return _adc_topk(codes, books, probe, probe_vec_id, k, id_col)

@@ -381,3 +381,39 @@ class TestPq:
         )
         with pytest.raises(ValueError):
             pq_train(bad, m=2, ksub=1)
+
+
+class TestIvfPq:
+    def test_subset_of_pq_and_bounded_by_probe_lists(self, spark):
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, rng.standard_normal(16).astype(float).tolist())
+            for i in range(80)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        from google_spark.operators.similarity import (
+            ivf_assignments,
+            ivfpq_topk,
+            pq_topk,
+        )
+
+        out = ivfpq_topk(
+            emb, probe_vec_id=5, k=50, n_centroids=4, nprobe=2, m=4, ksub=8
+        ).collect()
+        # every scored candidate lives in one of the probed clusters
+        _, assigned = ivf_assignments(emb, n_centroids=4, n_iters=0)
+        clusters = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+        probed = set()
+        for r in out:
+            probed.add(clusters[r["vec_id"]])
+        assert len(probed) <= 2
+        # full-corpus PQ with identical codebooks assigns the SAME adist
+        # to the shared candidates (IVFPQ only prunes, never rescores)
+        full = {
+            r["vec_id"]: r["adist"]
+            for r in pq_topk(emb, probe_vec_id=5, k=80, m=4, ksub=8).collect()
+        }
+        for r in out:
+            assert full[r["vec_id"]] == r["adist"]
