@@ -42,11 +42,9 @@ dedup_clone_matches, text_normalize_nfc, prf_expand_topk, ltr_ctr_topk,
 sim_coclick, text_ngram_novelty, bm25_pruned_topk, events_funnel,
 events_retention, sim_pq_topk, sim_ivfpq_topk) are local-gate rows in
 extra_queries() — 145 contract rows total, every one oracle-checked:
-tools/check_contract.py FULL sweep 141/141 PASS on 2026-08-21; the
-rows touched or added after that sweep (prf/ltr/coclick/novelty review
-fixes, events_funnel, events_retention, sim_pq_topk, sim_ivfpq_topk)
-re-gated individually the same day (earlier
-same-round sweeps: 134/134, plus per-row gates at each introduction).
+tools/check_contract.py FULL sweep 145/145 PASS on 2026-08-21 AFTER the
+final commit of the round (earlier same-round sweeps: 134/134 and
+141/141, plus per-row gates at each row's introduction).
 """
 
 from __future__ import annotations
