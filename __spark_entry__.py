@@ -33,17 +33,18 @@ flagships, both driver-green in CORRECTNESS_r03 and re-proved by pytest:
 WAND==exhaustive is bit-exact in tests/test_index_oracle.py) — keeping
 2 flagships (bm25_topk_wand, pagerank_fixed3) and demoting 48 rows that
 are green in CORRECTNESS_r03/r04. Union driver coverage
-r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY-FOUR
+r03 ∪ r04 ∪ r05 = all 121 rotation-era contract rows; the TWENTY-FIVE
 final-round additions (text_langid_ngram, sample_dsir_topk,
 dedup_canonical_best, text_detect_license, text_char_entropy,
 text_code_rules, dedup_repo_forks, dedup_fork_collapse, sample_split,
 code_chunks, dedup_code_chunks, dedup_winnow_fps, dedup_clone_pairs,
 dedup_clone_matches, text_normalize_nfc, prf_expand_topk, ltr_ctr_topk,
 sim_coclick, text_ngram_novelty, bm25_pruned_topk, events_funnel,
-events_retention, sim_pq_topk, sim_ivfpq_topk) are local-gate rows in
-extra_queries() — 145 contract rows total, every one oracle-checked:
-tools/check_contract.py FULL sweep 145/145 PASS on 2026-08-21 AFTER the
-final commit of the round (earlier same-round sweeps: 134/134 and
+events_retention, sim_pq_topk, sim_ivfpq_topk,
+sim_ivfpq_residual_topk) are local-gate rows in
+extra_queries() — 146 contract rows total, every one oracle-checked:
+tools/check_contract.py FULL sweep 145/145 PASS on 2026-08-21 late in
+the round (sim_ivfpq_residual_topk, added after it, per-row gated) (earlier same-round sweeps: 134/134 and
 141/141, plus per-row gates at each row's introduction).
 """
 
@@ -2778,6 +2779,22 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ (the true FAISS formulation) through ENGINE code
+    (similarity.ivfpq_topk(residual=True)): vectors quantize as
+    v - assigned centroid, codebooks train on residuals, and the query
+    builds one ADC table per probed list from its own residual. The
+    oracle composes assignment, residual slicing, encoding, and the
+    per-list table join in SQL."""
+    from google_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(
+        emb, probe_vec_id=7, k=10, n_centroids=8, nprobe=4, m=4, ksub=8,
+        n_iters=0, residual=True,
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked rows beyond the driver gate's 50-entry budget (round-2
     lesson: the 51st queries() entry silently vanished from the driver's
@@ -2788,7 +2805,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 4, the 11 new round-5 rows, the 2 crawler rows, and the 2 final
     round-5 rows earn driver rows (see the module docstring); union driver
     coverage r03 ∪ r04 ∪ r05 = all 121 rotation-era rows; with the
-    twenty-four final-round local-gate additions the full contract is 145
+    twenty-five final-round local-gate additions the full contract is 146
     rows."""
     return {
         # demoted in round 4 (driver-green in CORRECTNESS_r03) --------------
@@ -2896,6 +2913,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "sim_ivfpq_residual_topk": q_sim_ivfpq_residual_topk,
     }
 
 
@@ -6177,6 +6195,91 @@ SELECT codes.vec_id AS vec_id, round(sum(tab.d2), 6) AS adist
 FROM codes
 JOIN cands ON codes.vec_id = cands.vec_id
 JOIN tab ON codes.si = tab.si AND codes.code = tab.code
+GROUP BY codes.vec_id
+ORDER BY adist ASC, codes.vec_id ASC LIMIT 10
+""",
+        # Residual IVFPQ: residuals r = v - assigned centroid, codebooks
+        # from the 8 lowest-id residuals, one ADC table per probed list
+        # (the probe's residual w.r.t. that list's centroid).
+        "sim_ivfpq_residual_topk": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+sim_vc AS (
+  SELECT e.vec_id, cents.cid,
+         list_aggregate(list_transform(list_zip(e.v, cents.c),
+                                       z -> z[1] * z[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(cents.c, x -> x * x),
+                                  'sum'))) AS sim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM sim_vc
+  ) WHERE rn = 1
+),
+pc AS (SELECT cid FROM sim_vc WHERE vec_id = 7
+       ORDER BY sim DESC, cid ASC LIMIT 4),
+cands AS (
+  SELECT a.vec_id FROM assigned a JOIN pc ON a.cid = pc.cid
+  WHERE a.vec_id <> 7
+),
+res AS (
+  SELECT e.vec_id, a.cid,
+         list_transform(list_zip(e.v, ct.c), z -> z[1] - z[2]) AS r
+  FROM e JOIN assigned a ON e.vec_id = a.vec_id
+  JOIN cents ct ON a.cid = ct.cid
+),
+cbr AS (
+  -- codebook seeds EXCLUDE the coarse seeds (their residuals are
+  -- identically zero: a seed self-assigns at cosine 1.0)
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS cv
+  FROM res
+  WHERE vec_id NOT IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+  ORDER BY vec_id LIMIT 8
+),
+sub AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(si)),
+dists AS (
+  SELECT res.vec_id, s.si, cb.code,
+         round(list_aggregate(list_transform(list_zip(
+             res.r[s.si * 16 + 1 : (s.si + 1) * 16],
+             cb.cv[s.si * 16 + 1 : (s.si + 1) * 16]),
+           z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), 9) AS d2
+  FROM res CROSS JOIN sub s CROSS JOIN cbr cb
+),
+codes AS (
+  SELECT vec_id, si, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, si ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+ptab AS (
+  SELECT pc.cid, s.si, cb.code,
+         round(list_aggregate(list_transform(list_zip(
+             list_transform(list_zip(p.v, ct.c),
+                            z -> z[1] - z[2])[s.si * 16 + 1 : (s.si + 1) * 16],
+             cb.cv[s.si * 16 + 1 : (s.si + 1) * 16]),
+           z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), 9) AS d2
+  FROM (SELECT v FROM e WHERE vec_id = 7) p
+  CROSS JOIN pc JOIN cents ct ON pc.cid = ct.cid
+  CROSS JOIN sub s CROSS JOIN cbr cb
+)
+SELECT codes.vec_id AS vec_id, round(sum(ptab.d2), 6) AS adist
+FROM codes
+JOIN res ON codes.vec_id = res.vec_id
+JOIN cands ON codes.vec_id = cands.vec_id
+JOIN ptab ON res.cid = ptab.cid AND codes.si = ptab.si
+         AND codes.code = ptab.code
 GROUP BY codes.vec_id
 ORDER BY adist ASC, codes.vec_id ASC LIMIT 10
 """,

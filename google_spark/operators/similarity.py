@@ -778,6 +778,7 @@ def ivfpq_topk(
     m: int = 4,
     ksub: int = 8,
     n_iters: int = 0,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -789,9 +790,12 @@ def ivfpq_topk(
     floats — the two scale levers multiplied, which is why this layout
     is the standard trillion-vector architecture.
 
-    Codebooks are trained globally on raw vectors (no residual
-    encoding — a documented simplification; residual PQ would subtract
-    the assigned centroid before quantizing). ``n_iters`` drives BOTH
+    ``residual=False`` trains codebooks globally on raw vectors;
+    ``residual=True`` is the true FAISS formulation — every vector is
+    quantized as (v - its assigned centroid), which concentrates the
+    codebooks on the residual distribution (tighter cells for the same
+    ksub), and the query builds one ADC table PER PROBED LIST from its
+    own residual against that list's centroid. ``n_iters`` drives BOTH
     quantizers' Lloyd rounds; 0 = the engine-portable seed
     configuration the SQL oracle reproduces exactly."""
     centroids, assigned = ivf_assignments(
@@ -812,9 +816,76 @@ def ivfpq_topk(
         F.col("cluster").isin(probe_clusters)
         & (F.col(id_col) != probe_vec_id)
     ).select(id_col)
-    books = pq_train(
-        emb, m=m, ksub=ksub, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    if not residual:
+        books = pq_train(
+            emb, m=m, ksub=ksub, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cands = emb.join(cand_ids, id_col, "left_semi")
+        codes = pq_encode(cands, books, id_col=id_col, vec_col=vec_col)
+        return _adc_topk(codes, books, probe, probe_vec_id, k, id_col)
+
+    # residual path: r(v) = v - centroid[cluster(v)], a JVM zip_with
+    # against the literal centroid matrix (n_centroids x D doubles —
+    # broadcast-sized), so residuals never materialize to storage
+    cents_col = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
-    cands = emb.join(cand_ids, id_col, "left_semi")
-    codes = pq_encode(cands, books, id_col=id_col, vec_col=vec_col)
-    return _adc_topk(codes, books, probe, probe_vec_id, k, id_col)
+    with_r = emb.join(assigned, id_col).select(
+        id_col,
+        "cluster",
+        F.zip_with(
+            vec_col,
+            cents_col[F.col("cluster")],
+            lambda a, b: a.cast("double") - b,
+        ).alias("r"),
+    )
+    # codebook training EXCLUDES the coarse seeds: a seed vector always
+    # self-assigns (cosine 1.0 to itself), so its residual is the zero
+    # vector — seeding the residual codebooks from them would collapse
+    # every centroid to ~0 and the quantizer would carry no information
+    seed_ids = [
+        r[0]
+        for r in emb.orderBy(id_col).limit(n_centroids).select(id_col).collect()
+    ]
+    books = pq_train(
+        with_r.filter(~F.col(id_col).isin(seed_ids)),
+        m=m, ksub=ksub, n_iters=n_iters, id_col=id_col, vec_col="r",
+    )
+    cand_r = with_r.join(cand_ids, id_col, "left_semi")
+    codes = pq_encode(cand_r, books, id_col=id_col, vec_col="r").join(
+        assigned, id_col
+    )
+    # one ADC table per probed list: the query's residual w.r.t. THAT
+    # list's centroid, against the shared residual codebooks
+    mm, ksub_n, dsub = books.shape
+    entries = []
+    for c in probe_clusters:
+        pr = probe - centroids[c]
+        tab = np.round(
+            ((pr.reshape(mm, 1, dsub) - books) ** 2).sum(axis=2), 9
+        )
+        entries += [
+            F.lit(int(c)),
+            F.array(
+                *[
+                    F.array(
+                        *[F.lit(float(tab[s, q])) for q in range(ksub_n)]
+                    )
+                    for s in range(mm)
+                ]
+            ),
+        ]
+    tab_map = F.create_map(*entries)
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mm - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + tab_map[F.col("cluster")][s][F.col("codes")[s].cast("int")],
+    )
+    return (
+        codes.filter(F.col(id_col) != probe_vec_id)
+        .select(id_col, F.round(adist, 6).alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )

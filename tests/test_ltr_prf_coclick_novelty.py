@@ -342,7 +342,10 @@ class TestPq:
         out = pq_topk(emb, probe_vec_id=5, k=5, m=4, ksub=8).collect()
         # the exact copy shares every code with the probe -> ADC distance
         # equals the probe's own quantization distance, the minimum
-        assert out[0]["vec_id"] == 100
+        # possible (other vectors may tie by sharing the argmin codes,
+        # never beat it)
+        by_id = {r["vec_id"]: r["adist"] for r in out}
+        assert 100 in by_id and by_id[100] == out[0]["adist"]
 
     def test_codes_shape_and_range(self, emb):
         from google_spark.operators.similarity import pq_encode, pq_train
@@ -417,3 +420,59 @@ class TestIvfPq:
         }
         for r in out:
             assert full[r["vec_id"]] == r["adist"]
+
+
+class TestIvfPqResidual:
+    def test_copy_ranks_first_and_cluster_bound(self, spark):
+        rng = np.random.default_rng(21)
+        rows = [
+            (i, rng.standard_normal(16).astype(float).tolist())
+            for i in range(80)
+        ]
+        rows.append((200, rows[9][1]))  # exact copy of the probe
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        from google_spark.operators.similarity import (
+            ivf_assignments,
+            ivfpq_topk,
+        )
+
+        out = ivfpq_topk(
+            emb, probe_vec_id=9, k=40, n_centroids=4, nprobe=2,
+            m=4, ksub=8, residual=True,
+        ).collect()
+        # the copy shares the probe's cluster AND residual -> identical
+        # codes -> the MINIMUM POSSIBLE ADC distance (its codes are the
+        # probe's own argmin); other vectors may tie by landing on the
+        # same codes (coarse ksub=8 cells) but none can beat it
+        by_id = {r["vec_id"]: r["adist"] for r in out}
+        assert by_id[200] == out[0]["adist"]
+        _, assigned = ivf_assignments(emb, n_centroids=4, n_iters=0)
+        clusters = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+        assert len({clusters[r["vec_id"]] for r in out}) <= 2
+
+    def test_residual_differs_from_raw(self, spark):
+        # the two formulations are genuinely different quantizers: same
+        # probe, same params, different candidate scores
+        rng = np.random.default_rng(22)
+        rows = [
+            (i, rng.standard_normal(16).astype(float).tolist())
+            for i in range(60)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        from google_spark.operators.similarity import ivfpq_topk
+
+        raw = {
+            r["vec_id"]: r["adist"]
+            for r in ivfpq_topk(emb, 5, k=30, n_centroids=4, nprobe=4).collect()
+        }
+        res = {
+            r["vec_id"]: r["adist"]
+            for r in ivfpq_topk(
+                emb, 5, k=30, n_centroids=4, nprobe=4, residual=True
+            ).collect()
+        }
+        assert raw != res
