@@ -247,6 +247,15 @@ def main() -> None:
     t0 = time.perf_counter()
     ivf_index_topk(spark, ivf_dir, probe, k=10, nprobe=3).collect()
     timings["ivf_probe"] = round(time.perf_counter() - t0, 4)
+
+    from google_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    t0 = time.perf_counter()
+    pq_topk(emb, probe_vec_id=0, k=10).collect()
+    timings["pq_adc"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    ivfpq_topk(emb, probe_vec_id=0, k=10, residual=True).collect()
+    timings["ivfpq_residual"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
     cosine_topk(emb, probe_vec_id=0, k=10).collect()
     timings["cosine_brute"] = round(time.perf_counter() - t0, 4)

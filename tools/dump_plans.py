@@ -890,6 +890,39 @@ def main() -> None:
         )
     )
 
+    from google_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sections.append(
+        (
+            "Product-quantization ADC top-k (codes-only scan, literal table)",
+            "pq_topk(emb, 7): after the one-off codebook train (driver "
+            "holds m x ksub x D/m doubles) and the Arrow encode kernel, "
+            "the SCORING plan below reads only the m-long code arrays — "
+            "the probe's ADC table rides in as literal nested arrays and "
+            "the per-vector distance is an aggregate() over m lookups, "
+            "then TakeOrderedAndProject. At 10^12 vectors this scan "
+            "touches m bytes per vector, never the floats.",
+            fmt(
+                __import__(
+                    "google_spark.operators.similarity", fromlist=["_adc_topk"]
+                )._adc_topk(
+                    pq_encode(emb_df, pq_train(emb_df)),
+                    pq_train(emb_df),
+                    __import__("numpy").array(
+                        emb_df.filter(F.col("vec_id") == 7)
+                        .select("embedding")
+                        .first()[0],
+                        dtype="float64",
+                    ),
+                    7,
+                    10,
+                    "vec_id",
+                )
+            ),
+        )
+    )
+
     md = ["# PLANS — physical plans of the headline operators",
           "",
           f"Generated by `python tools/dump_plans.py` on `{sf_dir}`.",
